@@ -1,0 +1,95 @@
+"""Ingest ``hdfs oiv -p Delimited`` output into the canonical ``inodes`` table.
+
+The reference parses the binary fsimage directly (FsImageLoader). The
+Spark-first alternative accepted here is the standard Hadoop offline image
+viewer's delimited dump — a TSV with one row per inode and the path already
+materialized — which Spark reads distributed and in parallel. Columns (public
+Hadoop OIV ``Delimited`` processor):
+
+Path, Replication, ModificationTime, AccessTime, PreferredBlockSize,
+BlocksCount, FileSize, NSQUOTA, DSQUOTA, Permission, UserName, GroupName
+
+A binary-fsimage extractor (pure-Python protobuf over the public
+fsimage.proto) is provided separately in :mod:`hfsa_spark.extract.fsimage`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfsa_spark.functions.paths import normalize_path_expr
+
+_OIV_SCHEMA = (
+    "Path string, Replication int, ModificationTime string, AccessTime string,"
+    " PreferredBlockSize long, BlocksCount int, FileSize long,"
+    " NSQUOTA long, DSQUOTA long, Permission string, UserName string, GroupName string"
+)
+
+
+def read_oiv_delimited(spark: SparkSession, path: str, delimiter: str = "\t") -> DataFrame:
+    """Read an OIV Delimited dump into (a superset of) the inodes schema.
+
+    Fields the dump doesn't carry (inode id, parent_id, blocks[]) are
+    synthesized or left NULL: ids are assigned deterministically by hashing
+    the path (stable across runs), parent_id by hashing the parent path —
+    giving a valid edge set without a driver-side pass.
+    """
+    raw = (
+        spark.read.option("sep", delimiter)
+        .option("header", "true")
+        .schema(_OIV_SCHEMA)
+        .csv(path)
+    )
+
+    full_path = normalize_path_expr(F.col("Path"))
+    parent = F.when(full_path == "/", F.lit(None).cast("string")).otherwise(
+        F.coalesce(
+            F.nullif(F.regexp_extract(full_path, r"^(.*)/[^/]+$", 1), F.lit("")),
+            F.lit("/"),
+        )
+    )
+    is_dir = F.col("BlocksCount").isNull() & F.col("FileSize").isNull()
+    mode_str = F.regexp_extract(F.col("Permission"), r"([-dlrwxsStT]{10})$", 1)
+
+    def rwx_bits(s: F.Column) -> F.Column:
+        # 'rwxr-xr-x' → int mode; sticky handled via trailing t/T
+        triads = [(1, 0o400, "r"), (2, 0o200, "w"), (3, 0o100, "xsS"),
+                  (4, 0o040, "r"), (5, 0o020, "w"), (6, 0o010, "xsS"),
+                  (7, 0o004, "r"), (8, 0o002, "w"), (9, 0o001, "xtT")]
+        total = F.lit(0)
+        for pos, bit, chars in triads:
+            ch = F.substring(s, pos + 1, 1)  # skip type char
+            total = total + F.when(ch.isin(*list(chars)) & (ch != "-"), F.lit(bit)).otherwise(F.lit(0))
+        sticky = F.when(F.substring(s, 10, 1).isin("t", "T"), F.lit(0o1000)).otherwise(F.lit(0))
+        return (total + sticky).cast("int")
+
+    return raw.select(
+        F.xxhash64(full_path).alias("id"),
+        F.xxhash64(parent).alias("parent_id"),
+        F.element_at(F.split(full_path, "/"), -1).alias("name"),
+        F.when(is_dir, F.lit("DIRECTORY")).otherwise(F.lit("FILE")).alias("type"),
+        parent.alias("path"),
+        full_path.alias("full_path"),
+        (F.size(F.split(full_path, "/")) - 1).cast("int").alias("depth"),
+        F.col("UserName").alias("user"),
+        F.col("GroupName").alias("group"),
+        rwx_bits(mode_str).alias("mode"),
+        F.to_timestamp("ModificationTime").cast("long").alias("mtime_s"),
+        F.to_timestamp("AccessTime").cast("long").alias("atime_s"),
+        F.coalesce(F.col("Replication"), F.lit(0)).alias("replication"),
+        F.coalesce(F.col("PreferredBlockSize"), F.lit(0)).alias("preferred_block_size"),
+        F.lit(0).alias("storage_policy_id"),
+        F.lit(0).alias("ec_policy_id"),
+        F.coalesce(F.col("NSQUOTA"), F.lit(-1)).alias("ns_quota"),
+        F.coalesce(F.col("DSQUOTA"), F.lit(-1)).alias("ds_quota"),
+        F.lit(None).cast("string").alias("symlink_target"),
+        F.lit(None).cast(
+            "array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
+        ).alias("blocks"),
+        F.coalesce(F.col("FileSize"), F.lit(0)).alias("file_size"),
+        (F.coalesce(F.col("FileSize"), F.lit(0)) * F.coalesce(F.col("Replication"), F.lit(1))).alias("consumed_size"),
+        F.coalesce(F.col("BlocksCount"), F.lit(0)).alias("num_blocks"),
+    ).withColumn("mtime", (F.col("mtime_s") * 1000).cast("long")).withColumn(
+        "atime", (F.col("atime_s") * 1000).cast("long")
+    ).drop("mtime_s", "atime_s")
