@@ -1,38 +1,1118 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator/query pattern from SURVEY.md §2 (or
+a beyond-reference training-data operator), expressed Spark-first over the
+driver testdata tables; ``oracle_sql()`` carries the DuckDB-equivalent SQL.
+
+Cross-engine value parity rules used throughout (both sides!):
+* aggregated numerics go through DECIMAL (exact, order-independent) and are
+  cast to DOUBLE only at the end; DuckDB integer sums are cast ::BIGINT to
+  avoid HUGEINT;
+* timestamps are exposed as epoch-second/hour BIGINTs;
+* per-row double math keeps the identical expression tree on both sides
+  (IEEE ops are deterministic — only parallel aggregation order isn't);
+* md5-based portable hashes (hfsa_spark/functions/hashing.py) make minhash /
+  simhash / fingerprints value-identical across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# --------------------------------------------------------------- helpers --
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    read the physical INT64 with an explicit schema and derive a proper
+    timestamp at µs precision (same truncation DuckDB applies reading ns)."""
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an hfsa ``inodes``-shaped namespace from ``documents``:
+    file = /{lang}/{source}/doc_{doc_id}, size = n_chars, user = source,
+    group = lang, mtime = doc_id*1000 — plus the implied directory rows.
+    Lets the real hfsa report operators run inside the correctness gate."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        (F.lit(1_000_000) + F.col("doc_id")).alias("id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("name"),
+        F.lit("FILE").alias("type"),
+        F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source")).alias("path"),
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"),
+            F.lit("/doc_"), F.col("doc_id"),
+        ).alias("full_path"),
+        F.lit(3).alias("depth"),
+        F.col("source").alias("user"),
+        F.col("lang").alias("group"),
+        F.lit(0o644).alias("mode"),
+        (F.col("doc_id") * 1000).alias("mtime"),
+        F.lit(0).cast("long").alias("atime"),
+        F.lit(1).alias("replication"),
+        F.lit(134217728).cast("long").alias("preferred_block_size"),
+        F.lit(0).alias("storage_policy_id"),
+        F.lit(0).alias("ec_policy_id"),
+        F.lit(-1).cast("long").alias("ns_quota"),
+        F.lit(-1).cast("long").alias("ds_quota"),
+        F.lit(None).cast("string").alias("symlink_target"),
+        F.lit(None).cast(
+            "array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
+        ).alias("blocks"),
+        F.col("n_chars").cast("long").alias("file_size"),
+        F.col("n_chars").cast("long").alias("consumed_size"),
+        F.lit(1).alias("num_blocks"),
+    )
+
+    def dir_row(full_path, path, depth, ident):
+        return (
+            ident.alias("id"),
+            F.lit(None).cast("long").alias("parent_id"),
+            F.element_at(F.split(full_path, "/"), -1).alias("name"),
+            F.lit("DIRECTORY").alias("type"),
+            path.alias("path"),
+            full_path.alias("full_path"),
+            depth.alias("depth"),
+            F.lit("hdfs").alias("user"),
+            F.lit("hadoop").alias("group"),
+            F.lit(0o755).alias("mode"),
+            F.lit(0).cast("long").alias("mtime"),
+            F.lit(0).cast("long").alias("atime"),
+            F.lit(0).alias("replication"),
+            F.lit(0).cast("long").alias("preferred_block_size"),
+            F.lit(0).alias("storage_policy_id"),
+            F.lit(0).alias("ec_policy_id"),
+            F.lit(-1).cast("long").alias("ns_quota"),
+            F.lit(-1).cast("long").alias("ds_quota"),
+            F.lit(None).cast("string").alias("symlink_target"),
+            F.lit(None).cast(
+                "array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
+            ).alias("blocks"),
+            F.lit(0).cast("long").alias("file_size"),
+            F.lit(0).cast("long").alias("consumed_size"),
+            F.lit(0).alias("num_blocks"),
+        )
+
+    root = docs.limit(1).select(*dir_row(F.lit("/"), F.lit("/"), F.lit(0), F.lit(2)))
+    lang_dirs = docs.select("lang").distinct().select(
+        *dir_row(
+            F.concat(F.lit("/"), F.col("lang")),
+            F.lit("/"),
+            F.lit(1),
+            F.lit(10) + F.crc32(F.col("lang")),
+        )
+    )
+    src_dirs = docs.select("lang", "source").distinct().select(
+        *dir_row(
+            F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source")),
+            F.concat(F.lit("/"), F.col("lang")),
+            F.lit(2),
+            F.lit(100000) + F.crc32(F.concat(F.col("lang"), F.col("source"))),
+        )
+    )
+    return root.unionByName(lang_dirs).unionByName(src_dirs).unionByName(files)
+
+
+_DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------- queries --
+# Relational core (SURVEY.md §2.6 A1, §2.4 F9, §2.5 J*, §2.7 K*)
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog — multi-aggregate groupBy with pushed-down filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+            F.sum(
+                # products of 2-decimal values are exactly 4-decimal; decimal(18,4)
+                # recovers the exact value on both engines (never a rounding tie)
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's three simultaneous groupings — GROUPING SETS ((a),(b),())."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def q03_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-analog — large join orders ⋈ lineitem, aggregated per priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q04_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog — small dims broadcast-joined (customer ⋈ nation ⋈ region)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders, counted per nation (anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one URGENT order (semi join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_urgent"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q07_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog — exponential (log2) histogram of l_extendedprice."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.log2(F.col("l_extendedprice"))).cast("int")
+    return (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("bucket")
+    )
+
+
+def q08_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 analog — global top-10 customers by order count (desc, key asc)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_total"),
+        )
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 analog — top-3 orders per priority (totalprice desc, key asc)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+def q10_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 analog — per-priority share of all orders (window over ())."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = Window.partitionBy()
+    return counts.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("n_orders").cast("double") * 100.0 / F.sum("n_orders").over(total).cast("double")).alias("pct"),
+    ).orderBy("o_orderpriority")
+
+
+def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analog — distinct counting per group."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_distinct_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L7 analog — point lookups by key, all columns projected."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey").isin(1, 7, 32, 100, 1000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate_str"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q13_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 analog — UNION ALL of two scoped scans, aggregated."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0")
+    b = d.filter(F.col("source") == "src1")
+    return (
+        a.unionAll(b)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def q14_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/K5 analog — multi-key deterministic sort + limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_shipdate").cast("timestamp").cast("long").alias("ship_epoch"),
+        )
+        .orderBy(F.col("ship_epoch").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(50)
+    )
+
+
+# HFSA-shaped hierarchical queries (A4 rollup, smallfiles, userusage, summary)
+
+
+def q15_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — ancestor rollup over the synthesized namespace paths."""
+    from hfsa_spark.operators.rollup import ancestor_rollup
+
+    ns = _namespace(spark, sf_dir).filter(F.col("type") == "FILE")
+    rolled = ancestor_rollup(
+        ns.select("path", "file_size"),
+        "path",
+        {"n_files": F.count(F.lit(1)), "sum_size": F.sum("file_size")},
+    )
+    return rolled.orderBy("path")
+
+
+def q16_smallfiles_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+A3+A4+K2 — the real small-files operator on the synthesized
+    namespace (small = file_size < 300)."""
+    from hfsa_spark.operators.smallfiles import small_files_report
+
+    rep = small_files_report(_namespace(spark, sf_dir), limit_bytes=300, hotspot_limit=10)
+    return rep.path_hotspots.select("path", "count")
+
+
+def q17_user_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6+A5+A4+K4 — the real user-usage operator (user='src3',
+    age filter via injected now)."""
+    from hfsa_spark.operators.userusage import user_usage_report
+
+    # mtime = doc_id*1000; cutoff keeps doc_id < 2000
+    return user_usage_report(
+        _namespace(spark, sf_dir), user="src3", now_ms=2_000_000, age_ms=0, limit=20
+    )
+
+
+def q18_summary_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the real summary operator's by-user grouping on the synthesized
+    namespace (user = source)."""
+    from hfsa_spark.operators.summary import summary_report
+
+    rep = summary_report(_namespace(spark, sf_dir))
+    return rep.by_user.select(
+        "user", "sum_directories", "sum_files", "sum_file_size"
+    ).orderBy("user")
+
+
+def q19_summary_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — exact SizeBucket semantics over the synthesized namespace,
+    exposed as (bucket, n_files) pairs."""
+    from hfsa_spark.functions.buckets import size_bucket
+
+    ns = _namespace(spark, sf_dir).filter(F.col("type") == "FILE")
+    return (
+        ns.groupBy(size_bucket("file_size").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("bucket")
+    )
+
+
+def q20_path_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+K5 — regex-filtered listing ordered by path."""
+    ns = _namespace(spark, sf_dir)
+    return (
+        ns.filter((F.col("type") == "FILE") & F.col("user").rlike("^src1[02]$"))
+        .select("full_path", "user", "group", "file_size")
+        .orderBy("full_path")
+    )
+
+
+# Dedup / text / fingerprint / similarity (beyond-reference operators)
+
+
+def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: digest of normalized text, count, representative."""
+    from hfsa_spark.operators.dedup import exact_dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup_groups(d, "doc_id", "text")
+        .select("digest", "doc_count", "keep_id")
+        .orderBy("digest")
+    )
+
+
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 seeded hashes, 3-gram shingles) for a slice."""
+    from hfsa_spark.operators.dedup import minhash_signature
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return minhash_signature(d, "doc_id", "text", num_hashes=4).orderBy("doc_id")
+
+
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures for a slice of documents."""
+    from hfsa_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(d, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (threshold 0.8) among the first docs —
+    integer columns only (similarity re-derivable from counts)."""
+    from hfsa_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.08)
+        .select("id_a", "id_b", "n_common")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q25_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + fingerprinting + language-ID (integer/string-exact)."""
+    from hfsa_spark.operators.text import (
+        token_count,
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id_heuristic,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_pieces"),
+        fingerprint("text").alias("fingerprint"),
+        lang_id_heuristic("text").alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def q26_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row double quality/stopword features (float-parity probe —
+    isolated so any cross-engine double drift is visible on its own)."""
+    from hfsa_spark.operators.text import quality_score, stopword_ratio
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        stopword_ratio("text").alias("stopword_ratio_en"),
+    ).orderBy("doc_id")
+
+
+def q27_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column."""
+    from hfsa_spark.operators.text import lang_id_heuristic
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang"), lang_id_heuristic("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def q28_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 3 query vectors (rank/int output; the scores
+    feed the ordering but are not exposed, keeping the check float-proof)."""
+    from hfsa_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return cosine_topk(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
+
+
+def q29_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketed cosine top-5 (approximate path)."""
+    from hfsa_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return cosine_topk_lsh(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
+
+
+def q30_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column profiling: per label, count + decimal-exact mean of the
+    first embedding component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # FLOOR(x*1e9) as BIGINT: integer-exact across engines (no decimal
+    # rounding-mode differences)
+    first_nano = F.floor(F.element_at("embedding", 1).cast("double") * 1e9).cast("long")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(first_nano).alias("sum_first_nano"),
+        )
+        .orderBy("label")
+    )
+
+
+# Streaming-shaped (batch twins; SURVEY.md §2.10 beyond-reference)
+
+
+def q31_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type (epoch-hour buckets)."""
+    ev = _events(spark, sf_dir)
+    hour_bucket = F.floor(F.col("ts").cast("long") / 3600).cast("long")
+    return (
+        ev.groupBy(hour_bucket.alias("hour_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + cumulative sum windows."""
+    from hfsa_spark.streaming.snapshots import sessionize_events
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_events(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("sum_value").cast(_DEC).cast("double").alias("sum_value"),
+    ).orderBy("user_id", "session_id")
+
+
+def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column → Arrow-batched
+    mapInPandas feature extraction (deterministic fake decoder)."""
+    from hfsa_spark.operators.multimodal import extract_image_features, synthesize_media_table
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_media_table(d)
+    return extract_image_features(media, fake=True).select(
+        "doc_id", "width", "height", "aspect_ratio", "mean_luma", "phash"
+    ).orderBy("doc_id")
+
+
+def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON field extraction + aggregation."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q35_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: exact dedup → fingerprint dedup → per-lang
+    survivor counts (the composition a 100 TB pre-train pipeline runs)."""
+    from hfsa_spark.operators.dedup import exact_dedup
+    from hfsa_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(d, "doc_id", "text")
+    fp_keep = survivors.withColumn("fp", fingerprint("text")).groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = survivors.join(fp_keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_grouping_sets": q02_grouping_sets,
+        "q03_join_agg": q03_join_agg,
+        "q04_broadcast_dims": q04_broadcast_dims,
+        "q05_anti_join": q05_anti_join,
+        "q06_semi_join": q06_semi_join,
+        "q07_price_histogram": q07_price_histogram,
+        "q08_topk_global": q08_topk_global,
+        "q09_topk_per_group": q09_topk_per_group,
+        "q10_pct_of_total": q10_pct_of_total,
+        "q11_distinct_agg": q11_distinct_agg,
+        "q12_point_lookup": q12_point_lookup,
+        "q13_union_all": q13_union_all,
+        "q14_multi_sort": q14_multi_sort,
+        "q15_path_rollup": q15_path_rollup,
+        "q16_smallfiles_hotspots": q16_smallfiles_hotspots,
+        "q17_user_usage": q17_user_usage,
+        "q18_summary_by_user": q18_summary_by_user,
+        "q19_summary_histogram": q19_summary_histogram,
+        "q20_path_listing": q20_path_listing,
+        "q21_exact_dedup": q21_exact_dedup,
+        "q22_minhash_signatures": q22_minhash_signatures,
+        "q23_simhash": q23_simhash,
+        "q24_ngram_jaccard": q24_ngram_jaccard,
+        "q25_text_profile": q25_text_profile,
+        "q26_quality_scores": q26_quality_scores,
+        "q27_lang_confusion": q27_lang_confusion,
+        "q28_knn_bruteforce": q28_knn_bruteforce,
+        "q29_knn_lsh": q29_knn_lsh,
+        "q30_embedding_stats": q30_embedding_stats,
+        "q31_tumbling_window": q31_tumbling_window,
+        "q32_sessionize": q32_sessionize,
+        "q33_multimodal_features": q33_multimodal_features,
+        "q34_json_extract": q34_json_extract,
+        "q35_dedup_pipeline": q35_dedup_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the summary report's grouping-sets pass over the synthesized
+    namespace at sf0.001 (the reference's flagship query, Spark-first)."""
+    return q18_summary_by_user(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- oracles --
+
+# Shared SQL fragments (DuckDB dialect) -----------------------------------
+
+# tokens: lowercase, split on whitespace, drop empties
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
+
+# normalized text for dedup/fingerprint
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# portable 60-bit hash of an expression E (matches hfsa_spark portable_hash64)
+def _h64(e: str, seed: int | None = None) -> str:
+    inner = f"concat('{seed}:', {e})" if seed is not None else e
+    return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+
+
+def _hhex(e: str, seed: int) -> str:
+    return f"substr(md5(concat('{seed}:', {e})), 1, 16)"
+
+
+# word 3-gram shingles of text (distinct), as a CTE body over documents
+_SHINGLES = """
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+            list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+    FROM (SELECT doc_id, {toks} AS toks FROM documents {where})
+""".format
+
+
+_NS_FILES = """
+    SELECT concat('/', lang, '/', source) AS path,
+           concat('/', lang, '/', source, '/doc_', doc_id) AS full_path,
+           source AS usr, lang AS grp, n_chars::BIGINT AS fsize,
+           doc_id
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q01_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+               (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base_price,
+               (SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))))::DOUBLE AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q02_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+               GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+    """
+
+    o["q03_join_agg"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               (SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))))::DOUBLE AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["q04_broadcast_dims"] = """
+        SELECT r_name, COUNT(*) AS n_customers,
+               (SUM(CAST(c_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """
+
+    o["q05_anti_join"] = """
+        SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """
+
+    o["q06_semi_join"] = """
+        SELECT c_nationkey, COUNT(*) AS n_customers_urgent
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """
+
+    o["q07_price_histogram"] = """
+        SELECT FLOOR(LOG2(l_extendedprice))::INT AS bucket, COUNT(*) AS n_items
+        FROM lineitem WHERE l_extendedprice > 0
+        GROUP BY 1 ORDER BY bucket
+    """
+
+    o["q08_topk_global"] = """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS sum_total
+        FROM orders GROUP BY o_custkey
+        ORDER BY n_orders DESC, o_custkey ASC LIMIT 10
+    """
+
+    o["q09_topk_per_group"] = """
+        SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
+              FROM orders) t
+        WHERE rank <= 3 ORDER BY o_orderpriority, rank
+    """
+
+    o["q10_pct_of_total"] = """
+        SELECT o_orderpriority, n_orders,
+               n_orders::DOUBLE * 100.0 / (SUM(n_orders) OVER ())::DOUBLE AS pct
+        FROM (SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1) t
+        ORDER BY o_orderpriority
+    """
+
+    o["q11_distinct_agg"] = """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["q12_point_lookup"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str
+        FROM orders WHERE o_orderkey IN (1, 7, 32, 100, 1000)
+        ORDER BY o_orderkey
+    """
+
+    o["q13_union_all"] = """
+        SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+        FROM (SELECT * FROM documents WHERE source = 'src0'
+              UNION ALL
+              SELECT * FROM documents WHERE source = 'src1') t
+        GROUP BY source, lang ORDER BY source, lang
+    """
+
+    o["q14_multi_sort"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               epoch(l_shipdate)::BIGINT AS ship_epoch
+        FROM lineitem
+        ORDER BY ship_epoch DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 50
+    """
+
+    # --- hierarchical (namespace synthesized from documents) ---
+
+    o["q15_path_rollup"] = f"""
+        WITH files AS ({_NS_FILES}),
+        per_path AS (
+            SELECT path, COUNT(*) AS n_files, SUM(fsize)::BIGINT AS sum_size
+            FROM files GROUP BY path)
+        SELECT '/' AS path, SUM(n_files)::BIGINT AS n_files,
+               SUM(sum_size)::BIGINT AS sum_size FROM per_path
+        UNION ALL
+        SELECT regexp_extract(path, '^(/[^/]+)', 1) AS path,
+               SUM(n_files)::BIGINT, SUM(sum_size)::BIGINT
+        FROM per_path GROUP BY 1
+        UNION ALL
+        SELECT path, n_files, sum_size FROM per_path
+        ORDER BY path
+    """
+
+    o["q16_smallfiles_hotspots"] = """
+        WITH small AS (
+            SELECT concat('/', lang, '/', source) AS path
+            FROM documents WHERE n_chars < 300),
+        per_path AS (SELECT path, COUNT(*) AS cnt FROM small GROUP BY path),
+        rolled AS (
+            SELECT '/' AS path, SUM(cnt)::BIGINT AS count FROM per_path
+            UNION ALL
+            SELECT regexp_extract(path, '^(/[^/]+)', 1), SUM(cnt)::BIGINT
+            FROM per_path GROUP BY 1
+            UNION ALL
+            SELECT path, cnt::BIGINT FROM per_path)
+        SELECT path, count FROM rolled
+        ORDER BY count DESC, path ASC LIMIT 10
+    """
+
+    o["q17_user_usage"] = """
+        WITH files AS (
+            SELECT concat('/', lang, '/', source) AS path,
+                   n_chars::BIGINT AS fsize
+            FROM documents WHERE source = 'src3' AND doc_id * 1000 < 2000000),
+        per_path AS (SELECT path, SUM(fsize)::BIGINT AS s FROM files GROUP BY path),
+        rolled AS (
+            SELECT '/' AS path, SUM(s)::BIGINT AS sum_size FROM per_path
+            UNION ALL
+            SELECT regexp_extract(path, '^(/[^/]+)', 1), SUM(s)::BIGINT
+            FROM per_path GROUP BY 1
+            UNION ALL
+            SELECT path, s FROM per_path)
+        SELECT path, sum_size FROM rolled
+        ORDER BY sum_size DESC, path ASC LIMIT 20
+    """
+
+    o["q18_summary_by_user"] = """
+        SELECT source AS "user", 0::BIGINT AS sum_directories,
+               COUNT(*) AS sum_files, SUM(n_chars)::BIGINT AS sum_file_size
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT 'hdfs' AS "user",
+               (1 + (SELECT COUNT(DISTINCT lang) FROM documents)
+                  + (SELECT COUNT(*) FROM (SELECT DISTINCT lang, source
+                                           FROM documents)))::BIGINT,
+               0::BIGINT, 0::BIGINT
+        ORDER BY "user"
+    """
+
+    o["q19_summary_histogram"] = """
+        SELECT CASE WHEN n_chars <= 0 THEN 0
+                    WHEN n_chars < 1048576 THEN 1
+                    WHEN n_chars < 2097152 THEN 2
+                    ELSE FLOOR(LOG(n_chars / 2097152.0) / LOG(2.0))::INT + 3
+               END AS bucket,
+               COUNT(*) AS n_files
+        FROM documents GROUP BY 1 ORDER BY bucket
+    """
+
+    o["q20_path_listing"] = """
+        SELECT concat('/', lang, '/', source, '/doc_', doc_id) AS full_path,
+               source AS "user", lang AS "group", n_chars::BIGINT AS file_size
+        FROM documents
+        WHERE regexp_matches(source, '^src1[02]$')
+        ORDER BY full_path
+    """
+
+    # --- dedup / text / similarity ---
+
+    o["q21_exact_dedup"] = f"""
+        SELECT md5({_NORM}) AS digest, COUNT(*) AS doc_count,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY digest
+    """
+
+    sh100 = _SHINGLES(toks=_TOKS, where="WHERE doc_id < 100")
+    o["q22_minhash_signatures"] = f"""
+        WITH sh AS ({sh100})
+        SELECT doc_id,
+               MIN({_hhex('shingle', 0)}) AS mh_0,
+               MIN({_hhex('shingle', 1)}) AS mh_1,
+               MIN({_hhex('shingle', 2)}) AS mh_2,
+               MIN({_hhex('shingle', 3)}) AS mh_3
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """
+
+    bit_votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(16)
+    )
+    sig_sum = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    o["q23_simhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE doc_id < 100),
+        hashed AS (SELECT doc_id, {_h64('tok')} AS h FROM toks),
+        votes AS (SELECT doc_id, {bit_votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, ({sig_sum})::BIGINT AS simhash
+        FROM votes ORDER BY doc_id
+    """
+
+    sh300 = _SHINGLES(toks=_TOKS, where="WHERE doc_id < 300")
+    o["q24_ngram_jaccard"] = f"""
+        WITH sh AS ({sh300}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.08
+        ORDER BY id_a, id_b
+    """
+
+    # Spark-side array_max over (hits, lang) structs == DuckDB list_max over
+    # the same struct list (both compare field-wise, hits first).
+    _LANG_BEST = """list_max([
+                    struct_pack(hits := len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))), lang := 'de'),
+                    struct_pack(hits := len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','that','for'))), lang := 'en'),
+                    struct_pack(hits := len(list_filter(toks, t -> t IN ('el','la','los','de','y','un','una','es','por','que'))), lang := 'es'),
+                    struct_pack(hits := len(list_filter(toks, t -> t IN ('le','la','les','et','de','un','une','est','pour','que'))), lang := 'fr'),
+                    struct_pack(hits := len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','他','这','不'))), lang := 'zh')
+               ])"""
+
+    o["q25_text_profile"] = f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        scored AS (
+            SELECT doc_id, text, toks, {_LANG_BEST} AS best FROM base)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               (list_sum(list_transform(toks,
+                    w -> 1 + CAST(FLOOR((GREATEST(len(w), 4) - 4) / 4.0) AS BIGINT)))
+                + len(list_filter(string_split_regex(text, '[\\sA-Za-z]+'),
+                                  t -> len(t) > 0)))::BIGINT AS n_pieces,
+               {_h64(_NORM)} AS fingerprint,
+               CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END AS lang_guess
+        FROM scored ORDER BY doc_id
+    """
+
+    o["q26_quality_scores"] = f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks
+            FROM documents WHERE doc_id < 500),
+        feats AS (
+            SELECT doc_id,
+                   len(toks)::DOUBLE AS n,
+                   list_sum(list_transform(toks, t -> len(t)::DOUBLE))
+                       / GREATEST(len(toks)::DOUBLE, 1.0) AS avg_len,
+                   len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / GREATEST(len(text), 1)::DOUBLE AS punct_ratio,
+                   len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+                       / GREATEST(len(toks), 1)::DOUBLE AS sw_ratio
+            FROM base)
+        SELECT doc_id,
+               0.4 * LEAST(n / 100.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * LEAST(GREATEST((avg_len - 2.0) / 8.0, 0.0), 1.0) AS quality,
+               sw_ratio AS stopword_ratio_en
+        FROM feats ORDER BY doc_id
+    """
+
+    o["q27_lang_confusion"] = f"""
+        WITH base AS (SELECT lang, {_TOKS} AS toks FROM documents),
+        scored AS (SELECT lang, {_LANG_BEST} AS best FROM base),
+        guessed AS (
+            SELECT lang,
+                   CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END AS lang_guess
+            FROM scored)
+        SELECT lang, lang_guess, COUNT(*) AS n_docs
+        FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+    """
+
+    knn_base = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id {extra})
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC)::INT AS rank
+            FROM scored) t
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    o["q28_knn_bruteforce"] = knn_base.format(extra="")
+
+    bucket_expr = (
+        "((CASE WHEN {v}[1] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN {v}[2] > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN {v}[3] > 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN {v}[4] > 0 THEN 8 ELSE 0 END))"
+    )
+    o["q29_knn_lsh"] = knn_base.format(
+        extra="AND "
+        + bucket_expr.format(v="e.embedding")
+        + " = "
+        + bucket_expr.format(v="qv")
+    )
+
+    o["q30_embedding_stats"] = """
+        SELECT label, COUNT(*) AS n_vectors,
+               SUM(FLOOR(embedding[1]::DOUBLE * 1e9)::BIGINT)::BIGINT AS sum_first_nano
+        FROM embeddings GROUP BY label ORDER BY label
+    """
+
+    o["q31_tumbling_window"] = """
+        SELECT FLOOR(epoch(ts) / 3600)::BIGINT AS hour_bucket, event_type,
+               COUNT(*) AS n_events,
+               (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+    """
+
+    o["q32_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, FLOOR(epoch(ts))::BIGINT AS ts_s, value,
+                   CASE WHEN FLOOR(epoch(ts))::BIGINT
+                             - LAG(FLOOR(epoch(ts))::BIGINT) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+            SELECT user_id, ts_s, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+            FROM flagged)
+        SELECT user_id, session_id,
+               MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+               COUNT(*) AS n_events,
+               (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """
+
+    o["q33_multimodal_features"] = """
+        WITH h AS (
+            SELECT doc_id, sha256(text) AS d FROM documents WHERE doc_id < 200),
+        bytes AS (
+            SELECT doc_id,
+                   ('0x' || substr(d, 1, 2))::INT AS b0,
+                   ('0x' || substr(d, 3, 2))::INT AS b1,
+                   ('0x' || substr(d, 5, 2))::INT AS b2,
+                   (('0x' || substr(d, 7, 8))::BIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(d, 15, 8))::BIGINT::HUGEINT) AS p64
+            FROM h)
+        SELECT doc_id,
+               (16 + b0 % 64)::INT AS width,
+               (16 + b1 % 64)::INT AS height,
+               (16 + b0 % 64)::DOUBLE / (16 + b1 % 64)::DOUBLE AS aspect_ratio,
+               b2::DOUBLE / 255.0 AS mean_luma,
+               (CASE WHEN p64 >= 9223372036854775808 THEN p64 - 18446744073709551616
+                     ELSE p64 END)::BIGINT AS phash
+        FROM bytes ORDER BY doc_id
+    """
+
+    o["q34_json_extract"] = """
+        SELECT event_type, COUNT(*) AS n_events,
+               SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["q35_dedup_pipeline"] = f"""
+        WITH keep1 AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+        surv AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+        keep2 AS (
+            SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY {_h64(_NORM)}),
+        kept AS (SELECT s.* FROM surv s JOIN keep2 USING (doc_id))
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+        FROM kept GROUP BY lang ORDER BY lang
+    """
+
+    return o

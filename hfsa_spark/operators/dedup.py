@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 phase 4): exact dedup, MinHash+LSH
+near-dup, SimHash, and n-gram Jaccard — all as declarative DataFrame
+transformations designed for the 100 TB path:
+
+* **exact**: hash-groupBy on a digest of the normalized text. One shuffle
+  keyed on the digest; map-side partial agg collapses duplicates early.
+* **MinHash+LSH**: shingle → k minhashes → band buckets → self-join within
+  buckets. The self-join is banded so the shuffle key is (band_id, band
+  hash) — candidate pairs only ever meet inside a bucket, never a global
+  cross join. Skewed buckets (boilerplate docs) are handled by AQE skew
+  splitting; a bucket-size cap drops degenerate buckets (standard practice
+  at web scale).
+* **SimHash**: 16/32-bit signature by bit-voting over token hashes —
+  expressed entirely with explode + groupBy (codegen'd, no UDF).
+* **n-gram Jaccard**: exact verification on candidate pairs (shingle
+  intersection / union via explode + join), used as the precise re-rank
+  after LSH recall.
+
+Everything uses the portable md5-based hash (functions/hashing.py) so each
+operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hfsa_spark.functions.hashing import portable_hash64, portable_hash_hex
+
+# ---------------------------------------------------------------- exact --
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: (digest, doc_count, keep_id).
+
+    keep_id = min(id) — the canonical representative. Scale: single shuffle
+    on the 32-hex digest; cardinality = distinct docs.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return the deduplicated rows (keep the min-id representative of each
+    exact-duplicate group). Implemented as a window-free groupBy + semi join
+    so the heavy payload column is only shuffled once."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# -------------------------------------------------------------- shingles --
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column — a higher-order
+    expression (split / sequence / transform), fully codegen'd."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+# -------------------------------------------------------------- minhash --
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — k independent minhashes, each the min over
+    shingles of a seeded portable hash. Hex strings of fixed width, so
+    ``min`` is portable to the SQL oracle.
+
+    Scale: explode(shingles) multiplies rows by shingle count, but the k
+    mins aggregate map-side; the shuffle carries one row per doc.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(portable_hash_hex("shingle", seed=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH.
+
+    rows_per_band = num_hashes // bands; docs sharing ALL minhashes inside
+    any band collide. The pair join happens per (band, bucket) — a shuffle
+    keyed on the band hash, never a global cross join. Buckets larger than
+    ``max_bucket`` are dropped (degenerate boilerplate; at web scale these
+    would otherwise produce O(n²) pairs).
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    sized = banded.groupBy("band", "key").agg(F.collect_list(id_col).alias("ids"))
+    pairs = (
+        sized.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# -------------------------------------------------------------- simhash --
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash) — bit-voting simhash over whitespace tokens.
+
+    Pure explode + conditional sums: for each bit j, vote +1/-1 per token
+    depending on bit j of the token hash; sign of the vote sets bit j.
+    Scale: the per-doc aggregation is map-side combinable; shuffle carries
+    one row per doc. ``bits`` ≤ 32 keeps the signature in an int.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = portable_hash64("tok")
+    votes = tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Popcount of XOR — bit_count is a built-in in Spark ≥ 3.3."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+# -------------------------------------------------------------- jaccard --
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs (id_a < id_b).
+
+    Without ``candidates``, pairs are generated by joining on shared
+    shingles (docs with no common shingle can't exceed 0 similarity, so
+    this is exact while avoiding the cross join). With ``candidates``
+    (e.g. LSH output) it verifies only those pairs — the scale path.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

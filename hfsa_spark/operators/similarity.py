@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (SURVEY.md §7 phase 4): brute-force cosine top-k
+as the exact baseline, and a sign-bit LSH bucketed variant as the scale
+path.
+
+Scale design:
+* the **query side is broadcast** (queries are few; the corpus is the
+  100 TB side) — the corpus is scanned once, never shuffled.
+* dot products run as ``aggregate(zip_with(...))`` higher-order
+  expressions — JVM-side, whole-stage codegen, no Python in the loop.
+* top-k per query is a window over (query, score) — with the broadcast
+  join, the only shuffle is the final per-query top-k, whose input is
+  already reduced to (query_id, corpus_id, score).
+* the LSH variant buckets both sides by sign bits of selected dimensions;
+  probing scans only matching buckets (a partition-prunable predicate if
+  the corpus is written bucketed/partitioned by the signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k, ties broken
+    by neighbor id asc for determinism. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("__qvec", "__cvec"))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def sign_lsh_bucket(vec: Column | str, dims: list[int]) -> Column:
+    """Signature int from the sign bits of the selected dimensions
+    (element_at is 1-based). 4 dims → 16 buckets; at scale use 8-12 dims
+    and write the corpus partitioned by this column for pruned probes."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    sig = F.lit(0)
+    for i, d in enumerate(dims):
+        sig = sig + F.when(F.element_at(v, d + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_dims: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's sign-bit bucket.
+
+    Same output shape as :func:`cosine_topk`. Recall depends on bucket
+    granularity; the benchmark compares both.
+    """
+    dims = lsh_dims or [0, 1, 2, 3]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        sign_lsh_bucket(vec_col, dims).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sign_lsh_bucket(vec_col, dims).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["__bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("__qvec", "__cvec"))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

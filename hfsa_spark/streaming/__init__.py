@@ -1,0 +1,20 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch over an immutable snapshot (SURVEY.md
+§2.10) — streaming here is the beyond-reference growth path: a directory of
+successive fsimage extracts (or an events stream) processed incrementally.
+"""
+
+from hfsa_spark.streaming.snapshots import (
+    read_snapshot_stream,
+    snapshot_growth_report,
+    windowed_event_counts,
+    sessionize_events,
+)
+
+__all__ = [
+    "read_snapshot_stream",
+    "snapshot_growth_report",
+    "windowed_event_counts",
+    "sessionize_events",
+]
