@@ -44,90 +44,64 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
+_NS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+# Shared column tail for synthesized DIRECTORY rows (see _namespace).
+# No aliases needed: these appear only in UNION ALL branches after the
+# first, where column names are positional.
+_NS_DIR_TAIL = """
+       'hdfs', 'hadoop', 493,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       0, CAST(0 AS BIGINT), 0, 0,
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(NULL AS STRING),
+       CAST(NULL AS ARRAY<STRUCT<block_id:BIGINT,gen_stamp:BIGINT,num_bytes:BIGINT>>),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+"""
+
+
 def _namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an hfsa ``inodes``-shaped namespace from ``documents``:
     file = /{lang}/{source}/doc_{doc_id}, size = n_chars, user = source,
     group = lang, mtime = doc_id*1000 — plus the implied directory rows.
-    Lets the real hfsa report operators run inside the correctness gate."""
-    docs = _t(spark, sf_dir, "documents")
-    files = docs.select(
-        (F.lit(1_000_000) + F.col("doc_id")).alias("id"),
-        F.lit(None).cast("long").alias("parent_id"),
-        F.concat(F.lit("doc_"), F.col("doc_id")).alias("name"),
-        F.lit("FILE").alias("type"),
-        F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source")).alias("path"),
-        F.concat(
-            F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"),
-            F.lit("/doc_"), F.col("doc_id"),
-        ).alias("full_path"),
-        F.lit(3).alias("depth"),
-        F.col("source").alias("user"),
-        F.col("lang").alias("group"),
-        F.lit(0o644).alias("mode"),
-        (F.col("doc_id") * 1000).alias("mtime"),
-        F.lit(0).cast("long").alias("atime"),
-        F.lit(1).alias("replication"),
-        F.lit(134217728).cast("long").alias("preferred_block_size"),
-        F.lit(0).alias("storage_policy_id"),
-        F.lit(0).alias("ec_policy_id"),
-        F.lit(-1).cast("long").alias("ns_quota"),
-        F.lit(-1).cast("long").alias("ds_quota"),
-        F.lit(None).cast("string").alias("symlink_target"),
-        F.lit(None).cast(
-            "array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
-        ).alias("blocks"),
-        F.col("n_chars").cast("long").alias("file_size"),
-        F.col("n_chars").cast("long").alias("consumed_size"),
-        F.lit(1).alias("num_blocks"),
-    )
+    Lets the real hfsa report operators run inside the correctness gate.
 
-    def dir_row(full_path, path, depth, ident):
-        return (
-            ident.alias("id"),
-            F.lit(None).cast("long").alias("parent_id"),
-            F.element_at(F.split(full_path, "/"), -1).alias("name"),
-            F.lit("DIRECTORY").alias("type"),
-            path.alias("path"),
-            full_path.alias("full_path"),
-            depth.alias("depth"),
-            F.lit("hdfs").alias("user"),
-            F.lit("hadoop").alias("group"),
-            F.lit(0o755).alias("mode"),
-            F.lit(0).cast("long").alias("mtime"),
-            F.lit(0).cast("long").alias("atime"),
-            F.lit(0).alias("replication"),
-            F.lit(0).cast("long").alias("preferred_block_size"),
-            F.lit(0).alias("storage_policy_id"),
-            F.lit(0).alias("ec_policy_id"),
-            F.lit(-1).cast("long").alias("ns_quota"),
-            F.lit(-1).cast("long").alias("ds_quota"),
-            F.lit(None).cast("string").alias("symlink_target"),
-            F.lit(None).cast(
-                "array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
-            ).alias("blocks"),
-            F.lit(0).cast("long").alias("file_size"),
-            F.lit(0).cast("long").alias("consumed_size"),
-            F.lit(0).alias("num_blocks"),
-        )
-
-    root = docs.limit(1).select(*dir_row(F.lit("/"), F.lit("/"), F.lit(0), F.lit(2)))
-    lang_dirs = docs.select("lang").distinct().select(
-        *dir_row(
-            F.concat(F.lit("/"), F.col("lang")),
-            F.lit("/"),
-            F.lit(1),
-            F.lit(10) + F.crc32(F.col("lang")),
-        )
-    )
-    src_dirs = docs.select("lang", "source").distinct().select(
-        *dir_row(
-            F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source")),
-            F.concat(F.lit("/"), F.col("lang")),
-            F.lit(2),
-            F.lit(100000) + F.crc32(F.concat(F.col("lang"), F.col("source"))),
-        )
-    )
-    return root.unionByName(lang_dirs).unionByName(src_dirs).unionByName(files)
+    Built as ONE spark.sql() statement (a single Py4J round-trip — the
+    column-at-a-time DataFrame construction cost ~2.7 s of driver time per
+    call) and memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _NS_CACHE:
+        docs = f"parquet.`{sf_dir}/documents.parquet`"
+        _NS_CACHE[key] = spark.sql(f"""
+SELECT CAST(1000000 + doc_id AS BIGINT) AS id, CAST(NULL AS BIGINT) AS parent_id,
+       concat('doc_', doc_id) AS name, 'FILE' AS type,
+       concat('/', lang, '/', source) AS path,
+       concat('/', lang, '/', source, '/doc_', doc_id) AS full_path,
+       3 AS depth, source AS user, lang AS `group`, 420 AS mode,
+       CAST(doc_id * 1000 AS BIGINT) AS mtime, CAST(0 AS BIGINT) AS atime,
+       1 AS replication, CAST(134217728 AS BIGINT) AS preferred_block_size,
+       0 AS storage_policy_id, 0 AS ec_policy_id,
+       CAST(-1 AS BIGINT) AS ns_quota, CAST(-1 AS BIGINT) AS ds_quota,
+       CAST(NULL AS STRING) AS symlink_target,
+       CAST(NULL AS ARRAY<STRUCT<block_id:BIGINT,gen_stamp:BIGINT,num_bytes:BIGINT>>) AS blocks,
+       CAST(n_chars AS BIGINT) AS file_size, CAST(n_chars AS BIGINT) AS consumed_size,
+       1 AS num_blocks
+FROM {docs}
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(NULL AS BIGINT), '', 'DIRECTORY', '/', '/', 0,
+       {_NS_DIR_TAIL}
+UNION ALL
+SELECT CAST(10 + crc32(lang) AS BIGINT), CAST(NULL AS BIGINT),
+       lang, 'DIRECTORY', '/', concat('/', lang), 1,
+       {_NS_DIR_TAIL}
+FROM (SELECT DISTINCT lang FROM {docs})
+UNION ALL
+SELECT CAST(100000 + crc32(concat(lang, source)) AS BIGINT), CAST(NULL AS BIGINT),
+       source, 'DIRECTORY', concat('/', lang), concat('/', lang, '/', source), 2,
+       {_NS_DIR_TAIL}
+FROM (SELECT DISTINCT lang, source FROM {docs})
+""")
+    return _NS_CACHE[key]
 
 
 _DEC = "decimal(18,2)"
@@ -273,12 +247,18 @@ def q10_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 analog — per-priority share of all orders (window over ())."""
     o = _t(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
-    total = Window.partitionBy()
-    return counts.select(
-        "o_orderpriority",
-        "n_orders",
-        (F.col("n_orders").cast("double") * 100.0 / F.sum("n_orders").over(total).cast("double")).alias("pct"),
-    ).orderBy("o_orderpriority")
+    # broadcast 1-row total instead of an unpartitioned window: an empty
+    # PARTITION BY would funnel every group through a single task at scale
+    total = counts.agg(F.sum("n_orders").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("n_orders").cast("double") * 100.0 / F.col("__total").cast("double")).alias("pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
