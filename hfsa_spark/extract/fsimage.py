@@ -1,0 +1,407 @@
+"""Binary fsimage source (SURVEY.md §2.1 S1-S5): parse an HDFS NameNode
+fsimage file into the canonical ``inodes`` DataFrame — no Hadoop runtime
+needed.
+
+Format knowledge is public (Hadoop's ``fsimage.proto`` / ``hdfs.proto`` and
+the HDFS-5698 design): a ``HDFSIMG1`` magic header, protobuf sections at
+recorded offsets, and a FileSummary footer (delimited FileSummary message +
+4-byte big-endian length) at the file end. Parity target:
+/root/reference lib/.../core/FsImageLoader.java:286-376 (behavior only —
+this is an independent pure-Python wire-format decoder).
+
+Sections consumed (same four as the reference):
+* STRING_TABLE     — user/group dictionary incl. 3.x maskBits
+* INODE            — one delimited INode message per inode
+* INODE_DIR        — parent → children adjacency (packed varints)
+* INODE_REFERENCE  — snapshot/rename indirection for refChildren
+
+Scale: the parse is inherently single-stream (delimited messages, not
+splittable), so it runs driver-side ONCE per image and everything after —
+path materialization, derived sizes, partitioned parquet — is distributed
+Spark (extract.pathmat). A 210k-inode image parses in seconds; for
+billion-inode images shard by running one extract per image and unioning
+the parquet outputs (images are immutable snapshots, SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hfsa_spark.schema import INODES_SCHEMA, ROOT_INODE_ID
+from hfsa_spark.extract.pathmat import finalize_inodes, materialize_paths
+
+MAGIC = b"HDFSIMG1"
+
+# fsimage.proto enum INodeSection.INode.Type
+_TYPE = {1: "FILE", 2: "DIRECTORY", 3: "SYMLINK"}
+
+_U64_SIGN = 1 << 63
+_U64_WRAP = 1 << 64
+
+
+def _signed64(v: int) -> int:
+    """proto uint64 → Java long two's-complement (unset quota 2^64-1 → -1)."""
+    return v - _U64_WRAP if v >= _U64_SIGN else v
+
+
+# ------------------------------------------------ protobuf wire decoding --
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_no, value) where value is an int (varint / fixed) or
+    bytes (length-delimited). Unknown wire types raise."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field_no, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:  # fixed64
+            val = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # fixed32
+            val = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire} (field {field_no})")
+        yield field_no, val
+
+
+def _packed_varints(val: int | bytes) -> list[int]:
+    """repeated uint64/uint32 — packed (bytes) or a single unpacked value."""
+    if isinstance(val, int):
+        return [val]
+    out = []
+    pos = 0
+    while pos < len(val):
+        v, pos = _read_varint(val, pos)
+        out.append(v)
+    return out
+
+
+class _DelimitedReader:
+    """Reader over a section's (decompressed) bytes: writeDelimitedTo framing
+    (varint length prefix per message)."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def next_message(self) -> bytes | None:
+        if self._pos >= len(self._data):
+            return None
+        ln, self._pos = _read_varint(self._data, self._pos)
+        msg = self._data[self._pos : self._pos + ln]
+        self._pos += ln
+        return msg
+
+
+# ------------------------------------------------------- section parsing --
+
+
+@dataclass
+class _Section:
+    name: str
+    length: int
+    offset: int
+
+
+_USER_CLASS = 1  # SerialNumberManager enum ordinals (GLOBAL=0, USER=1, GROUP=2)
+_GROUP_CLASS = 2
+
+
+@dataclass
+class _StringTable:
+    mask_bits: int
+    entries: dict[int, str] = field(default_factory=dict)
+
+    def get(self, sid: int, cls: int) -> str:
+        """Resolve a plain serial from the packed permission long. With
+        maskBits (Hadoop 3.x), table entry ids carry the serial CLASS in
+        the top maskBits bits of a 32-bit id: (class << (32-maskBits)) |
+        serial; maskBits == 0 means one shared table with plain ids."""
+        if self.mask_bits:
+            sid |= cls << (32 - self.mask_bits)
+        return self.entries.get(sid, "") or ""
+
+
+def _parse_file_summary(raw: bytes) -> tuple[str, list[_Section]]:
+    if not raw.startswith(MAGIC):
+        raise ValueError("not an fsimage: missing HDFSIMG1 magic header")
+    (summary_len,) = struct.unpack_from(">i", raw, len(raw) - 4)
+    reader = _DelimitedReader(raw[len(raw) - 4 - summary_len : len(raw) - 4])
+    msg = reader.next_message()
+    codec = ""
+    sections: list[_Section] = []
+    for fno, val in _iter_fields(msg):
+        if fno == 3:
+            codec = val.decode("utf-8")
+        elif fno == 4:
+            name, length, offset = "", 0, 0
+            for sfno, sval in _iter_fields(val):
+                if sfno == 1:
+                    name = sval.decode("utf-8")
+                elif sfno == 2:
+                    length = sval
+                elif sfno == 3:
+                    offset = sval
+            sections.append(_Section(name, length, offset))
+    return codec, sections
+
+
+def _decompress(codec: str, data: bytes) -> bytes:
+    if not codec:
+        return data
+    lower = codec.lower()
+    if "gzip" in lower:
+        return gzip.decompress(data)
+    if "default" in lower:  # DefaultCodec = zlib-framed deflate
+        return zlib.decompress(data)
+    raise ValueError(f"unsupported fsimage codec: {codec}")
+
+
+def _section_bytes(raw: bytes, codec: str, sections: list[_Section], name: str) -> bytes:
+    for s in sections:
+        if s.name == name:
+            return _decompress(codec, raw[s.offset : s.offset + s.length])
+    raise KeyError(f"no section {name} in fsimage (have {[s.name for s in sections]})")
+
+
+def _parse_string_table(data: bytes) -> _StringTable:
+    reader = _DelimitedReader(data)
+    header = reader.next_message()
+    num_entry, mask_bits = 0, 0
+    for fno, val in _iter_fields(header):
+        if fno == 1:
+            num_entry = val
+        elif fno == 2:
+            mask_bits = val
+    table = _StringTable(mask_bits=mask_bits)
+    for _ in range(num_entry):
+        msg = reader.next_message()
+        sid, text = 0, ""
+        for fno, val in _iter_fields(msg):
+            if fno == 1:
+                sid = val
+            elif fno == 2:
+                text = val.decode("utf-8")
+        table.entries[sid] = text
+    return table
+
+
+def _parse_inode_references(data: bytes) -> list[int]:
+    reader = _DelimitedReader(data)
+    refs: list[int] = []
+    while (msg := reader.next_message()) is not None:
+        referred = 0
+        for fno, val in _iter_fields(msg):
+            if fno == 1:
+                referred = val
+        refs.append(referred)
+    return refs
+
+
+def _parse_dir_section(data: bytes, ref_ids: list[int]) -> dict[int, list[int]]:
+    """parent id → child inode ids; refChildren resolved through the
+    reference table (FsImageLoader.java:315-340 semantics)."""
+    reader = _DelimitedReader(data)
+    dir_map: dict[int, list[int]] = {}
+    while (msg := reader.next_message()) is not None:
+        parent = 0
+        children: list[int] = []
+        for fno, val in _iter_fields(msg):
+            if fno == 1:
+                parent = val
+            elif fno == 2:
+                children.extend(_packed_varints(val))
+            elif fno == 3:
+                children.extend(ref_ids[r] for r in _packed_varints(val))
+        dir_map[parent] = children
+    return dir_map
+
+
+def _parse_blocks(val: bytes) -> tuple[int, int, int]:
+    block_id = gen_stamp = num_bytes = 0
+    for fno, v in _iter_fields(val):
+        if fno == 1:
+            block_id = v
+        elif fno == 2:
+            gen_stamp = v
+        elif fno == 3:
+            num_bytes = v
+    return (_signed64(block_id), gen_stamp, num_bytes)
+
+
+def _parse_inode(msg: bytes, table: _StringTable) -> dict:
+    itype, iid, name = 0, 0, b""
+    body = None
+    for fno, val in _iter_fields(msg):
+        if fno == 1:
+            itype = val
+        elif fno == 2:
+            iid = val
+        elif fno == 3:
+            name = val
+        elif fno in (4, 5, 6):
+            body = (fno, val)
+
+    row = {
+        "id": iid,
+        "name": name.decode("utf-8"),
+        "type": _TYPE.get(itype, "FILE"),
+        "mtime": 0,
+        "atime": 0,
+        "replication": 0,
+        "preferred_block_size": 0,
+        "storage_policy_id": 0,
+        "ec_policy_id": 0,
+        "ns_quota": -1,
+        "ds_quota": -1,
+        "symlink_target": None,
+        "blocks": None,
+        "mode": 0,
+        "user": "",
+        "group": "",
+    }
+    if body is None:
+        return row
+
+    kind, payload = body
+    permission = 0
+    if kind == 4:  # INodeFile
+        blocks = []
+        for fno, val in _iter_fields(payload):
+            if fno == 1:
+                row["replication"] = val
+            elif fno == 2:
+                row["mtime"] = val
+            elif fno == 3:
+                row["atime"] = val
+            elif fno == 4:
+                row["preferred_block_size"] = val
+            elif fno == 5:
+                permission = val
+            elif fno == 6:
+                blocks.append(_parse_blocks(val))
+            elif fno == 10:
+                row["storage_policy_id"] = val
+            elif fno == 12:
+                row["ec_policy_id"] = val
+        row["blocks"] = blocks
+    elif kind == 5:  # INodeDirectory
+        for fno, val in _iter_fields(payload):
+            if fno == 1:
+                row["mtime"] = val
+            elif fno == 2:
+                row["ns_quota"] = _signed64(val)
+            elif fno == 3:
+                row["ds_quota"] = _signed64(val)
+            elif fno == 4:
+                permission = val
+    else:  # INodeSymlink
+        for fno, val in _iter_fields(payload):
+            if fno == 1:
+                permission = val
+            elif fno == 2:
+                row["symlink_target"] = val.decode("utf-8")
+            elif fno == 3:
+                row["mtime"] = val
+            elif fno == 4:
+                row["atime"] = val
+
+    # packed permission long (Hadoop PermissionStatusFormat):
+    # bits 0-15 mode, 16-39 group serial, 40-63 user serial
+    row["mode"] = permission & 0xFFFF
+    row["group"] = table.get((permission >> 16) & 0xFFFFFF, _GROUP_CLASS)
+    row["user"] = table.get((permission >> 40) & 0xFFFFFF, _USER_CLASS)
+    return row
+
+
+def parse_fsimage(path: str) -> list[dict]:
+    """Parse an fsimage file into raw inode row dicts with ``parent_id``
+    wired from the directory section (paths NOT yet materialized)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    codec, sections = _parse_file_summary(raw)
+
+    table = _parse_string_table(_section_bytes(raw, codec, sections, "STRING_TABLE"))
+    try:
+        ref_ids = _parse_inode_references(
+            _section_bytes(raw, codec, sections, "INODE_REFERENCE")
+        )
+    except KeyError:
+        ref_ids = []
+    dir_map = _parse_dir_section(
+        _section_bytes(raw, codec, sections, "INODE_DIR"), ref_ids
+    )
+
+    inode_data = _section_bytes(raw, codec, sections, "INODE")
+    reader = _DelimitedReader(inode_data)
+    header = reader.next_message()  # INodeSection {lastInodeId, numInodes}
+    num_inodes = 0
+    for fno, val in _iter_fields(header):
+        if fno == 2:
+            num_inodes = val
+
+    parent_of: dict[int, int] = {}
+    for parent, children in dir_map.items():
+        for c in children:
+            parent_of[c] = parent
+
+    rows = []
+    for _ in range(num_inodes):
+        msg = reader.next_message()
+        if msg is None:
+            break
+        row = _parse_inode(msg, table)
+        row["parent_id"] = parent_of.get(row["id"])
+        rows.append(row)
+    return rows
+
+
+_RAW_FIELDS = [
+    "id", "parent_id", "name", "type", "user", "group", "mode", "mtime",
+    "atime", "replication", "preferred_block_size", "storage_policy_id",
+    "ec_policy_id", "ns_quota", "ds_quota", "symlink_target", "blocks",
+]
+
+_RAW_DDL = (
+    "id bigint, parent_id bigint, name string, type string, user string,"
+    " `group` string, mode int, mtime bigint, atime bigint, replication int,"
+    " preferred_block_size bigint, storage_policy_id int, ec_policy_id int,"
+    " ns_quota bigint, ds_quota bigint, symlink_target string,"
+    " blocks array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
+)
+
+
+def load_fsimage(spark: SparkSession, path: str) -> DataFrame:
+    """fsimage file → canonical ``inodes`` DataFrame: driver-side wire parse,
+    then distributed path materialization + derived size columns."""
+    rows = parse_fsimage(path)
+    raw = spark.createDataFrame(
+        [tuple(r[f] for f in _RAW_FIELDS) for r in rows], schema=_RAW_DDL
+    )
+    inodes = finalize_inodes(materialize_paths(raw))
+    return inodes.select([f.name for f in INODES_SCHEMA.fields])

@@ -49,6 +49,7 @@ def path_report(
         permission_triple("user", "group", "mode").alias("permission"),
         "user",
         "group",
+        "mode",
         "file_size",
         "mtime",
         "full_path",

@@ -41,6 +41,7 @@ class SmallFilesReport:
     path_hotspots: DataFrame  # rolled-up (path, count), top-N
     user_summary: DataFrame  # (user, count, pct_of_total) desc
     user_hotspots: DataFrame  # (user, path, count) — top-N per top-10 user
+    raw_user_path_counts: DataFrame  # (user, path, count) pre-rollup (csv sink)
 
 
 def small_files_report(
@@ -104,4 +105,7 @@ def small_files_report(
         path_hotspots=path_hotspots,
         user_summary=user_summary,
         user_hotspots=user_hotspots,
+        raw_user_path_counts=user_small.groupBy("user", "path").agg(
+            F.count(F.lit(1)).alias("count")
+        ),
     )

@@ -26,9 +26,12 @@ def user_usage_report(
     now_ms: int,
     age_ms: int = 0,
     dir: str = "/",
-    limit: int = 20,
+    limit: int | None = 20,
 ) -> DataFrame:
-    """Returns (path, sum_size) — ancestor-rolled-up bytes for one user."""
+    """Returns (path, sum_size) — ancestor-rolled-up bytes for one user.
+
+    ``limit=None`` skips the top-N cut (the txt sink needs the full rollup
+    to size its path column the way the reference does, :156-160)."""
     files = inodes.filter(
         subtree_predicate("full_path", dir)
         & (F.col("type") == "FILE")
@@ -37,4 +40,6 @@ def user_usage_report(
     ).select("path", "file_size")
 
     rolled = ancestor_rollup(files, "path", {"sum_size": F.sum("file_size")})
+    if limit is None:
+        return rolled
     return rolled.orderBy(F.col("sum_size").desc(), F.col("path").asc()).limit(limit)

@@ -1,0 +1,80 @@
+"""Binary fsimage loader tests against the reference's committed image
+fixtures (read as INPUT DATA), mirroring FsImageLoaderTest.java:
+
+* fsi_small_h3_2.img — 14 dirs / 16 files / 3 users / 3 groups /
+  Σ 356,417,536 B (:183-237)
+* fsi_small_h2x.img  — Hadoop 2.x compatibility (:77-81)
+* fsimage_0000000000000000000 — empty image, root only (:392-415)
+* fsimage_d800_f210k_compressed.img — codec path, 807 dirs / 209,560
+  files (:160-171)
+
+plus the end-to-end golden: binary fsi_small.img → engine → the exact
+summary txt from SummaryReportCommandTest.java:29-52.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hfsa_spark.extract.fsimage import load_fsimage, parse_fsimage
+
+LIB_RES = "/root/reference/lib/src/test/resources"
+TOOL_RES = "/root/reference/tool/src/test/resources"
+
+
+def test_parse_small_h3_2_counts():
+    rows = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
+    dirs = [r for r in rows if r["type"] == "DIRECTORY"]
+    files = [r for r in rows if r["type"] == "FILE"]
+    assert len(dirs) == 14
+    assert len(files) == 16
+    assert sum(sum(b[2] for b in r["blocks"]) for r in files) == 356417536
+    assert {r["user"] for r in rows} == {"mm", "root", "foo"}
+    assert {r["group"] for r in rows} == {"supergroup", "root", "nobody"}
+
+
+def test_parse_h2x_compat():
+    rows = parse_fsimage(f"{LIB_RES}/fsi_small_h2x.img")
+    assert sum(1 for r in rows if r["type"] == "DIRECTORY") == 14
+    assert sum(1 for r in rows if r["type"] == "FILE") == 16
+
+
+def test_parse_empty_image():
+    rows = parse_fsimage(f"{LIB_RES}/fsimage_0000000000000000000")
+    assert len(rows) == 1
+    (root,) = rows
+    assert root["id"] == 16385 and root["type"] == "DIRECTORY" and root["name"] == ""
+
+
+def test_parse_compressed_210k():
+    rows = parse_fsimage(f"{LIB_RES}/fsimage_d800_f210k_compressed.img")
+    assert sum(1 for r in rows if r["type"] == "DIRECTORY") == 807
+    assert sum(1 for r in rows if r["type"] == "FILE") == 209560
+    assert {r["user"] for r in rows} == {"mm"}
+
+
+def test_root_permission_golden():
+    # permission 1099511759341 => mm:supergroup:0755 (tool/README.md:156-195)
+    rows = parse_fsimage(f"{TOOL_RES}/fsi_small.img")
+    root = next(r for r in rows if r["id"] == 16385)
+    assert (root["user"], root["group"], root["mode"]) == ("mm", "supergroup", 0o755)
+
+
+def test_load_fsimage_end_to_end_summary_golden(spark):
+    from hfsa_spark.operators.summary import summary_report
+    from hfsa_spark.sinks import summary_txt
+    from tests.test_sinks import SUMMARY_GOLDEN
+
+    inodes = load_fsimage(spark, f"{TOOL_RES}/fsi_small.img")
+    assert summary_txt(summary_report(inodes)) == SUMMARY_GOLDEN
+
+
+def test_load_fsimage_point_lookup(spark):
+    from hfsa_spark import FsImageAnalytics
+
+    inodes = load_fsimage(spark, f"{LIB_RES}/fsi_small_h3_2.img")
+    fa = FsImageAnalytics(inodes)
+    assert fa.has_inode("/test3//foo")  # '//' normalization (L2)
+    assert not fa.has_inode("/nope")
+    row = fa.inode_by_path("/test3").select("type").head()
+    assert row["type"] == "DIRECTORY"
