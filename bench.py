@@ -31,6 +31,53 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _bench_report_suite(spark, timings: dict[str, float]) -> None:
+    """The hfsa report suite over the reference's JMH benchmark dataset
+    shape — 807 dirs / 209,560 files (BASELINE.md protocol row 1).
+    The namespace is generated distributed and persisted as partitioned
+    parquet once per machine; timings measure the report queries."""
+    import tempfile
+
+    from hfsa_spark.extract import generated_namespace
+    from hfsa_spark.extract.pathmat import write_inodes
+
+    ns_path = os.path.join(tempfile.gettempdir(), "hfsa_bench_ns210k")
+    if not os.path.exists(os.path.join(ns_path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        write_inodes(generated_namespace(spark, num_users=10, num_groups=5), ns_path)
+        timings["extract_210k"] = round(time.perf_counter() - t0, 4)
+    inodes = spark.read.parquet(ns_path)
+
+    from hfsa_spark.operators.inodeinfo import inode_info
+    from hfsa_spark.operators.pathreport import path_report
+    from hfsa_spark.operators.smallfiles import small_files_report
+    from hfsa_spark.operators.summary import summary_report
+    from hfsa_spark.operators.userusage import user_usage_report
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    run("report_summary_210k", lambda: summary_report(inodes).by_user.collect())
+    run(
+        "report_smallfiles_210k",
+        lambda: small_files_report(inodes, limit_bytes=2 * 1024 * 1024).path_hotspots.collect(),
+    )
+    run(
+        "report_userusage_210k",
+        lambda: user_usage_report(inodes, user="user3", now_ms=1600000000000).collect(),
+    )
+    run(
+        "report_path_210k",
+        lambda: path_report(inodes, dirs=["/a"]).counts.collect(),
+    )
+    run(
+        "report_inode_210k",
+        lambda: inode_info(inodes, [16385, "/a/b"]).collect(),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])
@@ -50,6 +97,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    if not only:
+        _bench_report_suite(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(

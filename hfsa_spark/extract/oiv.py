@@ -49,8 +49,15 @@ def read_oiv_delimited(spark: SparkSession, path: str, delimiter: str = "\t") ->
             F.lit("/"),
         )
     )
-    is_dir = F.col("BlocksCount").isNull() & F.col("FileSize").isNull()
+    # type char of the rwx string — real OIV dumps print 0 (not empty) for a
+    # directory's BlocksCount/FileSize, so NULLness is not a type signal
     mode_str = F.regexp_extract(F.col("Permission"), r"([-dlrwxsStT]{10})$", 1)
+    type_char = F.substring(mode_str, 1, 1)
+    itype = (
+        F.when(type_char == "d", F.lit("DIRECTORY"))
+        .when(type_char == "l", F.lit("SYMLINK"))
+        .otherwise(F.lit("FILE"))
+    )
 
     def rwx_bits(s: F.Column) -> F.Column:
         # 'rwxr-xr-x' → int mode; sticky handled via trailing t/T
@@ -68,10 +75,13 @@ def read_oiv_delimited(spark: SparkSession, path: str, delimiter: str = "\t") ->
         F.xxhash64(full_path).alias("id"),
         F.xxhash64(parent).alias("parent_id"),
         F.element_at(F.split(full_path, "/"), -1).alias("name"),
-        F.when(is_dir, F.lit("DIRECTORY")).otherwise(F.lit("FILE")).alias("type"),
+        itype.alias("type"),
         parent.alias("path"),
         full_path.alias("full_path"),
-        (F.size(F.split(full_path, "/")) - 1).cast("int").alias("depth"),
+        F.when(full_path == "/", F.lit(0))
+        .otherwise(F.size(F.split(full_path, "/")) - 1)
+        .cast("int")
+        .alias("depth"),
         F.col("UserName").alias("user"),
         F.col("GroupName").alias("group"),
         rwx_bits(mode_str).alias("mode"),

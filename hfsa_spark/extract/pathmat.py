@@ -102,8 +102,17 @@ def finalize_inodes(df: DataFrame) -> DataFrame:
 def write_inodes(df: DataFrame, path: str, partition_by_top_dir: bool = True) -> None:
     """Persist the extracted table. Partitioning by top-level directory makes
     every subtree-scoped report partition-prunable (SURVEY.md §4), which is
-    the difference between scanning 100 TB and scanning one tenant's slice."""
-    writer = df.withColumn("top_dir", top_dir("full_path")).write.mode("overwrite")
+    the difference between scanning 100 TB and scanning one tenant's slice.
+
+    Rows are shuffled onto their ``top_dir`` before the write: without it,
+    every one of the N writing tasks emits a sliver into every partition
+    directory (N × #top_dirs tiny files — footer-read latency then dominates
+    every later scan). With it each partition dir gets ~1 well-sized file,
+    and AQE coalescing keeps huge top dirs from producing one giant file."""
+    with_top = df.withColumn("top_dir", top_dir("full_path"))
+    if partition_by_top_dir:
+        with_top = with_top.repartition(F.col("top_dir"))
+    writer = with_top.write.mode("overwrite")
     if partition_by_top_dir:
         writer = writer.partitionBy("top_dir")
     writer.parquet(path)

