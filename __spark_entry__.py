@@ -596,6 +596,21 @@ def q35_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (iterative min-label
+    propagation): every doc gets the min doc_id of its duplicate component
+    as group_id. The step that turns pairwise LSH/Jaccard evidence into
+    dedup groups. Oracle: DuckDB recursive CTE over the same edge set."""
+    from hfsa_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.08)
+    return (
+        connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -633,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_multimodal_features": q33_multimodal_features,
         "q34_json_extract": q34_json_extract,
         "q35_dedup_pipeline": q35_dedup_pipeline,
+        "q36_dedup_groups": q36_dedup_groups,
     }
 
 
@@ -1093,6 +1109,31 @@ def oracle_sql() -> dict[str, str]:
         kept AS (SELECT s.* FROM surv s JOIN keep2 USING (doc_id))
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
         FROM kept GROUP BY lang ORDER BY lang
+    """
+
+    # same pair derivation as q24, then min-reachable-id via recursive CTE —
+    # the exact fixpoint the Spark label propagation converges to
+    o["q36_dedup_groups"] = f"""
+        WITH RECURSIVE sh AS ({_SHINGLES(toks=_TOKS, where="WHERE doc_id < 300")}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.08),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS root FROM documents WHERE doc_id < 300
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+        SELECT node AS doc_id, MIN(root)::BIGINT AS group_id
+        FROM reach GROUP BY node ORDER BY doc_id
     """
 
     return o

@@ -206,6 +206,59 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
+# ------------------------------------------------- duplicate components --
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group duplicate-pair edges into components: returns (id, group_id)
+    where group_id = the minimum node id reachable through the pair graph.
+    This is the step that turns pairwise near-dup evidence (LSH/Jaccard
+    output) into dedup groups with one canonical representative each.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow — dozens of rounds
+    cover pathological chains). Each round is one shuffle keyed on node id;
+    ``localCheckpoint`` truncates lineage so plans stay flat. The
+    convergence check is an aggregate, not a collect of the data.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+
+
 # -------------------------------------------------------------- jaccard --
 
 

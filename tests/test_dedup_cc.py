@@ -1,0 +1,32 @@
+"""Connected-components dedup grouping tests: chains, stars, singletons,
+and convergence beyond one propagation round."""
+
+from __future__ import annotations
+
+from hfsa_spark.operators.dedup import connected_components
+
+
+def _run(spark, n_nodes, edges):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id bigint")
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = connected_components(nodes, pairs)
+    return {r["id"]: r["group_id"] for r in out.collect()}
+
+
+def test_chain_converges_to_min(spark):
+    # 0-1-2-3-4 chain: all should label 0 (needs multiple rounds)
+    labels = _run(spark, 6, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5}
+
+
+def test_star_and_singletons(spark):
+    labels = _run(spark, 7, [(3, 5), (3, 6), (1, 2)])
+    assert labels[5] == 3 and labels[6] == 3 and labels[3] == 3
+    assert labels[1] == 1 and labels[2] == 1
+    assert labels[0] == 0 and labels[4] == 4
+
+
+def test_two_components_merge_via_bridge(spark):
+    # components {0,1} and {4,5} bridge through (1,4)
+    labels = _run(spark, 6, [(0, 1), (4, 5), (1, 4)])
+    assert labels[0] == labels[1] == labels[4] == labels[5] == 0
