@@ -69,6 +69,15 @@ def _build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _is_binary_fsimage(source: str) -> bool:
+    import os
+
+    if not os.path.isfile(source):
+        return False
+    with open(source, "rb") as f:
+        return f.read(8) == b"HDFSIMG1"
+
+
 def _load_inodes(spark, source: str):
     if source.startswith("fixture:"):
         from hfsa_spark.extract import fixtures
@@ -78,6 +87,10 @@ def _load_inodes(spark, source: str):
         if fn is None:
             raise SystemExit(f"unknown fixture {name!r}")
         return fn(spark)
+    if _is_binary_fsimage(source):  # reference parity: take the image directly
+        from hfsa_spark.extract.fsimage import load_fsimage
+
+        return load_fsimage(spark, source)
     return spark.read.parquet(source)
 
 
@@ -157,6 +170,14 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd in ("inode", "i"):
         from hfsa_spark.operators.inodeinfo import inode_info
         from hfsa_spark.sinks import inode_info_csv, inode_info_json
+
+        if args.output == "txt" and _is_binary_fsimage(args.fsimage):
+            # exact reference parity: TextFormat proto dump straight off
+            # the image (InodeInfoCommand txt printer)
+            from hfsa_spark.extract.fsimage import inode_text_dump
+
+            out.write(inode_text_dump(args.fsimage, args.refs))
+            return 0
 
         matched = inode_info(inodes, args.refs)
         if args.output == "csv":

@@ -333,6 +333,7 @@ def _parse_inode(msg: bytes, table: _StringTable) -> dict:
 
     # packed permission long (Hadoop PermissionStatusFormat):
     # bits 0-15 mode, 16-39 group serial, 40-63 user serial
+    row["permission_raw"] = permission
     row["mode"] = permission & 0xFFFF
     row["group"] = table.get((permission >> 16) & 0xFFFFFF, _GROUP_CLASS)
     row["user"] = table.get((permission >> 40) & 0xFFFFFF, _USER_CLASS)
@@ -394,6 +395,93 @@ _RAW_DDL = (
     " ns_quota bigint, ds_quota bigint, symlink_target string,"
     " blocks array<struct<block_id:bigint,gen_stamp:bigint,num_bytes:bigint>>"
 )
+
+
+# ------------------------------------------------- inode TextFormat dump --
+
+
+def _u64(v: int) -> int:
+    """signed → protobuf TextFormat's unsigned uint64 rendering."""
+    return v + _U64_WRAP if v < 0 else v
+
+
+def format_inode_proto(row: dict) -> str:
+    """Protobuf-TextFormat dump of one parsed inode — the reference's
+    `inode` txt report prints `INode.toString()` verbatim
+    (InodeInfoCommand.java:95-103; golden InodeInfoCommandTest.java:25-79)."""
+    out = [f"type: {row['type']}", f"id: {row['id']}", f'name: "{row["name"]}"']
+    perm = row.get("permission_raw", 0)
+    if row["type"] == "FILE":
+        out.append("file {")
+        out.append(f"  replication: {row['replication']}")
+        out.append(f"  modificationTime: {row['mtime']}")
+        out.append(f"  accessTime: {row['atime']}")
+        out.append(f"  preferredBlockSize: {row['preferred_block_size']}")
+        out.append(f"  permission: {perm}")
+        for b in row["blocks"] or []:
+            out.append("  blocks {")
+            out.append(f"    blockId: {_u64(b[0])}")
+            out.append(f"    genStamp: {b[1]}")
+            out.append(f"    numBytes: {b[2]}")
+            out.append("  }")
+        out.append(f"  storagePolicyID: {row['storage_policy_id']}")
+        if row["ec_policy_id"]:
+            out.append(f"  erasureCodingPolicyID: {row['ec_policy_id']}")
+        out.append("}")
+    elif row["type"] == "DIRECTORY":
+        out.append("directory {")
+        out.append(f"  modificationTime: {row['mtime']}")
+        out.append(f"  nsQuota: {_u64(row['ns_quota'])}")
+        out.append(f"  dsQuota: {_u64(row['ds_quota'])}")
+        out.append(f"  permission: {perm}")
+        out.append("}")
+    else:
+        out.append("symlink {")
+        out.append(f"  permission: {perm}")
+        out.append(f'  target: "{row["symlink_target"]}"')
+        out.append(f"  modificationTime: {row['mtime']}")
+        out.append(f"  accessTime: {row['atime']}")
+        out.append("}")
+    return "\n".join(out) + "\n"
+
+
+def inode_text_dump(path: str, refs: list[str]) -> str:
+    """The `inode` report's txt output for a binary image: each ref (inode
+    id or absolute path) resolved and dumped in TextFormat, arg order
+    preserved, one blank line after each (println of toString)."""
+    rows = parse_fsimage(path)
+    by_id = {r["id"]: r for r in rows}
+
+    paths: dict[int, str] = {}
+
+    def full_path(rid: int) -> str:
+        if rid in paths:
+            return paths[rid]
+        r = by_id[rid]
+        if r["parent_id"] is None:
+            p = "/"
+        else:
+            parent = full_path(r["parent_id"])
+            p = ("" if parent == "/" else parent) + "/" + r["name"]
+        paths[rid] = p
+        return p
+
+    by_path = {full_path(rid): rid for rid in by_id}
+
+    out = []
+    for ref in refs:
+        sref = str(ref)
+        if sref.isdigit():
+            row = by_id.get(int(sref))
+        else:
+            norm = "/" + "/".join(s for s in sref.split("/") if s) if sref != "/" else "/"
+            rid = by_path.get(norm)
+            row = by_id.get(rid) if rid is not None else None
+        if row is None:
+            out.append(f"No inode found for {sref}\n")
+        else:
+            out.append(format_inode_proto(row) + "\n")
+    return "".join(out)
 
 
 def load_fsimage(spark: SparkSession, path: str) -> DataFrame:

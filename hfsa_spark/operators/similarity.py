@@ -56,13 +56,21 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k, ties broken
     by neighbor id asc for determinism. Self-matches excluded.
     """
+    # norms precomputed per side: the query norm would otherwise be
+    # re-folded for every (query, corpus-row) pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(vec_col).alias("__cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine("__qvec", "__cvec"))
+        .withColumn("cos_sim", dot("__qvec", "__cvec") / (F.col("__qnorm") * F.col("__cnorm")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -103,17 +111,19 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qnorm"),
         sign_lsh_bucket(vec_col, dims).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        l2_norm(vec_col).alias("__cnorm"),
         sign_lsh_bucket(vec_col, dims).alias("__bucket"),
     )
     scored = (
         c.join(F.broadcast(q), ["__bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine("__qvec", "__cvec"))
+        .withColumn("cos_sim", dot("__qvec", "__cvec") / (F.col("__qnorm") * F.col("__cnorm")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(

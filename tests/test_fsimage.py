@@ -69,6 +69,73 @@ def test_load_fsimage_end_to_end_summary_golden(spark):
     assert summary_txt(summary_report(inodes)) == SUMMARY_GOLDEN
 
 
+INODE_DUMP_GOLDEN = """\
+type: DIRECTORY
+id: 16385
+name: ""
+directory {
+  modificationTime: 1499493618390
+  nsQuota: 9223372036854775807
+  dsQuota: 18446744073709551615
+  permission: 1099511759341
+}
+
+type: DIRECTORY
+id: 16388
+name: "test3"
+directory {
+  modificationTime: 1497734744891
+  nsQuota: 18446744073709551615
+  dsQuota: 18446744073709551615
+  permission: 1099511759341
+}
+
+type: FILE
+id: 16402
+name: "test_160MiB.img"
+file {
+  replication: 1
+  modificationTime: 1497734744886
+  accessTime: 1497734743534
+  preferredBlockSize: 134217728
+  permission: 5497558401444
+  blocks {
+    blockId: 1073741834
+    genStamp: 1010
+    numBytes: 134217728
+  }
+  blocks {
+    blockId: 1073741835
+    genStamp: 1011
+    numBytes: 33554432
+  }
+  storagePolicyID: 0
+}
+
+type: DIRECTORY
+id: 16387
+name: "test2"
+directory {
+  modificationTime: 1497733426149
+  nsQuota: 18446744073709551615
+  dsQuota: 18446744073709551615
+  permission: 1099511759341
+}
+
+"""
+
+
+def test_inode_text_dump_golden():
+    """InodeInfoCommandTest.java:25-79 — the exact TextFormat dump, raw
+    packed permission longs and unsigned quota rendering included."""
+    from hfsa_spark.extract.fsimage import inode_text_dump
+
+    out = inode_text_dump(
+        f"{TOOL_RES}/fsi_small.img", ["/", "/test3", "/test3/test_160MiB.img", "16387"]
+    )
+    assert out == INODE_DUMP_GOLDEN
+
+
 def test_load_fsimage_point_lookup(spark):
     from hfsa_spark import FsImageAnalytics
 
