@@ -73,6 +73,33 @@ class FsImageAnalytics:
         if row["type"] != "DIRECTORY":
             raise NotADirectoryError(p)
 
+    # -- the five reports (tool parity, one call each) --
+
+    def summary(self, dir: str = "/", **kw):
+        from hfsa_spark.operators.summary import summary_report
+
+        return summary_report(self._inodes, dir=dir, **kw)
+
+    def small_files(self, dir: str = "/", **kw):
+        from hfsa_spark.operators.smallfiles import small_files_report
+
+        return small_files_report(self._inodes, dir=dir, **kw)
+
+    def user_usage(self, user: str, now_ms: int, **kw) -> DataFrame:
+        from hfsa_spark.operators.userusage import user_usage_report
+
+        return user_usage_report(self._inodes, user=user, now_ms=now_ms, **kw)
+
+    def path_report(self, dirs: list[str] | None = None, **kw):
+        from hfsa_spark.operators.pathreport import path_report
+
+        return path_report(self._inodes, dirs=dirs, **kw)
+
+    def inode_info(self, refs: list) -> DataFrame:
+        from hfsa_spark.operators.inodeinfo import inode_info
+
+        return inode_info(self._inodes, refs)
+
     # -- subtree scan + visitor escape hatch --
 
     def subtree(self, path: str = "/") -> DataFrame:

@@ -123,6 +123,91 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
     )
 
 
+RESIZED_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, duration_s double, sample_rate int, rms double, clip_ratio double"
+)
+
+
+def resize_images(
+    media: DataFrame, target_width: int = 224, target_height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Batch image resize → (doc_id, payload, width, height).
+
+    Real resize needs PIL/cv2 (absent here); the fake path re-digests the
+    payload to a deterministic pseudo-resized blob so the Arrow batch
+    shapes, output schema, and binary-column round-trip are fully tested.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing requires PIL/cv2; pass fake=True"
+                )
+            payloads = batch["payload"].map(
+                lambda p: hashlib.sha256(
+                    (bytes(p) if p is not None else b"")
+                    + f"{target_width}x{target_height}".encode()
+                ).digest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": payloads,
+                    "width": target_width,
+                    "height": target_height,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
+def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction → (doc_id, duration_s, sample_rate, rms,
+    clip_ratio). Decode stubbed like images (no soundfile/librosa here);
+    the deterministic fake derives stats from a payload digest."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decoding requires soundfile/librosa; pass fake=True"
+                )
+            rows = []
+            for _, r in batch.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                d = hashlib.sha256(payload).digest()
+                rows.append(
+                    (
+                        r["doc_id"],
+                        0.1 + (len(payload) % 3000) / 100.0,
+                        [16000, 22050, 44100, 48000][d[0] % 4],
+                        d[1] / 255.0,
+                        (d[2] % 32) / 255.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "duration_s", "sample_rate", "rms", "clip_ratio"],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def synthesize_media_table(documents: DataFrame, media_type: str = "image") -> DataFrame:
     """Build a media table from the documents fixture: payload = text bytes
     (opaque, deterministic), metadata typed. Lets every multimodal operator
