@@ -493,3 +493,24 @@ def load_fsimage(spark: SparkSession, path: str) -> DataFrame:
     )
     inodes = finalize_inodes(materialize_paths(raw))
     return inodes.select([f.name for f in INODES_SCHEMA.fields])
+
+
+def load_fsimage_series(
+    spark: SparkSession, images: list[tuple[int, str]]
+) -> DataFrame:
+    """A time series of fsimages → one DataFrame with a ``snapshot_ts``
+    column: the batch table behind the snapshot growth/delta reports
+    (streaming/snapshots.py) and the natural layout for a partitioned
+    history table (SURVEY.md §1.3: successive immutable snapshots are a
+    partitioned table, not a stream). ``images`` is [(snapshot_ts, path)].
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    frames = [
+        load_fsimage(spark, p).withColumn("snapshot_ts", F.lit(ts).cast("long"))
+        for ts, p in images
+    ]
+    return reduce(_DF.unionByName, frames)

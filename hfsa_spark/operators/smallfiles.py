@@ -42,6 +42,11 @@ class SmallFilesReport:
     user_summary: DataFrame  # (user, count, pct_of_total) desc
     user_hotspots: DataFrame  # (user, path, count) — top-N per top-10 user
     raw_user_path_counts: DataFrame  # (user, path, count) pre-rollup (csv sink)
+    _persisted: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._persisted is not None:
+            self._persisted.unpersist()
 
 
 def small_files_report(
@@ -51,12 +56,21 @@ def small_files_report(
     user_filter: str | None = None,
     hotspot_limit: int = 10,
     user_hotspot_limit: int = 10,
+    persist: bool = False,
 ) -> SmallFilesReport:
+    """``persist=True`` caches the filtered (user, path) projection —
+    the report fans out into four result DataFrames, and a consumer that
+    collects all of them (the txt/csv sinks, the CLI) would otherwise
+    re-scan the source once per branch. The projection is two thin string
+    columns, so the cached footprint is tiny relative to the source;
+    call ``report.unpersist()`` when done."""
     small = inodes.filter(
         subtree_predicate("full_path", dir)
         & (F.col("type") == "FILE")
         & (F.col("file_size") < limit_bytes)
     ).select("user", "path")
+    if persist:
+        small = small.persist()
 
     # overall count — never user-filtered (:290-293)
     overall = small.agg(F.count(F.lit(1)).alias("small_files_total"))
@@ -108,4 +122,5 @@ def small_files_report(
         raw_user_path_counts=user_small.groupBy("user", "path").agg(
             F.count(F.lit(1)).alias("count")
         ),
+        _persisted=small if persist else None,
     )

@@ -41,6 +41,26 @@ def snapshot_growth_report(snapshots: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_delta_report(snapshots: DataFrame) -> DataFrame:
+    """Growth between CONSECUTIVE snapshots per user: (snapshot_ts, user,
+    n_files, sum_size, d_files, d_size) where d_* is the change from the
+    user's previous snapshot (first snapshot ⇒ full size as delta).
+
+    One aggregation + one lag window partitioned by user — the window input
+    is already reduced to (snapshot, user) rows, so the sort is tiny no
+    matter how many inodes each snapshot holds."""
+    per_snap = snapshot_growth_report(snapshots)
+    w = Window.partitionBy("user").orderBy("snapshot_ts")
+    return per_snap.select(
+        "snapshot_ts",
+        "user",
+        "n_files",
+        "sum_size",
+        (F.col("n_files") - F.coalesce(F.lag("n_files").over(w), F.lit(0))).alias("d_files"),
+        (F.col("sum_size") - F.coalesce(F.lag("sum_size").over(w), F.lit(0))).alias("d_size"),
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -75,6 +75,21 @@ def test_sessionize_gap_semantics(spark):
     assert sessions[0]["session_end"] - sessions[0]["session_start"] == 600
 
 
+def test_snapshot_delta_report(spark):
+    from hfsa_spark.streaming.snapshots import snapshot_delta_report
+
+    snaps = spark.createDataFrame(
+        [(1, "FILE", "alice", 100), (2, "FILE", "alice", 150), (2, "FILE", "alice", 50),
+         (3, "FILE", "alice", 180)],
+        "snapshot_ts int, type string, user string, file_size bigint",
+    )
+    rows = {r["snapshot_ts"]: r for r in snapshot_delta_report(snaps).collect()}
+    assert rows[1]["d_size"] == 100          # first snapshot: full size
+    assert rows[2]["d_size"] == 100          # 200 - 100
+    assert rows[2]["d_files"] == 1           # 2 - 1
+    assert rows[3]["d_size"] == -20          # 180 - 200 (shrink)
+
+
 def test_snapshot_growth_batch_form(spark):
     snaps = spark.createDataFrame(
         [(1, "FILE", "alice", 100), (1, "FILE", "bob", 10), (2, "FILE", "alice", 150),
