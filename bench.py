@@ -87,9 +87,18 @@ def main() -> None:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
-    # Warm the JVM + parquet footers once so per-query numbers reflect
-    # execution, not first-touch JIT/IO setup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM once so per-query numbers reflect execution, not
+    # first-touch JIT/IO setup (JMH-style): footer reads plus one small
+    # representative plan through codegen (scan -> join -> agg -> window).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        li.limit(10_000)
+        .join(od.limit(10_000), li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg({"l_quantity": "sum"})
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
