@@ -611,6 +611,20 @@ def q36_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bit LSH candidates + exact
+    cosine verify; integer ids only (float-proof). Threshold 0.4 — the
+    synthetic random embeddings top out near cosine 0.51."""
+    from hfsa_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -649,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_json_extract": q34_json_extract,
         "q35_dedup_pipeline": q35_dedup_pipeline,
         "q36_dedup_groups": q36_dedup_groups,
+        "q37_embedding_neardup": q37_embedding_neardup,
     }
 
 
@@ -1134,6 +1149,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
         SELECT node AS doc_id, MIN(root)::BIGINT AS group_id
         FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+    _BUCKET = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+    )
+    o["q37_embedding_neardup"] = f"""
+        WITH sided AS (
+            SELECT vec_id AS id, embedding, ({_BUCKET}) AS bucket,
+                   sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS norm
+            FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sided a JOIN sided b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE list_sum(list_transform(generate_series(1, 64),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+              / (a.norm * b.norm) >= 0.4
+        ORDER BY id_a, id_b
     """
 
     return o

@@ -94,6 +94,46 @@ def sign_lsh_bucket(vec: Column | str, dims: list[int]) -> Column:
     return sig
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_dims: list[int] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥
+    threshold): the dedup-by-embedding primitive — feed the output to
+    :func:`hfsa_spark.operators.dedup.connected_components` for groups.
+
+    Candidate generation is the sign-bit LSH bucket (near-identical vectors
+    share all sign bits, so recall at high thresholds is excellent); the
+    self-join shuffles on the bucket key — never a global cross join — and
+    exact cosine verifies each candidate. More dims → smaller buckets →
+    fewer candidates; at corpus scale write the table partitioned by the
+    signature so the join is partition-local.
+    """
+    dims = lsh_dims or [0, 1, 2, 3]
+    sided = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
+        sign_lsh_bucket(vec_col, dims).alias("bucket"),
+    )
+    a, b = sided.alias("a"), sided.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "cos_sim",
+            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
