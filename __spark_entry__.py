@@ -625,6 +625,20 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs (4 hashes, 4 bands of 1): docs
+    colliding in ANY band are candidates. The oracle re-derives the same
+    signatures and joins on the band-key disjunction."""
+    from hfsa_spark.operators.dedup import minhash_lsh_candidates, minhash_signature
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = minhash_signature(d, "doc_id", "text", num_hashes=4, shingle_n=3)
+    return (
+        minhash_lsh_candidates(sigs, "doc_id", num_hashes=4, bands=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -664,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_dedup_pipeline": q35_dedup_pipeline,
         "q36_dedup_groups": q36_dedup_groups,
         "q37_embedding_neardup": q37_embedding_neardup,
+        "q38_minhash_lsh_pairs": q38_minhash_lsh_pairs,
     }
 
 
@@ -1165,6 +1180,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_sum(list_transform(generate_series(1, 64),
                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
               / (a.norm * b.norm) >= 0.4
+        ORDER BY id_a, id_b
+    """
+
+    # same signature derivation as q22; bands of 1 hash ⇒ candidate iff any
+    # minhash collides (the bucket-size cap never binds at 100 docs)
+    o["q38_minhash_lsh_pairs"] = f"""
+        WITH sh AS ({_SHINGLES(toks=_TOKS, where="WHERE doc_id < 100")}),
+        sig AS (
+            SELECT doc_id,
+                   MIN({_hhex('shingle', 0)}) AS mh_0,
+                   MIN({_hhex('shingle', 1)}) AS mh_1,
+                   MIN({_hhex('shingle', 2)}) AS mh_2,
+                   MIN({_hhex('shingle', 3)}) AS mh_3
+            FROM sh GROUP BY doc_id)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND (a.mh_0 = b.mh_0 OR a.mh_1 = b.mh_1 OR a.mh_2 = b.mh_2 OR a.mh_3 = b.mh_3)
         ORDER BY id_a, id_b
     """
 
