@@ -108,10 +108,16 @@ def write_inodes(df: DataFrame, path: str, partition_by_top_dir: bool = True) ->
     every one of the N writing tasks emits a sliver into every partition
     directory (N × #top_dirs tiny files — footer-read latency then dominates
     every later scan). With it each partition dir gets ~1 well-sized file,
-    and AQE coalescing keeps huge top dirs from producing one giant file."""
+    and AQE coalescing keeps huge top dirs from producing one giant file.
+
+    Within each partition, rows are sorted by ``full_path``: parquet
+    row-group min/max statistics on a sorted string column turn subtree
+    prefix predicates (pushed as a StartsWith range) into row-group skips —
+    a deep-subtree report then reads only the row groups covering its
+    prefix range instead of the whole top_dir partition."""
     with_top = df.withColumn("top_dir", top_dir("full_path"))
     if partition_by_top_dir:
-        with_top = with_top.repartition(F.col("top_dir"))
+        with_top = with_top.repartition(F.col("top_dir")).sortWithinPartitions("full_path")
     writer = with_top.write.mode("overwrite")
     if partition_by_top_dir:
         writer = writer.partitionBy("top_dir")

@@ -8,6 +8,21 @@ from hfsa_spark.operators.smallfiles import small_files_report
 from hfsa_spark.operators.userusage import user_usage_report
 from hfsa_spark.operators.pathreport import path_report
 from hfsa_spark.operators.inodeinfo import inode_info
+from hfsa_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hfsa_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from hfsa_spark.operators.text import text_profile
 
 __all__ = [
     "ancestor_rollup",
@@ -16,4 +31,15 @@ __all__ = [
     "user_usage_report",
     "path_report",
     "inode_info",
+    "exact_dedup",
+    "exact_dedup_groups",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "connected_components",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "embedding_near_dup_pairs",
+    "text_profile",
 ]
