@@ -444,7 +444,9 @@ def q25_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_heuristic,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    from hfsa_spark.plans import parallelize_compute
+
+    d = parallelize_compute(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -459,7 +461,11 @@ def q26_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolated so any cross-engine double drift is visible on its own)."""
     from hfsa_spark.operators.text import quality_score, stopword_ratio
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    from hfsa_spark.plans import parallelize_compute
+
+    d = parallelize_compute(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select("doc_id", "text")
+    )
     return d.select(
         "doc_id",
         quality_score("text").alias("quality"),
@@ -471,7 +477,9 @@ def q27_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix vs the labeled lang column."""
     from hfsa_spark.operators.text import lang_id_heuristic
 
-    d = _t(spark, sf_dir, "documents")
+    from hfsa_spark.plans import parallelize_compute
+
+    d = parallelize_compute(_t(spark, sf_dir, "documents").select("lang", "text"))
     return (
         d.select(F.col("lang"), lang_id_heuristic("text").alias("lang_guess"))
         .groupBy("lang", "lang_guess")

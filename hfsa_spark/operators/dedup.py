@@ -98,7 +98,9 @@ def minhash_signature(
     Scale: explode(shingles) multiplies rows by shingle count, but the k
     mins aggregate map-side; the shuffle carries one row per doc.
     """
-    exploded = df.select(
+    from hfsa_spark.plans import parallelize_compute
+
+    exploded = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
     aggs = [
@@ -179,7 +181,9 @@ def simhash(
     Scale: the per-doc aggregation is map-side combinable; shuffle carries
     one row per doc. ``bits`` ≤ 32 keeps the signature in an int.
     """
-    tokens = df.select(
+    from hfsa_spark.plans import parallelize_compute
+
+    tokens = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
@@ -277,7 +281,9 @@ def ngram_jaccard_pairs(
     this is exact while avoiding the cross join). With ``candidates``
     (e.g. LSH output) it verifies only those pairs — the scale path.
     """
-    shingled = df.select(
+    from hfsa_spark.plans import parallelize_compute
+
+    shingled = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hfsa_spark.plans import parallelize_compute
+
 IMAGE_SCHEMA = (
     "doc_id bigint, media_type string, payload binary,"
     " width int, height int, n_channels int, format string"
@@ -87,8 +89,9 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 yield decode_image_batch(batch, fake=fake)
 
     return (
-        media.filter(F.col("media_type") == "image")
-        .select("doc_id", "payload")
+        parallelize_compute(
+            media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+        )
         .mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
     )
 
@@ -117,8 +120,9 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
                 yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_payload"])
 
     return (
-        media.filter(F.col("media_type") == "video")
-        .select("doc_id", "payload")
+        parallelize_compute(
+            media.filter(F.col("media_type") == "video").select("doc_id", "payload")
+        )
         .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
     )
 
@@ -164,8 +168,9 @@ def resize_images(
             )
 
     return (
-        media.filter(F.col("media_type") == "image")
-        .select("doc_id", "payload")
+        parallelize_compute(
+            media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+        )
         .mapInPandas(run, schema=RESIZED_SCHEMA)
     )
 
@@ -202,8 +207,9 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return (
-        media.filter(F.col("media_type") == "audio")
-        .select("doc_id", "payload")
+        parallelize_compute(
+            media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
+        )
         .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
     )
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hfsa_spark.plans import parallelize_compute
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
@@ -63,7 +65,7 @@ def cosine_topk(
         F.col(vec_col).alias("__qvec"),
         l2_norm(vec_col).alias("__qnorm"),
     )
-    c = corpus.select(
+    c = parallelize_compute(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         l2_norm(vec_col).alias("__cnorm"),
@@ -113,7 +115,7 @@ def embedding_near_dup_pairs(
     signature so the join is partition-local.
     """
     dims = lsh_dims or [0, 1, 2, 3]
-    sided = corpus.select(
+    sided = parallelize_compute(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(vec_col).alias("norm"),
@@ -154,7 +156,7 @@ def cosine_topk_lsh(
         l2_norm(vec_col).alias("__qnorm"),
         sign_lsh_bucket(vec_col, dims).alias("__bucket"),
     )
-    c = corpus.select(
+    c = parallelize_compute(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         l2_norm(vec_col).alias("__cnorm"),

@@ -115,6 +115,9 @@ def fingerprint(text: Column | str) -> Column:
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per document with the full feature set."""
+    from hfsa_spark.plans import parallelize_compute
+
+    df = parallelize_compute(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),

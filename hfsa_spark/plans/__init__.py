@@ -12,6 +12,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def parallelize_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a compute-bound DataFrame has at least ``min_partitions``
+    (default: the session's ``defaultParallelism``) before heavy per-row
+    expression work (seeded hashes, higher-order vector folds, regex
+    profiling).
+
+    Why conditional: at 100 TB a scan already yields thousands of splits and
+    a forced repartition would be a catastrophic full shuffle — so this is a
+    NO-OP whenever the scan is already parallel enough. The case it fixes is
+    the opposite end: a small/single-row-group parquet file (parquet splits
+    only at row-group boundaries) scans as ONE task, serializing all
+    downstream CPU work onto one core while the rest of the cluster idles.
+    The round-robin shuffle of the (tiny) input is orders of magnitude
+    cheaper than the single-core compute it unblocks.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The explain output as a string (what ``df.explain`` prints)."""
     jdf = df._jdf  # classic (non-Connect) API
