@@ -647,6 +647,49 @@ def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic seed centroids (vec_id % 25),
+    map-only list assignment, 2-list probing, exact cosine re-rank."""
+    from hfsa_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(emb, qs, k=5, n_probe=2, centroid_stride=25).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q40_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5) — per
+    (split, lang) counts. Membership is a pure function of doc_id."""
+    from hfsa_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def q41_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (1000 tokens, doc_id order): the
+    data-mixing primitive — per-source kept-doc and token totals."""
+    from hfsa_spark.operators.sampling import token_budget_filter
+    from hfsa_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    kept = token_budget_filter(d, "source", "doc_id", "n_tokens", budget=1000)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -687,6 +730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_dedup_groups": q36_dedup_groups,
         "q37_embedding_neardup": q37_embedding_neardup,
         "q38_minhash_lsh_pairs": q38_minhash_lsh_pairs,
+        "q39_knn_ivf": q39_knn_ivf,
+        "q40_hash_split": q40_hash_split,
+        "q41_token_budget": q41_token_budget,
     }
 
 
@@ -1206,6 +1252,82 @@ def oracle_sql() -> dict[str, str]:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          AND (a.mh_0 = b.mh_0 OR a.mh_1 = b.mh_1 OR a.mh_2 = b.mh_2 OR a.mh_3 = b.mh_3)
         ORDER BY id_a, id_b
+    """
+
+    # IVF: same deterministic centroids (vec_id % 25), nearest-list
+    # assignment, 2-list probe, exact cosine re-rank — ties on centroid /
+    # neighbor id both sides
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum(list_transform(generate_series(1, 64),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(generate_series(1, 64),"
+            f" i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(generate_series(1, 64),"
+            f" i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))))"
+        )
+
+    o["q39_knn_ivf"] = f"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id % 25 = 0),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c),
+        lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        probe AS (
+            SELECT query_id, qv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_cos('qv', 'cv')} DESC, cid ASC) AS rn
+            FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, qv, cid FROM probe WHERE rn <= 2),
+        scored AS (
+            SELECT p.query_id, l.vec_id AS neighbor_id,
+                   {_cos('l.embedding', 'p.qv')} AS cos_sim
+            FROM lists l JOIN probes p ON l.cid = p.cid
+            WHERE l.vec_id <> p.query_id)
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC)::INT AS rank
+            FROM scored) t
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # split thresholds: same float accumulation as sampling.split_column
+    # (0.9, then 0.9 + 0.05) so the integer cut points match bit-for-bit
+    _S = 1 << 60
+    _cum = 0.0
+    _cum += 0.9
+    _t_train = int(_cum * _S)
+    _cum += 0.05
+    _t_val = int(_cum * _S)
+    o["q40_hash_split"] = f"""
+        WITH labeled AS (
+            SELECT lang,
+                   CASE WHEN {_h64("concat('split:', doc_id::VARCHAR)")} < {_t_train}
+                        THEN 'train'
+                        WHEN {_h64("concat('split:', doc_id::VARCHAR)")} < {_t_val}
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs
+        FROM labeled GROUP BY split, lang ORDER BY split, lang
+    """
+
+    o["q41_token_budget"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, len({_TOKS})::INT AS n_tokens FROM documents),
+        cum AS (
+            SELECT source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS c
+            FROM toks)
+        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+        FROM cum WHERE c <= 1000 GROUP BY source ORDER BY source
     """
 
     return o

@@ -17,10 +17,19 @@ from hfsa_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from hfsa_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    token_budget_filter,
+)
 from hfsa_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_assign_arrow,
+    ivf_topk,
+    kmeans_iterate,
 )
 from hfsa_spark.operators.text import text_profile
 
@@ -41,5 +50,12 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
+    "ivf_assign",
+    "ivf_assign_arrow",
+    "ivf_topk",
+    "kmeans_iterate",
+    "hash_split",
+    "stratified_sample",
+    "token_budget_filter",
     "text_profile",
 ]

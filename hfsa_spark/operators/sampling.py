@@ -1,0 +1,97 @@
+"""Deterministic sampling / splitting / budgeting operators for
+training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 phase 4): the mixing-and-splitting
+steps a 100 TB pre-train pipeline runs after dedup and quality filtering.
+Everything is hash-deterministic (no RNG state, no sampleBy) so results are
+reproducible across runs, engines, and partitionings — and carry exact SQL
+oracles.
+
+Scale notes:
+* ``hash_split`` / ``stratified_sample`` are pure row-local expressions —
+  map-only, zero shuffles, fully codegen'd; adding a split column to 100 TB
+  costs one scan.
+* ``token_budget_filter`` is a per-group running sum — one shuffle keyed on
+  the group column. A single giant group serializes its own window (the
+  classic skew case); at that scale switch ``approximate=True`` semantics:
+  pre-aggregate per (group, salt) then allocate budget proportionally —
+  kept out of scope here because the exact form is what the oracle pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hfsa_spark.functions.hashing import portable_hash64
+
+# hash values are 60-bit (15 hex digits of md5) — see functions/hashing.py
+_HASH_SPACE = 1 << 60
+
+
+def split_column(id_col: Column | str, weights: dict[str, float], salt: str = "split") -> Column:
+    """Deterministic split label from a stable hash of the id: a document
+    lands in the same split in every run and engine. ``weights`` maps label
+    → fraction (must sum to ≤ 1; any remainder falls into the last label).
+    """
+    h = portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string")))
+    labels = list(weights)
+    expr = None
+    cum = 0.0
+    for lab in labels[:-1]:
+        cum += weights[lab]
+        cond = h < F.lit(int(cum * _HASH_SPACE))
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/... per ``weights``)."""
+    return df.withColumn("split", split_column(id_col, weights, salt=salt))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows (hash(id) < fraction·2⁶⁰).
+
+    Unlike ``df.sample``, membership is a pure function of the id — stable
+    under retries, repartitioning, and engine changes. Stratification comes
+    free: applied after a filter on the stratum column, each stratum is
+    sampled at the same rate because the hash is independent of any column
+    but the id.
+    """
+    h = portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return df.filter(h < F.lit(int(fraction * _HASH_SPACE)))
+
+
+def token_budget_filter(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Cap each group (source/domain/language) at ``budget`` tokens: rows
+    are admitted in ``order_col`` order until the group's running token sum
+    would exceed the budget — the data-mixing primitive that keeps one
+    giant crawl domain from dominating a training mix.
+
+    A row is kept iff the running sum *through this row* stays ≤ budget
+    (so one over-budget row is not kept partially). One shuffle: the
+    running-sum window keyed on ``group_col``.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum_tokens", F.sum(toks).over(w))
+        .filter(F.col("__cum_tokens") <= budget)
+        .drop("__cum_tokens")
+    )

@@ -136,6 +136,250 @@ def embedding_near_dup_pairs(
     )
 
 
+def _centroid_array_expr(rows: list[tuple[int, list[float], float]]) -> Column:
+    """Literal ``array<struct<cid,cvec,cnorm>>`` of centroids, built as ONE
+    SQL string (one parse) rather than thousands of py4j Column calls.
+    ``repr(float)`` round-trips exactly; the ``D`` suffix keeps the parser
+    on DOUBLE (bare decimals parse as DECIMAL in Spark SQL)."""
+    items = []
+    for cid, vec, norm in rows:
+        arr = ",".join(f"{float(x)!r}D" for x in vec)
+        items.append(
+            f"named_struct('cid', CAST({int(cid)} AS BIGINT),"
+            f" 'cvec', array({arr}), 'cnorm', {float(norm)!r}D)"
+        )
+    return F.expr("array(" + ",".join(items) + ")")
+
+
+def _centroid_scorer(centroids: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small) centroid table and return (literal array expr,
+    per-row scorer): scorer(vec, vnorm) → array<struct<cos, neg_id>>."""
+    cent_rows = [
+        (r[0], list(r[1]), float(r[2]))
+        for r in centroids.select(id_col, vec_col, l2_norm(vec_col)).collect()
+    ]
+    cent_arr = _centroid_array_expr(cent_rows)
+
+    def scored_centroids(vec: Column, vnorm: Column) -> Column:
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (dot(vec, c["cvec"]) / (vnorm * c["cnorm"])).alias("cos"),
+                (-c["cid"]).alias("neg_id"),
+            ),
+        )
+
+    return cent_arr, scored_centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only nearest-centroid (cosine) assignment: (id, list_id).
+
+    The expression twin of :func:`ivf_assign_arrow` — no shuffle; at scale,
+    write the output partitioned by ``list_id`` so probes prune partitions.
+    """
+    _, scorer = _centroid_scorer(centroids, id_col, vec_col)
+    return parallelize_compute(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("id"),
+        (-F.array_max(scorer(F.col(vec_col), l2_norm(vec_col)))["neg_id"]).alias("list_id"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every corpus vector to its nearest centroid (spherical/cosine metric);
+    each query probes only the ``n_probe`` nearest inverted lists and exact
+    cosine re-ranks the candidates. Same output shape as
+    :func:`cosine_topk`.
+
+    Scale design — the three IVF stages map to Spark like this:
+
+    * **assignment is map-only**: the centroid table is tiny (≈√N lists for
+      N vectors), so it is embedded as a literal array expression — the
+      argmax over centroids runs inside whole-stage codegen per corpus row,
+      with NO shuffle of the 100 TB side (and at real scale the assignment
+      is written once, partitioned by ``list_id``, and reused per query
+      batch — see :func:`ivf_assign_arrow` for the BLAS variant).
+    * **probing prunes**: queries explode to ``n_probe`` (query, list_id)
+      rows and broadcast; the candidate join touches only the probed lists
+      (partition-prunable when the assignment is stored partitioned by
+      ``list_id``).
+    * the final top-k window sees only candidate rows already reduced to
+      (query_id, neighbor_id, cos_sim).
+
+    Centroids default to a deterministic sample (``id % centroid_stride ==
+    0``) so the result carries an exact SQL oracle; pass a learned centroid
+    table (e.g. from :func:`kmeans_iterate`) for better recall.
+
+    Ties (equal cosine) break toward the smaller centroid id / neighbor id
+    — deterministic and mirrored in the oracle.
+    """
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cent_arr, scored_centroids = _centroid_scorer(centroids, id_col, vec_col)
+
+    assigned = parallelize_compute(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(vec_col).alias("__cnorm"),
+    ).withColumn(
+        # argmax cosine; struct max breaks cos-ties on max(-cid) = min cid
+        "list_id",
+        -F.array_max(scored_centroids(F.col("__cvec"), F.col("__cnorm")))["neg_id"],
+    )
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qnorm"),
+    ).withColumn(
+        # top n_probe centroids: the last n_probe of the ascending
+        # (cos, -cid) sort are the highest-cosine lists
+        "list_id",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(scored_centroids(F.col("__qvec"), F.col("__qnorm"))),
+                    -n_probe,
+                    n_probe,
+                ),
+                lambda s: -s["neg_id"],
+            )
+        ),
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", dot("__qvec", "__cvec") / (F.col("__qnorm") * F.col("__cnorm")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_assign_arrow(
+    corpus: DataFrame,
+    centroid_matrix,
+    centroid_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The cluster-scale IVF assignment path: Arrow-batched ``mapInPandas``
+    with a numpy centroid matrix (BLAS matmul argmax) — for centroid counts
+    where a literal expression would bloat the plan (≥ thousands of lists,
+    the realistic 100 TB regime). Returns (id, list_id).
+
+    The centroid matrix rides to executors via closure capture (small —
+    C × dim floats); rows stream through in Arrow batches, so Python cost
+    is one matmul per batch, not per row. Tested equivalent to the
+    expression path in tests/test_similarity_ivf.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cmat = np.asarray(centroid_matrix, dtype=np.float64)
+    cids = np.asarray(centroid_ids, dtype=np.int64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            vnorm = np.linalg.norm(vecs, axis=1)
+            cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
+            yield pd.DataFrame({"id": batch[id_col], "list_id": cids[np.argmax(cos, axis=1)]})
+
+    return parallelize_compute(corpus.select(id_col, vec_col)).mapInPandas(
+        run, schema="id bigint, list_id bigint"
+    )
+
+
+def kmeans_iterate(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (cosine) Lloyd refinement of a centroid table —
+    the quality upgrade for :func:`ivf_topk`'s coarse quantizer. Returns a
+    (centroid_id, vec) DataFrame after ``iters`` rounds.
+
+    Per round, fully declarative: (1) map-only assignment against the
+    collected centroid literal (no corpus shuffle — same trick as
+    ivf_topk); (2) centroid recompute as the per-dimension mean via
+    ``posexplode`` + groupBy(list, dim) — the only shuffle, keyed on
+    (C × dim) rows regardless of corpus size; (3) re-collect the (tiny)
+    new centroids. Iteration count is a constant, not data-driven, so the
+    plan depth is bounded.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), l2_norm(vec_col).alias("cnorm")
+    )
+    base = parallelize_compute(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("vnorm"),
+    )
+    for _ in range(iters):
+        rows = [(r["cid"], list(r["cvec"]), float(r["cnorm"])) for r in cent.collect()]
+        cent_arr = _centroid_array_expr(rows)
+        assigned = base.withColumn(
+            "list_id",
+            -F.array_max(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        (dot(F.col("vec"), c["cvec"]) / (F.col("vnorm") * c["cnorm"])).alias(
+                            "cos"
+                        ),
+                        (-c["cid"]).alias("neg_id"),
+                    ),
+                )
+            )["neg_id"],
+        )
+        cent = (
+            assigned.select("list_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cvec")
+            )
+            .select(
+                F.col("list_id").alias("cid"),
+                F.col("cvec"),
+                F.sqrt(
+                    F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, v: a + v * v)
+                ).alias("cnorm"),
+            )
+        )
+    return cent.select(F.col("cid").alias("centroid_id"), F.col("cvec").alias("vec"))
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

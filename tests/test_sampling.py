@@ -1,0 +1,73 @@
+"""Deterministic sampling / split / token-budget operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_hash_split_fractions_and_total(docs):
+    from hfsa_spark.operators.sampling import hash_split
+
+    out = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total
+    assert set(counts) <= {"train", "val", "test"}
+    assert 0.8 * total <= counts["train"] <= 0.97 * total
+
+
+def test_hash_split_partitioning_invariant(docs):
+    """Membership is a pure function of the id — identical under any
+    physical partitioning (the property plain df.sample does NOT have)."""
+    from hfsa_spark.operators.sampling import hash_split
+
+    a = hash_split(docs.repartition(1), "doc_id", {"train": 0.5, "val": 0.5})
+    b = hash_split(docs.repartition(13), "doc_id", {"train": 0.5, "val": 0.5})
+    sa = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
+    sb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
+    assert sa == sb
+
+
+def test_stratified_sample_rate_and_determinism(docs):
+    from hfsa_spark.operators.sampling import stratified_sample
+
+    total = docs.count()
+    s1 = stratified_sample(docs, "doc_id", 0.2)
+    s2 = stratified_sample(docs, "doc_id", 0.2)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2
+    assert 0.1 * total <= len(ids1) <= 0.3 * total
+    # nested property: a smaller fraction's sample is NOT guaranteed to nest
+    # (different threshold, same hash) — but the same salt + larger fraction
+    # must be a superset
+    ids_half = {
+        r["doc_id"] for r in stratified_sample(docs, "doc_id", 0.5).select("doc_id").collect()
+    }
+    assert ids1 <= ids_half
+
+
+def test_token_budget_boundary(spark):
+    from hfsa_spark.operators.sampling import token_budget_filter
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 400),
+            ("a", 2, 400),
+            ("a", 3, 400),  # cum 1200 > 1000 → dropped
+            ("b", 1, 1000),  # cum == budget → kept (<=)
+            ("b", 2, 1),
+        ],
+        "source string, doc_id int, n_tokens int",
+    )
+    kept = token_budget_filter(df, "source", "doc_id", "n_tokens", budget=1000)
+    got = {(r["source"], r["doc_id"]) for r in kept.collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 1)}

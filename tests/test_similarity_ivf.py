@@ -1,0 +1,87 @@
+"""IVF similarity search: assignment-path equivalence, probe recall vs the
+exact brute-force baseline, and k-means refinement shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return emb.filter(F.col("vec_id") % 25 == 0)
+
+
+def test_ivf_assign_arrow_matches_expression(spark, emb, centroids):
+    from hfsa_spark.operators.similarity import ivf_assign, ivf_assign_arrow
+
+    expr = {r["id"]: r["list_id"] for r in ivf_assign(emb, centroids).collect()}
+    rows = centroids.select("vec_id", "embedding").collect()
+    cmat = np.array([list(r["embedding"]) for r in rows])
+    cids = [r["vec_id"] for r in rows]
+    arrow = {
+        r["id"]: r["list_id"] for r in ivf_assign_arrow(emb, cmat, cids).collect()
+    }
+    assert expr == arrow
+
+
+def test_ivf_topk_shape_and_recall(spark, emb):
+    from hfsa_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_probe=2, centroid_stride=25)
+
+    rows = approx.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = [r["rank"] for r in rows if r["query_id"] == qid]
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+    # recall@5 of the probed-list search vs exact — deterministic data, so
+    # this is a fixed number; the bound catches probe/assignment regressions
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in rows if r["neighbor_id"] in exact_sets[r["query_id"]])
+    assert hits / max(sum(len(v) for v in exact_sets.values()), 1) >= 0.4
+
+
+def test_ivf_assignment_no_shuffle(spark, emb, centroids):
+    """The corpus must never shuffle during assignment (map-only plan)."""
+    from hfsa_spark.operators.similarity import ivf_assign
+    from hfsa_spark.plans import num_exchanges
+
+    assigned = ivf_assign(emb, centroids)
+    # one Exchange may appear from parallelize_compute's local repartition of
+    # the tiny test file; on a many-split input there are none. Re-check with
+    # min_partitions=1 (no repartition): strictly zero exchanges.
+    base = emb.select("vec_id", "embedding")
+    from hfsa_spark.operators.similarity import _centroid_scorer, l2_norm
+
+    _, scorer = _centroid_scorer(centroids, "vec_id", "embedding")
+    pure = base.select(
+        (-F.array_max(scorer(F.col("embedding"), l2_norm("embedding")))["neg_id"]).alias(
+            "list_id"
+        )
+    )
+    assert num_exchanges(pure) == 0
+    assert num_exchanges(assigned) <= 1
+
+
+def test_kmeans_iterate_refines(spark, emb, centroids):
+    from hfsa_spark.operators.similarity import kmeans_iterate
+
+    refined = kmeans_iterate(emb, centroids, iters=1)
+    rows = refined.collect()
+    assert len(rows) <= centroids.count()  # empty lists may drop
+    assert all(len(r["vec"]) == 64 for r in rows)
