@@ -690,6 +690,28 @@ def q41_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each click event gets the user's most
+    recent purchase at-or-before it; per-user match counts + value sums.
+    Spark side = union + running-window (one shuffle); oracle = DuckDB's
+    native ASOF LEFT JOIN."""
+    from hfsa_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = asof_join(clicks, purchases, ts_col="ts", by_cols=["user_id"], value_cols=["value"])
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("value_asof").alias("n_matched"),
+            F.sum(F.col("value_asof").cast(_DEC)).cast("double").alias("sum_matched_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -733,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_knn_ivf": q39_knn_ivf,
         "q40_hash_split": q40_hash_split,
         "q41_token_budget": q41_token_budget,
+        "q42_asof_join": q42_asof_join,
     }
 
 
@@ -1316,6 +1339,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
         SELECT split, lang, COUNT(*) AS n_docs
         FROM labeled GROUP BY split, lang ORDER BY split, lang
+    """
+
+    o["q42_asof_join"] = """
+        WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT l.user_id AS user_id, COUNT(*) AS n_clicks, COUNT(r.value) AS n_matched,
+               (SUM(CAST(r.value AS DECIMAL(18,2))))::DOUBLE AS sum_matched_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        GROUP BY l.user_id ORDER BY user_id
     """
 
     o["q41_token_budget"] = f"""

@@ -17,6 +17,7 @@ from hfsa_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from hfsa_spark.operators.asof import asof_join
 from hfsa_spark.operators.sampling import (
     hash_split,
     stratified_sample,
@@ -47,6 +48,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "connected_components",
+    "asof_join",
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
