@@ -11,10 +11,12 @@ from hfsa_spark.streaming.snapshots import (
     windowed_event_counts,
     sessionize_events,
 )
+from hfsa_spark.streaming.stateful import stateful_sessionize
 
 __all__ = [
     "read_snapshot_stream",
     "snapshot_growth_report",
     "windowed_event_counts",
     "sessionize_events",
+    "stateful_sessionize",
 ]
