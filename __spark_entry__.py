@@ -712,6 +712,35 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via chunk bucketing (equi join on (key,
+    time bucket), never a per-key cross product): clicks falling inside the
+    hour after each purchase, per user. Oracle = plain inequality join."""
+    from hfsa_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("long").alias("t"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("long").alias("w_start"),
+        (F.col("ts").cast("long") + 3600).alias("w_end"),
+    )
+    rj = range_join(
+        clicks, purchases, point_col="t", start_col="w_start", end_col="w_end",
+        by_cols=["user_id"], bucket_width=3600,
+    )
+    return (
+        rj.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks_in_windows"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -756,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_hash_split": q40_hash_split,
         "q41_token_budget": q41_token_budget,
         "q42_asof_join": q42_asof_join,
+        "q43_range_join": q43_range_join,
     }
 
 
@@ -1348,6 +1378,18 @@ def oracle_sql() -> dict[str, str]:
                (SUM(CAST(r.value AS DECIMAL(18,2))))::DOUBLE AS sum_matched_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         GROUP BY l.user_id ORDER BY user_id
+    """
+
+    o["q43_range_join"] = """
+        WITH c AS (SELECT user_id, FLOOR(epoch(ts))::BIGINT AS t, event_id
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, FLOOR(epoch(ts))::BIGINT AS s,
+                     FLOOR(epoch(ts))::BIGINT + 3600 AS e
+              FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT c.event_id) AS n_clicks_in_windows
+        FROM p JOIN c ON c.user_id = p.user_id AND c.t >= p.s AND c.t <= p.e
+        GROUP BY c.user_id ORDER BY user_id
     """
 
     o["q41_token_budget"] = f"""

@@ -18,6 +18,7 @@ from hfsa_spark.operators.dedup import (
     simhash,
 )
 from hfsa_spark.operators.asof import asof_join
+from hfsa_spark.operators.rangejoin import range_join
 from hfsa_spark.operators.sampling import (
     hash_split,
     stratified_sample,
@@ -49,6 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "asof_join",
+    "range_join",
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
