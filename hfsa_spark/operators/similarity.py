@@ -151,13 +151,20 @@ def _centroid_array_expr(rows: list[tuple[int, list[float], float]]) -> Column:
     return F.expr("array(" + ",".join(items) + ")")
 
 
-def _centroid_scorer(centroids: DataFrame, id_col: str, vec_col: str):
-    """Collect the (small) centroid table and return (literal array expr,
-    per-row scorer): scorer(vec, vnorm) → array<struct<cos, neg_id>>."""
-    cent_rows = [
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small) centroid table as sorted (cid, vec, norm) rows —
+    sorted by cid so the literal is stable and numpy argmax ties land on
+    the minimum cid, matching the expression tie-break."""
+    return sorted(
         (r[0], list(r[1]), float(r[2]))
         for r in centroids.select(id_col, vec_col, l2_norm(vec_col)).collect()
-    ]
+    )
+
+
+def _make_scorer(cent_rows):
+    """Per-row scorer over the centroid literal: scorer(vec, vnorm) →
+    array<struct<cos, neg_id>>. Building (and codegen-compiling) the
+    literal costs O(C × dim) — only worth it for small centroid sets."""
     cent_arr = _centroid_array_expr(cent_rows)
 
     def scored_centroids(vec: Column, vnorm: Column) -> Column:
@@ -169,7 +176,7 @@ def _centroid_scorer(centroids: DataFrame, id_col: str, vec_col: str):
             ),
         )
 
-    return cent_arr, scored_centroids
+    return scored_centroids
 
 
 def ivf_assign(
@@ -183,7 +190,7 @@ def ivf_assign(
     The expression twin of :func:`ivf_assign_arrow` — no shuffle; at scale,
     write the output partitioned by ``list_id`` so probes prune partitions.
     """
-    _, scorer = _centroid_scorer(centroids, id_col, vec_col)
+    scorer = _make_scorer(_collect_centroids(centroids, id_col, vec_col))
     return parallelize_compute(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         (-F.array_max(scorer(F.col(vec_col), l2_norm(vec_col)))["neg_id"]).alias("list_id"),
@@ -199,6 +206,7 @@ def ivf_topk(
     centroid_stride: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expr_centroid_limit: int = 32,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every corpus vector to its nearest centroid (spherical/cosine metric);
@@ -230,37 +238,57 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
-    cent_arr, scored_centroids = _centroid_scorer(centroids, id_col, vec_col)
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
 
-    assigned = parallelize_compute(corpus.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        l2_norm(vec_col).alias("__cnorm"),
-    ).withColumn(
-        # argmax cosine; struct max breaks cos-ties on max(-cid) = min cid
-        "list_id",
-        -F.array_max(scored_centroids(F.col("__cvec"), F.col("__cnorm")))["neg_id"],
-    )
-
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        l2_norm(vec_col).alias("__qnorm"),
-    ).withColumn(
-        # top n_probe centroids: the last n_probe of the ascending
-        # (cos, -cid) sort are the highest-cosine lists
-        "list_id",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(scored_centroids(F.col("__qvec"), F.col("__qnorm"))),
-                    -n_probe,
-                    n_probe,
-                ),
-                lambda s: -s["neg_id"],
-            )
-        ),
-    )
+    if len(cent_rows) <= expr_centroid_limit:
+        # expression path: exact twin of the SQL oracle, fully declarative
+        scored_centroids = _make_scorer(cent_rows)
+        assigned = parallelize_compute(corpus.select(id_col, vec_col)).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            l2_norm(vec_col).alias("__cnorm"),
+        ).withColumn(
+            # argmax cosine; struct max breaks cos-ties on max(-cid) = min cid
+            "list_id",
+            -F.array_max(scored_centroids(F.col("__cvec"), F.col("__cnorm")))["neg_id"],
+        )
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(vec_col).alias("__qnorm"),
+        ).withColumn(
+            # top n_probe centroids: the last n_probe of the ascending
+            # (cos, -cid) sort are the highest-cosine lists
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(scored_centroids(F.col("__qvec"), F.col("__qnorm"))),
+                        -n_probe,
+                        n_probe,
+                    ),
+                    lambda s: -s["neg_id"],
+                )
+            ),
+        )
+    else:
+        # big centroid sets: the C × dim literal costs seconds of plan
+        # build + codegen and the higher-order folds are interpreted
+        # (CodegenFallback) — both sides switch to the Arrow/BLAS kernel
+        # (one matmul per batch); argmax/argsort tie-break stays min-cid
+        cmat = [vec for _, vec, _ in cent_rows]
+        cids = [cid for cid, _, _ in cent_rows]
+        assigned = ivf_assign_arrow(
+            corpus, cmat, cids, id_col=id_col, vec_col=vec_col, include_vec=True
+        ).select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("__cvec"),
+            F.col("norm").alias("__cnorm"),
+            "list_id",
+        )
+        probes = _ivf_probe_arrow(
+            queries, cmat, cids, n_probe, id_col=id_col, vec_col=vec_col
+        )
 
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
@@ -276,12 +304,55 @@ def ivf_topk(
     )
 
 
+def _ivf_probe_arrow(
+    queries: DataFrame,
+    centroid_matrix,
+    centroid_ids,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of the expression probe: one (query, list_id) row per
+    probed list, carrying the query vector + norm for the candidate join.
+    Ordering/ties match the expression path: cos desc, centroid id asc."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cmat = np.asarray(centroid_matrix, dtype=np.float64)
+    cids = np.asarray(centroid_ids, dtype=np.int64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            vnorm = np.linalg.norm(vecs, axis=1)
+            cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
+            out = []
+            for i in range(len(batch)):
+                order = np.lexsort((cids, -cos[i]))[:n_probe]
+                for j in order:
+                    out.append(
+                        (int(batch[id_col].iloc[i]), list(vecs[i]), float(vnorm[i]), int(cids[j]))
+                    )
+            yield pd.DataFrame(
+                out, columns=["query_id", "__qvec", "__qnorm", "list_id"]
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        run, schema="query_id bigint, __qvec array<double>, __qnorm double, list_id bigint"
+    )
+
+
 def ivf_assign_arrow(
     corpus: DataFrame,
     centroid_matrix,
     centroid_ids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = False,
 ) -> DataFrame:
     """The cluster-scale IVF assignment path: Arrow-batched ``mapInPandas``
     with a numpy centroid matrix (BLAS matmul argmax) — for centroid counts
@@ -308,11 +379,16 @@ def ivf_assign_arrow(
             vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             vnorm = np.linalg.norm(vecs, axis=1)
             cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
-            yield pd.DataFrame({"id": batch[id_col], "list_id": cids[np.argmax(cos, axis=1)]})
+            out = {"id": batch[id_col], "list_id": cids[np.argmax(cos, axis=1)]}
+            if include_vec:
+                out["vec"] = list(vecs)
+                out["norm"] = vnorm
+            yield pd.DataFrame(out)
 
-    return parallelize_compute(corpus.select(id_col, vec_col)).mapInPandas(
-        run, schema="id bigint, list_id bigint"
-    )
+    schema = "id bigint, list_id bigint"
+    if include_vec:
+        schema += ", vec array<double>, norm double"
+    return parallelize_compute(corpus.select(id_col, vec_col)).mapInPandas(run, schema=schema)
 
 
 def kmeans_iterate(

@@ -66,9 +66,9 @@ def test_ivf_assignment_no_shuffle(spark, emb, centroids):
     # the tiny test file; on a many-split input there are none. Re-check with
     # min_partitions=1 (no repartition): strictly zero exchanges.
     base = emb.select("vec_id", "embedding")
-    from hfsa_spark.operators.similarity import _centroid_scorer, l2_norm
+    from hfsa_spark.operators.similarity import _collect_centroids, _make_scorer, l2_norm
 
-    _, scorer = _centroid_scorer(centroids, "vec_id", "embedding")
+    scorer = _make_scorer(_collect_centroids(centroids, "vec_id", "embedding"))
     pure = base.select(
         (-F.array_max(scorer(F.col("embedding"), l2_norm("embedding")))["neg_id"]).alias(
             "list_id"
