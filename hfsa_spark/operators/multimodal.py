@@ -76,7 +76,21 @@ def decode_image_batch(batch: pd.DataFrame, fake: bool = False) -> pd.DataFrame:
     return out
 
 
-def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def _maybe_parallel(df: DataFrame, min_partitions: int | None) -> DataFrame:
+    """Pre-mapInPandas repartition, OPT-IN: a real (CPU-heavy) decoder on a
+    few-split input should pass min_partitions to fan out; the default adds
+    no shuffle because (a) at corpus scale inputs are already multi-split
+    and (b) for light/stub decoders the shuffle + per-partition Python
+    worker dispatch costs more than it saves (measured 1.1 s vs 0.3 s on a
+    200-row batch)."""
+    if min_partitions:
+        return parallelize_compute(df, min_partitions)
+    return df
+
+
+def extract_image_features(
+    media: DataFrame, fake: bool = False, min_partitions: int | None = None
+) -> DataFrame:
     """media(doc_id, media_type, payload, ...) → image feature rows.
 
     Non-image rows are filtered BEFORE the Python stage (predicate stays
@@ -89,14 +103,17 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 yield decode_image_batch(batch, fake=fake)
 
     return (
-        parallelize_compute(
-            media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+        _maybe_parallel(
+            media.filter(F.col("media_type") == "image").select("doc_id", "payload"),
+            min_partitions,
         )
         .mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
     )
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n: int = 10, fake: bool = False, min_partitions: int | None = None
+) -> DataFrame:
     """Video frame sampling: one output row per sampled frame index.
 
     Frame decode is stubbed like image decode; the fan-out shape (1 row in,
@@ -120,8 +137,9 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
                 yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_payload"])
 
     return (
-        parallelize_compute(
-            media.filter(F.col("media_type") == "video").select("doc_id", "payload")
+        _maybe_parallel(
+            media.filter(F.col("media_type") == "video").select("doc_id", "payload"),
+            min_partitions,
         )
         .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
     )
@@ -135,7 +153,11 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def resize_images(
-    media: DataFrame, target_width: int = 224, target_height: int = 224, fake: bool = False
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    fake: bool = False,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Batch image resize → (doc_id, payload, width, height).
 
@@ -168,14 +190,17 @@ def resize_images(
             )
 
     return (
-        parallelize_compute(
-            media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+        _maybe_parallel(
+            media.filter(F.col("media_type") == "image").select("doc_id", "payload"),
+            min_partitions,
         )
         .mapInPandas(run, schema=RESIZED_SCHEMA)
     )
 
 
-def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame, fake: bool = False, min_partitions: int | None = None
+) -> DataFrame:
     """Audio feature extraction → (doc_id, duration_s, sample_rate, rms,
     clip_ratio). Decode stubbed like images (no soundfile/librosa here);
     the deterministic fake derives stats from a payload digest."""
@@ -207,8 +232,9 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return (
-        parallelize_compute(
-            media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
+        _maybe_parallel(
+            media.filter(F.col("media_type") == "audio").select("doc_id", "payload"),
+            min_partitions,
         )
         .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
     )
