@@ -31,7 +31,9 @@ from hfsa_spark.operators.similarity import (
     ivf_assign,
     ivf_assign_arrow,
     ivf_topk,
+    ivf_topk_indexed,
     kmeans_iterate,
+    write_ivf_index,
 )
 from hfsa_spark.operators.text import text_profile
 
@@ -57,7 +59,9 @@ __all__ = [
     "ivf_assign",
     "ivf_assign_arrow",
     "ivf_topk",
+    "ivf_topk_indexed",
     "kmeans_iterate",
+    "write_ivf_index",
     "hash_split",
     "stratified_sample",
     "token_budget_filter",

@@ -391,6 +391,108 @@ def ivf_assign_arrow(
     return parallelize_compute(corpus.select(id_col, vec_col)).mapInPandas(run, schema=schema)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expr_centroid_limit: int = 32,
+) -> None:
+    """Persist the IVF inverted lists **partitioned by list_id** (plus the
+    centroid table under ``<path>/_centroids``): the assign-once /
+    probe-many layout for a static corpus. Probes against the stored index
+    read only the ``n_probe`` probed partitions — a partition-pruned scan
+    asserted in tests — instead of the whole corpus.
+    """
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    cmat = [vec for _, vec, _ in cent_rows]
+    cids = [cid for cid, _, _ in cent_rows]
+    if len(cent_rows) <= expr_centroid_limit:
+        scorer = _make_scorer(cent_rows)
+        assigned = parallelize_compute(corpus.select(id_col, vec_col)).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            l2_norm(vec_col).alias("norm"),
+        ).withColumn(
+            "list_id", -F.array_max(scorer(F.col("vec"), F.col("norm")))["neg_id"]
+        )
+    else:
+        assigned = ivf_assign_arrow(
+            corpus, cmat, cids, id_col=id_col, vec_col=vec_col, include_vec=True
+        )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec, _ in cent_rows], "centroid_id bigint, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expr_centroid_limit: int = 32,
+) -> DataFrame:
+    """Query a stored IVF index (:func:`write_ivf_index`): collect the
+    (few) probed list ids driver-side, filter the index with an ``isin``
+    literal — which prunes to those *partitions* at the scan — and exact
+    cosine re-rank inside them. Same output shape as :func:`cosine_topk`.
+    """
+    cent = spark.read.parquet(f"{index_path}/_centroids")
+    cent_rows = _collect_centroids(cent, "centroid_id", "vec")
+    cmat = [vec for _, vec, _ in cent_rows]
+    cids = [cid for cid, _, _ in cent_rows]
+    if len(cent_rows) <= expr_centroid_limit:
+        scorer = _make_scorer(cent_rows)
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(vec_col).alias("__qnorm"),
+        ).withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(scorer(F.col("__qvec"), F.col("__qnorm"))),
+                        -n_probe,
+                        n_probe,
+                    ),
+                    lambda s: -s["neg_id"],
+                )
+            ),
+        )
+    else:
+        probes = _ivf_probe_arrow(queries, cmat, cids, n_probe, id_col=id_col, vec_col=vec_col)
+    probes = probes.localCheckpoint(eager=True)  # reused twice; avoid recompute
+    probe_lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+
+    index = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe_lists))
+    scored = (
+        index.select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"),
+            F.col("norm").alias("__cnorm"), "list_id",
+        )
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", dot("__qvec", "__cvec") / (F.col("__qnorm") * F.col("__cnorm")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def kmeans_iterate(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -78,6 +78,26 @@ def test_ivf_assignment_no_shuffle(spark, emb, centroids):
     assert num_exchanges(assigned) <= 1
 
 
+def test_indexed_ivf_matches_direct_and_prunes_partitions(spark, emb, tmp_path):
+    from hfsa_spark.operators.similarity import ivf_topk, ivf_topk_indexed, write_ivf_index
+    from hfsa_spark.plans import explain_str
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, centroid_stride=25)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+
+    direct = ivf_topk(emb, queries, k=5, n_probe=2, centroid_stride=25)
+    indexed = ivf_topk_indexed(spark, path, queries, k=5, n_probe=2)
+    assert [tuple(r) for r in direct.select("query_id", "rank", "neighbor_id").collect()] == [
+        tuple(r) for r in indexed.select("query_id", "rank", "neighbor_id").collect()
+    ]
+
+    # the stored-index scan must prune to the probed list partitions
+    plan = explain_str(indexed)
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+
 def test_kmeans_iterate_refines(spark, emb, centroids):
     from hfsa_spark.operators.similarity import kmeans_iterate
 
