@@ -104,20 +104,27 @@ def write_inodes(df: DataFrame, path: str, partition_by_top_dir: bool = True) ->
     every subtree-scoped report partition-prunable (SURVEY.md §4), which is
     the difference between scanning 100 TB and scanning one tenant's slice.
 
-    Rows are shuffled onto their ``top_dir`` before the write: without it,
-    every one of the N writing tasks emits a sliver into every partition
-    directory (N × #top_dirs tiny files — footer-read latency then dominates
-    every later scan). With it each partition dir gets ~1 well-sized file,
-    and AQE coalescing keeps huge top dirs from producing one giant file.
+    Rows are **range-partitioned on (top_dir, full_path)** before the
+    write: hash-partitioning on top_dir alone caps writer parallelism at
+    the top-dir count (26 here) and a naive write would have every task
+    emit a sliver into every partition directory (N × #top_dirs tiny files
+    — footer-read latency then dominates every later scan). Range
+    partitioning keeps prefix locality (each task covers a contiguous path
+    range, so it writes into 1-2 partition dirs), scales writers with the
+    cluster instead of the top-dir count, and splits huge top dirs across
+    several well-sized files.
 
-    Within each partition, rows are sorted by ``full_path``: parquet
-    row-group min/max statistics on a sorted string column turn subtree
-    prefix predicates (pushed as a StartsWith range) into row-group skips —
-    a deep-subtree report then reads only the row groups covering its
-    prefix range instead of the whole top_dir partition."""
+    Within each task, rows are sorted by ``full_path``: parquet row-group
+    min/max statistics on a sorted string column turn subtree prefix
+    predicates (pushed as a StartsWith range) into row-group skips — a
+    deep-subtree report then reads only the row groups covering its prefix
+    range instead of the whole top_dir partition."""
     with_top = df.withColumn("top_dir", top_dir("full_path"))
     if partition_by_top_dir:
-        with_top = with_top.repartition(F.col("top_dir")).sortWithinPartitions("full_path")
+        n_tasks = df.sparkSession.sparkContext.defaultParallelism * 2
+        with_top = with_top.repartitionByRange(
+            n_tasks, F.col("top_dir"), F.col("full_path")
+        ).sortWithinPartitions("top_dir", "full_path")
     writer = with_top.write.mode("overwrite")
     if partition_by_top_dir:
         writer = writer.partitionBy("top_dir")
