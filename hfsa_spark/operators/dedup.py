@@ -254,9 +254,11 @@ def connected_components(
                 ),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        # the full count both materializes the (lazy) checkpoint and is the
+        # convergence check — one job per round instead of two
+        changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
