@@ -56,7 +56,11 @@ class FsImageAnalytics:
     def child_directories(self, path: str, predicate: Column | None = None) -> DataFrame:
         """L5 — getChildDirectories (:145-175), optional child predicate (U3)."""
         p = normalize_path(path)
-        out = self._inodes.filter((F.col("path") == p) & (F.col("type") == "DIRECTORY"))
+        # exclude the dir itself: the root row carries path '/', so a plain
+        # path filter would list '/' as its own child
+        out = self._inodes.filter(
+            (F.col("path") == p) & (F.col("type") == "DIRECTORY") & (F.col("full_path") != p)
+        )
         if predicate is not None:
             out = out.filter(predicate)
         return out
