@@ -712,6 +712,29 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click gets the user's NEXT purchase at-or-after
+    it (the reverse-ordered window path of the same operator)."""
+    from hfsa_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = asof_join(
+        clicks, purchases, ts_col="ts", by_cols=["user_id"], value_cols=["value"],
+        direction="forward",
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("value_asof").alias("n_matched"),
+            F.sum(F.col("value_asof").cast(_DEC)).cast("double").alias("sum_matched_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join via chunk bucketing (equi join on (key,
     time bucket), never a per-key cross product): clicks falling inside the
@@ -786,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_token_budget": q41_token_budget,
         "q42_asof_join": q42_asof_join,
         "q43_range_join": q43_range_join,
+        "q44_asof_forward": q44_asof_forward,
     }
 
 
@@ -1377,6 +1401,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.user_id AS user_id, COUNT(*) AS n_clicks, COUNT(r.value) AS n_matched,
                (SUM(CAST(r.value AS DECIMAL(18,2))))::DOUBLE AS sum_matched_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        GROUP BY l.user_id ORDER BY user_id
+    """
+
+    o["q44_asof_forward"] = """
+        WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT l.user_id AS user_id, COUNT(*) AS n_clicks, COUNT(r.value) AS n_matched,
+               (SUM(CAST(r.value AS DECIMAL(18,2))))::DOUBLE AS sum_matched_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         GROUP BY l.user_id ORDER BY user_id
     """
 
