@@ -735,6 +735,20 @@ def q44_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample (hash(id) threshold): per-lang kept counts —
+    each stratum sampled at the same rate, stable across partitionings."""
+    from hfsa_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "doc_id", 0.2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join via chunk bucketing (equi join on (key,
     time bucket), never a per-key cross product): clicks falling inside the
@@ -810,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_asof_join": q42_asof_join,
         "q43_range_join": q43_range_join,
         "q44_asof_forward": q44_asof_forward,
+        "q45_stratified_sample": q45_stratified_sample,
     }
 
 
@@ -1411,6 +1426,14 @@ def oracle_sql() -> dict[str, str]:
                (SUM(CAST(r.value AS DECIMAL(18,2))))::DOUBLE AS sum_matched_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         GROUP BY l.user_id ORDER BY user_id
+    """
+
+    _t_sample = int(0.2 * (1 << 60))  # same float math as stratified_sample
+    o["q45_stratified_sample"] = f"""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+        FROM documents
+        WHERE {_h64("concat('sample:', doc_id::VARCHAR)")} < {_t_sample}
+        GROUP BY lang ORDER BY lang
     """
 
     o["q43_range_join"] = """
