@@ -778,6 +778,85 @@ def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top unigram/bigram multiplicity,
+    type-token ratio inputs) — exact integers, explode + two-level groupBy."""
+    from hfsa_spark.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q47_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination: distinct word 5-grams of each candidate doc
+    (source != src0) probed against the src0 'benchmark' n-gram set via a
+    broadcast semi join."""
+    from hfsa_spark.operators.text import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    cand = d.filter(F.col("source") != "src0")
+    return benchmark_contamination(cand, bench, shingle_n=5).orderBy("doc_id")
+
+
+def q48_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (ties → term asc); integer evidence
+    columns carried alongside, score re-derivable. Restricted to doc_id <
+    100 to keep the gate result compact."""
+    from hfsa_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        tfidf_top_terms(d, k=3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q49_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of document length per language.
+    p ∈ {.25,.5,.75} over integer inputs interpolates to dyadic rationals —
+    bit-exact across engines, no rounding slop needed."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").alias("pct"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.col("pct")[0].alias("p25"),
+            F.col("pct")[1].alias("p50"),
+            F.col("pct")[2].alias("p75"),
+            "n_docs",
+        )
+        .orderBy("lang")
+    )
+
+
+def q50_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame window machinery (beyond the reference's rank-only
+    windows): per-user rolling 4-row sum/count over the event stream plus
+    lag. Monetary value goes through floor(value*100) cents so the frame
+    aggregation is integer-exact under any addition order (DuckDB windows
+    aggregate via segment trees — double sums would differ in ulps)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-3, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum("cents").over(wf).alias("roll_cents"),
+            F.count(F.lit(1)).over(wf).alias("roll_n"),
+            F.lag("cents").over(w).alias("prev_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -825,6 +904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_range_join": q43_range_join,
         "q44_asof_forward": q44_asof_forward,
         "q45_stratified_sample": q45_stratified_sample,
+        "q46_repetition_profile": q46_repetition_profile,
+        "q47_contamination": q47_contamination,
+        "q48_tfidf_topterms": q48_tfidf_topterms,
+        "q49_percentiles": q49_percentiles,
+        "q50_rolling_window": q50_rolling_window,
     }
 
 
@@ -1458,6 +1542,112 @@ def oracle_sql() -> dict[str, str]:
             FROM toks)
         SELECT source, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
         FROM cum WHERE c <= 1000 GROUP BY source ORDER BY source
+    """
+
+    o["q46_repetition_profile"] = f"""
+        WITH grams AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> concat(toks[i], ' ', toks[i+1]))
+                   ELSE CAST([] AS VARCHAR[]) END AS bgs
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+        uni AS (
+            SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+                   COUNT(*)::BIGINT AS n_distinct_tokens,
+                   MAX(c)::BIGINT AS top_unigram_cnt
+            FROM (SELECT doc_id, tok, COUNT(*) AS c
+                  FROM (SELECT doc_id, unnest(toks) AS tok FROM grams)
+                  GROUP BY 1, 2)
+            GROUP BY 1),
+        bi AS (
+            SELECT doc_id, SUM(c)::BIGINT AS n_bigrams,
+                   MAX(c)::BIGINT AS top_bigram_cnt
+            FROM (SELECT doc_id, bg, COUNT(*) AS c
+                  FROM (SELECT doc_id, unnest(bgs) AS bg FROM grams)
+                  GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(n_tokens, 0)::BIGINT AS n_tokens,
+               COALESCE(n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens,
+               COALESCE(top_unigram_cnt, 0)::BIGINT AS top_unigram_cnt,
+               COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+               COALESCE(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt
+        FROM documents d
+        LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+        ORDER BY doc_id
+    """
+
+    # distinct word 5-gram shingles (same short-doc fallback as
+    # hfsa_spark word_shingles: whole text as one shingle)
+    _SH5 = """unnest(list_distinct(
+        CASE WHEN len(toks) >= 5 THEN
+            list_transform(generate_series(1, len(toks) - 4),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                            toks[i+3], ' ', toks[i+4]))
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle"""
+    o["q47_contamination"] = f"""
+        WITH cand AS (
+            SELECT doc_id, {_SH5}
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE source <> 'src0')),
+        bench AS (
+            SELECT DISTINCT shingle FROM (
+                SELECT {_SH5}
+                FROM (SELECT {_TOKS} AS toks FROM documents
+                      WHERE source = 'src0')))
+        SELECT doc_id, COUNT(*)::BIGINT AS n_shingles,
+               COUNT(b.shingle)::BIGINT AS n_contaminated
+        FROM cand LEFT JOIN bench b USING (shingle)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+    o["q48_tfidf_topterms"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100),
+        tf AS (
+            SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+            GROUP BY 1, 2),
+        dl AS (SELECT doc_id, SUM(tf)::BIGINT AS doc_len FROM tf GROUP BY 1),
+        dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM base),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   (tf::DOUBLE / doc_len::DOUBLE)
+                       * ln(n_docs::DOUBLE / df::DOUBLE) AS score
+            FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id,
+               (ROW_NUMBER() OVER
+                   (PARTITION BY doc_id ORDER BY score DESC, term ASC))::INT AS rank,
+               term, tf, df
+        FROM scored QUALIFY rank <= 3
+        ORDER BY doc_id, rank
+    """
+
+    o["q49_percentiles"] = """
+        SELECT lang,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5)  AS p50,
+               quantile_cont(n_chars, 0.75) AS p75,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    o["q50_rolling_window"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   FLOOR(value * 100)::BIGINT AS cents
+            FROM events)
+        SELECT event_id, user_id,
+               (SUM(cents) OVER w)::BIGINT AS roll_cents,
+               COUNT(*) OVER w AS roll_n,
+               LAG(cents) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """
 
     return o

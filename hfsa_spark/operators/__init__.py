@@ -35,7 +35,12 @@ from hfsa_spark.operators.similarity import (
     kmeans_iterate,
     write_ivf_index,
 )
-from hfsa_spark.operators.text import text_profile
+from hfsa_spark.operators.text import (
+    benchmark_contamination,
+    repetition_profile,
+    text_profile,
+    tfidf_top_terms,
+)
 
 __all__ = [
     "ancestor_rollup",
@@ -66,4 +71,7 @@ __all__ = [
     "stratified_sample",
     "token_budget_filter",
     "text_profile",
+    "repetition_profile",
+    "benchmark_contamination",
+    "tfidf_top_terms",
 ]

@@ -8,7 +8,7 @@ exact SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hfsa_spark.functions.hashing import portable_hash64
@@ -111,6 +111,155 @@ def fingerprint(text: Column | str) -> Column:
     """64-bit-ish document fingerprint of the normalized text (rolling-hash
     style digest): portable, join-friendly, oracle-exact."""
     return portable_hash64(normalize_text(text))
+
+
+def bigram_array(text: Column | str) -> Column:
+    """Non-distinct word bigrams in document order (repetition analysis
+    needs multiplicity, unlike ``dedup.word_shingles`` which dedupes).
+    Empty array for docs with fewer than 2 tokens."""
+    words = tokens(text)
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document, as exact integers
+    (fractions like top_unigram_cnt/n_tokens are re-derivable):
+
+    * ``n_tokens`` / ``n_distinct_tokens`` — type-token ratio inputs
+    * ``top_unigram_cnt`` — occurrences of the most frequent token
+    * ``n_bigrams`` / ``top_bigram_cnt`` — same at bigram granularity
+
+    Scale: explode → two-level groupBy (map-side partial agg on both
+    levels); shuffle keyed on (id, gram) then id — no skew beyond document
+    length, no driver-side loops. Docs with no tokens keep a row (zeros).
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(F.col(id_col), F.col(text_col)))
+
+    def top_counts(gram: Column, prefix: str) -> DataFrame:
+        return (
+            base.select(F.col(id_col), F.explode(gram).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias(f"n_{prefix}s"),
+                F.count(F.lit(1)).alias(f"n_distinct_{prefix}s"),
+                F.max("cnt").alias(f"top_{prefix}_cnt"),
+            )
+        )
+
+    uni = top_counts(tokens(text_col), "unigram")
+    bi = top_counts(bigram_array(text_col), "bigram").drop("n_distinct_bigrams")
+    return (
+        base.select(id_col)
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_unigrams", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_unigrams", F.lit(0)).alias("n_distinct_tokens"),
+            F.coalesce("top_unigram_cnt", F.lit(0)).alias("top_unigram_cnt"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+        )
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: for each candidate document, how many
+    of its distinct word n-grams appear anywhere in the benchmark corpus.
+
+    Returns (id, n_shingles, n_contaminated); the contamination fraction is
+    n_contaminated / n_shingles. Scale: the benchmark n-gram set is the
+    small side (eval benchmarks are ≪ training corpora) and is broadcast by
+    default, making this a map-only semi join over the candidates; set
+    ``broadcast_benchmark=False`` to fall back to a shuffle semi join when
+    the benchmark itself is huge.
+    """
+    from hfsa_spark.operators.dedup import word_shingles
+    from hfsa_spark.plans import parallelize_compute
+
+    bench_sh = (
+        parallelize_compute(benchmark.select(F.col(text_col)))
+        .select(F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    cand = parallelize_compute(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        cand.join(bench_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    score = (tf / doc_len) * ln(N / df); ranking breaks score ties by term
+    ascending, so the output is deterministic. Output carries the exact
+    integer evidence (tf, df) alongside the double score.
+
+    Scale: one explode + groupBy for term frequencies; document frequency is
+    a groupBy over (id, term) pairs; N arrives via a broadcast 1-row agg (no
+    driver-side count, the plan stays lazy); final top-k is a per-document
+    ranking window — partitioned by document id, never a global sort.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(F.col(id_col), F.col(text_col)))
+    tf = (
+        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = F.broadcast(base.agg(F.countDistinct(id_col).alias("n_docs")))
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "term")
+        .crossJoin(ndocs)
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

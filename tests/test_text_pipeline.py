@@ -1,0 +1,114 @@
+"""Tests for the training-data text-pipeline operators: repetition
+profile, benchmark contamination, TF-IDF top terms (operators/text.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfsa_spark.operators.text import (
+    benchmark_contamination,
+    repetition_profile,
+    tfidf_top_terms,
+)
+from hfsa_spark.plans import uses_broadcast_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a a a b c"),          # top unigram 'a'×3; bigram 'a a'×2
+        (2, "x y"),                # one bigram
+        (3, "solo"),               # no bigrams
+        (4, ""),                   # no tokens at all
+        (5, "p q p q p q"),        # bigrams: 'p q'×3, 'q p'×2
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_profile_exact(docs):
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 5, "n_distinct_tokens": 3,
+        "top_unigram_cnt": 3, "n_bigrams": 4, "top_bigram_cnt": 2,
+    }
+    assert got[2]["n_bigrams"] == 1 and got[2]["top_bigram_cnt"] == 1
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 1, "n_distinct_tokens": 1,
+        "top_unigram_cnt": 1, "n_bigrams": 0, "top_bigram_cnt": 0,
+    }
+    # empty doc keeps its row, all zeros
+    assert got[4]["n_tokens"] == 0 and got[4]["top_bigram_cnt"] == 0
+    assert got[5]["n_bigrams"] == 5 and got[5]["top_bigram_cnt"] == 3
+
+
+def test_repetition_profile_partition_invariant(docs):
+    a = repetition_profile(docs).orderBy("doc_id").collect()
+    b = repetition_profile(docs.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_contamination_counts(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            # shares the 5-grams starting at 'one' and 'two'
+            (1, "one two three four five six seven"),
+            (2, "nothing in common here at all"),
+            (3, "tiny"),  # short-doc fallback shingle, not in benchmark
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in benchmark_contamination(cand, bench, shingle_n=5).collect()
+    }
+    assert got[1] == {"doc_id": 1, "n_shingles": 3, "n_contaminated": 2}
+    assert got[2]["n_contaminated"] == 0 and got[2]["n_shingles"] == 2
+    assert got[3] == {"doc_id": 3, "n_shingles": 1, "n_contaminated": 0}
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    cand = spark.createDataFrame([(2, "a b c d e f")], "doc_id long, text string")
+    assert uses_broadcast_join(benchmark_contamination(cand, bench))
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'apple' df=1 tf=2/3 → top; 'banana' df=2 second
+    assert [r["term"] for r in by_doc[1]] == ["apple", "banana"]
+    assert by_doc[1][0]["tf"] == 2 and by_doc[1][0]["df"] == 1
+    expected = (2.0 / 3.0) * math.log(3.0 / 1.0)
+    assert by_doc[1][0]["score"] == pytest.approx(expected, abs=1e-12)
+    # doc 3: 'date' (df=1, tf=1/4) vs 'cherry' (df=2, tf=3/4):
+    # cherry 0.75*ln(1.5) > date 0.25*ln(3)
+    assert [r["term"] for r in by_doc[3]] == ["cherry", "date"]
+    # ranks are 1..k and deterministic
+    assert all([r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+               for rs in by_doc.values())
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    # two terms with identical (tf, df, doc_len) → identical score; the
+    # lexicographically smaller term must win rank 1 on both engines
+    docs = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "unrelated words")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 1).collect()
+    assert [r["term"] for r in out] == ["alpha", "zeta"]
