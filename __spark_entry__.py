@@ -857,6 +857,53 @@ def q50_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_regex_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction / log-template extraction: mask digit runs in the
+    event props, count redactions, count distinct templates per type.
+    Pure narrow map (regexp_count/replace) — no UDF, no shuffle before agg."""
+    from hfsa_spark.operators.text import regex_redact
+
+    ev = _events(spark, sf_dir).select("event_type", "props")
+    r = regex_redact(ev, "props", {"number": "[0-9]+"})
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_number").alias("n_redactions"),
+            F.countDistinct("props_redacted").alias("n_templates"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q52_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase (salted) aggregation over the most skewed
+    grouping in the testdata (3 heavy l_returnflag keys). Exact same result
+    as the plain groupBy — decimal sums are addition-order-proof."""
+    from hfsa_spark.plans import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast(_DEC)
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("count", "qty", "n_rows"),
+            ("sum", "qty", "sum_qty"),
+            ("min", "qty", "min_qty"),
+            ("max", "qty", "max_qty"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    ).orderBy("l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -909,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_tfidf_topterms": q48_tfidf_topterms,
         "q49_percentiles": q49_percentiles,
         "q50_rolling_window": q50_rolling_window,
+        "q51_regex_redact": q51_regex_redact,
+        "q52_salted_agg": q52_salted_agg,
     }
 
 
@@ -1648,6 +1697,27 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+    """
+
+    o["q51_regex_redact"] = """
+        WITH r AS (
+            SELECT event_type,
+                   len(regexp_extract_all(props, '[0-9]+'))::INT AS n_number,
+                   regexp_replace(props, '[0-9]+', '<number>', 'g') AS red
+            FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+               SUM(n_number)::BIGINT AS n_redactions,
+               COUNT(DISTINCT red) AS n_templates
+        FROM r GROUP BY event_type ORDER BY event_type
+    """
+
+    o["q52_salted_agg"] = """
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n_rows,
+               (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+               (MIN(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS min_qty,
+               (MAX(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
 
     return o

@@ -37,6 +37,7 @@ from hfsa_spark.operators.similarity import (
 )
 from hfsa_spark.operators.text import (
     benchmark_contamination,
+    regex_redact,
     repetition_profile,
     text_profile,
     tfidf_top_terms,
@@ -74,4 +75,5 @@ __all__ = [
     "repetition_profile",
     "benchmark_contamination",
     "tfidf_top_terms",
+    "regex_redact",
 ]

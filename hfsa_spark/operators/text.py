@@ -228,10 +228,12 @@ def tfidf_top_terms(
     ascending, so the output is deterministic. Output carries the exact
     integer evidence (tf, df) alongside the double score.
 
-    Scale: one explode + groupBy for term frequencies; document frequency is
-    a groupBy over (id, term) pairs; N arrives via a broadcast 1-row agg (no
-    driver-side count, the plan stays lazy); final top-k is a per-document
-    ranking window — partitioned by document id, never a global sort.
+    Scale: one explode + groupBy for term frequencies; doc_len is a window
+    sum over the tf rows (one shuffle on id — cheaper than the
+    groupBy-then-self-join diamond); document frequency is a groupBy over
+    (id, term) pairs; N arrives via a broadcast 1-row agg (no driver-side
+    count, the plan stays lazy); final top-k is a per-document ranking
+    window — partitioned by document id, never a global sort.
     """
     from hfsa_spark.plans import parallelize_compute
 
@@ -241,11 +243,11 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    doclen_w = Window.partitionBy(id_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = F.broadcast(base.agg(F.countDistinct(id_col).alias("n_docs")))
     scored = (
-        tf.join(doclen, id_col)
+        tf.withColumn("doc_len", F.sum("tf").over(doclen_w))
         .join(dfreq, "term")
         .crossJoin(ndocs)
         .withColumn(
@@ -260,6 +262,49 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "score")
     )
+
+
+# Redaction patterns kept to the RE2 ∩ Java-regex-compatible subset
+# (character classes, +, {m,n} — no lookaround, no backrefs) so the same
+# pattern string runs identically on Spark (Java regex) and DuckDB (RE2).
+# Names stay digit-free: replacements apply sequentially, so a later
+# pattern must never match an earlier tag (a '<ipv4>' tag would have its
+# '4' re-masked by the digit pattern).
+DEFAULT_REDACT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "ip": r"[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "number": r"[0-9]+",
+}
+
+
+def regex_redact(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    tag_fmt: str = "<{name}>",
+) -> DataFrame:
+    """Pattern-based text cleaning / PII masking: per-pattern hit counts
+    (``n_<name>``, measured on the ORIGINAL text) plus a
+    ``<text_col>_redacted`` column with every match replaced by its tag,
+    applied in dict order (order matters when patterns overlap — e.g.
+    'email' before 'number'). Caller contract: a later pattern must not
+    match an earlier tag (keep digits out of tag names when a digit
+    pattern follows).
+
+    Masking numbers also doubles as log-template extraction: distinct
+    redacted strings = message templates.
+
+    Scale: pure narrow map of regexp_count/regexp_replace expressions —
+    codegen'd, no shuffle, no UDF.
+    """
+    pats = DEFAULT_REDACT_PATTERNS if patterns is None else patterns
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    redacted = F.col(text_col)
+    for name, pat in pats.items():
+        redacted = F.regexp_replace(redacted, pat, tag_fmt.format(name=name))
+    return out.withColumn(f"{text_col}_redacted", redacted)
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -95,3 +95,52 @@ def num_exchanges(df: DataFrame) -> int:
         for line in plan.splitlines()
         if "Exchange" in line and "ReusedExchange" not in line and "BroadcastExchange" not in line
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_buckets: int = 16,
+):
+    """Skew-resistant two-phase aggregation: groupBy(keys + salt) computes
+    partials, groupBy(keys) combines them. Use when a handful of hot keys
+    would otherwise funnel most of the table through a few reducers — the
+    salt fans each hot key out over ``salt_buckets`` reducers in phase 1,
+    and phase 2 only merges ``#keys × salt_buckets`` partial rows.
+
+    ``aggs`` is a list of (fn, col, alias) with fn ∈ {sum, count, min, max}
+    — the decomposable aggregates (count re-combines as sum). Results are
+    EXACT and identical to a plain groupBy for integer/decimal columns
+    (double sums can differ in ulps from either path's addition order, same
+    as any shuffle). The salt is spark_partition_id() — free, no hash of
+    row data; correctness never depends on the salt value.
+
+    AQE's skew-join handling does not cover aggregations, so this is the
+    one skew mitigation that stays manual (SURVEY.md §4).
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt")
+    phase1_exprs = []
+    phase2_exprs = []
+    for fn, col, alias in aggs:
+        if fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(alias))
+            phase2_exprs.append(F.sum(alias).alias(alias))
+        elif fn == "count":
+            phase1_exprs.append(F.count(col).alias(alias))
+            phase2_exprs.append(F.sum(alias).alias(alias))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(alias))
+            phase2_exprs.append(F.min(alias).alias(alias))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(alias))
+            phase2_exprs.append(F.max(alias).alias(alias))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    agg_cols = list(dict.fromkeys(c for _, c, _ in aggs if c not in keys))
+    partial = (
+        df.select(*keys, salt, *agg_cols).groupBy(*keys, "__salt").agg(*phase1_exprs)
+    )
+    return partial.groupBy(*keys).agg(*phase2_exprs)

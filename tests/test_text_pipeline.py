@@ -104,6 +104,56 @@ def test_tfidf_top_terms(spark):
                for rs in by_doc.values())
 
 
+def test_regex_redact_counts_and_templates(spark):
+    from hfsa_spark.operators.text import regex_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "user 42 bought 3 items from 10.0.0.1 (mail: a@b.co)"),
+            (2, "no digits here"),
+        ],
+        "id long, msg string",
+    )
+    out = {r["id"]: r.asDict() for r in regex_redact(df, "msg").collect()}
+    # email and ip are masked before bare numbers (dict order)
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1
+    assert out[1]["n_number"] == 6  # counts on ORIGINAL text: 42,3,10,0,0,1
+    assert out[1]["msg_redacted"] == (
+        "user <number> bought <number> items from <ip> (mail: <email>)"
+    )
+    assert out[2]["msg_redacted"] == "no digits here"
+    assert out[2]["n_number"] == 0
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from hfsa_spark.plans import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, v) for k in ("hot", "hot", "hot", "cold") for v in range(1, 26)],
+        "k string, v long",
+    ).repartition(8)
+    got = {
+        r["k"]: r.asDict()
+        for r in salted_agg(
+            df,
+            ["k"],
+            [("count", "v", "n"), ("sum", "v", "s"),
+             ("min", "v", "lo"), ("max", "v", "hi")],
+            salt_buckets=4,
+        ).collect()
+    }
+    assert got["hot"] == {"k": "hot", "n": 75, "s": 3 * 325, "lo": 1, "hi": 25}
+    assert got["cold"] == {"k": "cold", "n": 25, "s": 325, "lo": 1, "hi": 25}
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    from hfsa_spark.plans import salted_agg
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(df, ["k"], [("avg", "v", "a")])
+
+
 def test_tfidf_tie_breaks_by_term(spark):
     # two terms with identical (tf, df, doc_len) → identical score; the
     # lexicographically smaller term must win rank 1 on both engines
