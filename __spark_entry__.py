@@ -904,6 +904,40 @@ def q52_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q53_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size (k=5) per-stratum sample in hash order —
+    the fixed-COUNT complement of q45's fixed-rate sampling."""
+    from hfsa_spark.operators.sampling import fixed_size_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        fixed_size_sample(d, "doc_id", "lang", k=5)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def q54_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution analytics per stratum: ntile quartiles,
+    percent_rank, cume_dist over a TOTAL order (n_chars, doc_id — ntile
+    with ties is order-dependent, so the tie-break is part of the
+    contract). Doubles are (pos-1)/(n-1) and pos/n of small ints —
+    IEEE-identical across engines."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -958,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_rolling_window": q50_rolling_window,
         "q51_regex_redact": q51_regex_redact,
         "q52_salted_agg": q52_salted_agg,
+        "q53_fixed_size_sample": q53_fixed_size_sample,
+        "q54_analytic_functions": q54_analytic_functions,
     }
 
 
@@ -1718,6 +1754,27 @@ def oracle_sql() -> dict[str, str]:
                (MIN(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS min_qty,
                (MAX(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS max_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    o["q53_fixed_size_sample"] = f"""
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   (ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY h ASC, doc_id ASC))::INT AS sample_rank
+            FROM (SELECT doc_id, lang,
+                         {_h64("concat('fixed:', doc_id::VARCHAR)")} AS h
+                  FROM documents))
+        WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+    """
+
+    o["q54_analytic_functions"] = """
+        SELECT doc_id, lang, n_chars,
+               (ntile(4) OVER w)::INT AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM documents WHERE doc_id < 200
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        ORDER BY doc_id
     """
 
     return o

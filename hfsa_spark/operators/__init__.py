@@ -20,6 +20,7 @@ from hfsa_spark.operators.dedup import (
 from hfsa_spark.operators.asof import asof_join
 from hfsa_spark.operators.rangejoin import range_join
 from hfsa_spark.operators.sampling import (
+    fixed_size_sample,
     hash_split,
     stratified_sample,
     token_budget_filter,
@@ -70,6 +71,7 @@ __all__ = [
     "write_ivf_index",
     "hash_split",
     "stratified_sample",
+    "fixed_size_sample",
     "token_budget_filter",
     "text_profile",
     "repetition_profile",

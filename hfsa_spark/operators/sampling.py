@@ -68,6 +68,26 @@ def stratified_sample(
     return df.filter(h < F.lit(int(fraction * _HASH_SPACE)))
 
 
+def fixed_size_sample(
+    df: DataFrame, id_col: str, stratum_col: str, k: int, salt: str = "fixed"
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: exactly min(k, |stratum|) rows per
+    stratum, chosen by hash order (a reproducible stand-in for uniform
+    random order) with the id as tie-break.
+
+    Complements ``stratified_sample`` (fixed RATE): use this when every
+    stratum must contribute the same absolute count — eval-set carving,
+    per-language probes. One shuffle: the per-stratum ranking window; no
+    global sort. Adds ``sample_rank`` (1..k within the stratum).
+    """
+    h = portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def token_budget_filter(
     df: DataFrame,
     group_col: str,

@@ -71,3 +71,31 @@ def test_token_budget_boundary(spark):
     kept = token_budget_filter(df, "source", "doc_id", "n_tokens", budget=1000)
     got = {(r["source"], r["doc_id"]) for r in kept.collect()}
     assert got == {("a", 1), ("a", 2), ("b", 1)}
+
+
+def test_fixed_size_sample_exact_k_and_invariance(spark):
+    from hfsa_spark.operators.sampling import fixed_size_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(90)],
+        "doc_id long, lang string",
+    )
+    out = fixed_size_sample(df, "doc_id", "lang", k=5).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exactly k from the big stratum, min(k, n) from the small one
+    assert len(by_lang["big"]) == 5 and len(by_lang["small"]) == 5
+    assert sorted(r["sample_rank"] for r in by_lang["big"]) == [1, 2, 3, 4, 5]
+    # deterministic under repartitioning
+    again = fixed_size_sample(df.repartition(13), "doc_id", "lang", k=5)
+    assert sorted((r["lang"], r["doc_id"]) for r in out) == sorted(
+        (r["lang"], r["doc_id"]) for r in again.collect()
+    )
+
+
+def test_fixed_size_sample_small_stratum_keeps_all(spark):
+    from hfsa_spark.operators.sampling import fixed_size_sample
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
+    assert fixed_size_sample(df, "doc_id", "lang", k=10).count() == 2
