@@ -938,6 +938,82 @@ def q54_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 16-bit signatures) via
+    pigeonhole banding — candidates meet in an equi join on (band, chunk),
+    never a cross join; oracle is the brute-force pair scan."""
+    from hfsa_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        simhash_neardup_pairs(d, "doc_id", "text", bits=16, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (lang × source counts) with an explicit value list — explicit
+    values keep the plan a single pass (no distinct-values pre-query) and
+    pin the output schema. Missing cells filled to 0 to match SQL FILTER
+    semantics."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .pivot("source", [f"src{i}" for i in range(5)])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("lang")
+    )
+
+
+def q57_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) — beyond-reference
+    (SURVEY §2.8: the reference only has implicit UNION ALL). Users who
+    both clicked and purchased vs. clicked only."""
+    ev = _events(spark, sf_dir)
+
+    def users(et: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    clicks, purchases = users("click"), users("purchase")
+    both = clicks.intersect(purchases).withColumn("tag", F.lit("click_and_purchase"))
+    only = clicks.subtract(purchases).withColumn("tag", F.lit("click_only"))
+    return both.unionByName(only).orderBy("tag", "user_id")
+
+
+def q58_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping/sliding windows (10 min size, 5 min slide) — each event lands
+    in exactly 2 windows. Integer aggregates only; window start surfaced as
+    epoch seconds (boundaries are whole seconds, so the cast is exact)."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("w_start"),
+            "n_events",
+            "min_event_id",
+            "max_event_id",
+        )
+        .orderBy("w_start")
+    )
+
+
+def q59_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens with count ≥ 10, ordered by
+    (n desc, term asc) — the total order makes the LIMIT deterministic."""
+    from hfsa_spark.operators.text import vocab_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_top_terms(d, "text", min_count=10, k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -994,6 +1070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_salted_agg": q52_salted_agg,
         "q53_fixed_size_sample": q53_fixed_size_sample,
         "q54_analytic_functions": q54_analytic_functions,
+        "q55_simhash_neardup": q55_simhash_neardup,
+        "q56_pivot": q56_pivot,
+        "q57_set_ops": q57_set_ops,
+        "q58_sliding_window": q58_sliding_window,
+        "q59_vocab_topk": q59_vocab_topk,
     }
 
 
@@ -1775,6 +1856,59 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id < 200
         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         ORDER BY doc_id
+    """
+
+    o["q55_simhash_neardup"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE doc_id < 300),
+        hashed AS (SELECT doc_id, {_h64('tok')} AS h FROM toks),
+        votes AS (SELECT doc_id, {bit_votes} FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({sig_sum})::BIGINT AS simhash FROM votes)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+    o["q56_pivot"] = """
+        SELECT lang,
+               COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+               COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+               COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+               COUNT(*) FILTER (WHERE source = 'src3') AS src3,
+               COUNT(*) FILTER (WHERE source = 'src4') AS src4
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    o["q57_set_ops"] = """
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT user_id, 'click_and_purchase' AS tag
+        FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        UNION ALL
+        SELECT user_id, 'click_only' AS tag
+        FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        ORDER BY tag, user_id
+    """
+
+    o["q58_sliding_window"] = """
+        WITH e AS (SELECT (epoch_us(ts) // 300000000) * 300 AS s1, event_id
+                   FROM events),
+        g AS (SELECT s1 AS w_start, event_id FROM e
+              UNION ALL
+              SELECT s1 - 300 AS w_start, event_id FROM e)
+        SELECT w_start::BIGINT AS w_start, COUNT(*)::BIGINT AS n_events,
+               MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        FROM g GROUP BY w_start ORDER BY w_start
+    """
+
+    o["q59_vocab_topk"] = f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents)
+        SELECT tok AS term, COUNT(*)::BIGINT AS n FROM toks GROUP BY tok
+        HAVING COUNT(*) >= 10
+        ORDER BY n DESC, term ASC LIMIT 100
     """
 
     return o

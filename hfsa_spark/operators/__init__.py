@@ -16,6 +16,7 @@ from hfsa_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from hfsa_spark.operators.asof import asof_join
 from hfsa_spark.operators.rangejoin import range_join
@@ -42,6 +43,7 @@ from hfsa_spark.operators.text import (
     repetition_profile,
     text_profile,
     tfidf_top_terms,
+    vocab_top_terms,
 )
 
 __all__ = [
@@ -56,6 +58,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_candidates",
     "simhash",
+    "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "connected_components",
     "asof_join",
@@ -77,5 +80,6 @@ __all__ = [
     "repetition_profile",
     "benchmark_contamination",
     "tfidf_top_terms",
+    "vocab_top_terms",
     "regex_redact",
 ]

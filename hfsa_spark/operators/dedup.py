@@ -143,8 +143,17 @@ def minhash_lsh_candidates(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
+    return _bucket_pairs(banded, id_col, max_bucket)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """(band, key, id) rows → distinct candidate pairs (id_a < id_b) formed
+    within each bucket. The pair explosion happens after a groupBy keyed on
+    (band, key), so candidates only ever meet inside a bucket — never a
+    global cross join. Buckets larger than ``max_bucket`` are dropped
+    (degenerate boilerplate; at web scale these would be O(n²))."""
     sized = banded.groupBy("band", "key").agg(F.collect_list(id_col).alias("ids"))
-    pairs = (
+    return (
         sized.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(
             F.explode(
@@ -162,7 +171,6 @@ def minhash_lsh_candidates(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 # -------------------------------------------------------------- simhash --
@@ -208,6 +216,66 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: (id_a, id_b, hamming) for every pair
+    whose ``bits``-bit signatures differ in ≤ ``max_hamming`` bit positions.
+
+    Exact recall via the pigeonhole banding trick: the signature is split
+    into ``bands`` contiguous chunks with bands > max_hamming, so any pair
+    within the Hamming radius agrees EXACTLY on at least one chunk.
+    Candidate generation is therefore an equi self-join keyed on
+    (band, chunk value) — one shuffle, never a cross join — followed by an
+    exact popcount verify on the joined signatures. At 100 TB use bits=64
+    with bands = max_hamming + 1 (the classic 64-bit/4-band layout); the
+    signature column is a single long either way.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for full recall"
+        )
+
+    sigs = simhash(df, id_col, text_col, bits=bits)
+
+    # contiguous chunk boundaries covering all `bits` (widths differ by ≤1)
+    edges = [round(b * bits / bands) for b in range(bands + 1)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", edges[b])
+                .bitwiseAND(F.lit((1 << (edges[b + 1] - edges[b])) - 1))
+                .cast("string")
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(chunks).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = _bucket_pairs(banded, id_col, max_bucket)
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming_distance("_sig_a", "_sig_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 # ------------------------------------------------- duplicate components --

@@ -323,3 +323,29 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_id_heuristic(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def vocab_top_terms(
+    df: DataFrame, text_col: str = "text", min_count: int = 10, k: int = 100
+) -> DataFrame:
+    """Corpus-level vocabulary: the k most frequent whitespace tokens with
+    count ≥ min_count, as (term, n) ordered by (n desc, term asc) — the
+    deterministic total order makes the LIMIT reproducible across engines.
+
+    The global complement of ``repetition_profile`` (per-doc): this is the
+    vocabulary-building / tokenizer-training primitive. Scale: explode →
+    groupBy(term) is map-side combinable, so the shuffle carries one row
+    per distinct term per partition; min_count prunes the long tail before
+    the final top-k, which TakeOrderedAndProject keeps off a global sort.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(text_col))
+    return (
+        base.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

@@ -30,3 +30,42 @@ def test_two_components_merge_via_bridge(spark):
     # components {0,1} and {4,5} bridge through (1,4)
     labels = _run(spark, 6, [(0, 1), (4, 5), (1, 4)])
     assert labels[0] == labels[1] == labels[4] == labels[5] == 0
+
+
+def test_simhash_neardup_pairs_matches_bruteforce(spark):
+    from hfsa_spark.operators.dedup import (
+        hamming_distance,
+        simhash,
+        simhash_neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, base + f"tail{i % 4}") for i in range(40)] + [
+        (100 + i, f"completely different text number {i} with unique words {i*7}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = simhash_neardup_pairs(df, "doc_id", "text", bits=16, max_hamming=3)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+    sigs = simhash(df, "doc_id", "text", bits=16)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming_distance("sa", "sb") <= 3)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got_pairs == want and len(want) > 0
+
+
+def test_simhash_neardup_rejects_insufficient_bands(spark):
+    import pytest
+    from hfsa_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        simhash_neardup_pairs(df, "doc_id", "text", max_hamming=3, bands=3)

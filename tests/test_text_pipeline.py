@@ -162,3 +162,24 @@ def test_tfidf_tie_breaks_by_term(spark):
     )
     out = tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 1).collect()
     assert [r["term"] for r in out] == ["alpha", "zeta"]
+
+
+def test_vocab_top_terms_counts_and_order(spark):
+    from hfsa_spark.operators.text import vocab_top_terms
+
+    rows = [(1, "a a a b b c"), (2, "a b  B x"), (3, "A c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = vocab_top_terms(df, "text", min_count=2, k=10).collect()
+    # a:5, b:4 (case-folded), c:2; d/x below min_count
+    assert [(r["term"], r["n"]) for r in got] == [("a", 5), ("b", 4), ("c", 2)]
+
+
+def test_vocab_top_terms_k_limit_tie_break(spark):
+    from hfsa_spark.operators.text import vocab_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "z z y y x x w w")], "doc_id long, text string"
+    )
+    got = vocab_top_terms(df, "text", min_count=1, k=3).collect()
+    # equal counts → term-ascending tie-break decides the cut
+    assert [r["term"] for r in got] == ["w", "x", "y"]
