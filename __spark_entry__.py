@@ -1014,6 +1014,86 @@ def q59_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_terms(d, "text", min_count=10, k=100)
 
 
+def q60_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase, strict ts order) —
+    chained window minima over ONE (user, ts) sort; timestamp-strict
+    semantics make the result independent of within-tie event order."""
+    from hfsa_spark.operators.events import funnel_stage_counts
+
+    ev = _events(spark, sf_dir)
+    return funnel_stage_counts(ev, ["view", "click", "purchase"]).orderBy("stage_idx")
+
+
+def q61_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group string aggregation (string_agg / listagg twin):
+    collect_list is unordered in Spark, so the portable form is
+    array_sort → array_join — deterministic across partitionings."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q62_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping combinations in one Expand pass).
+    NULL grouping keys are coalesced to 'ALL' (source columns are
+    non-null) so the sort order is engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q63_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (context-window packing) —
+    map-only posexplode over sequence(); chunk k starts at k·stride."""
+    from hfsa_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8).orderBy("doc_id", "chunk_id")
+
+
+def q64_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to an hourly grid + forward fill (last-value
+    IGNORE NULLS window); per-key grid spans each key's own range."""
+    from hfsa_spark.operators.events import resample_ffill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    return resample_ffill(ev, step_seconds=3600).orderBy("key", "grid_ts")
+
+
+def q65_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES priority
+    −ln(hash-u)/weight, global top-k) — inclusion ∝ n_chars, pure
+    function of ids so the sample is reproducible across engines."""
+    from hfsa_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(d, "doc_id", "n_chars", k=200)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1075,6 +1155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_set_ops": q57_set_ops,
         "q58_sliding_window": q58_sliding_window,
         "q59_vocab_topk": q59_vocab_topk,
+        "q60_funnel": q60_funnel,
+        "q61_string_agg": q61_string_agg,
+        "q62_cube": q62_cube,
+        "q63_doc_chunking": q63_doc_chunking,
+        "q64_gap_fill": q64_gap_fill,
+        "q65_weighted_sample": q65_weighted_sample,
     }
 
 
@@ -1902,6 +1988,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT w_start::BIGINT AS w_start, COUNT(*)::BIGINT AS n_events,
                MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
         FROM g GROUP BY w_start ORDER BY w_start
+    """
+
+    o["q60_funnel"] = """
+        WITH s0 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS m0
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s1 AS (
+            SELECT *, (event_type = 'click' AND m0 < ts) AS v1,
+                   min(CASE WHEN event_type = 'click' AND m0 < ts THEN ts END)
+                       OVER w AS m1
+            FROM s0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s2 AS (SELECT *, (event_type = 'purchase' AND m1 < ts) AS v2 FROM s1),
+        agg AS (
+            SELECT
+              count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)::BIGINT AS n0,
+              count(DISTINCT CASE WHEN v1 THEN user_id END)::BIGINT AS n1,
+              count(DISTINCT CASE WHEN v2 THEN user_id END)::BIGINT AS n2
+            FROM s2)
+        SELECT 0::INT AS stage_idx, 'view' AS stage, n0 AS n_users FROM agg
+        UNION ALL SELECT 1::INT, 'click', n1 FROM agg
+        UNION ALL SELECT 2::INT, 'purchase', n2 FROM agg
+        ORDER BY stage_idx
+    """
+
+    o["q61_string_agg"] = """
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*)::BIGINT AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """
+
+    o["q62_cube"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rf, ls
+    """
+
+    o["q63_doc_chunking"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, len(toks) - 1, 24)) AS s
+               FROM nz),
+        sel AS (SELECT doc_id, (s // 24)::INT AS chunk_id,
+                       toks[s + 1 : s + 32] AS chunk
+                FROM st)
+        SELECT doc_id, chunk_id, len(chunk)::INT AS n_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM sel ORDER BY doc_id, chunk_id
+    """
+
+    o["q64_gap_fill"] = """
+        WITH e AS (
+            SELECT user_id AS key,
+                   ((epoch_us(ts) // 3600000000) * 3600)::BIGINT AS grid_ts,
+                   value AS v
+            FROM events WHERE user_id < 10),
+        pb AS (SELECT key, grid_ts, max(v) AS value_obs FROM e GROUP BY key, grid_ts),
+        sp AS (SELECT key, min(grid_ts) AS lo, max(grid_ts) AS hi FROM pb GROUP BY key),
+        grid AS (SELECT key, unnest(generate_series(lo, hi, 3600))::BIGINT AS grid_ts
+                 FROM sp),
+        j AS (SELECT g.key, g.grid_ts, pb.value_obs
+              FROM grid g LEFT JOIN pb USING (key, grid_ts))
+        SELECT key, grid_ts,
+               last_value(value_obs IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY grid_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_max,
+               (value_obs IS NULL) AS filled
+        FROM j ORDER BY key, grid_ts
+    """
+
+    o["q65_weighted_sample"] = f"""
+        WITH pr AS (
+            SELECT doc_id, n_chars,
+                   -ln(({_h64('doc_id', 'wsample')}::DOUBLE + 1.0)
+                       / 1152921504606846976.0)
+                       / n_chars::DOUBLE AS p
+            FROM documents)
+        SELECT doc_id, n_chars
+        FROM (SELECT doc_id, n_chars FROM pr ORDER BY p ASC, doc_id ASC LIMIT 200)
+        ORDER BY doc_id
     """
 
     o["q59_vocab_topk"] = f"""

@@ -19,12 +19,14 @@ from hfsa_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from hfsa_spark.operators.asof import asof_join
+from hfsa_spark.operators.events import funnel_stage_counts, resample_ffill
 from hfsa_spark.operators.rangejoin import range_join
 from hfsa_spark.operators.sampling import (
     fixed_size_sample,
     hash_split,
     stratified_sample,
     token_budget_filter,
+    weighted_sample,
 )
 from hfsa_spark.operators.similarity import (
     cosine_topk,
@@ -39,6 +41,7 @@ from hfsa_spark.operators.similarity import (
 )
 from hfsa_spark.operators.text import (
     benchmark_contamination,
+    chunk_documents,
     regex_redact,
     repetition_profile,
     text_profile,
@@ -62,6 +65,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "asof_join",
+    "funnel_stage_counts",
+    "resample_ffill",
     "range_join",
     "cosine_topk",
     "cosine_topk_lsh",
@@ -75,8 +80,10 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "fixed_size_sample",
+    "weighted_sample",
     "token_budget_filter",
     "text_profile",
+    "chunk_documents",
     "repetition_profile",
     "benchmark_contamination",
     "tfidf_top_terms",

@@ -88,6 +88,41 @@ def fixed_size_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): keep the k rows with the smallest priority
+    −ln(u)/w, where u ∈ (0,1] is a pure hash of the id — inclusion
+    probability is proportional to weight, yet the sample is a pure
+    function of (ids, weights): stable under retries, repartitioning,
+    and engine changes (no RNG state).
+
+    One pass + a global top-k (TakeOrderedAndProject — no full sort):
+    the priority is map-side computed, so 100 TB costs one scan and a
+    k-row-per-partition reduction. Ties (measure-zero for a 60-bit
+    hash) break by id. The priority column is NOT exposed: ln() may
+    differ in the last ulp across math libraries, so downstream
+    comparisons must key on ids, not priorities.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_HASH_SPACE))
+    priority = -F.log(u) / w.cast("double")
+    return (
+        df.withColumn("__priority", priority)
+        .orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__priority")
+    )
+
+
 def token_budget_filter(
     df: DataFrame,
     group_col: str,

@@ -325,6 +325,55 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap — the
+    context-window packing step of a pre-training pipeline. Returns
+    (id, chunk_id, n_tokens, chunk_text); chunk k covers tokens
+    [k·stride, k·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap, so consecutive chunks share ``overlap`` tokens and the final
+    chunk is whatever remains (possibly short).
+
+    Pure Catalyst (tokens → sequence of starts → posexplode → slice →
+    array_join): map-only, zero shuffles — chunking 100 TB costs one scan
+    and the output is written partition-local. The slice is by token
+    INDEX, so byte-skew in documents maps to proportional chunk counts.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(F.col(id_col), F.col(text_col)))
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(stride))
+    return (
+        base.withColumn("__toks", toks)
+        .filter(F.size("__toks") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int"),
+            F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("int").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
 def vocab_top_terms(
     df: DataFrame, text_col: str = "text", min_count: int = 10, k: int = 100
 ) -> DataFrame:
