@@ -1094,6 +1094,65 @@ def q65_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition: deterministic per-source keep rates
+    (down/up-weighting raw source proportions into target mixture
+    weights) — map-only, pure function of (doc_id, rate)."""
+    from hfsa_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    return (
+        mixture_sample(d, "doc_id", "source", rates, default=0.05)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q67_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted shuffle join (fact salted per-row, dim
+    replicated S×) — result identical to the plain join; aggregation
+    collapses the salt away."""
+    from hfsa_spark.plans import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        salted_join(li, p, "l_partkey", "p_partkey", salt_buckets=8)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q68_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts next to the exact audit value;
+    the gate pins (group, exact, within-15%-bound) — each engine's own
+    sketch must land inside the bound (the estimates themselves differ
+    by design and are not compared)."""
+    from hfsa_spark.operators.sketches import approx_distinct_report
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        approx_distinct_report(o, "o_orderpriority", "o_custkey", rsd=0.05, bound=0.15)
+        .select("o_orderpriority", "exact_nd", "within_bound")
+        .orderBy("o_orderpriority")
+    )
+
+
+def q69_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram / next-token top-k per prefix (n-gram-LM estimation
+    primitive) — zip_with shifted slices, map-combinable pair counts,
+    ranking window only over surviving bigrams."""
+    from hfsa_spark.operators.text import next_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return next_token_stats(d, k=3, min_count=5).orderBy("prefix", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1161,6 +1220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_doc_chunking": q63_doc_chunking,
         "q64_gap_fill": q64_gap_fill,
         "q65_weighted_sample": q65_weighted_sample,
+        "q66_mixture_sample": q66_mixture_sample,
+        "q67_salted_join": q67_salted_join,
+        "q68_approx_distinct": q68_approx_distinct,
+        "q69_next_token": q69_next_token,
     }
 
 
@@ -2077,6 +2140,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars
         FROM (SELECT doc_id, n_chars FROM pr ORDER BY p ASC, doc_id ASC LIMIT 200)
         ORDER BY doc_id
+    """
+
+    _SP = 1 << 60
+    mix_thresh = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * _SP)}"
+        for s, r in [("src0", 1.0), ("src1", 0.5), ("src2", 0.25), ("src3", 0.1)]
+    )
+    o["q66_mixture_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_h64('doc_id', 'mix')} < (CASE {mix_thresh}
+                                         ELSE {int(0.05 * _SP)} END)
+        ORDER BY doc_id
+    """
+
+    o["q67_salted_join"] = """
+        SELECT p_brand, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """
+
+    o["q68_approx_distinct"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)::BIGINT AS exact_nd,
+               (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+                <= 0.15 * count(DISTINCT o_custkey)) AS within_bound
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["q69_next_token"] = f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        p AS (SELECT toks[i] AS prefix, toks[i + 1] AS nxt
+              FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2),
+        c AS (SELECT prefix, nxt, count(*)::BIGINT AS n FROM p
+              GROUP BY prefix, nxt HAVING count(*) >= 5),
+        r AS (SELECT prefix, nxt, n,
+                     row_number() OVER (PARTITION BY prefix
+                                        ORDER BY n DESC, nxt ASC)::INT AS rank
+              FROM c)
+        SELECT prefix, nxt, n, rank FROM r WHERE rank <= 3
+        ORDER BY prefix, rank
     """
 
     o["q59_vocab_topk"] = f"""

@@ -24,9 +24,14 @@ from hfsa_spark.operators.rangejoin import range_join
 from hfsa_spark.operators.sampling import (
     fixed_size_sample,
     hash_split,
+    mixture_sample,
     stratified_sample,
     token_budget_filter,
     weighted_sample,
+)
+from hfsa_spark.operators.sketches import (
+    approx_distinct_report,
+    approx_quantile_report,
 )
 from hfsa_spark.operators.similarity import (
     cosine_topk,
@@ -42,6 +47,7 @@ from hfsa_spark.operators.similarity import (
 from hfsa_spark.operators.text import (
     benchmark_contamination,
     chunk_documents,
+    next_token_stats,
     regex_redact,
     repetition_profile,
     text_profile,
@@ -81,9 +87,13 @@ __all__ = [
     "stratified_sample",
     "fixed_size_sample",
     "weighted_sample",
+    "mixture_sample",
     "token_budget_filter",
+    "approx_distinct_report",
+    "approx_quantile_report",
     "text_profile",
     "chunk_documents",
+    "next_token_stats",
     "repetition_profile",
     "benchmark_contamination",
     "tfidf_top_terms",

@@ -88,6 +88,40 @@ def fixed_size_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Compose a training mix: keep a deterministic per-stratum fraction of
+    rows (``fractions`` maps stratum value → rate; unlisted strata get
+    ``default``). The down/up-weighting step that turns raw source
+    proportions into target mixture weights — e.g. {'web': 0.3,
+    'code': 1.0, 'forums': 0.6}.
+
+    Same machinery as ``stratified_sample`` but with a per-stratum
+    threshold: membership is a pure function of (id, stratum rate) —
+    map-only, zero shuffles, one scan at 100 TB; reproducible across
+    runs, engines, and partitionings. Thresholds are precomputed integer
+    literals, so the hot path is one hash + one compare per row.
+    """
+    h = portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    thresh: Column | None = None
+    for value, frac in fractions.items():
+        t = F.lit(int(frac * _HASH_SPACE))
+        cond = F.col(stratum_col) == value
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(default * _HASH_SPACE))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default * _HASH_SPACE)))
+    )
+    return df.filter(h < thresh)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

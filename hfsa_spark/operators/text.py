@@ -325,6 +325,45 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def next_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus bigram / next-token statistics: for each prefix token, the
+    top-``k`` successor tokens by count — (prefix, nxt, n, rank), the
+    n-gram-LM / speculative-decoding estimation primitive.
+
+    Adjacent-token pairs come from zip_with over two shifted slices of the
+    token array (pure Catalyst, no UDF); the pair count groupBy is
+    map-side combinable, so the shuffle carries one row per distinct
+    bigram per partition; the per-prefix top-k ranking window shuffles
+    only surviving (count ≥ ``min_count``) bigrams. Ordering inside a
+    prefix is (n desc, nxt asc) — deterministic across engines.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(text_col))
+    toks = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prefix"), b.alias("nxt")),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("nxt"))
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.prefix", "p.nxt")
+        .groupBy("prefix", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "nxt", "n", F.col("rank").cast("int"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

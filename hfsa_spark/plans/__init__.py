@@ -144,3 +144,42 @@ def salted_agg(
         df.select(*keys, salt, *agg_cols).groupBy(*keys, "__salt").agg(*phase1_exprs)
     )
     return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffle join: the fact side gets a per-row salt, the
+    dim side is replicated ``salt_buckets``× (explode of a literal range),
+    and the join keys on (key, salt) — a hot fact key fans out over
+    ``salt_buckets`` reducers instead of funneling one.
+
+    For when the dim side is too big to broadcast but small enough to
+    replicate S× (the classic mid-size dimension: S× a few GB ≪ one
+    reducer receiving half the fact table). AQE's skew-join split covers
+    sort-merge joins at runtime; this is the manual form that also works
+    under hash joins, bucketed layouts, and static plans. The salt is
+    spark_partition_id()-derived — correctness never depends on its value,
+    results are identical to a plain join (joined rows meet exactly one
+    dim replica).
+
+    Complement of ``salted_agg`` (same trade, join-shaped). Columns: all
+    fact columns + all dim columns (the salt is dropped).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.spark_partition_id() + F.crc32(F.col(fact_key).cast("string")), F.lit(salt_buckets)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["__salt"] == dim_s["__salt"])
+    return fact_s.join(dim_s, cond, how).drop(dim_s["__salt"]).drop(fact_s["__salt"])

@@ -1,0 +1,117 @@
+"""Tests for mixture sampling, salted join, sketch reports, next-token stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfsa_spark.operators.sampling import mixture_sample, stratified_sample
+from hfsa_spark.operators.sketches import (
+    approx_distinct_report,
+    approx_quantile_report,
+)
+from hfsa_spark.operators.text import next_token_stats
+from hfsa_spark.plans import num_exchanges, salted_join
+
+
+@pytest.fixture()
+def strata(spark):
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    return spark.createDataFrame(rows, "id long, src string")
+
+
+def test_mixture_rates_full_zero_and_default(strata):
+    out = mixture_sample(strata, "id", "src", {"s0": 1.0, "s1": 0.0}, default=0.5)
+    by = {r["src"]: r["n"] for r in
+          out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by["s0"] == 100          # rate 1.0 keeps everything
+    assert "s1" not in by           # rate 0.0 keeps nothing
+    # default 0.5 applies to unlisted strata, roughly half kept
+    assert 30 <= by["s2"] <= 70 and 30 <= by["s3"] <= 70
+
+
+def test_mixture_equals_stratified_at_uniform_rate(strata):
+    # with every stratum at the same rate and the same salt, mixture and
+    # plain stratified sampling pick the IDENTICAL rows (same hash cut)
+    rates = {f"s{i}": 0.3 for i in range(4)}
+    a = {r["id"] for r in
+         mixture_sample(strata, "id", "src", rates, salt="x").collect()}
+    b = {r["id"] for r in stratified_sample(strata, "id", 0.3, salt="x").collect()}
+    assert a == b
+
+
+def test_mixture_is_map_only(strata):
+    assert num_exchanges(mixture_sample(strata, "id", "src", {"s0": 0.5})) == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact: one hot key carries most rows
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i % 5, i) for i in range(1000)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k2 long, name string")
+    got = (
+        salted_join(fact, dim, "k", "k2", salt_buckets=4)
+        .groupBy("name")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+    )
+    want = (
+        fact.join(dim, fact.k == dim.k2)
+        .groupBy("name")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 10), (99, 20)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a")], "k2 long, name string")
+    out = salted_join(fact, dim, "k", "k2", salt_buckets=3, how="left").collect()
+    assert len(out) == 2
+    unmatched = [r for r in out if r["k"] == 99][0]
+    assert unmatched["name"] is None
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", "k2", how="full")
+
+
+def test_approx_distinct_within_bound(spark):
+    rows = [(f"g{i % 3}", i % 50) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = approx_distinct_report(df, "g", "v", rsd=0.05, bound=0.15).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["exact_nd"] == 50 and r["within_bound"]
+
+
+def test_approx_distinct_sketch_only_has_no_exact(spark):
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    cols = approx_distinct_report(df, "g", "v", with_exact=False).columns
+    assert cols == ["g", "approx_nd"]
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    df = spark.createDataFrame([("g", float(i)) for i in range(1001)], "g string, v double")
+    r = approx_quantile_report(df, "g", "v", [0.5, 0.9], accuracy=10_000).collect()[0]
+    assert r["exact_q"] == [500.0, 900.0]
+    for a, e in zip(r["approx_q"], r["exact_q"]):
+        assert abs(a - e) <= 1.0  # rank error 1/accuracy on 1001 rows
+
+
+def test_next_token_topk_and_ties(spark):
+    text = "a b a b a c a c a d"  # a→b:2, a→c:2, a→d:1; b→a:2, c→a:2, d→: none
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = next_token_stats(df, k=2, min_count=1).orderBy("prefix", "rank").collect()
+    got = [(r["prefix"], r["nxt"], r["n"], r["rank"]) for r in out]
+    assert got == [
+        ("a", "b", 2, 1),   # tie with c broken by nxt asc
+        ("a", "c", 2, 2),
+        ("b", "a", 2, 1),
+        ("c", "a", 2, 1),
+    ]  # "a d" bigram (count 1) exists but k=2 cuts it; d has no successor
+
+
+def test_next_token_min_count_prunes(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x z")], "doc_id long, text string"
+    )
+    out = next_token_stats(df, k=5, min_count=2).collect()
+    pairs = {(r["prefix"], r["nxt"]) for r in out}
+    assert pairs == {("x", "y"), ("y", "x")}  # x→z (count 1) pruned
