@@ -1153,6 +1153,40 @@ def q69_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     return next_token_stats(d, k=3, min_count=5).orderBy("prefix", "rank")
 
 
+def q70_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization of the embedding column; gate pins the norm and
+    first unit component as µ-floored integers (fold order mirrored:
+    Spark's 0.0-init left fold ≡ DuckDB list_reduce — IEEE 0+x = x)."""
+    from hfsa_spark.operators.similarity import l2_norm, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = l2_normalize("embedding")
+    return emb.select(
+        "vec_id",
+        F.floor(l2_norm("embedding") * 1e6).cast("long").alias("norm_micro"),
+        F.floor(F.element_at(unit, 1) * 1e6).cast("long").alias("u1_micro"),
+    ).orderBy("vec_id")
+
+
+def q71_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-style scalar quantization (float32 → 0..255 codes):
+    exploded to (vec_id, dim, code) rows; codes are exact integers from
+    an identical per-element IEEE expression tree on both engines."""
+    from hfsa_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = quantize_embeddings(emb, levels=256)
+    return (
+        q.select("vec_id", F.posexplode("qvec").alias("pos", "code"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1224,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_salted_join": q67_salted_join,
         "q68_approx_distinct": q68_approx_distinct,
         "q69_next_token": q69_next_token,
+        "q70_l2_normalize": q70_l2_normalize,
+        "q71_quantize": q71_quantize,
     }
 
 
@@ -2182,6 +2218,36 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT prefix, nxt, n, rank FROM r WHERE rank <= 3
         ORDER BY prefix, rank
+    """
+
+    o["q70_l2_normalize"] = """
+        WITH n AS (
+            SELECT vec_id,
+                   sqrt(list_reduce(
+                       list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                       (a, b) -> a + b)) AS nrm,
+                   embedding[1]::DOUBLE AS e1
+            FROM embeddings)
+        SELECT vec_id,
+               floor(nrm * 1e6)::BIGINT AS norm_micro,
+               floor(CASE WHEN nrm = 0 THEN 0.0 ELSE e1 / nrm END * 1e6)::BIGINT
+                   AS u1_micro
+        FROM n ORDER BY vec_id
+    """
+
+    o["q71_quantize"] = """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   list_min(embedding)::DOUBLE AS lo,
+                   list_max(embedding)::DOUBLE AS hi
+            FROM embeddings WHERE vec_id < 200),
+        e AS (
+            SELECT vec_id, i::INT AS dim,
+                   CASE WHEN hi - lo = 0 THEN 0
+                        ELSE floor((embedding[i]::DOUBLE - lo) / (hi - lo)
+                                   * 255.0 + 0.5)::INT END AS code
+            FROM b CROSS JOIN unnest(generate_series(1, len(embedding))) AS u(i))
+        SELECT vec_id, dim, code FROM e ORDER BY vec_id, dim
     """
 
     o["q59_vocab_topk"] = f"""

@@ -46,6 +46,58 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize a vector (each element / L2 norm, as double); an
+    all-zero vector stays all-zero instead of going NaN. Normalizing at
+    ingest turns every downstream cosine into a plain dot product — at
+    100 TB that halves the flop count of brute-force scoring and lets
+    IVF/LSH work on dot products directly."""
+    ca = F.col(a) if isinstance(a, str) else a
+    norm = l2_norm(ca)
+    return F.transform(
+        ca,
+        lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(x.cast("double") / norm),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-vector scalar quantization: each element mapped to an integer
+    code 0..levels−1 over the vector's own [min, max] range — (id, qvec,
+    q_lo, q_hi); dequantize as lo + code/(levels−1)·(hi−lo), max error
+    (hi−lo)/(2·(levels−1)).
+
+    The storage-side primitive for embedding tables: float32→int8 is a 4×
+    scan-size cut, which at 100 TB is the difference between a cached and
+    an I/O-bound ANN sweep. Map-only (zero shuffles); the rounding is
+    floor(r + 0.5) — explicitly, not round() — because round()'s
+    half-even/half-up convention differs across engines while floor is
+    universal. All arithmetic is ulp-deterministic: per-element IEEE ops
+    on an identical expression tree, no accumulation.
+    """
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = hi - lo
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.floor((x.cast("double") - lo) / scale * F.lit(float(levels - 1)) + 0.5)
+            .cast("int")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("qvec"),
+        lo.alias("q_lo"),
+        hi.alias("q_hi"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
