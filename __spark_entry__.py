@@ -1157,15 +1157,18 @@ def q70_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalization of the embedding column; gate pins the norm and
     first unit component as µ-floored integers (fold order mirrored:
     Spark's 0.0-init left fold ≡ DuckDB list_reduce — IEEE 0+x = x)."""
-    from hfsa_spark.operators.similarity import l2_norm, l2_normalize
+    from hfsa_spark.operators.similarity import l2_normalize_df
 
     emb = _t(spark, sf_dir, "embeddings")
-    unit = l2_normalize("embedding")
-    return emb.select(
-        "vec_id",
-        F.floor(l2_norm("embedding") * 1e6).cast("long").alias("norm_micro"),
-        F.floor(F.element_at(unit, 1) * 1e6).cast("long").alias("u1_micro"),
-    ).orderBy("vec_id")
+    return (
+        l2_normalize_df(emb)
+        .select(
+            "vec_id",
+            F.floor(F.col("l2_norm") * 1e6).cast("long").alias("norm_micro"),
+            F.floor(F.element_at("unit", 1) * 1e6).cast("long").alias("u1_micro"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 def q71_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,9 @@ from hfsa_spark.operators.similarity import (
     ivf_topk,
     ivf_topk_indexed,
     kmeans_iterate,
+    l2_normalize,
+    l2_normalize_df,
+    quantize_embeddings,
     write_ivf_index,
 )
 from hfsa_spark.operators.text import (
@@ -82,6 +85,9 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_indexed",
     "kmeans_iterate",
+    "l2_normalize",
+    "l2_normalize_df",
+    "quantize_embeddings",
     "write_ivf_index",
     "hash_split",
     "stratified_sample",

@@ -51,13 +51,38 @@ def l2_normalize(a: Column | str) -> Column:
     all-zero vector stays all-zero instead of going NaN. Normalizing at
     ingest turns every downstream cosine into a plain dot product — at
     100 TB that halves the flop count of brute-force scoring and lets
-    IVF/LSH work on dot products directly."""
+    IVF/LSH work on dot products directly.
+
+    NOTE: as a single Column expression the norm fold sits inside the
+    transform lambda and higher-order functions are interpreted — the
+    fold re-runs per ELEMENT, O(dim²) per row. Fine for one-off use;
+    for bulk normalization use ``l2_normalize_df``, which materializes
+    the norm once per row in a separate projection."""
     ca = F.col(a) if isinstance(a, str) else a
     norm = l2_norm(ca)
     return F.transform(
         ca,
         lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(x.cast("double") / norm),
     )
+
+
+def l2_normalize_df(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Bulk unit-normalization: adds ``out_col`` (array<double>) plus the
+    per-row ``l2_norm`` column. The norm is computed ONCE per row in its
+    own projection — the transform lambda only references the column, so
+    the per-element work is a single divide (O(dim) per row, vs O(dim²)
+    for the inline-Column form; CollapseProject keeps the projections
+    separate because the fold is not a cheap expression)."""
+    normed = df.withColumn("__l2", l2_norm(vec_col))
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("__l2") == 0.0, F.lit(0.0)).otherwise(
+            x.cast("double") / F.col("__l2")
+        ),
+    )
+    return normed.withColumn(out_col, unit).withColumnRenamed("__l2", "l2_norm")
 
 
 def quantize_embeddings(
@@ -79,23 +104,26 @@ def quantize_embeddings(
     universal. All arithmetic is ulp-deterministic: per-element IEEE ops
     on an identical expression tree, no accumulation.
     """
-    v = F.col(vec_col)
-    lo = F.array_min(v).cast("double")
-    hi = F.array_max(v).cast("double")
-    scale = hi - lo
+    # lo/hi materialize in their own projection: inside the transform
+    # lambda the interpreted HOF would re-scan the array per ELEMENT
+    # (O(dim²) per row) — as columns they are computed once per row.
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.array_min(vec_col).cast("double").alias("q_lo"),
+        F.array_max(vec_col).cast("double").alias("q_hi"),
+    )
+    scale = F.col("q_hi") - F.col("q_lo")
     codes = F.transform(
-        v,
+        F.col("__v"),
         lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
-            F.floor((x.cast("double") - lo) / scale * F.lit(float(levels - 1)) + 0.5)
-            .cast("int")
+            F.floor(
+                (x.cast("double") - F.col("q_lo")) / scale * F.lit(float(levels - 1))
+                + 0.5
+            ).cast("int")
         ),
     )
-    return df.select(
-        F.col(id_col),
-        codes.alias("qvec"),
-        lo.alias("q_lo"),
-        hi.alias("q_hi"),
-    )
+    return base.select(F.col(id_col), codes.alias("qvec"), "q_lo", "q_hi")
 
 
 def cosine_topk(
