@@ -131,12 +131,18 @@ def main() -> None:
     # extract_210k only runs when /tmp is cold — report it, but keep it out
     # of the total so suite_wall is comparable across rounds
     total = round(sum(v for k, v in timings.items() if k != "extract_210k"), 4)
+    n = sum(1 for k in timings if k != "extract_210k")
     print(
         json.dumps(
             {
                 "metric": "suite_wall",
                 "value": total,
                 "unit": "sec",
+                # the suite GROWS across rounds as operators are added —
+                # compare mean_per_query (or per-query values) across
+                # rounds, not raw suite_wall
+                "n_queries": n,
+                "mean_per_query": round(total / max(n, 1), 4),
                 "queries": timings,
                 "sf": _sf_of(sf_dir),
             }
