@@ -1190,6 +1190,77 @@ def q71_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality cut: keep docs at/above the 60th percent-rank
+    of quality_score WITHIN their language (doc_id tiebreak pins tie
+    order across engines)."""
+    from hfsa_spark.operators.features import percentile_filter
+    from hfsa_spark.operators.text import quality_score
+
+    from hfsa_spark.plans import parallelize_compute
+
+    d = parallelize_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).withColumn("quality", quality_score("text"))
+    return (
+        percentile_filter(d, "quality", "lang", 0.6, tiebreak_col="doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q73_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization from EXACT integer-cents moments
+    (bigint sum / sum-of-squares — no float accumulation order); z
+    exposed milli-floored."""
+    from hfsa_spark.operators.features import zscore_standardize
+
+    ev = _events(spark, sf_dir)
+    return (
+        zscore_standardize(ev, "value", "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("z") * 1000).cast("long").alias("z_milli"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase part graph: an edge joins two parts appearing in the
+    same order; fixed absolute l_orderkey bound keeps the subgraph the
+    same size at every scale factor."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 6000)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+
+
+def q74_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph triangle count over the co-purchase part graph — each
+    triangle u<v<w matched by exactly one (u,v)⋈(v,w)⋈(u,w) chain on
+    canonical edges."""
+    from hfsa_spark.operators.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def q75_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (the dedup-pair-graph
+    health check: heavy tail = hub/boilerplate clusters)."""
+    from hfsa_spark.operators.graph import degree_distribution
+
+    return degree_distribution(_copurchase_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1263,6 +1334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_next_token": q69_next_token,
         "q70_l2_normalize": q70_l2_normalize,
         "q71_quantize": q71_quantize,
+        "q72_quality_filter": q72_quality_filter,
+        "q73_zscore": q73_zscore,
+        "q74_triangles": q74_triangles,
+        "q75_degree_dist": q75_degree_dist,
     }
 
 
@@ -2251,6 +2326,75 @@ def oracle_sql() -> dict[str, str]:
                                    * 255.0 + 0.5)::INT END AS code
             FROM b CROSS JOIN unnest(generate_series(1, len(embedding))) AS u(i))
         SELECT vec_id, dim, code FROM e ORDER BY vec_id, dim
+    """
+
+    o["q72_quality_filter"] = f"""
+        WITH base AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+        feats AS (
+            SELECT doc_id, lang,
+                   len(toks)::DOUBLE AS n,
+                   list_sum(list_transform(toks, t -> len(t)::DOUBLE))
+                       / GREATEST(len(toks)::DOUBLE, 1.0) AS avg_len,
+                   len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / GREATEST(len(text), 1)::DOUBLE AS punct_ratio
+            FROM base),
+        scored AS (
+            SELECT doc_id, lang,
+                   0.4 * LEAST(n / 100.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * LEAST(GREATEST((avg_len - 2.0) / 8.0, 0.0), 1.0) AS quality
+            FROM feats),
+        ranked AS (
+            SELECT doc_id, lang,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY quality ASC, doc_id ASC) AS pr
+            FROM scored)
+        SELECT doc_id, lang FROM ranked WHERE pr >= 0.6 ORDER BY doc_id
+    """
+
+    o["q73_zscore"] = """
+        WITH e AS (SELECT event_id, event_type,
+                          floor(value * 100)::BIGINT AS c FROM events),
+        m AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                     sum(c * c)::BIGINT AS s2
+              FROM e GROUP BY event_type),
+        j AS (SELECT e.event_id, e.event_type, e.c, m.n, m.s, m.s2
+              FROM e JOIN m USING (event_type))
+        SELECT event_id, event_type,
+               CASE WHEN n >= 2 AND
+                         (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                             / (n::DOUBLE - 1.0) > 0.0
+                    THEN floor(((c::DOUBLE - s::DOUBLE / n::DOUBLE)
+                         / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                                / (n::DOUBLE - 1.0))) * 1000)::BIGINT
+               END AS z_milli
+        FROM j ORDER BY event_id
+    """
+
+    _COPURCHASE = """
+        li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey <= 6000),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    """
+
+    o["q74_triangles"] = f"""
+        WITH {_COPURCHASE}
+        SELECT
+          (SELECT count(DISTINCT x) FROM
+              (SELECT src AS x FROM e UNION ALL SELECT dst FROM e))::BIGINT AS n_nodes,
+          (SELECT count(*) FROM e)::BIGINT AS n_edges,
+          (SELECT count(*) FROM e e1
+             JOIN e e2 ON e1.dst = e2.src
+             JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst)::BIGINT AS n_triangles
+    """
+
+    o["q75_degree_dist"] = f"""
+        WITH {_COPURCHASE},
+        ends AS (SELECT src AS n FROM e UNION ALL SELECT dst FROM e),
+        deg AS (SELECT n, count(*)::BIGINT AS degree FROM ends GROUP BY n)
+        SELECT degree, count(*)::BIGINT AS n_nodes
+        FROM deg GROUP BY degree ORDER BY degree
     """
 
     o["q59_vocab_topk"] = f"""

@@ -20,6 +20,12 @@ from hfsa_spark.operators.dedup import (
 )
 from hfsa_spark.operators.asof import asof_join
 from hfsa_spark.operators.events import funnel_stage_counts, resample_ffill
+from hfsa_spark.operators.features import percentile_filter, zscore_standardize
+from hfsa_spark.operators.graph import (
+    canonical_edges,
+    degree_distribution,
+    triangle_count,
+)
 from hfsa_spark.operators.rangejoin import range_join
 from hfsa_spark.operators.sampling import (
     fixed_size_sample,
@@ -76,6 +82,11 @@ __all__ = [
     "asof_join",
     "funnel_stage_counts",
     "resample_ffill",
+    "percentile_filter",
+    "zscore_standardize",
+    "canonical_edges",
+    "degree_distribution",
+    "triangle_count",
     "range_join",
     "cosine_topk",
     "cosine_topk_lsh",

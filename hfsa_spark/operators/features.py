@@ -1,0 +1,81 @@
+"""Feature conditioning for training pipelines: per-stratum percentile
+filtering (quality cuts) and per-group standardization (z-scores).
+
+Beyond-reference surface: after scoring (operators/text.py) and before
+sampling (operators/sampling.py), a pre-train pipeline CONDITIONS its
+features — "keep the top 40 % of each language by quality" and
+"standardize this signal within its group" are the two canonical forms.
+
+Scale notes:
+* ``percentile_filter`` ranks within each stratum — one shuffle keyed on
+  the stratum; a single giant stratum serializes its own window (same
+  caveat as token_budget_filter; pre-aggregate or sample if one stratum
+  is >~10⁸ rows).
+* ``zscore_standardize`` computes per-group moments with a map-side-
+  combinable aggregation over EXACT integer cents (no float summation
+  order anywhere), broadcasts the tiny moments table back, and derives
+  z row-locally — two scans, zero wide shuffles of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percentile_filter(
+    df: DataFrame,
+    value_col: Column | str,
+    stratum_col: str,
+    min_pct: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep rows at or above the ``min_pct`` percent-rank of ``value_col``
+    WITHIN their stratum — the per-language / per-source quality cut.
+    percent_rank is 0 for the stratum's minimum and 1 for its maximum;
+    ``min_pct=0.6`` keeps the top 40 %. Ties order by ``tiebreak_col``
+    (mandatory for cross-engine determinism when values can repeat).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    order = [v.asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") >= min_pct)
+        .drop("__pr")
+    )
+
+
+def zscore_standardize(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group z-score of ``value_col``: adds ``z`` = (x − mean)/sd
+    (sample sd, ddof=1) computed from EXACT integer moments — the value is
+    fixed-pointed to ``cents`` units, and sum / sum-of-squares are bigint
+    aggregations, so the moments are identical across engines and
+    partitionings (no float accumulation order anywhere). The final
+    mean/sd/z arithmetic is a fixed per-row IEEE expression tree.
+
+    Groups with fewer than 2 rows or zero variance get z = NULL. The
+    moments table is #groups rows — broadcast back to the fact side, so
+    the fact table is never shuffled.
+    """
+    c = F.floor(F.col(value_col) * cents).cast("long")
+    with_c = df.withColumn("__c", c)
+    moments = with_c.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (F.col("__s2").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double") / n) / (n - 1.0)
+    enriched = with_c.join(F.broadcast(moments), stratum_col)
+    z = F.when(
+        (F.col("__n") >= 2) & (var > 0.0),
+        (F.col("__c").cast("double") - mean) / F.sqrt(var),
+    )
+    return enriched.withColumn("z", z).drop("__c", "__n", "__s", "__s2")

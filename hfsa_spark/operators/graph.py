@@ -1,0 +1,70 @@
+"""Graph analytics over edge lists: triangle counting and degree
+distributions. Complements the iterative connected-components operator
+(operators/dedup.py) with the one-shot relational graph queries.
+
+Beyond-reference surface: dedup pipelines produce pair graphs
+(minhash_lsh_candidates, embedding_near_dup_pairs); these operators
+measure their structure — degree skew says whether boilerplate clusters
+dominate, triangle density distinguishes genuine duplicate clusters
+(dense) from hash-collision chains (sparse).
+
+Scale notes:
+* edges are canonicalized (src < dst, distinct) so every triangle is
+  counted exactly once as an ordered triple u < v < w — no ÷6 fixup and
+  no double-counted joins.
+* ``triangle_count`` is the classic two-join plan; both joins key on
+  edge endpoints, so a degree-skewed hub fans its pairs through one
+  reducer — cap or sample super-nodes upstream (the same max_bucket
+  idea as LSH) when degrees are power-law. Shuffle volume is
+  O(Σ deg(v)²) — that bound, not |E|, is what to budget at 100 TB.
+* ``degree_distribution`` is two map-combinable aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected simple edges: (least, greatest), self-loops dropped,
+    duplicates collapsed."""
+    u = F.least(F.col(src), F.col(dst)).alias("src")
+    v = F.greatest(F.col(src), F.col(dst)).alias("dst")
+    return edges.select(u, v).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row summary (n_nodes, n_edges, n_triangles) of the undirected
+    graph. Each triangle u < v < w matches exactly one join chain
+    (u,v)⋈(v,w)⋈(u,w) over canonical edges."""
+    e = canonical_edges(edges, src, dst)
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tris = e1.join(e2, "v").join(e3, ["u", "w"])
+    nodes = e.select(F.col("src").alias("n")).unionAll(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(degree, n_nodes): how many nodes have each degree — the first
+    thing to inspect on a dedup pair graph (a heavy tail means hub
+    documents / boilerplate clusters)."""
+    e = canonical_edges(edges, src, dst)
+    ends = e.select(F.col("src").alias("n")).unionAll(e.select(F.col("dst").alias("n")))
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

@@ -1,0 +1,84 @@
+"""Tests for feature conditioning (percentile filter, z-score) and graph
+operators (triangles, degrees)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from hfsa_spark.operators.features import percentile_filter, zscore_standardize
+from hfsa_spark.operators.graph import (
+    canonical_edges,
+    degree_distribution,
+    triangle_count,
+)
+
+
+def test_percentile_filter_per_stratum_cut(spark):
+    rows = [("a", i, float(i)) for i in range(10)] + [
+        ("b", 100 + i, float(-i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "s string, id long, v double")
+    out = percentile_filter(df, "v", "s", 0.5, tiebreak_col="id")
+    got = {r["id"] for r in out.collect()}
+    # stratum a: pr>=0.5 → v in {5..9} (ids 5..9); stratum b: v=-0 top,
+    # pr of sorted [-3,-2,-1,0] → keep -1 (pr 2/3) and 0 (pr 1)? pr>=0.5
+    # ranks: -3:0, -2:1/3, -1:2/3, 0:1 → keep ids 101, 100
+    assert got == {5, 6, 7, 8, 9, 101, 100}
+
+
+def test_percentile_filter_all_ties_keep_none_above_zero(spark):
+    # all-equal values: percent_rank follows the tiebreak order
+    df = spark.createDataFrame([("a", i, 1.0) for i in range(4)], "s string, id long, v double")
+    out = percentile_filter(df, "v", "s", 0.5, tiebreak_col="id").collect()
+    assert {r["id"] for r in out} == {2, 3}
+
+
+def test_zscore_matches_numpy(spark):
+    import numpy as np
+
+    vals = [1.00, 2.00, 3.00, 4.00, 5.00]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double"
+    )
+    out = {r["id"]: r["z"] for r in zscore_standardize(df, "v", "g").collect()}
+    cents = np.floor(np.array(vals) * 100)
+    want = (cents - cents.mean()) / cents.std(ddof=1)
+    for i, w in enumerate(want):
+        assert math.isclose(out[i], w, rel_tol=1e-12)
+
+
+def test_zscore_degenerate_groups_null(spark):
+    df = spark.createDataFrame(
+        [(1, "single", 5.0), (2, "const", 3.0), (3, "const", 3.0)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r["z"] for r in zscore_standardize(df, "v", "g").collect()}
+    assert out[1] is None and out[2] is None and out[3] is None
+
+
+def test_canonical_edges_dedup_and_loops(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (2, 4)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"]) for r in canonical_edges(df).collect()}
+    assert got == {(1, 2), (2, 4)}
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles, 6 edges, 4 nodes
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # a path graph has none
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+    # direction of input edges must not matter
+    rev = spark.createDataFrame([(b, a) for a, b in k4], "src long, dst long")
+    assert triangle_count(rev).collect()[0]["n_triangles"] == 4
+
+
+def test_degree_distribution_star(spark):
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    got = {r["degree"]: r["n_nodes"] for r in degree_distribution(star).collect()}
+    assert got == {1: 5, 5: 1}
