@@ -1261,6 +1261,52 @@ def q75_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(_copurchase_edges(spark, sf_dir))
 
 
+_INTERLEAVE_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 3}
+
+
+def q76_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum interleave: per-language weights place each doc at
+    rational position (2·rn−1)/(2·w); reading in key order yields the
+    weighted round-robin mix."""
+    from hfsa_spark.operators.sampling import interleave_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return interleave_order(d, "lang", _INTERLEAVE_WEIGHTS, "doc_id").orderBy(
+        "interleave_key", "lang", "stratum_rank"
+    )
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfsa_spark.operators.packing import pack_sequences
+    from hfsa_spark.operators.text import token_count
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .drop("text")
+    )
+    return pack_sequences(d, "source", "doc_id", "n_tokens", 128)
+
+
+def q77_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing (cap 128 tokens) per source: each doc's
+    (seq_id, seq_offset) — the context-window packing a loader consumes."""
+    return _packed_docs(spark, sf_dir).select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
+    ).orderBy("doc_id")
+
+
+def q78_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit: sequences used vs the ceil(Σtok/cap)
+    lower bound and the permille fill per source."""
+    from hfsa_spark.operators.packing import packing_efficiency
+
+    return packing_efficiency(
+        _packed_docs(spark, sf_dir), "source", "n_tokens", 128
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1338,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_zscore": q73_zscore,
         "q74_triangles": q74_triangles,
         "q75_degree_dist": q75_degree_dist,
+        "q76_interleave": q76_interleave,
+        "q77_seq_packing": q77_seq_packing,
+        "q78_packing_audit": q78_packing_audit,
     }
 
 

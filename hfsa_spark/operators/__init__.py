@@ -26,9 +26,11 @@ from hfsa_spark.operators.graph import (
     degree_distribution,
     triangle_count,
 )
+from hfsa_spark.operators.packing import pack_sequences, packing_efficiency
 from hfsa_spark.operators.rangejoin import range_join
 from hfsa_spark.operators.sampling import (
     fixed_size_sample,
+    interleave_order,
     hash_split,
     mixture_sample,
     stratified_sample,
@@ -87,6 +89,9 @@ __all__ = [
     "canonical_edges",
     "degree_distribution",
     "triangle_count",
+    "pack_sequences",
+    "packing_efficiency",
+    "interleave_order",
     "range_join",
     "cosine_topk",
     "cosine_topk_lsh",

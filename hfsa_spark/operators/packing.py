@@ -1,0 +1,111 @@
+"""Sequence packing: greedy next-fit assignment of documents into
+fixed-capacity token sequences (context-window packing for training).
+
+Beyond-reference surface: after chunking (operators/text.py::
+chunk_documents splits ONE long doc into windows), a pre-train loader
+PACKS many short docs into one context window to avoid padding waste.
+Next-fit is the standard streaming policy: walk docs in a deterministic
+order, append to the current sequence while it fits, else start a new
+one — sequential by definition, so the parallel unit is the group.
+
+Scale notes:
+* Packing runs per ``group_col`` via Arrow-batched ``applyInPandas`` —
+  one shuffle on the group, then a linear in-memory walk per group
+  (numpy cumsum-free loop; the state is two scalars). A group must fit
+  one executor's memory: at 100 TB pack within (source, shard) where
+  shard = hash-bucket of the doc id — next-fit's output quality is
+  unchanged by sharding (each shard wastes < capacity tokens at its
+  tail), and every shard packs in parallel.
+* Sequence ids are (group-local, dense from 1); pair with the group
+  columns for a global id — avoids a global counter, which would be a
+  total-order bottleneck.
+* The walk is O(n) per group with two integer registers — no pandas
+  row-wise apply, no per-row Python objects beyond the loop itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Assign each row a ``seq_id`` (1-based within its group) and
+    ``seq_offset`` (tokens already in that sequence before this row)
+    by next-fit packing in ``order_col`` order.
+
+    Semantics (pinned for the cross-engine oracle):
+    * a row fits iff fill + tokens ≤ capacity;
+    * a row with tokens > capacity gets a sequence of its own (kept
+      whole and over-full — truncation is the loader's call, flagged
+      here by ``seq_offset = 0`` and tokens > capacity);
+    * fill resets to the row's tokens when a new sequence starts.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("seq_offset", T.LongType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[tokens_col].astype("int64").to_numpy()
+        seq_ids = [0] * len(toks)
+        offsets = [0] * len(toks)
+        seq, fill = 0, cap + 1  # force a new sequence on the first row
+        for i, t in enumerate(toks):
+            t = int(t)
+            if fill + t <= cap:
+                offsets[i] = fill
+                fill += t
+            else:
+                seq += 1
+                offsets[i] = 0
+                fill = t
+            seq_ids[i] = seq
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, schema=out_schema)
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Per-group packing audit: sequences used, token fill ratio vs the
+    lower bound ceil(Σtokens / capacity) — the number a loader checks
+    before accepting a packing. Map-combinable aggregation, one shuffle.
+    """
+    cap = int(capacity)
+    agg = packed.groupBy(group_col).agg(
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lower = F.ceil(F.col("total_tokens") / F.lit(cap))
+    return agg.select(
+        group_col,
+        "n_rows",
+        "n_seqs",
+        "total_tokens",
+        lower.cast("long").alias("min_seqs"),
+        F.floor(
+            F.col("total_tokens") * 1000 / (F.col("n_seqs") * F.lit(cap))
+        ).cast("long").alias("fill_permille"),
+    )

@@ -184,3 +184,45 @@ def token_budget_filter(
         .filter(F.col("__cum_tokens") <= budget)
         .drop("__cum_tokens")
     )
+
+
+def interleave_order(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, int],
+    order_col: str,
+) -> DataFrame:
+    """Deterministic curriculum interleave: assign each row a global
+    ``interleave_key`` so that reading rows in key order yields the strata
+    mixed proportionally to integer ``weights`` — stratum s with weight w
+    contributes its rows at positions (2·rn−1)/(2·w) (rn = rank within the
+    stratum by ``order_col``), i.e. a weight-4 stratum appears twice as
+    often as a weight-2 one, evenly spread rather than in blocks. This is
+    the training-mix ORDERING primitive (mixture_sample picks WHICH rows;
+    this picks WHEN they are seen).
+
+    Key arithmetic is one IEEE division of small exact integers — bit-
+    identical across engines and partitionings. A ``stratum_rank`` column
+    (rn) is kept so ``orderBy(interleave_key, stratum, stratum_rank)`` is a
+    total order even if two strata's rationals collide.
+
+    Scale: one shuffle (rank window keyed on the stratum). With few huge
+    strata the rank window serializes per-stratum; at 100 TB interleave
+    within hash-bucketed shards instead (add a bucket to the partition key)
+    — the global order becomes bucket-concatenated, which training loaders
+    treat as equivalent shuffled shards. Strata absent from ``weights`` are
+    dropped (weight 0).
+    """
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    rn = F.row_number().over(Window.partitionBy(stratum_col).orderBy(order_col))
+    w = wmap[F.col(stratum_col)]
+    return (
+        df.filter(w.isNotNull())
+        .withColumn("stratum_rank", rn)
+        .withColumn(
+            "interleave_key",
+            (2.0 * F.col("stratum_rank") - 1.0) / (2.0 * w.cast("double")),
+        )
+    )
