@@ -2453,4 +2453,62 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n DESC, term ASC LIMIT 100
     """
 
+    # q76: interleave_key = (2·rn−1)/(2·w) — one IEEE division of small exact
+    # integers, bit-identical across engines (sampling.py::interleave_order).
+    o["q76_interleave"] = """
+        WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('es', 2),
+                                    ('fr', 1), ('zh', 3)),
+        d AS (SELECT doc_id, documents.lang, wt,
+                     ROW_NUMBER() OVER (PARTITION BY documents.lang
+                                        ORDER BY doc_id)::INT AS stratum_rank
+              FROM documents JOIN w ON documents.lang = w.lang)
+        SELECT doc_id, lang, stratum_rank,
+               (2.0 * stratum_rank - 1.0) / (2.0 * wt) AS interleave_key
+        FROM d ORDER BY interleave_key, lang, stratum_rank
+    """
+
+    # q77/q78: next-fit packing is a sequential recurrence per source; the
+    # recursive CTE steps rn→rn+1 for every source in parallel, so iteration
+    # count = max docs per source (packing.py::pack_sequences semantics:
+    # fit iff fill+t ≤ cap, over-capacity rows get their own sequence).
+    _PACK = f"""
+        toks AS (
+            SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents),
+        pack AS (
+            SELECT doc_id, source, n_tokens, rn,
+                   1::BIGINT AS seq_id, 0::BIGINT AS seq_offset,
+                   n_tokens AS fill
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+                   CASE WHEN p.fill + t.n_tokens <= 128
+                        THEN p.seq_id ELSE p.seq_id + 1 END,
+                   CASE WHEN p.fill + t.n_tokens <= 128
+                        THEN p.fill ELSE 0::BIGINT END,
+                   CASE WHEN p.fill + t.n_tokens <= 128
+                        THEN p.fill + t.n_tokens ELSE t.n_tokens END
+            FROM pack p JOIN toks t
+              ON t.source = p.source AND t.rn = p.rn + 1)
+    """
+
+    o["q77_seq_packing"] = f"""
+        WITH RECURSIVE {_PACK}
+        SELECT doc_id, source, n_tokens, seq_id, seq_offset
+        FROM pack ORDER BY doc_id
+    """
+
+    o["q78_packing_audit"] = f"""
+        WITH RECURSIVE {_PACK}
+        SELECT source, COUNT(*)::BIGINT AS n_rows,
+               COUNT(DISTINCT seq_id)::BIGINT AS n_seqs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               CEIL(SUM(n_tokens) / 128.0)::BIGINT AS min_seqs,
+               FLOOR(SUM(n_tokens) * 1000.0
+                     / (COUNT(DISTINCT seq_id) * 128))::BIGINT AS fill_permille
+        FROM pack GROUP BY source ORDER BY source
+    """
+
     return o
