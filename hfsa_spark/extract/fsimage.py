@@ -15,19 +15,31 @@ Sections consumed (same four as the reference):
 * INODE_DIR        — parent → children adjacency (packed varints)
 * INODE_REFERENCE  — snapshot/rename indirection for refChildren
 
-Scale: the parse is inherently single-stream (delimited messages, not
-splittable), so it runs driver-side ONCE per image and everything after —
-path materialization, derived sizes, partitioned parquet — is distributed
-Spark (extract.pathmat). A 210k-inode image parses in seconds; for
-billion-inode images shard by running one extract per image and unioning
-the parquet outputs (images are immutable snapshots, SURVEY.md §1.3).
+Scale: full message *decode* is distributed. The driver walks only the
+delimited-message varint length prefixes of the INODE / INODE_DIR sections
+(read length, skip payload — O(#messages) cheap byte reads, no field
+decoding) to emit byte-range chunk specs; executors then read their
+(offset, length) slice and decode messages in parallel via Arrow
+``mapInPandas`` (``load_fsimage(distributed=True)``, auto-enabled past
+``_DISTRIBUTED_THRESHOLD`` section bytes). Parent wiring is a distributed
+join of the inode rows against (parent, child) edges decoded from the
+INODE_DIR section — no O(#inodes) driver dict. Compressed images (gzip /
+DefaultCodec are not splittable) are streaming-decompressed once,
+driver-side with constant memory, into a scratch file that the chunk reads
+then address; in cluster mode point ``scratch_dir`` at storage every
+executor can read. Small images stay on the single-pass driver path
+(``parse_fsimage``) — no executor round-trip for a 2 KB test image.
 """
 
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
+import mmap
+import os
 import struct
+import tempfile
 import zlib
 from dataclasses import dataclass, field
 
@@ -382,6 +394,286 @@ def parse_fsimage(path: str) -> list[dict]:
     return rows
 
 
+# ------------------------------------------------- distributed decoding --
+
+
+def _read_footer(path: str) -> tuple[str, list[_Section]]:
+    """Parse codec + section index from the FileSummary footer by reading
+    only the file head (magic) and tail — no full-image read."""
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError("not an fsimage: missing HDFSIMG1 magic header")
+        f.seek(-4, os.SEEK_END)
+        end = f.tell()
+        (summary_len,) = struct.unpack(">i", f.read(4))
+        f.seek(end - summary_len)
+        summary = f.read(summary_len)
+    reader = _DelimitedReader(summary)
+    msg = reader.next_message()
+    codec = ""
+    sections: list[_Section] = []
+    for fno, val in _iter_fields(msg):
+        if fno == 3:
+            codec = val.decode("utf-8")
+        elif fno == 4:
+            name, length, offset = "", 0, 0
+            for sfno, sval in _iter_fields(val):
+                if sfno == 1:
+                    name = sval.decode("utf-8")
+                elif sfno == 2:
+                    length = sval
+                elif sfno == 3:
+                    offset = sval
+            sections.append(_Section(name, length, offset))
+    return codec, sections
+
+
+def _read_section(path: str, codec: str, sections: list[_Section], name: str) -> bytes:
+    """Read + decompress ONE section by seeking — for the small sections
+    (STRING_TABLE, INODE_REFERENCE, the INODE header) only."""
+    for s in sections:
+        if s.name == name:
+            with open(path, "rb") as f:
+                f.seek(s.offset)
+                return _decompress(codec, f.read(s.length))
+    raise KeyError(f"no section {name} in fsimage (have {[s.name for s in sections]})")
+
+
+def _decompress_to_file(src: str, offset: int, length: int, dst) -> int:
+    """Streaming decompress (constant memory) of a compressed section into
+    an open scratch file; returns decompressed byte count. wbits=47
+    auto-detects both fsimage codecs (GzipCodec and zlib-framed
+    DefaultCodec)."""
+    d = zlib.decompressobj(wbits=47)
+    written = 0
+    with open(src, "rb") as f:
+        f.seek(offset)
+        remaining = length
+        while remaining > 0:
+            block = f.read(min(8 << 20, remaining))
+            if not block:
+                break
+            remaining -= len(block)
+            out = d.decompress(block)
+            dst.write(out)
+            written += len(out)
+    tail = d.flush()
+    dst.write(tail)
+    return written + len(tail)
+
+
+def _scan_chunks(
+    buf, start: int, end: int, target_bytes: int, max_msgs: int | None = None
+) -> list[tuple[int, int, int]]:
+    """Walk delimited-message boundaries (varint length prefix, skip
+    payload) and group messages into ~``target_bytes`` chunks. Returns
+    [(offset, length, n_msgs)]. This is the only per-message driver work in
+    the distributed path: a few byte reads per message, no field decode."""
+    chunks: list[tuple[int, int, int]] = []
+    pos, chunk_start, n, seen = start, start, 0, 0
+    while pos < end and (max_msgs is None or seen < max_msgs):
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+        n += 1
+        seen += 1
+        if pos - chunk_start >= target_bytes:
+            chunks.append((chunk_start, pos - chunk_start, n))
+            chunk_start, n = pos, 0
+    if n:
+        chunks.append((chunk_start, pos - chunk_start, n))
+    return chunks
+
+
+# Sections bigger than this switch load_fsimage to the distributed decode.
+_DISTRIBUTED_THRESHOLD = 64 << 20
+
+_CHUNK_DDL = "data_path string, offset bigint, length bigint, n_msgs bigint"
+_EDGE_DDL = "parent_id bigint, id bigint"
+
+
+def _materialize_big_sections(
+    path: str, codec: str, sections: list[_Section], names: list[str],
+    scratch_dir: str | None,
+) -> tuple[str, dict[str, tuple[int, int]]]:
+    """Make the named sections byte-addressable for executor reads.
+    Uncompressed: the image itself (zero copy). Compressed: one streaming
+    driver-side decompress into an idempotent scratch file (keyed on image
+    identity) that chunk reads then address."""
+    by_name = {s.name: s for s in sections}
+    if not codec:
+        return path, {n: (by_name[n].offset, by_name[n].length) for n in names}
+
+    st = os.stat(path)
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    scratch = os.path.join(scratch_dir or tempfile.gettempdir(), f"hfsa_decomp_{key}")
+    meta = scratch + ".meta"
+    if os.path.exists(scratch) and os.path.exists(meta):
+        with open(meta) as f:
+            spans = {
+                n: (int(o), int(ln))
+                for n, o, ln in (line.split("\t") for line in f.read().splitlines())
+            }
+        if all(n in spans for n in names):
+            return scratch, spans
+
+    spans = {}
+    with open(scratch + ".tmp", "wb") as out:
+        cursor = 0
+        for n in names:
+            s = by_name[n]
+            written = _decompress_to_file(path, s.offset, s.length, out)
+            spans[n] = (cursor, written)
+            cursor += written
+    os.replace(scratch + ".tmp", scratch)
+    with open(meta + ".tmp", "w") as f:
+        f.write("\n".join(f"{n}\t{o}\t{ln}" for n, (o, ln) in spans.items()))
+    os.replace(meta + ".tmp", meta)
+    return scratch, spans
+
+
+def _decode_inode_chunks(table: _StringTable):
+    """mapInPandas decoder: (data_path, offset, length, n_msgs) chunk specs
+    → raw inode rows. Runs on executors; ``table`` rides the closure
+    (broadcast by task serialization — it is the small user/group dict)."""
+    import pandas as pd
+
+    cols = [f for f in _RAW_FIELDS if f != "parent_id"]
+
+    def decode(batches):
+        for pdf in batches:
+            for spec in pdf.itertuples(index=False):
+                with open(spec.data_path, "rb") as f:
+                    f.seek(spec.offset)
+                    data = f.read(spec.length)
+                reader = _DelimitedReader(data)
+                rows = []
+                for _ in range(int(spec.n_msgs)):
+                    msg = reader.next_message()
+                    if msg is None:
+                        break
+                    r = _parse_inode(msg, table)
+                    r["blocks"] = (
+                        None
+                        if r["blocks"] is None
+                        else [
+                            {"block_id": b[0], "gen_stamp": b[1], "num_bytes": b[2]}
+                            for b in r["blocks"]
+                        ]
+                    )
+                    rows.append(tuple(r[c] for c in cols))
+                yield pd.DataFrame(rows, columns=cols)
+
+    return decode
+
+
+def _decode_edge_chunks(ref_ids: list[int]):
+    """mapInPandas decoder: INODE_DIR chunk specs → (parent_id, id) edges,
+    refChildren resolved through the (small, closure-shipped) ref table."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            for spec in pdf.itertuples(index=False):
+                with open(spec.data_path, "rb") as f:
+                    f.seek(spec.offset)
+                    data = f.read(spec.length)
+                reader = _DelimitedReader(data)
+                parents: list[int] = []
+                children: list[int] = []
+                for _ in range(int(spec.n_msgs)):
+                    msg = reader.next_message()
+                    if msg is None:
+                        break
+                    parent = 0
+                    kids: list[int] = []
+                    for fno, val in _iter_fields(msg):
+                        if fno == 1:
+                            parent = val
+                        elif fno == 2:
+                            kids.extend(_packed_varints(val))
+                        elif fno == 3:
+                            kids.extend(ref_ids[r] for r in _packed_varints(val))
+                    parents.extend([parent] * len(kids))
+                    children.extend(kids)
+                yield pd.DataFrame({"parent_id": parents, "id": children})
+
+    return decode
+
+
+def load_fsimage_distributed(
+    spark: SparkSession,
+    path: str,
+    target_chunk_bytes: int | None = None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """fsimage → raw inode DataFrame with executor-parallel message decode
+    (module docstring has the design). Returns the same raw columns as the
+    driver path; callers run materialize_paths/finalize_inodes on top.
+
+    ``target_chunk_bytes=None`` sizes chunks so every core gets ~3 of them
+    (decode cost per byte is uniform, so equal-byte chunks balance well),
+    floored at 4 MiB so a huge cluster doesn't shred a small image, capped
+    at 128 MiB so one task's bytes always fit executor memory."""
+    codec, sections = _read_footer(path)
+
+    table = _parse_string_table(_read_section(path, codec, sections, "STRING_TABLE"))
+    try:
+        ref_ids = _parse_inode_references(
+            _read_section(path, codec, sections, "INODE_REFERENCE")
+        )
+    except KeyError:
+        ref_ids = []
+
+    data_path, spans = _materialize_big_sections(
+        path, codec, sections, ["INODE", "INODE_DIR"], scratch_dir
+    )
+
+    if target_chunk_bytes is None:
+        slots = spark.sparkContext.defaultParallelism * 3
+        target_chunk_bytes = min(
+            128 << 20, max(4 << 20, spans["INODE"][1] // max(slots, 1))
+        )
+
+    with open(data_path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    mv = memoryview(mm)
+    try:
+        ino_off, ino_len = spans["INODE"]
+        header_len, body_start = _read_varint(mv, ino_off)
+        num_inodes = 0
+        for fno, val in _iter_fields(bytes(mv[body_start : body_start + header_len])):
+            if fno == 2:
+                num_inodes = val
+        inode_chunks = _scan_chunks(
+            mv, body_start + header_len, ino_off + ino_len,
+            target_chunk_bytes, max_msgs=num_inodes,
+        )
+        dir_off, dir_len = spans["INODE_DIR"]
+        dir_chunks = _scan_chunks(mv, dir_off, dir_off + dir_len, target_chunk_bytes)
+    finally:
+        mv.release()
+        mm.close()
+
+    def chunk_df(chunks):
+        specs = [(data_path, o, ln, n) for o, ln, n in chunks]
+        return spark.createDataFrame(specs, schema=_CHUNK_DDL).repartition(
+            max(len(specs), 1)
+        )
+
+    raw_ddl = ", ".join(
+        p for p in _RAW_DDL.split(", ") if not p.startswith("parent_id")
+    )
+    inodes = chunk_df(inode_chunks).mapInPandas(
+        _decode_inode_chunks(table), schema=raw_ddl
+    )
+    edges = chunk_df(dir_chunks).mapInPandas(
+        _decode_edge_chunks(ref_ids), schema=_EDGE_DDL
+    )
+    return inodes.join(edges, "id", "left").select(*_RAW_FIELDS)
+
+
 _RAW_FIELDS = [
     "id", "parent_id", "name", "type", "user", "group", "mode", "mtime",
     "atime", "replication", "preferred_block_size", "storage_policy_id",
@@ -484,13 +776,31 @@ def inode_text_dump(path: str, refs: list[str]) -> str:
     return "".join(out)
 
 
-def load_fsimage(spark: SparkSession, path: str) -> DataFrame:
-    """fsimage file → canonical ``inodes`` DataFrame: driver-side wire parse,
-    then distributed path materialization + derived size columns."""
-    rows = parse_fsimage(path)
-    raw = spark.createDataFrame(
-        [tuple(r[f] for f in _RAW_FIELDS) for r in rows], schema=_RAW_DDL
-    )
+def load_fsimage(
+    spark: SparkSession,
+    path: str,
+    distributed: bool | None = None,
+    target_chunk_bytes: int | None = None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """fsimage file → canonical ``inodes`` DataFrame: wire parse (executor-
+    parallel for big images — see module docstring; ``distributed=None``
+    auto-selects on INODE section size), then distributed path
+    materialization + derived size columns."""
+    if distributed is None:
+        _, sections = _read_footer(path)
+        ino = next((s.length for s in sections if s.name == "INODE"), 0)
+        distributed = ino >= _DISTRIBUTED_THRESHOLD
+    if distributed:
+        raw = load_fsimage_distributed(
+            spark, path, target_chunk_bytes=target_chunk_bytes,
+            scratch_dir=scratch_dir,
+        )
+    else:
+        rows = parse_fsimage(path)
+        raw = spark.createDataFrame(
+            [tuple(r[f] for f in _RAW_FIELDS) for r in rows], schema=_RAW_DDL
+        )
     inodes = finalize_inodes(materialize_paths(raw))
     return inodes.select([f.name for f in INODES_SCHEMA.fields])
 

@@ -1,0 +1,217 @@
+"""Binary fsimage writer — the inverse of extract/fsimage.py's decoder.
+
+Parity target: the reference's test-image generator
+(/root/reference lib/.../util/FsImageGenerator.java — behavior only; this
+is an independent encoder built from the same public format knowledge:
+Hadoop's fsimage.proto / HDFS-5698). Used for (a) round-trip parity tests
+of the decoder and (b) synthesizing multi-million-inode images for the
+distributed-decode throughput probe (scripts/fsimage_decode_probe.py) —
+the reference generator exists for exactly that scale test
+(FsImageGenerator.java:47-53).
+
+Layout written: HDFSIMG1 magic, then STRING_TABLE / INODE / INODE_DIR
+sections (optionally codec-compressed, like Hadoop's optional
+DefaultCodec), then a delimited FileSummary footer + 4-byte big-endian
+summary length. The writer streams: rows are encoded one message at a
+time into the open file, so a 100M-inode image needs O(#dirs) memory
+(the child map), not O(bytes).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterable, Iterator
+
+from hfsa_spark.extract.fsimage import MAGIC
+
+_TYPE_NO = {"FILE": 1, "DIRECTORY": 2, "SYMLINK": 3}
+_U64_WRAP = 1 << 64
+
+
+def _u64(v: int) -> int:
+    return v + _U64_WRAP if v < 0 else v
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(no: int, v: int) -> bytes:
+    return _varint(no << 3) + _varint(v)
+
+
+def _bytes_field(no: int, v: bytes) -> bytes:
+    return _varint((no << 3) | 2) + _varint(len(v)) + v
+
+
+def _delimited(msg: bytes) -> bytes:
+    return _varint(len(msg)) + msg
+
+
+def _encode_inode(row: dict, sid_of: dict[str, int]) -> bytes:
+    """One INodeSection.INode message. ``row`` is the decoder's raw dict
+    shape (extract/fsimage.py::_parse_inode)."""
+    perm = (
+        (sid_of[row.get("user", "")] << 40)
+        | (sid_of[row.get("group", "")] << 16)
+        | (row.get("mode", 0) & 0xFFFF)
+    )
+    t = row.get("type", "FILE")
+    body = bytearray()
+    if t == "FILE":
+        if row.get("replication"):
+            body += _field(1, row["replication"])
+        body += _field(2, row.get("mtime", 0))
+        body += _field(3, row.get("atime", 0))
+        body += _field(4, row.get("preferred_block_size", 0))
+        body += _field(5, perm)
+        for b in row.get("blocks") or []:
+            blk = _field(1, _u64(b[0])) + _field(2, b[1]) + _field(3, b[2])
+            body += _bytes_field(6, blk)
+        if row.get("storage_policy_id"):
+            body += _field(10, row["storage_policy_id"])
+        if row.get("ec_policy_id"):
+            body += _field(12, row["ec_policy_id"])
+        body_no = 4
+    elif t == "DIRECTORY":
+        body += _field(1, row.get("mtime", 0))
+        body += _field(2, _u64(row.get("ns_quota", -1)))
+        body += _field(3, _u64(row.get("ds_quota", -1)))
+        body += _field(4, perm)
+        body_no = 5
+    else:
+        body += _field(1, perm)
+        body += _bytes_field(2, (row.get("symlink_target") or "").encode())
+        body += _field(3, row.get("mtime", 0))
+        body += _field(4, row.get("atime", 0))
+        body_no = 6
+
+    msg = (
+        _field(1, _TYPE_NO[t])
+        + _field(2, row["id"])
+        + _bytes_field(3, row.get("name", "").encode())
+        + _bytes_field(body_no, bytes(body))
+    )
+    return _delimited(msg)
+
+
+class _SectionWriter:
+    """Accumulate a section (optionally compressed) and record its span."""
+
+    def __init__(self, f, codec: str):
+        self._f = f
+        self._codec = codec
+        self._comp = None
+        self._start = 0
+
+    def open(self):
+        self._start = self._f.tell()
+        if self._codec:
+            # GzipCodec = gzip framing (wbits 31); DefaultCodec = zlib (15)
+            wbits = 31 if "Gzip" in self._codec else 15
+            self._comp = zlib.compressobj(wbits=wbits)
+
+    def write(self, data: bytes):
+        self._f.write(self._comp.compress(data) if self._comp else data)
+
+    def close(self) -> tuple[int, int]:
+        if self._comp:
+            self._f.write(self._comp.flush())
+            self._comp = None
+        return self._start, self._f.tell() - self._start
+
+
+def write_fsimage(
+    path: str,
+    rows: Iterable[dict] | Iterator[dict],
+    codec: str | None = None,
+    string_table: list[str] | None = None,
+    num_inodes: int | None = None,
+    last_inode_id: int | None = None,
+) -> None:
+    """Encode raw inode dicts (decoder shape: id, parent_id, name, type,
+    user, group, mode, mtime, atime, replication, preferred_block_size,
+    storage_policy_id, ec_policy_id, ns_quota, ds_quota, symlink_target,
+    blocks=[(block_id, gen_stamp, num_bytes)]) into a binary fsimage.
+
+    ``codec`` of None writes uncompressed; "default"/"gzip" (or the full
+    Hadoop codec class name) compresses sections like Hadoop does.
+
+    Section headers precede their rows (and compressed sections cannot be
+    back-patched), so the string table and inode count must be known before
+    encoding starts. Pass ``string_table`` (all user+group names),
+    ``num_inodes`` and ``last_inode_id`` to stream a one-pass generator with
+    O(#inodes) small-int memory (the dir child map only) — the 100M-inode
+    path. Omit them and the writer buffers the rows to derive all three.
+    """
+    streaming = string_table is not None and num_inodes is not None
+    if streaming:
+        first_pass = rows  # single pass, never materialized
+        names = set(string_table)
+    else:
+        first_pass = list(rows)
+        names = {r.get("user", "") for r in first_pass} | {
+            r.get("group", "") for r in first_pass
+        }
+        num_inodes = len(first_pass)
+        last_inode_id = max((r["id"] for r in first_pass), default=0)
+
+    sid_of = {name: i + 1 for i, name in enumerate(sorted(names))}
+
+    codec_name = ""
+    if codec:
+        lower = codec.lower()
+        if "gzip" in lower:
+            codec_name = "org.apache.hadoop.io.compress.GzipCodec"
+        else:
+            codec_name = "org.apache.hadoop.io.compress.DefaultCodec"
+
+    sections: list[tuple[str, int, int]] = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        w = _SectionWriter(f, codec_name)
+
+        w.open()
+        header = _field(1, len(sid_of)) + _field(2, 0)  # numEntry, maskBits=0
+        w.write(_delimited(header))
+        for name, sid in sid_of.items():
+            w.write(_delimited(_field(1, sid) + _bytes_field(2, name.encode())))
+        off, ln = w.close()
+        sections.append(("STRING_TABLE", ln, off))
+
+        w.open()
+        w.write(_delimited(_field(1, last_inode_id) + _field(2, num_inodes)))
+        children: dict[int, list[int]] = {}
+        for r in first_pass:
+            w.write(_encode_inode(r, sid_of))
+            p = r.get("parent_id")
+            if p is not None:
+                children.setdefault(p, []).append(r["id"])
+        off, ln = w.close()
+        sections.append(("INODE", ln, off))
+
+        w.open()
+        for parent in sorted(children):
+            kids = b"".join(_varint(c) for c in sorted(children[parent]))
+            w.write(_delimited(_field(1, parent) + _bytes_field(2, kids)))
+        off, ln = w.close()
+        sections.append(("INODE_DIR", ln, off))
+
+        summary = _field(1, 1) + _field(2, _u64(-66))  # ondiskVersion, layout
+        if codec_name:
+            summary += _bytes_field(3, codec_name.encode())
+        for name, ln, off in sections:
+            sec = _bytes_field(1, name.encode()) + _field(2, ln) + _field(3, off)
+            summary += _bytes_field(4, sec)
+        framed = _delimited(summary)
+        f.write(framed)
+        f.write(struct.pack(">i", len(framed)))

@@ -49,13 +49,21 @@ def asof_join(
     by_cols = by_cols or []
     value_cols = value_cols or [c for c in right.columns if c not in by_cols + [ts_col]]
 
+    # All carried right columns ride in ONE struct that is non-null for
+    # every right row (even when individual value columns are null), so
+    # last(ignorenulls=True) picks the nearest right ROW atomically —
+    # per-column fills could otherwise stitch values from different right
+    # rows when a value column is genuinely null (ASOF JOIN row semantics).
     rtype = dict(right.dtypes)
-    carried = [f"{vc}{suffix}" for vc in value_cols] + [f"{ts_col}{suffix}"]
+    fields = [(f"{vc}{suffix}", rtype[vc], vc) for vc in value_cols]
+    fields.append((f"{ts_col}{suffix}", rtype[ts_col], ts_col))
+    carried = [n for n, _, _ in fields]
+    struct_ddl = "struct<" + ",".join(f"`{n}`:{t}" for n, t, _ in fields) + ">"
+
     l_tagged = left.select(
         "*",
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(rtype[vc]).alias(f"{vc}{suffix}") for vc in value_cols],
-        F.lit(None).cast(dict(left.dtypes)[ts_col]).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(struct_ddl).alias("__asof"),
     )
     left_only = [c for c in left.columns if c not in by_cols + [ts_col]]
     ltype = dict(left.dtypes)
@@ -64,8 +72,9 @@ def asof_join(
         F.col(ts_col),
         *[F.lit(None).cast(ltype[c]).alias(c) for c in left_only],
         F.lit(0).alias("__side"),
-        *[F.col(vc).alias(f"{vc}{suffix}") for vc in value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(src).alias(n) for n, _, src in fields]
+        ).alias("__asof"),
     )
     u = l_tagged.unionByName(r_tagged)
 
@@ -76,10 +85,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        *[c for c in u.columns if c not in carried],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        *[c for c in u.columns if c != "__asof"],
+        F.last("__asof", ignorenulls=True).over(w).alias("__asof"),
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in filled.columns if c not in ("__side", "__asof")],
+            *[F.col("__asof").getField(n).alias(n) for n in carried],
+        )
+    )
 
     if tolerance_seconds is not None:
         lag = F.abs(

@@ -34,11 +34,41 @@ def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return edges.select(u, v).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
     """One-row summary (n_nodes, n_edges, n_triangles) of the undirected
     graph. Each triangle u < v < w matches exactly one join chain
-    (u,v)⋈(v,w)⋈(u,w) over canonical edges."""
+    (u,v)⋈(v,w)⋈(u,w) over canonical edges.
+
+    ``max_degree`` is the skew guard (same idea as ``max_bucket`` in
+    dedup.minhash_lsh_candidates): nodes with more than ``max_degree``
+    canonical-edge endpoints are EXCLUDED (with every incident edge)
+    before the two-join plan, bounding its shuffle at
+    O(Σ min(deg, max_degree)²). On a power-law dedup pair graph one hub
+    (boilerplate matched by everything) otherwise fans deg² pairs through
+    a single reducer; the count reported is then exact over the remaining
+    graph — n_nodes/n_edges reflect the exclusion so the caller can see
+    how much was dropped."""
     e = canonical_edges(edges, src, dst)
+    if max_degree is not None:
+        ends = e.select(F.col("src").alias("n")).unionAll(
+            e.select(F.col("dst").alias("n"))
+        )
+        hubs = (
+            ends.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") > max_degree)
+            .select("n")
+        )
+        e = (
+            e.join(hubs.withColumnRenamed("n", "src"), "src", "left_anti")
+            .join(hubs.withColumnRenamed("n", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+        )
     e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))

@@ -117,3 +117,19 @@ def test_matches_sort_merge_reference(spark):
             if rts <= ts:
                 best = rv
         assert got[tag] == best, (user, ts, tag)
+
+
+def test_asof_null_value_row_is_matched_atomically(spark):
+    """A right row whose value column is genuinely NULL is still THE match
+    for later left rows: (value_asof, ts_asof) must come from one right
+    row, never stitched from two (ADVICE r1: struct-atomic fill)."""
+    from hfsa_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 30)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 20, None)],
+        "k string, ts int, v int",
+    )
+    row = asof_join(left, right, ts_col="ts", by_cols=["k"]).collect()[0]
+    assert row["ts_asof"] == 20       # nearest right row
+    assert row["v_asof"] is None      # ... whose value is genuinely null

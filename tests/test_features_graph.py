@@ -82,3 +82,18 @@ def test_degree_distribution_star(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     got = {r["degree"]: r["n_nodes"] for r in degree_distribution(star).collect()}
     assert got == {1: 5, 5: 1}
+
+
+def test_triangle_count_max_degree_excludes_hub(spark):
+    # K4 on 1-4 (4 triangles, degree 3 each) plus a planted hub 99 fanned to
+    # ten leaves (degree 10). max_degree=5 excludes the hub with all its
+    # edges; the K4 remainder is exact and the orphaned leaves vanish.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    hub = [(99, leaf) for leaf in range(100, 110)]
+    df = spark.createDataFrame(k4 + hub, ["src", "dst"])
+
+    full = triangle_count(df).collect()[0]
+    assert (full["n_nodes"], full["n_edges"], full["n_triangles"]) == (15, 16, 4)
+
+    capped = triangle_count(df, max_degree=5).collect()[0]
+    assert (capped["n_nodes"], capped["n_edges"], capped["n_triangles"]) == (4, 6, 4)

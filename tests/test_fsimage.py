@@ -145,3 +145,44 @@ def test_load_fsimage_point_lookup(spark):
     assert not fa.has_inode("/nope")
     row = fa.inode_by_path("/test3").select("type").head()
     assert row["type"] == "DIRECTORY"
+
+
+# ------------------------------------------------- distributed decode --
+
+
+def _frames_equal(a, b) -> bool:
+    return (
+        a.count() == b.count()
+        and a.exceptAll(b).isEmpty()
+        and b.exceptAll(a).isEmpty()
+    )
+
+
+def test_distributed_matches_driver_210k(spark, tmp_path):
+    """Parity gate (VERDICT r1 item 2): executor-parallel decode of the
+    compressed 210k image must match the driver-side parse exactly; 64 KiB
+    chunks force real multi-chunk parallelism."""
+    img = f"{LIB_RES}/fsimage_d800_f210k_compressed.img"
+    driver = load_fsimage(spark, img, distributed=False)
+    dist = load_fsimage(
+        spark, img, distributed=True, target_chunk_bytes=64 << 10,
+        scratch_dir=str(tmp_path),
+    )
+    assert _frames_equal(driver.drop("blocks"), dist.drop("blocks"))
+    # blocks arrays: compare via a per-row fold (exceptAll over array<struct>
+    # is fine, but keep the count explicit for a readable failure)
+    assert _frames_equal(
+        driver.select("id", "blocks"), dist.select("id", "blocks")
+    )
+
+
+def test_distributed_matches_driver_small_uncompressed(spark, tmp_path):
+    """Uncompressed path: executors read byte ranges of the image itself
+    (no scratch file); 256-byte chunks exercise chunk-boundary handling."""
+    img = f"{LIB_RES}/fsi_small_h3_2.img"
+    driver = load_fsimage(spark, img, distributed=False)
+    dist = load_fsimage(
+        spark, img, distributed=True, target_chunk_bytes=256,
+        scratch_dir=str(tmp_path),
+    )
+    assert _frames_equal(driver, dist)

@@ -1,0 +1,63 @@
+"""Round-trip parity: decoder(writer(rows)) == rows, across codecs —
+the same write-then-reload strategy the reference uses to test its
+generator (FsImageGenerator.java fixtures feeding FsImageLoaderTest)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hfsa_spark.extract.fsimage import load_fsimage, parse_fsimage
+from hfsa_spark.extract.fsimage_writer import write_fsimage
+
+LIB_RES = "/root/reference/lib/src/test/resources"
+
+
+def _comparable(rows):
+    # permission_raw packs OUR string-table serials, which legitimately
+    # differ from the source image's — user/group/mode are the semantics.
+    return sorted(
+        ({k: v for k, v in r.items() if k != "permission_raw"} for r in rows),
+        key=lambda r: r["id"],
+    )
+
+
+@pytest.mark.parametrize("codec", [None, "default", "gzip"])
+def test_roundtrip_small_h3_2(tmp_path, codec):
+    src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
+    out = str(tmp_path / "rt.img")
+    write_fsimage(out, src, codec=codec)
+    assert _comparable(parse_fsimage(out)) == _comparable(src)
+
+
+def test_roundtrip_210k_compressed(tmp_path):
+    src = parse_fsimage(f"{LIB_RES}/fsimage_d800_f210k_compressed.img")
+    out = str(tmp_path / "rt210k.img")
+    write_fsimage(out, src, codec="default")
+    assert _comparable(parse_fsimage(out)) == _comparable(src)
+
+
+def test_streaming_writer_matches_buffered(tmp_path):
+    src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
+    names = sorted({r["user"] for r in src} | {r["group"] for r in src})
+    buffered, streamed = str(tmp_path / "b.img"), str(tmp_path / "s.img")
+    write_fsimage(buffered, src)
+    write_fsimage(
+        streamed, iter(src), string_table=names,
+        num_inodes=len(src), last_inode_id=max(r["id"] for r in src),
+    )
+    assert open(buffered, "rb").read() == open(streamed, "rb").read()
+
+
+def test_written_image_distributed_load(spark, tmp_path):
+    """A writer-produced compressed image must load identically through the
+    driver-side and executor-parallel decode paths."""
+    src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
+    out = str(tmp_path / "dist.img")
+    write_fsimage(out, src, codec="gzip")
+    a = load_fsimage(spark, out, distributed=False)
+    b = load_fsimage(
+        spark, out, distributed=True, target_chunk_bytes=256,
+        scratch_dir=str(tmp_path),
+    )
+    assert a.count() == b.count() == len(src)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
