@@ -254,6 +254,43 @@ def _parse_dir_section(data: bytes, ref_ids: list[int]) -> dict[int, list[int]]:
     return dir_map
 
 
+# ACL entry packing (public Hadoop FSImageFormatPBINode layout): bits 0-2
+# permission (FsAction ordinal == rwx bits), 3-4 entry type, 5 scope,
+# 6-29 name serial. AclFeatureProto carries packed fixed32 entries.
+_ACL_TYPES = ["user", "group", "mask", "other"]
+_ACL_PERMS = ["---", "--x", "-w-", "-wx", "r--", "r-x", "rw-", "rwx"]
+
+
+def _packed_fixed32(val: int | bytes) -> list[int]:
+    """repeated fixed32 — packed (bytes, 4-byte LE each) or one unpacked."""
+    if isinstance(val, int):
+        return [val]
+    return [v[0] for v in struct.iter_unpack("<I", val)]
+
+
+def _format_acl_entry(packed: int, table: _StringTable) -> str:
+    """One packed ACL int → Hadoop AclEntry.toString() form, e.g.
+    "user:bob:rwx" / "default:group:staff:r-x"."""
+    perm = packed & 7
+    etype = (packed >> 3) & 3
+    scope = (packed >> 5) & 1
+    nid = (packed >> 6) & 0xFFFFFF
+    name = ""
+    if nid:
+        cls = _GROUP_CLASS if etype == 1 else _USER_CLASS
+        name = table.get(nid, cls)
+    s = f"{_ACL_TYPES[etype]}:{name}:{_ACL_PERMS[perm]}"
+    return f"default:{s}" if scope else s
+
+
+def _parse_acl_feature(payload: bytes, table: _StringTable) -> list[str]:
+    entries: list[str] = []
+    for fno, val in _iter_fields(payload):
+        if fno == 2:
+            entries.extend(_format_acl_entry(v, table) for v in _packed_fixed32(val))
+    return entries
+
+
 def _parse_blocks(val: bytes) -> tuple[int, int, int]:
     block_id = gen_stamp = num_bytes = 0
     for fno, v in _iter_fields(val):
@@ -296,6 +333,7 @@ def _parse_inode(msg: bytes, table: _StringTable) -> dict:
         "mode": 0,
         "user": "",
         "group": "",
+        "acl": [],
     }
     if body is None:
         return row
@@ -317,6 +355,8 @@ def _parse_inode(msg: bytes, table: _StringTable) -> dict:
                 permission = val
             elif fno == 6:
                 blocks.append(_parse_blocks(val))
+            elif fno == 8:
+                row["acl"] = _parse_acl_feature(val, table)
             elif fno == 10:
                 row["storage_policy_id"] = val
             elif fno == 12:
@@ -332,6 +372,8 @@ def _parse_inode(msg: bytes, table: _StringTable) -> dict:
                 row["ds_quota"] = _signed64(val)
             elif fno == 4:
                 permission = val
+            elif fno == 5:
+                row["acl"] = _parse_acl_feature(val, table)
     else:  # INodeSymlink
         for fno, val in _iter_fields(payload):
             if fno == 1:
@@ -737,13 +779,9 @@ def format_inode_proto(row: dict) -> str:
     return "\n".join(out) + "\n"
 
 
-def inode_text_dump(path: str, refs: list[str]) -> str:
-    """The `inode` report's txt output for a binary image: each ref (inode
-    id or absolute path) resolved and dumped in TextFormat, arg order
-    preserved, one blank line after each (println of toString)."""
-    rows = parse_fsimage(path)
+def _index_rows(rows: list[dict]) -> tuple[dict, dict]:
+    """(by_id, by_path) lookup indexes over parsed raw rows."""
     by_id = {r["id"]: r for r in rows}
-
     paths: dict[int, str] = {}
 
     def full_path(rid: int) -> str:
@@ -759,21 +797,61 @@ def inode_text_dump(path: str, refs: list[str]) -> str:
         return p
 
     by_path = {full_path(rid): rid for rid in by_id}
+    return by_id, by_path
 
+
+def _resolve_ref(by_id: dict, by_path: dict, ref: str) -> dict | None:
+    sref = str(ref)
+    if sref.isdigit():
+        return by_id.get(int(sref))
+    norm = "/" + "/".join(s for s in sref.split("/") if s) if sref != "/" else "/"
+    rid = by_path.get(norm)
+    return by_id.get(rid) if rid is not None else None
+
+
+def inode_text_dump(path: str, refs: list[str]) -> str:
+    """The `inode` report's txt output for a binary image: each ref (inode
+    id or absolute path) resolved and dumped in TextFormat, arg order
+    preserved, one blank line after each (println of toString)."""
+    by_id, by_path = _index_rows(parse_fsimage(path))
     out = []
     for ref in refs:
-        sref = str(ref)
-        if sref.isdigit():
-            row = by_id.get(int(sref))
-        else:
-            norm = "/" + "/".join(s for s in sref.split("/") if s) if sref != "/" else "/"
-            rid = by_path.get(norm)
-            row = by_id.get(rid) if rid is not None else None
+        row = _resolve_ref(by_id, by_path, ref)
         if row is None:
-            out.append(f"No inode found for {sref}\n")
+            out.append(f"No inode found for {ref}\n")
         else:
             out.append(format_inode_proto(row) + "\n")
     return "".join(out)
+
+
+def get_acl_entries(path: str, ref: str) -> list[str]:
+    """ACL entries of one inode (by absolute path or id), as Hadoop
+    AclEntry.toString() strings. Parity: the reference's getAclEntryList
+    (FsImageData.java:219-234) — files and directories carry ACLs, other
+    types yield []. Raises KeyError for a missing inode (the reference
+    throws FileNotFoundException)."""
+    by_id, by_path = _index_rows(parse_fsimage(path))
+    row = _resolve_ref(by_id, by_path, ref)
+    if row is None:
+        raise KeyError(f"no inode for {ref}")
+    return list(row.get("acl") or [])
+
+
+def get_acl_status(path: str, ref: str) -> dict:
+    """AclStatus of one inode: owner, group, sticky bit, ACL entries —
+    the reference's getAclStatus (FsImageData.java:208-217) as a plain
+    dict (it builds Hadoop's AclStatus; the fields are identical)."""
+    by_id, by_path = _index_rows(parse_fsimage(path))
+    row = _resolve_ref(by_id, by_path, ref)
+    if row is None:
+        raise KeyError(f"no inode for {ref}")
+    return {
+        "owner": row["user"],
+        "group": row["group"],
+        "stickyBit": bool((row["mode"] >> 9) & 1),
+        "entries": list(row.get("acl") or []),
+        "permission": format(row["mode"] & 0o777, "o").zfill(3),
+    }
 
 
 def load_fsimage(

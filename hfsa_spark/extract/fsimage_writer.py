@@ -23,7 +23,7 @@ import struct
 import zlib
 from typing import Iterable, Iterator
 
-from hfsa_spark.extract.fsimage import MAGIC
+from hfsa_spark.extract.fsimage import MAGIC, _ACL_PERMS, _ACL_TYPES
 
 _TYPE_NO = {"FILE": 1, "DIRECTORY": 2, "SYMLINK": 3}
 _U64_WRAP = 1 << 64
@@ -57,6 +57,37 @@ def _delimited(msg: bytes) -> bytes:
     return _varint(len(msg)) + msg
 
 
+def _acl_names(rows: Iterable[dict]):
+    for r in rows:
+        for s in r.get("acl") or []:
+            parts = s.split(":")
+            if parts[0] == "default":
+                parts = parts[1:]
+            if parts[1]:
+                yield parts[1]
+
+
+def _pack_acl_entry(s: str, sid_of: dict[str, int]) -> int:
+    """"[default:]type:name:rwx" → the packed Hadoop ACL int (the exact
+    inverse of fsimage._format_acl_entry)."""
+    parts = s.split(":")
+    scope = 0
+    if parts[0] == "default":
+        scope = 1
+        parts = parts[1:]
+    etype = _ACL_TYPES.index(parts[0])
+    perm = _ACL_PERMS.index(parts[2])
+    nid = sid_of.get(parts[1], 0) if parts[1] else 0
+    return (nid << 6) | (scope << 5) | (etype << 3) | perm
+
+
+def _acl_feature(row: dict, sid_of: dict[str, int]) -> bytes:
+    packed = b"".join(
+        struct.pack("<I", _pack_acl_entry(s, sid_of)) for s in row["acl"]
+    )
+    return _bytes_field(2, packed)
+
+
 def _encode_inode(row: dict, sid_of: dict[str, int]) -> bytes:
     """One INodeSection.INode message. ``row`` is the decoder's raw dict
     shape (extract/fsimage.py::_parse_inode)."""
@@ -77,6 +108,8 @@ def _encode_inode(row: dict, sid_of: dict[str, int]) -> bytes:
         for b in row.get("blocks") or []:
             blk = _field(1, _u64(b[0])) + _field(2, b[1]) + _field(3, b[2])
             body += _bytes_field(6, blk)
+        if row.get("acl"):
+            body += _bytes_field(8, _acl_feature(row, sid_of))
         if row.get("storage_policy_id"):
             body += _field(10, row["storage_policy_id"])
         if row.get("ec_policy_id"):
@@ -87,6 +120,8 @@ def _encode_inode(row: dict, sid_of: dict[str, int]) -> bytes:
         body += _field(2, _u64(row.get("ns_quota", -1)))
         body += _field(3, _u64(row.get("ds_quota", -1)))
         body += _field(4, perm)
+        if row.get("acl"):
+            body += _bytes_field(5, _acl_feature(row, sid_of))
         body_no = 5
     else:
         body += _field(1, perm)
@@ -162,6 +197,7 @@ def write_fsimage(
         names = {r.get("user", "") for r in first_pass} | {
             r.get("group", "") for r in first_pass
         }
+        names.update(_acl_names(first_pass))
         num_inodes = len(first_pass)
         last_inode_id = max((r["id"] for r in first_pass), default=0)
 

