@@ -1307,6 +1307,121 @@ def q78_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q79_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quantiles audited against exact percentiles. Like the
+    q68 HLL gate: the pinned output is (group, exact values rounded,
+    within-5%-bound) — each engine runs its OWN sketch and must land
+    inside the bound; the sketch estimates themselves differ by design."""
+    from hfsa_spark.operators.sketches import approx_quantile_report
+
+    rep = approx_quantile_report(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        [0.5, 0.9], accuracy=10_000,
+    )
+    ok = F.forall(
+        F.zip_with(
+            "approx_q", "exact_q",
+            lambda a, e: F.abs(a - e) <= 0.05 * F.abs(e) + F.lit(0.01),
+        ),
+        lambda x: x,
+    )
+    return rep.select(
+        "o_orderpriority",
+        F.round(F.col("exact_q")[0], 2).alias("p50_exact"),
+        F.round(F.col("exact_q")[1], 2).alias("p90_exact"),
+        ok.alias("within_bound"),
+    ).orderBy("o_orderpriority")
+
+
+def q80_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical-k-means Lloyd round from deterministic seeds
+    (vec_id < 4): refined centroids exploded to (centroid_id, pos, value)
+    scalars rounded to 6 dp — float-proof across engines (summation order
+    differs; rounding absorbs the last-ulp noise)."""
+    from hfsa_spark.operators.similarity import kmeans_iterate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 4)
+    cents = kmeans_iterate(emb, init, iters=1)
+    return (
+        cents.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
+        .select("centroid_id", "pos", F.round("x", 6).alias("v"))
+        .orderBy("centroid_id", "pos")
+    )
+
+
+def q81_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot growth deltas (streaming/snapshots.py's
+    batch twin): lineitem years as the snapshot series, return flags as
+    the user axis; d_* = change from the user's previous snapshot."""
+    from hfsa_spark.streaming.snapshots import snapshot_delta_report
+
+    snaps = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("snapshot_ts"),
+        F.lit("FILE").alias("type"),
+        F.col("l_returnflag").alias("user"),
+        F.floor("l_extendedprice").cast("long").alias("file_size"),
+    )
+    return snapshot_delta_report(snaps).orderBy("user", "snapshot_ts")
+
+
+_Z_BITS = 8
+
+
+def q82_zvalue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) keys over two bucketed dims — the clustering key
+    behind sinks/layout.py::write_zordered, pinned as arithmetic: top 20
+    orders by interleaved key."""
+    from hfsa_spark.sinks.layout import zvalue
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("d1"),
+        (F.col("o_orderkey") % 256).alias("d2"),
+    )
+    return (
+        o.withColumn("z", zvalue(["d1", "d2"], bits=_Z_BITS))
+        .orderBy("z", "o_orderkey")
+        .limit(20)
+    )
+
+
+def q83_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL write audit: orders z-order-written to 8 range-partitioned
+    files, read back, and checked — no rows lost, exactly 8 files, and
+    every file's z-envelope disjoint from the others (the property that
+    makes min/max pruning work). The oracle pins the expected invariants;
+    Spark must reproduce them from the actual files."""
+    import os
+
+    from hfsa_spark.sinks.layout import write_zordered, zvalue
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("d1"),
+        (F.col("o_orderkey") % 256).alias("d2"),
+    )
+    path = f"/tmp/hfsa_gate_zorder_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_zordered(o, path, ["d1", "d2"], bits=_Z_BITS, num_files=8)
+
+    back = spark.read.parquet(path).select(
+        "o_orderkey", zvalue(["d1", "d2"], bits=_Z_BITS).alias("z"),
+        F.input_file_name().alias("f"),
+    )
+    envelopes = back.groupBy("f").agg(
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"), F.count("*").alias("n")
+    )
+    lead_min = F.lead("zmin").over(Window.orderBy("zmin"))
+    disjoint = envelopes.select(
+        (F.coalesce(lead_min > F.col("zmax"), F.lit(True))).alias("ok"), "n"
+    )
+    return disjoint.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min(F.col("ok").cast("int")).cast("boolean").alias("envelopes_disjoint"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1387,6 +1502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_interleave": q76_interleave,
         "q77_seq_packing": q77_seq_packing,
         "q78_packing_audit": q78_packing_audit,
+        "q79_approx_quantiles": q79_approx_quantiles,
+        "q80_kmeans_refine": q80_kmeans_refine,
+        "q81_snapshot_delta": q81_snapshot_delta,
+        "q82_zvalue_order": q82_zvalue_order,
+        "q83_zorder_audit": q83_zorder_audit,
     }
 
 
@@ -2509,6 +2629,96 @@ def oracle_sql() -> dict[str, str]:
                FLOOR(SUM(n_tokens) * 1000.0
                      / (COUNT(DISTINCT seq_id) * 128))::BIGINT AS fill_permille
         FROM pack GROUP BY source ORDER BY source
+    """
+
+    # q79: like q68 — pinned output is (exact rounded, own-sketch-in-bound)
+    o["q79_approx_quantiles"] = """
+        SELECT o_orderpriority,
+               round(qc[1], 2) AS p50_exact,
+               round(qc[2], 2) AS p90_exact,
+               (abs(aq[1] - qc[1]) <= 0.05 * abs(qc[1]) + 0.01
+                AND abs(aq[2] - qc[2]) <= 0.05 * abs(qc[2]) + 0.01)
+                   AS within_bound
+        FROM (SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, [0.5, 0.9]) AS qc,
+                     approx_quantile(o_totalprice, [0.5, 0.9]) AS aq
+              FROM orders GROUP BY o_orderpriority)
+        ORDER BY o_orderpriority
+    """
+
+    # q80: one Lloyd round unrolled — argmax-cosine assignment against the
+    # vec_id<4 seeds, then per-dimension means via zipped unnest. Tie-break
+    # (cos DESC, cid ASC) matches the Spark struct-max trick; round(_,6)
+    # absorbs summation-order ulps.
+    _DOT = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))"
+    )
+    _N2 = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        " i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)))"
+    )
+    o["q80_kmeans_refine"] = f"""
+        WITH init AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 4),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   {_DOT} / ({_N2.format(v="e.embedding")}
+                             * {_N2.format(v="c.cvec")}) AS cos
+            FROM embeddings e CROSS JOIN init c),
+        best AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cid ASC) AS rn
+                FROM scored) WHERE rn = 1),
+        exploded AS (
+            SELECT cid, unnest(embedding) AS x,
+                   unnest(generate_series(1, 64)) AS pos
+            FROM best)
+        SELECT cid AS centroid_id, (pos - 1)::INT AS pos,
+               round(avg(x::DOUBLE), 6) AS v
+        FROM exploded GROUP BY cid, pos ORDER BY centroid_id, pos
+    """
+
+    o["q81_snapshot_delta"] = """
+        WITH snaps AS (
+            SELECT year(l_shipdate) AS snapshot_ts,
+                   l_returnflag AS "user",
+                   floor(l_extendedprice)::BIGINT AS file_size
+            FROM lineitem),
+        per AS (
+            SELECT snapshot_ts, "user",
+                   COUNT(*)::BIGINT AS n_files,
+                   SUM(file_size)::BIGINT AS sum_size
+            FROM snaps GROUP BY snapshot_ts, "user")
+        SELECT snapshot_ts, "user", n_files, sum_size,
+               (n_files - COALESCE(lag(n_files) OVER w, 0))::BIGINT AS d_files,
+               (sum_size - COALESCE(lag(sum_size) OVER w, 0))::BIGINT AS d_size
+        FROM per
+        WINDOW w AS (PARTITION BY "user" ORDER BY snapshot_ts)
+        ORDER BY "user", snapshot_ts
+    """
+
+    # q82/q83: Morton interleave as explicit shift/mask arithmetic
+    _ZEXPR = " + ".join(
+        f"(((d{i + 1} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(8)
+        for i in range(2)
+    )
+    o["q82_zvalue_order"] = f"""
+        WITH o AS (SELECT o_orderkey, o_custkey % 256 AS d1,
+                          o_orderkey % 256 AS d2 FROM orders)
+        SELECT o_orderkey, d1, d2, ({_ZEXPR})::BIGINT AS z
+        FROM o ORDER BY z, o_orderkey LIMIT 20
+    """
+
+    # q83: the oracle pins the invariants the real write must reproduce —
+    # 8 files, zero row loss, pairwise-disjoint z envelopes (range
+    # partitioning on the z key guarantees disjointness)
+    o["q83_zorder_audit"] = """
+        SELECT 8::BIGINT AS n_files, COUNT(*)::BIGINT AS n_rows,
+               TRUE AS envelopes_disjoint
+        FROM orders
     """
 
     return o
