@@ -35,13 +35,46 @@ _EVENTS_SCHEMA = (
     " event_type string, value double, props string"
 )
 
+# Memoized parquet-footer sniff of the events.parquet ts encoding.
+# The driver's testdata encoding has changed between rounds (ns in r1/r2
+# prep, µs now); hard-coding either breaks every time-granular query, so
+# the unit is read from the file itself.  Values: "ts" (proper TIMESTAMP
+# logical type — Spark reads it natively) or "ns" (physical INT64 nanos,
+# which Spark's vectorized reader rejects; read raw + truncate to µs, the
+# same truncation DuckDB applies when reading ns).
+_EVENTS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    unit = _EVENTS_UNIT_CACHE.get(sf_dir)
+    if unit is None:
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+            unit = "ns" if getattr(t, "unit", None) == "ns" or str(t) == "int64" else "ts"
+        except Exception:
+            unit = "ts"  # no pyarrow / unreadable footer: trust Spark's reader
+        _EVENTS_UNIT_CACHE[sf_dir] = unit
+    return unit
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    read the physical INT64 with an explicit schema and derive a proper
-    timestamp at µs precision (same truncation DuckDB applies reading ns)."""
-    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    """Events table with a true µs-precision ``ts`` timestamp column,
+    regardless of how the parquet encodes it (TIMESTAMP[us/ms/s] read
+    natively; TIMESTAMP[ns]/raw INT64-nanos read as bigint and truncated
+    to µs — exactly what DuckDB does reading the same file)."""
+    path = f"{sf_dir}/events.parquet"
+    if _events_ts_unit(sf_dir) == "ns":
+        raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # Explicit TIMESTAMP (LTZ) schema: the reader maps the stored micros
+    # straight to epoch-UTC micros, independent of both the parquet's
+    # isAdjustedToUTC flag (schema inference would yield TIMESTAMP_NTZ,
+    # which can't cast to long) and the driver's session timezone.
+    return spark.read.schema(_EVENTS_SCHEMA.replace("ts bigint", "ts timestamp")).parquet(path)
 
 
 _NS_CACHE: dict[tuple[int, str], DataFrame] = {}

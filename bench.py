@@ -23,6 +23,27 @@ import __spark_entry__ as entrymod
 from hfsa_spark import get_spark
 
 
+def _steal_jiffies() -> int:
+    """Cumulative CPU steal jiffies from /proc/stat (field 8) — this host is
+    a noisy VM (3-12% steal, PERFORMANCE.md); recording steal alongside the
+    timings lets a round-over-round drift be attributed to the host."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except Exception:
+        return -1
+
+
+def _total_jiffies() -> int:
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return sum(int(x) for x in parts[1:])
+    except Exception:
+        return -1
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -113,17 +134,19 @@ def main() -> None:
             .count()
         )
 
-    # Two timed runs, report the min ("best observed"): this host shows
+    # Three timed runs, report the min ("best observed"): this host shows
     # 3-12% CPU steal with occasional multi-second stalls, and a single
-    # sample can be 2× off. Min-of-2 measures the engine, not the host.
+    # sample can be 2× off. Min-of-N measures the engine, not the host.
+    steal0, jif0 = _steal_jiffies(), _total_jiffies()
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, fn in qs.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+    steal1, jif1 = _steal_jiffies(), _total_jiffies()
 
     if not only:
         _bench_report_suite(spark, timings)
@@ -132,22 +155,45 @@ def main() -> None:
     # of the total so suite_wall is comparable across rounds
     total = round(sum(v for k, v in timings.items() if k != "extract_210k"), 4)
     n = sum(1 for k in timings if k != "extract_210k")
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall",
-                "value": total,
-                "unit": "sec",
-                # the suite GROWS across rounds as operators are added —
-                # compare mean_per_query (or per-query values) across
-                # rounds, not raw suite_wall
-                "n_queries": n,
-                "mean_per_query": round(total / max(n, 1), 4),
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(jif1 - jif0, 1), 2)
+        if steal0 >= 0 and jif1 > jif0
+        else None
     )
+    result = {
+        "metric": "suite_wall",
+        "value": total,
+        "unit": "sec",
+        # the suite GROWS across rounds as operators are added —
+        # compare mean_per_query (or per-query values) across
+        # rounds, not raw suite_wall
+        "n_queries": n,
+        "mean_per_query": round(total / max(n, 1), 4),
+        "steal_pct": steal_pct,  # host CPU-steal share during the timed runs
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    # Durable full-name record (the driver's stdout capture keeps only the
+    # last 2000 chars; both BENCH_r01 and BENCH_r02 ended up parsed:null
+    # because the full-name queries dict alone exceeds that window).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(result, fh)
+    except OSError:
+        pass
+    # Printed line: qNN_* keys abbreviated to qNN, timings to 3 decimals —
+    # fits the driver's 2000-char tail window so `parsed` is populated.
+    compact = dict(result)
+    compact["queries"] = {
+        (k.split("_")[0] if k.startswith("q") and k.split("_")[0][1:].isdigit() else k):
+        round(v, 3)
+        for k, v in timings.items()
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+    if len(line) > 1900:  # tail-window guard: drop per-query detail last
+        sys.stderr.write(f"bench line {len(line)} chars exceeds tail window\n")
 
 
 if __name__ == "__main__":

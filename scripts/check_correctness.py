@@ -2,11 +2,12 @@
 Spark AND its oracle_sql() on DuckDB over the same parquet tables, compare
 row count + sorted values. Usage:
 
-    python scripts/check_correctness.py [sf_dir] [query ...]
+    python scripts/check_correctness.py [--json out.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import math
 
@@ -67,6 +68,11 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 def main():
     args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -78,30 +84,46 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = report[name] = {
+            "pass": False, "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            rec["err"] = f"spark error: {ex}"[:500]
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            rec["pass"] = True
+            rec["err"] = "rows-only (no oracle)"
             continue
         try:
             odf = con.sql(oracles[name]).df()
+            rec["oracle_rows"] = len(odf)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {ex}")
+            rec["err"] = f"oracle error: {ex}"[:500]
             failures += 1
             continue
         issues = compare(sdf, odf)
         if issues:
             failures += 1
+            rec["err"] = "; ".join(issues)[:500]
             print(f"FAIL  {name}: {'; '.join(issues)}")
         else:
+            rec["pass"] = True
             print(f"ok    {name}: {len(sdf)} rows")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": report}, fh, indent=1)
+        print(f"wrote {json_path}")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
