@@ -4,15 +4,19 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 Decode status (this environment ships no media libraries; everything below
 is dependency-free stdlib/numpy over public file-format layouts):
 * images — REAL header decode for PNG / JPEG / GIF / BMP
-  (``parse_image_header``: width, height, channels, format). Pixel-level
-  stats (mean_luma, phash) need a full raster decode of compressed
-  formats, so they are null on the real path and only the deterministic
-  ``fake=True`` plumbing decoder fills them.
+  (``parse_image_header``: width, height, channels, format), plus REAL
+  raster decode + nearest-neighbor resize + pixel stats (mean_luma,
+  average-hash) for UNCOMPRESSED BMP (``decode_bmp`` / ``encode_bmp`` /
+  ``resize_nearest`` — pure numpy). Compressed rasters (PNG/JPEG/GIF)
+  still yield null pixel stats: their decode genuinely needs a codec
+  library.
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
   numpy.
-* video — still stubbed behind ``fake=True`` (container demux genuinely
-  needs codec libraries); the fan-out plumbing is real and tested.
+* video — REAL ISO BMFF (MP4/MOV) container probe (``parse_mp4``): movie
+  duration (mvhd), video track dimensions (tkhd), and per-frame
+  timestamps from the mdhd/stts sample table; frame PIXEL decode stays
+  stubbed (codec needed).
 
 Scale notes:
 * media bytes dominate row size → repartition so batches stay within
@@ -47,7 +51,9 @@ IMAGE_FEATURES_SCHEMA = (
     " mean_luma double, phash bigint"
 )
 
-FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary"
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts_s double, frame_payload binary"
+)
 
 
 # ------------------------------------------------ real header decoders --
@@ -138,6 +144,167 @@ def parse_wav(data: bytes) -> dict | None:
     return None
 
 
+def decode_bmp(data: bytes):
+    """Full raster decode of an UNCOMPRESSED (BI_RGB) BMP → HxWxC uint8
+    numpy array (top-down row order, channels RGB or grayscale). Returns
+    None for non-BMP or compressed payloads. Public BITMAPFILEHEADER /
+    BITMAPINFOHEADER layout; pure numpy."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — not worth supporting
+        return None
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp, compression = struct.unpack_from("<HI", data, 28)
+    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * (bpp // 8) + 3) & ~3  # rows pad to 4-byte boundary
+    need = pix_off + row_bytes * h
+    if len(data) < need:
+        return None
+    raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
+    raster = raster.reshape(h, row_bytes)[:, : w * (bpp // 8)]
+    if bpp == 8:
+        arr = raster.reshape(h, w, 1)
+    else:
+        arr = raster.reshape(h, w, bpp // 8)[:, :, 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr)
+
+
+def encode_bmp(arr) -> bytes:
+    """HxWx{1,3} uint8 array → 24-bit uncompressed BMP bytes (the inverse
+    of :func:`decode_bmp`; decode(encode(a)) round-trips exactly)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c == 1:
+        a = np.repeat(a, 3, axis=2)
+    bgr = a[:, :, 2::-1][::-1]  # RGB -> BGR, bottom-up rows
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + pix
+
+
+def resize_nearest(arr, target_width: int, target_height: int):
+    """Nearest-neighbor resample (pixel-center mapping, the standard
+    src = floor((dst + 0.5) * scale) rule) — pure numpy fancy indexing."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = np.minimum(((np.arange(target_height) + 0.5) * h / target_height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(target_width) + 0.5) * w / target_width).astype(np.int64), w - 1)
+    return arr[ys][:, xs]
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a box path (e.g. [b'moov', b'trak']) yielding matching body
+    ranges; intermediate containers are plain (headerless) box lists."""
+    if not path:
+        yield start, end
+        return
+    for btype, b0, b1 in _mp4_boxes(data, start, end):
+        if btype == path[0]:
+            yield from _mp4_find(data, b0, b1, path[1:])
+
+
+def parse_mp4(data: bytes) -> dict | None:
+    """ISO BMFF (MP4/MOV) container probe — public ISO/IEC 14496-12 layout,
+    no codec dependency. Returns movie duration (``mvhd``), the first video
+    track's pixel dimensions (``tkhd`` 16.16 fixed point), and REAL
+    per-sample timestamps derived from the sample table (``mdhd`` media
+    timescale + ``stts`` time-to-sample deltas). None for non-BMFF
+    payloads. Frame PIXEL decode stays out of scope (needs a codec)."""
+    if len(data) < 16:
+        return None
+    types = {t for t, _, _ in _mp4_boxes(data, 0, len(data))}
+    if not types or not ({b"ftyp", b"moov", b"mdat"} & types):
+        return None
+    out: dict = {"format": "mp4", "duration_s": None, "width": None,
+                 "height": None, "n_samples": 0, "sample_ts_s": []}
+    for m0, m1 in _mp4_find(data, 0, len(data), [b"moov"]):
+        for btype, b0, b1 in _mp4_boxes(data, m0, m1):
+            if btype == b"mvhd" and b1 - b0 >= 20:
+                version = data[b0]
+                if version == 1:
+                    timescale, duration = struct.unpack_from(">IQ", data, b0 + 20)
+                else:
+                    timescale, duration = struct.unpack_from(">II", data, b0 + 12)
+                if timescale:
+                    out["duration_s"] = duration / timescale
+        for t0, t1 in _mp4_find(data, m0, m1, [b"trak"]):
+            width = height = None
+            for btype, b0, b1 in _mp4_boxes(data, t0, t1):
+                if btype == b"tkhd" and b1 - b0 >= 84:
+                    version = data[b0]
+                    off = b0 + (88 if version == 1 else 76)
+                    if off + 8 <= b1:
+                        w_fx, h_fx = struct.unpack_from(">II", data, off)
+                        width, height = w_fx >> 16, h_fx >> 16
+            if not (width and height):
+                continue  # non-video track (audio tkhd has 0x0 dims)
+            if out["width"] is None:
+                out["width"], out["height"] = width, height
+            timescale = None
+            for b0, b1 in _mp4_find(data, t0, t1, [b"mdia"]):
+                for btype, c0, c1 in _mp4_boxes(data, b0, b1):
+                    if btype == b"mdhd" and c1 - c0 >= 20:
+                        version = data[c0]
+                        (timescale,) = struct.unpack_from(
+                            ">I", data, c0 + (20 if version == 1 else 12)
+                        )
+            for s0, s1 in _mp4_find(data, t0, t1, [b"mdia", b"minf", b"stbl", b"stts"]):
+                (n_entries,) = struct.unpack_from(">I", data, s0 + 4)
+                ts, t_acc = [], 0
+                pos = s0 + 8
+                for _ in range(n_entries):
+                    if pos + 8 > s1:
+                        break
+                    count, delta = struct.unpack_from(">II", data, pos)
+                    for _ in range(count):
+                        ts.append(t_acc / timescale if timescale else float(t_acc))
+                        t_acc += delta
+                    pos += 8
+                if ts and not out["sample_ts_s"]:
+                    out["sample_ts_s"] = ts
+                    out["n_samples"] = len(ts)
+    return out
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a real image decode: derives pseudo pixel
     stats from a digest of the payload. Keeps plumbing testable without
@@ -151,21 +318,47 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _real_decode(payload: bytes) -> dict:
+    """Header decode for any recognized format; full pixel stats
+    (mean_luma + 64-bit average-hash) when the raster is decodable
+    (uncompressed BMP)."""
+    import numpy as np
+
+    feats = parse_image_header(payload) or {}
+    if feats.get("format") == "bmp":
+        arr = decode_bmp(payload)
+        if arr is not None:
+            luma = (
+                arr.astype(np.float64) @ [0.299, 0.587, 0.114]
+                if arr.shape[2] == 3
+                else arr[:, :, 0].astype(np.float64)
+            )
+            feats["mean_luma"] = float(luma.mean()) / 255.0
+            # aHash: 8x8 nearest-neighbor thumbnail, 1 bit per cell vs mean
+            thumb = resize_nearest(luma, 8, 8)
+            bits = (thumb > thumb.mean()).flatten()
+            val = 0
+            for b in bits:
+                val = (val << 1) | int(b)
+            feats["phash"] = val - (1 << 64) if val >= 1 << 63 else val
+    return feats
+
+
 def decode_image_batch(batch: pd.DataFrame, fake: bool = False) -> pd.DataFrame:
     """Real path: header decode (PNG/JPEG/GIF/BMP) — width/height/aspect
-    from actual bytes; pixel stats (mean_luma, phash) stay null (raster
-    decode of compressed formats needs a codec library). Unrecognized
-    payloads yield null dimensions rather than dropping the row, so the
-    output stays 1:1 with input and the caller can audit decode coverage.
-    ``fake=True`` keeps the deterministic plumbing decoder that also fills
-    the pixel stats."""
+    from actual bytes; pixel stats (mean_luma, phash) are REAL for
+    uncompressed BMP (full raster decode) and null for compressed formats
+    (codec library needed). Unrecognized payloads yield null dimensions
+    rather than dropping the row, so the output stays 1:1 with input and
+    the caller can audit decode coverage. ``fake=True`` keeps the
+    deterministic plumbing decoder that always fills the pixel stats."""
     if fake:
         feats = batch["payload"].map(
             lambda p: _fake_decode(bytes(p) if p is not None else b"")
         )
     else:
         feats = batch["payload"].map(
-            lambda p: parse_image_header(bytes(p) if p is not None else b"") or {}
+            lambda p: _real_decode(bytes(p) if p is not None else b"")
         )
     out = pd.DataFrame(
         {
@@ -222,25 +415,39 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame index.
 
-    Frame decode is stubbed like image decode; the fan-out shape (1 row in,
-    k rows out via mapInPandas) is the real, tested plumbing.
+    Real path: ISO BMFF (MP4) container probe (:func:`parse_mp4`) — frame
+    indices and REAL timestamps from the mdhd/stts sample table; the pixel
+    payload stays null (raster decode needs a codec library; the container
+    layout is public). Non-BMFF payloads raise NotImplementedError naming
+    the limitation. ``fake=True`` keeps the digest-derived plumbing decoder
+    (payload-length frame counts, synthetic frame bytes).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
             for _, r in batch.iterrows():
-                if not fake:
-                    raise NotImplementedError(
-                        "real video decoding unavailable; pass fake=True"
-                    )
                 payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                n_frames = 1 + (len(payload) % 50)
-                for idx in range(0, n_frames, every_n):
-                    digest = hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
-                    rows.append((r["doc_id"], idx, digest))
+                if fake:
+                    n_frames = 1 + (len(payload) % 50)
+                    for idx in range(0, n_frames, every_n):
+                        digest = hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+                        rows.append((r["doc_id"], idx, float(idx), digest))
+                    continue
+                probe = parse_mp4(payload)
+                if probe is None:
+                    raise NotImplementedError(
+                        "real frame sampling covers ISO BMFF (MP4/MOV) containers"
+                        " only; this payload is not BMFF — pass fake=True for the"
+                        " plumbing decoder"
+                    )
+                ts = probe["sample_ts_s"]
+                for idx in range(0, len(ts), every_n):
+                    rows.append((r["doc_id"], idx, ts[idx], None))
             if rows:
-                yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_payload"])
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "frame_idx", "frame_ts_s", "frame_payload"]
+                )
 
     return (
         _maybe_parallel(
@@ -267,9 +474,12 @@ def resize_images(
 ) -> DataFrame:
     """Batch image resize → (doc_id, payload, width, height).
 
-    Real resize needs PIL/cv2 (absent here); the fake path re-digests the
-    payload to a deterministic pseudo-resized blob so the Arrow batch
-    shapes, output schema, and binary-column round-trip are fully tested.
+    Real path: uncompressed BMP rasters are decoded (:func:`decode_bmp`),
+    nearest-neighbor resampled with numpy (:func:`resize_nearest`), and
+    re-encoded as 24-bit BMP — fully dependency-free. Compressed codecs
+    (PNG/JPEG/GIF) still raise NotImplementedError: the raster decode
+    genuinely needs a codec library. The fake path re-digests the payload
+    to a deterministic pseudo-resized blob for synthetic corpora.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,15 +487,28 @@ def resize_images(
             if not len(batch):
                 continue
             if not fake:
-                raise NotImplementedError(
-                    "real image resizing requires PIL/cv2; pass fake=True"
+                payloads = []
+                for p in batch["payload"]:
+                    raw = bytes(p) if p is not None else b""
+                    arr = decode_bmp(raw)
+                    if arr is None:
+                        hdr = parse_image_header(raw)
+                        fmt = hdr["format"] if hdr else "unrecognized"
+                        raise NotImplementedError(
+                            f"real resize covers uncompressed BMP only; {fmt}"
+                            " raster decode needs a codec library — pass"
+                            " fake=True for the plumbing decoder"
+                        )
+                    payloads.append(
+                        encode_bmp(resize_nearest(arr, target_width, target_height))
+                    )
+            else:
+                payloads = batch["payload"].map(
+                    lambda p: hashlib.sha256(
+                        (bytes(p) if p is not None else b"")
+                        + f"{target_width}x{target_height}".encode()
+                    ).digest()
                 )
-            payloads = batch["payload"].map(
-                lambda p: hashlib.sha256(
-                    (bytes(p) if p is not None else b"")
-                    + f"{target_width}x{target_height}".encode()
-                ).digest()
-            )
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],

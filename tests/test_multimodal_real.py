@@ -1,0 +1,169 @@
+"""Real-decoder tests for the last two multimodal paths: uncompressed-BMP
+raster decode/resize and the ISO BMFF (MP4) container probe. Fixtures are
+written in-test from the public format layouts — no media libraries."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hfsa_spark.operators.multimodal import (
+    decode_bmp,
+    decode_image_batch,
+    encode_bmp,
+    parse_mp4,
+    resize_images,
+    resize_nearest,
+    sample_frames,
+)
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256], axis=2)
+    return arr.astype(np.uint8)
+
+
+# ------------------------------------------------------------------- BMP --
+
+
+def test_bmp_round_trip():
+    arr = _gradient(13, 10)  # odd width exercises the 4-byte row padding
+    data = encode_bmp(arr)
+    back = decode_bmp(data)
+    assert back is not None and np.array_equal(back, arr)
+
+
+def test_bmp_decode_rejects_compressed_and_foreign():
+    assert decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60) is None
+    # BI_RLE8-compressed BMP (compression=1) must be refused
+    arr = _gradient(4, 4)
+    data = bytearray(encode_bmp(arr))
+    struct.pack_into("<I", data, 30, 1)
+    assert decode_bmp(bytes(data)) is None
+
+
+def test_resize_nearest_semantics():
+    arr = _gradient(100, 60)
+    out = resize_nearest(arr, 30, 50)
+    assert out.shape == (50, 30, 3)
+    # pixel-center mapping: dst (0,0) samples src (floor(0.5*2), floor(0.5*2))
+    assert np.array_equal(out[0, 0], arr[1, 1])
+    # 2x downscale picks every odd source pixel
+    half = resize_nearest(arr, 30, 50)
+    assert np.array_equal(half, arr[1::2, 1::2])
+
+
+def test_resize_images_real_bmp(spark):
+    arr = _gradient(64, 48)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(arr)))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    rows = resize_images(media, 16, 16).collect()
+    assert len(rows) == 1 and rows[0]["width"] == 16
+    resized = decode_bmp(bytes(rows[0]["payload"]))
+    assert np.array_equal(resized, resize_nearest(arr, 16, 16))
+
+
+def test_resize_images_compressed_raises(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(
+        ">IIBBBBB", 8, 8, 8, 2, 0, 0, 0
+    ) + b"\x00" * 20
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="codec"):
+        resize_images(media, 16, 16).collect()
+
+
+def test_decode_image_batch_real_bmp_pixel_stats():
+    import pandas as pd
+
+    arr = _gradient(32, 32)
+    batch = pd.DataFrame({"doc_id": [1], "payload": [encode_bmp(arr)]})
+    out = decode_image_batch(batch)
+    luma = arr.astype(np.float64) @ [0.299, 0.587, 0.114]
+    assert out.loc[0, "width"] == 32
+    assert abs(out.loc[0, "mean_luma"] - luma.mean() / 255.0) < 1e-12
+    assert out.loc[0, "phash"] is not None  # real aHash, not a digest
+
+
+# ------------------------------------------------------------------- MP4 --
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_skeleton(
+    timescale=1000, duration=4000, width=640, height=360,
+    media_timescale=30, stts=((90, 1), (30, 2)),
+) -> bytes:
+    """Minimal ISO BMFF file: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd,
+    minf(stbl(stts))))) + mdat — public ISO/IEC 14496-12 box layout."""
+    mvhd = bytes(4) + struct.pack(">III", 0, 0, timescale) + struct.pack(
+        ">I", duration
+    ) + bytes(80)
+    tkhd = bytes(4) + bytes(72) + struct.pack(">II", width << 16, height << 16)
+    mdhd = bytes(4) + struct.pack(">III", 0, 0, media_timescale) + bytes(8)
+    stts_body = bytes(4) + struct.pack(">I", len(stts)) + b"".join(
+        struct.pack(">II", c, d) for c, d in stts
+    )
+    stbl = _box(b"stts", stts_body)
+    minf = _box(b"stbl", stbl)
+    mdia = _box(b"mdhd", mdhd) + _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", trak)
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(b"moov", moov)
+        + _box(b"mdat", b"\x00" * 32)
+    )
+
+
+def test_parse_mp4_skeleton():
+    info = parse_mp4(_mp4_skeleton())
+    assert info is not None
+    assert info["duration_s"] == 4.0
+    assert (info["width"], info["height"]) == (640, 360)
+    assert info["n_samples"] == 120
+    # stts: 90 samples at delta 1, then 30 at delta 2 (media timescale 30)
+    assert info["sample_ts_s"][0] == 0.0
+    assert info["sample_ts_s"][1] == pytest.approx(1 / 30)
+    assert info["sample_ts_s"][90] == pytest.approx(3.0)
+    assert info["sample_ts_s"][91] == pytest.approx(3.0 + 2 / 30)
+
+
+def test_parse_mp4_rejects_non_bmff():
+    assert parse_mp4(b"not a video at all, just bytes" * 4) is None
+    assert parse_mp4(b"") is None
+
+
+def test_sample_frames_real_mp4(spark):
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(_mp4_skeleton()))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    rows = (
+        sample_frames(media, every_n=30)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 30, 60, 90]
+    assert rows[1]["frame_ts_s"] == pytest.approx(1.0)
+    assert rows[3]["frame_ts_s"] == pytest.approx(3.0)
+    assert all(r["frame_payload"] is None for r in rows)
+
+
+def test_sample_frames_non_bmff_raises(spark):
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(b"garbage bytes, no boxes here"))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="BMFF|fake=True"):
+        sample_frames(media, every_n=10).collect()
