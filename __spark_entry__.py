@@ -1455,6 +1455,65 @@ def q83_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raster decode in the gate: solid-color 16x16 BMPs are built
+    executor-side from doc_id (synthesize_bmp_table), then the real image
+    path decodes the actual bytes — header dims + pixel mean-luma. The
+    oracle computes the closed form: mean_luma*255000 = 299r+587g+114b
+    exactly (constant raster, power-of-two pixel count → float mean is
+    exact; floor(x+0.5) sits 0.5 from any boundary, so engine ulps are
+    irrelevant)."""
+    from hfsa_spark.operators.multimodal import extract_image_features, synthesize_bmp_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_bmp_table(d, width=16, height=16, max_docs=200)
+    feats = extract_image_features(media)  # real path: decode_bmp raster
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 255000 + F.lit(0.5)).cast("long").alias("luma_milli"),
+    ).orderBy("doc_id")
+
+
+def q85_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container probe in the gate: MP4 skeletons with
+    doc_id-derived sample tables (synthesize_video_table), every-20th
+    frame sampled via the real ISO-BMFF path — indices + stts-derived
+    timestamps. Media timescales all divide 1e6, so frame_ts*1e6 is an
+    exact integer on both engines."""
+    from hfsa_spark.operators.multimodal import sample_frames, synthesize_video_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_video_table(d, max_docs=100)
+    frames = sample_frames(media, every_n=20)  # real path: parse_mp4
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.floor(F.col("frame_ts_s") * 1000000 + F.lit(0.5)).cast("long").alias("ts_us"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: src0's digests act as the already-
+    accepted corpus index; the src1-4 batch is cleaned against it and
+    within itself; per-lang survivor counts. The standard per-crawl-drop
+    cleaning step of a continuously-ingesting 100 TB pipeline."""
+    from hfsa_spark.operators.dedup import exact_dedup_groups, incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    index = exact_dedup_groups(
+        d.filter(F.col("source") == "src0"), "doc_id", "text"
+    ).select("digest")
+    batch = d.filter(F.col("source") != "src0")
+    kept = incremental_dedup(batch, index, "doc_id", "text")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1540,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_snapshot_delta": q81_snapshot_delta,
         "q82_zvalue_order": q82_zvalue_order,
         "q83_zorder_audit": q83_zorder_audit,
+        "q84_bmp_decode": q84_bmp_decode,
+        "q85_frame_sampling": q85_frame_sampling,
+        "q86_incremental_dedup": q86_incremental_dedup,
     }
 
 
@@ -2752,6 +2814,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT 8::BIGINT AS n_files, COUNT(*)::BIGINT AS n_rows,
                TRUE AS envelopes_disjoint
         FROM orders
+    """
+
+    # q84: Spark decodes REAL solid-color BMP bytes; the oracle computes
+    # the closed form of the synthesized color (r,g,b = 3·id,5·id,7·id
+    # mod 256): mean_luma·255000 = 299r + 587g + 114b
+    o["q84_bmp_decode"] = """
+        SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
+               (299 * ((3 * doc_id) % 256) + 587 * ((5 * doc_id) % 256)
+                + 114 * ((7 * doc_id) % 256))::BIGINT AS luma_milli
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """
+
+    # q85: Spark probes REAL MP4 sample tables; the oracle re-derives the
+    # synthesized stts parameters (n = 30+id%60 frames of delta 1+id%3 at
+    # timescale [10,20,25,40,50][id%5]; every 20th frame sampled)
+    o["q85_frame_sampling"] = """
+        WITH params AS (
+            SELECT doc_id,
+                   30 + doc_id % 60 AS n_samples,
+                   1 + doc_id % 3 AS delta,
+                   list_extract([10, 20, 25, 40, 50], (doc_id % 5)::INTEGER + 1) AS tscale
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id, idx::INTEGER AS frame_idx,
+               ((idx * delta * 1000000) // tscale)::BIGINT AS ts_us
+        FROM params,
+             LATERAL (SELECT unnest(generate_series(0, n_samples - 1, 20)) AS idx) s
+        ORDER BY doc_id, frame_idx
+    """
+
+    o["q86_incremental_dedup"] = f"""
+        WITH idx AS (
+            SELECT DISTINCT md5({_NORM}) AS digest
+            FROM documents WHERE source = 'src0'
+        ),
+        batch AS (
+            SELECT doc_id, lang, n_chars, md5({_NORM}) AS digest
+            FROM documents WHERE source <> 'src0'
+        ),
+        fresh AS (
+            SELECT * FROM batch WHERE digest NOT IN (SELECT digest FROM idx)
+        ),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY digest)
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS sum_chars
+        FROM fresh WHERE doc_id IN (SELECT doc_id FROM keep)
+        GROUP BY lang ORDER BY lang
     """
 
     return o

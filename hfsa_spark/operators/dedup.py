@@ -62,6 +62,42 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_digest_col: str = "digest",
+) -> DataFrame:
+    """Dedupe a NEW document batch against an existing corpus digest index
+    (the incremental-ingestion step: each crawl drop is cleaned against
+    everything already accepted), then exact-dedupe within the batch.
+
+    ``index_df`` carries one ``index_digest_col`` (md5 of normalized text)
+    per already-ingested document — the persisted output of
+    :func:`exact_dedup_groups` from prior batches.
+
+    Scale: the index side is projected to the single digest column before
+    the anti join (column pruning keeps a billions-row index cheap to
+    shuffle), and the join key is the digest itself, so both sides
+    hash-partition on it — at 100 TB this is one co-partitioned shuffle,
+    no broadcast needed. The in-batch dedup reuses the batch digest, so
+    the batch text is hashed exactly once.
+    """
+    hashed = new_df.withColumn("__digest", F.md5(normalize_text(text_col)))
+    fresh = hashed.join(
+        index_df.select(F.col(index_digest_col).alias("__digest")),
+        "__digest",
+        "left_anti",
+    )
+    keep = (
+        fresh.groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return fresh.join(keep, id_col, "left_semi").drop("__digest")
+
+
 # -------------------------------------------------------------- shingles --
 
 

@@ -581,6 +581,115 @@ def extract_audio_features(
     )
 
 
+def build_mp4_skeleton(
+    timescale: int = 1000,
+    duration: int = 4000,
+    width: int = 640,
+    height: int = 360,
+    media_timescale: int = 30,
+    stts: tuple = ((90, 1),),
+) -> bytes:
+    """Minimal valid ISO BMFF file: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, minf(stbl(stts))))) + mdat. Public ISO/IEC 14496-12 box
+    layout; the exact inverse surface of :func:`parse_mp4`. Used to
+    synthesize video corpora for tests and gate queries."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = bytes(4) + struct.pack(">III", 0, 0, timescale) + struct.pack(
+        ">I", duration
+    ) + bytes(80)
+    tkhd = bytes(4) + bytes(72) + struct.pack(">II", width << 16, height << 16)
+    mdhd = bytes(4) + struct.pack(">III", 0, 0, media_timescale) + bytes(8)
+    stts_body = bytes(4) + struct.pack(">I", len(stts)) + b"".join(
+        struct.pack(">II", c, d) for c, d in stts
+    )
+    mdia = box(b"mdhd", mdhd) + box(b"minf", box(b"stbl", box(b"stts", stts_body)))
+    moov = box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", mdia))
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", moov)
+        + box(b"mdat", b"\x00" * 16)
+    )
+
+
+def synthesize_bmp_table(
+    documents: DataFrame, width: int = 16, height: int = 16, max_docs: int | None = None
+) -> DataFrame:
+    """Media table of REAL solid-color BMP payloads, color a pure function
+    of doc_id (r,g,b = 3·id, 5·id, 7·id mod 256) — every pixel-level
+    feature downstream has a closed form an external oracle can verify.
+    Payload bytes are built executor-side (Arrow mapInPandas)."""
+    import numpy as np
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = [
+                encode_bmp(
+                    np.full(
+                        (height, width, 3),
+                        [(3 * i) % 256, (5 * i) % 256, (7 * i) % 256],
+                        dtype=np.uint8,
+                    )
+                )
+                for i in batch["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def synthesize_video_table(documents: DataFrame, max_docs: int | None = None) -> DataFrame:
+    """Media table of REAL MP4 skeleton payloads with doc_id-derived
+    parameters (timescale ∈ divisors of 1e6 so frame timestamps are exact
+    µs; sample count / delta / dimensions pure functions of doc_id)."""
+    timescales = [10, 20, 25, 40, 50]  # all divide 1e6 → exact-µs frame ts
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                ts = timescales[i % 5]
+                payloads.append(
+                    build_mp4_skeleton(
+                        timescale=1000,
+                        duration=1000 * (1 + i % 7),
+                        width=int(64 * (1 + i % 4)),
+                        height=int(48 * (1 + i % 3)),
+                        media_timescale=ts,
+                        stts=((30 + i % 60, 1 + i % 3),),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
 def synthesize_media_table(documents: DataFrame, media_type: str = "image") -> DataFrame:
     """Build a media table from the documents fixture: payload = text bytes
     (opaque, deterministic), metadata typed. Lets every multimodal operator

@@ -115,3 +115,38 @@ def test_star_empty_pairs_and_isolated_nodes(spark):
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     star_df, _ = connected_components_star(nodes, pairs)
     assert {r["id"]: r["group_id"] for r in star_df.collect()} == {1: 1, 2: 2, 3: 3}
+
+
+def test_incremental_dedup(spark):
+    from hfsa_spark.operators.dedup import exact_dedup_groups, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "old news text")], "doc_id bigint, text string"
+    )
+    index = exact_dedup_groups(corpus, "doc_id", "text").select("digest")
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  cat sat"),      # dup of indexed doc 1 (normalization) -> dropped
+            (11, "fresh doc alpha"),   # new -> kept
+            (12, "fresh doc alpha"),   # in-batch dup of 11 -> dropped
+            (13, "fresh doc beta"),    # new -> kept
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, index, "doc_id", "text").collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_empty_index(spark):
+    from hfsa_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, text string"
+    )
+    index = spark.createDataFrame([], "digest string")
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, index, "doc_id", "text").collect()
+    )
+    assert kept == [1, 3]
