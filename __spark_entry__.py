@@ -1514,6 +1514,16 @@ def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring: per-doc token count + summed
+    micro-nat log-probs under the corpus distribution (integer-exact; the
+    per-term transcendental is rounded once, then only integers flow)."""
+    from hfsa_spark.operators.text import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1602,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_bmp_decode": q84_bmp_decode,
         "q85_frame_sampling": q85_frame_sampling,
         "q86_incremental_dedup": q86_incremental_dedup,
+        "q87_unigram_logprob": q87_unigram_logprob,
     }
 
 
@@ -2861,6 +2872,22 @@ def oracle_sql() -> dict[str, str]:
                SUM(n_chars)::BIGINT AS sum_chars
         FROM fresh WHERE doc_id IN (SELECT doc_id FROM keep)
         GROUP BY lang ORDER BY lang
+    """
+
+    # q87: transcendental taken once per distinct term, rounded to integer
+    # micro-nats (round() is half-away-from-zero on both engines), then
+    # only integer sums flow — order-proof and engine-exact
+    o["q87_unigram_logprob"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        total AS (SELECT SUM(cnt)::DOUBLE AS n FROM counts),
+        lp AS (SELECT term,
+                      round(ln(cnt::DOUBLE / n) * 1e6)::BIGINT AS logp_micro
+               FROM counts, total)
+        SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+               SUM(lp.logp_micro)::BIGINT AS sum_logp_micro
+        FROM tok t JOIN lp USING (term)
+        GROUP BY t.doc_id ORDER BY t.doc_id
     """
 
     return o

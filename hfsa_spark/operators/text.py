@@ -413,6 +413,49 @@ def chunk_documents(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy: per-doc sum/mean token
+    log-probability under the corpus's own unigram distribution. Low mean
+    log-prob = rare-token-heavy (gibberish, codes, boilerplate lists) —
+    the cheap stand-in for KenLM perplexity filtering.
+
+    Output: (id, n_tokens, sum_logp_micro) where ``sum_logp_micro`` is the
+    per-doc sum of per-TERM micro-nats, ``round(ln(cnt/N)·1e6)`` — the
+    transcendental is taken ONCE per distinct term and immediately rounded
+    to an integer, so the per-doc aggregation is an integer sum: exact
+    under any partitioning/addition order and bit-identical across
+    engines (mean = sum_logp_micro / n_tokens / 1e6 is re-derivable).
+
+    Scale: corpus counts are a map-combinable explode+groupBy (one row per
+    distinct term per partition crosses the shuffle); the token⋈count join
+    keys on the term — frequent-term skew is exactly what AQE skew-join
+    splits; nothing driver-side.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    tok = parallelize_compute(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("__n"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("__n")) * 1e6)
+        .cast("long")
+        .alias("logp_micro"),
+    )
+    return (
+        tok.join(logp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+    )
+
+
 def vocab_top_terms(
     df: DataFrame, text_col: str = "text", min_count: int = 10, k: int = 100
 ) -> DataFrame:

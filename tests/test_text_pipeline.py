@@ -183,3 +183,21 @@ def test_vocab_top_terms_k_limit_tie_break(spark):
     got = vocab_top_terms(df, "text", min_count=1, k=3).collect()
     # equal counts → term-ascending tie-break decides the cut
     assert [r["term"] for r in got] == ["w", "x", "y"]
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from hfsa_spark.operators.text import unigram_logprob_score
+
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_score(d).collect()}
+    # corpus: a=2, b=2, c=1, N=5
+    lp_ab = round(math.log(2 / 5) * 1e6)  # -916291
+    lp_c = round(math.log(1 / 5) * 1e6)  # -1609438
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["sum_logp_micro"] == 3 * lp_ab
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["sum_logp_micro"] == lp_ab + lp_c
