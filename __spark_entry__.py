@@ -1207,18 +1207,15 @@ def q70_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q71_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8-style scalar quantization (float32 → 0..255 codes):
     exploded to (vec_id, dim, code) rows; codes are exact integers from
-    an identical per-element IEEE expression tree on both engines."""
-    from hfsa_spark.operators.similarity import quantize_embeddings
+    an identical per-element IEEE expression tree on both engines.
+    Long-format variant: explode-then-scalar keeps codegen (see
+    quantize_embeddings_long docstring for the Generate-filter trap)."""
+    from hfsa_spark.operators.similarity import quantize_embeddings_long
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    q = quantize_embeddings(emb, levels=256)
     return (
-        q.select("vec_id", F.posexplode("qvec").alias("pos", "code"))
-        .select(
-            "vec_id",
-            (F.col("pos") + 1).cast("int").alias("dim"),
-            F.col("code").cast("int").alias("code"),
-        )
+        quantize_embeddings_long(emb, levels=256)
+        .select("vec_id", "dim", "code")
         .orderBy("vec_id", "dim")
     )
 

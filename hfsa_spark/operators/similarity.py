@@ -126,6 +126,46 @@ def quantize_embeddings(
     return base.select(F.col(id_col), codes.alias("qvec"), "q_lo", "q_hi")
 
 
+def quantize_embeddings_long(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Exploded (long-format) twin of :func:`quantize_embeddings`:
+    (id, dim, code, q_lo, q_hi), one row per vector element.
+
+    NOT expressed as explode(quantize_embeddings(...)): a Generate over a
+    higher-order-function column triggers InferFiltersFromGenerate, which
+    inlines the interpreted transform lambda — including the per-element
+    array_min/array_max folds, O(dim²)/row — into the scan filter
+    (measured 4.6× slower). Exploding the RAW array first keeps the
+    generator filter a cheap size()/isnotnull and the per-element code a
+    scalar whole-stage-codegen expression.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.array_min(vec_col).cast("double").alias("q_lo"),
+        F.array_max(vec_col).cast("double").alias("q_hi"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    )
+    scale = F.col("q_hi") - F.col("q_lo")
+    code = F.when(scale == 0.0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("__x").cast("double") - F.col("q_lo")) / scale
+            * F.lit(float(levels - 1))
+            + 0.5
+        ).cast("int")
+    )
+    return base.select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        code.alias("code"),
+        "q_lo",
+        "q_hi",
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -105,3 +105,23 @@ def test_kmeans_iterate_refines(spark, emb, centroids):
     rows = refined.collect()
     assert len(rows) <= centroids.count()  # empty lists may drop
     assert all(len(r["vec"]) == 64 for r in rows)
+
+
+def test_quantize_long_matches_array_variant(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_embeddings_long,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    wide = (
+        quantize_embeddings(emb, levels=256)
+        .select("vec_id", "q_lo", "q_hi", F.posexplode("qvec").alias("pos", "code"))
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), "code", "q_lo", "q_hi")
+    )
+    long = quantize_embeddings_long(emb, levels=256)
+    a = sorted(map(tuple, wide.collect()))
+    b = sorted(map(tuple, long.collect()))
+    assert a == b and len(a) > 0
