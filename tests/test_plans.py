@@ -128,3 +128,44 @@ def test_generated_namespace_shape(spark):
     by_type = {r["type"]: r["count"] for r in ns.groupBy("type").agg(F.count("*").alias("count")).collect()}
     assert by_type["DIRECTORY"] == 807  # 806 + root
     assert by_type["FILE"] == 209560
+
+
+# ------------------------------------------------- round-3 operator plans --
+
+
+def test_incremental_dedup_anti_join_plan(spark):
+    """The index side must be pruned to the single digest column before the
+    anti join (a billions-row index at 100 TB shuffles one column, not the
+    payload), and the plan must contain no cartesian product."""
+    from hfsa_spark.operators.dedup import exact_dedup_groups, incremental_dedup
+    from hfsa_spark.plans import explain_str, read_schema_columns
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    index = exact_dedup_groups(d, "doc_id", "text").select("digest")
+    kept = incremental_dedup(d, index, "doc_id", "text")
+    plan = explain_str(kept, "formatted")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_unigram_logprob_partial_agg(spark):
+    """Corpus token counts must partially aggregate map-side (one row per
+    distinct term per partition crosses the shuffle, not one per token)."""
+    from hfsa_spark.operators.text import unigram_logprob_score
+    from hfsa_spark.plans import explain_str
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(unigram_logprob_score(d), "formatted")
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_quantize_long_no_interpreted_lambda_in_filter(spark):
+    """The explode-then-scalar shape must not re-inline a transform lambda
+    into the generator filter (the InferFiltersFromGenerate trap — see
+    quantize_embeddings_long docstring)."""
+    from hfsa_spark.operators.similarity import quantize_embeddings_long
+    from hfsa_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = explain_str(quantize_embeddings_long(emb), "formatted")
+    assert "lambdafunction" not in plan
