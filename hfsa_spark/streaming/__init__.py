@@ -12,6 +12,7 @@ from hfsa_spark.streaming.snapshots import (
     sessionize_events,
 )
 from hfsa_spark.streaming.stateful import stateful_sessionize
+from hfsa_spark.streaming.joins import stream_stream_interval_join
 
 __all__ = [
     "read_snapshot_stream",
@@ -19,4 +20,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_events",
     "stateful_sessionize",
+    "stream_stream_interval_join",
 ]
