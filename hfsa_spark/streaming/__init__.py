@@ -13,6 +13,7 @@ from hfsa_spark.streaming.snapshots import (
 )
 from hfsa_spark.streaming.stateful import stateful_sessionize
 from hfsa_spark.streaming.joins import stream_stream_interval_join
+from hfsa_spark.streaming.ingest import ingest_batch, streaming_ingest_dedup
 
 __all__ = [
     "read_snapshot_stream",
@@ -21,4 +22,6 @@ __all__ = [
     "sessionize_events",
     "stateful_sessionize",
     "stream_stream_interval_join",
+    "ingest_batch",
+    "streaming_ingest_dedup",
 ]

@@ -54,3 +54,38 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert 4 in kept and 6 in kept
     assert kept.count(3) == 0 and kept.count(5) == 0
     assert len({r["digest"] for r in rows}) == 4
+
+
+def test_streaming_ingest_dedup_pipeline(spark, tmp_path):
+    """End-to-end continuous ingestion: three micro-batches with duplicates
+    inside a batch, across batches, and against already-ingested docs —
+    the corpus ends with exactly the distinct normalized texts and the
+    digest index matches the corpus 1:1."""
+    from hfsa_spark.streaming.ingest import streaming_ingest_dedup
+
+    base = str(tmp_path / "arrivals")
+    os.makedirs(base)
+    _write_file(spark, base, 0, [(1, "alpha beta"), (2, "ALPHA  beta"), (3, "gamma")])
+    _write_file(spark, base, 1, [(4, "alpha beta"), (5, "delta")])
+    _write_file(spark, base, 2, [(6, "GAMMA"), (7, "epsilon"), (8, "epsilon")])
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    index_path = str(tmp_path / "index")
+    corpus_path = str(tmp_path / "corpus")
+    q = streaming_ingest_dedup(
+        src, index_path, corpus_path, checkpoint_path=str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    corpus = spark.read.parquet(corpus_path)
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+    # batch 0: 1 wins over 2 (normalized dup), 3 kept; batch 1: 4 is a dup
+    # of 1, 5 kept; batch 2: 6 dups 3, 7 wins over 8
+    assert kept == [1, 3, 5, 7]
+    index = spark.read.parquet(index_path)
+    assert index.count() == 4
+    assert index.distinct().count() == 4
