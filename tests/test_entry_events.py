@@ -111,3 +111,15 @@ def test_time_granular_query_both_encodings(spark, us_dir, ns_dir):
     expect = sorted({s // 3600 for s in _EPOCH_S})
     assert buckets(us_dir) == expect
     assert buckets(ns_dir) == expect
+
+
+def test_events_timezone_independent(spark, us_dir):
+    """The driver builds its own session; its timezone must not shift event
+    epochs (the explicit-TIMESTAMP-schema read maps stored micros straight
+    to epoch micros)."""
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert _epochs(spark, us_dir) == _EPOCH_S
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
