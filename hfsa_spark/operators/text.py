@@ -137,33 +137,38 @@ def repetition_profile(
     * ``top_unigram_cnt`` — occurrences of the most frequent token
     * ``n_bigrams`` / ``top_bigram_cnt`` — same at bigram granularity
 
-    Scale: explode → two-level groupBy (map-side partial agg on both
-    levels); shuffle keyed on (id, gram) then id — no skew beyond document
+    Scale: ONE explode over both gram granularities (each gram row tagged
+    with its kind) → two-level groupBy (map-side partial agg on both
+    levels); shuffle keyed on (id, kind, gram) then id — half the shuffle
+    passes of the per-granularity formulation, no skew beyond document
     length, no driver-side loops. Docs with no tokens keep a row (zeros).
     """
     from hfsa_spark.plans import parallelize_compute
 
     base = parallelize_compute(df.select(F.col(id_col), F.col(text_col)))
 
-    def top_counts(gram: Column, prefix: str) -> DataFrame:
-        return (
-            base.select(F.col(id_col), F.explode(gram).alias("gram"))
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy(id_col)
-            .agg(
-                F.sum("cnt").alias(f"n_{prefix}s"),
-                F.count(F.lit(1)).alias(f"n_distinct_{prefix}s"),
-                F.max("cnt").alias(f"top_{prefix}_cnt"),
-            )
+    tagged = F.concat(
+        F.transform(tokens(text_col), lambda t: F.struct(F.lit(0).alias("kind"), t.alias("g"))),
+        F.transform(bigram_array(text_col), lambda b: F.struct(F.lit(1).alias("kind"), b.alias("g"))),
+    )
+    is_uni = F.col("kind") == 0
+    per_doc = (
+        base.select(F.col(id_col), F.explode(tagged).alias("tg"))
+        .select(id_col, F.col("tg.kind").alias("kind"), F.col("tg.g").alias("gram"))
+        .groupBy(id_col, "kind", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(is_uni, F.col("cnt"))).alias("n_unigrams"),
+            F.count(F.when(is_uni, F.lit(1))).alias("n_distinct_unigrams"),
+            F.max(F.when(is_uni, F.col("cnt"))).alias("top_unigram_cnt"),
+            F.sum(F.when(~is_uni, F.col("cnt"))).alias("n_bigrams"),
+            F.max(F.when(~is_uni, F.col("cnt"))).alias("top_bigram_cnt"),
         )
-
-    uni = top_counts(tokens(text_col), "unigram")
-    bi = top_counts(bigram_array(text_col), "bigram").drop("n_distinct_bigrams")
+    )
     return (
         base.select(id_col)
-        .join(uni, id_col, "left")
-        .join(bi, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_unigrams", F.lit(0)).alias("n_tokens"),
