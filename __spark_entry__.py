@@ -1521,6 +1521,19 @@ def q87_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(d).orderBy("doc_id")
 
 
+def q88_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over the corpus token stream.
+    capacity (256) ≥ the testdata vocabulary, so the sketch is provably
+    exact (zero decrement events) and the oracle is the exact top-k —
+    the own-sketch-in-bound pattern of q79/q68 applied to frequencies."""
+    from hfsa_spark.operators.sketches import frequent_items
+    from hfsa_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("term"))
+    return frequent_items(toks, "term", capacity=256, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1610,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_frame_sampling": q85_frame_sampling,
         "q86_incremental_dedup": q86_incremental_dedup,
         "q87_unigram_logprob": q87_unigram_logprob,
+        "q88_frequent_items": q88_frequent_items,
     }
 
 
@@ -2885,6 +2899,15 @@ def oracle_sql() -> dict[str, str]:
                SUM(lp.logp_micro)::BIGINT AS sum_logp_micro
         FROM tok t JOIN lp USING (term)
         GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+
+    # q88: capacity ≥ vocabulary ⇒ zero decrement events ⇒ the MG sketch
+    # is exact and min_count = max_count = the true frequency
+    o["q88_frequent_items"] = f"""
+        WITH tok AS (SELECT unnest({_TOKS}) AS value FROM documents),
+        cnt AS (SELECT value, COUNT(*)::BIGINT AS n FROM tok GROUP BY value)
+        SELECT value, n AS min_count, n AS max_count
+        FROM cnt ORDER BY n DESC, value ASC LIMIT 10
     """
 
     return o

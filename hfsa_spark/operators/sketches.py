@@ -54,6 +54,79 @@ def approx_distinct_report(
     return out
 
 
+def frequent_items(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy hitters via distributed Misra-Gries (space-saving family):
+    each partition keeps a ``capacity``-counter summary, the per-partition
+    summaries merge associatively, and the top ``k`` survivors are
+    reported as (value, min_count, max_count) bounds.
+
+    Guarantees (classic MG): per partition, a counter under-counts its
+    value by at most that partition's decrement-event count; a value
+    missing from a partition's summary occurred there at most that many
+    times. So ``min_count = Σ counters ≤ true ≤ min_count + Σ events =
+    max_count``, and every value with true frequency > Σ events survives
+    somewhere. When ``capacity`` ≥ distinct(value) there are no decrements
+    and the sketch is EXACT — the property the gate oracle pins.
+
+    Scale: the shuffle carries ``capacity`` rows per partition (one MG
+    summary), NOT one row per distinct value — the point of the sketch at
+    100 TB. Per-partition summaries run via ``mapInPandas`` (Arrow, one
+    dict fold per batch); the merge is a plain groupBy on surviving values
+    plus a broadcast global event total.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        events = 0
+        for batch in batches:
+            for v in batch[value_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all event: every counter loses 1, the new
+                    # item's implicit count of 1 is absorbed
+                    events += 1
+                    dead = [u for u, c in counters.items() if c == 1]
+                    for u in dead:
+                        del counters[u]
+                    for u in counters:
+                        counters[u] -= 1
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [0],
+                "events": [0] * len(counters) + [events],
+            }
+        )
+
+    summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
+        mg_partition, schema="value string, cnt long, events long"
+    )
+    event_total = summaries.agg(F.sum("events").alias("__events"))
+    merged = (
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("cnt").alias("min_count"))
+        .crossJoin(F.broadcast(event_total))
+        .select(
+            "value",
+            "min_count",
+            (F.col("min_count") + F.col("__events")).alias("max_count"),
+        )
+    )
+    return merged.orderBy(F.desc("min_count"), F.asc("value")).limit(k)
+
+
 def approx_quantile_report(
     df: DataFrame,
     group_col: str,

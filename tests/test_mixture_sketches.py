@@ -115,3 +115,30 @@ def test_next_token_min_count_prunes(spark):
     out = next_token_stats(df, k=5, min_count=2).collect()
     pairs = {(r["prefix"], r["nxt"]) for r in out}
     assert pairs == {("x", "y"), ("y", "x")}  # x→z (count 1) pruned
+
+
+def test_frequent_items_exact_when_capacity_suffices(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.sketches import frequent_items
+
+    rows = [(v,) for v in ["a"] * 50 + ["b"] * 30 + ["c"] * 5]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    out = frequent_items(df, "v", capacity=16, k=3).collect()
+    got = [(r["value"], r["min_count"], r["max_count"]) for r in out]
+    assert got == [("a", 50, 50), ("b", 30, 30), ("c", 5, 5)]
+
+
+def test_frequent_items_bounds_under_pressure(spark):
+    """capacity=2 with 6 distinct values forces decrements: the heavy
+    hitter must survive and every reported bound must contain the truth."""
+    from hfsa_spark.operators.sketches import frequent_items
+
+    truth = {"hot": 400, "w1": 30, "w2": 30, "w3": 25, "w4": 20, "w5": 15}
+    rows = [(v,) for v, n in truth.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = frequent_items(df, "v", capacity=2, k=6).collect()
+    by_val = {r["value"]: r for r in out}
+    assert "hot" in by_val
+    for r in out:
+        assert r["min_count"] <= truth[r["value"]] <= r["max_count"]
