@@ -1,0 +1,98 @@
+"""Generate PLANS.md: a physical-plan audit of representative gate queries.
+
+For each query: exchange/generate counts, join strategies, pushed filters,
+read schemas (column pruning evidence), and whole-stage-codegen presence —
+the properties tests/test_plans.py asserts, materialized as a reviewable
+artifact. Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from hfsa_spark import get_spark
+
+AUDIT = [
+    ("q01_pricing_summary", "filter pushdown + single-pass multi-aggregate", False),
+    ("q03_join_agg", "large join: broadcast the small side, partial agg", False),
+    ("q16_smallfiles_hotspots", "hfsa report: TakeOrdered top-N, no global sort", False),
+    ("q22_minhash_signatures", "minhash: pure expression pipeline, no UDF", False),
+    ("q38_minhash_lsh_pairs", "LSH: banded equi join, no cross join", False),
+    ("q39_knn_ivf", "IVF: map-only assignment, broadcast probes", False),
+    ("q43_range_join", "interval join via chunk bucketing (equi join)", False),
+    ("q46_repetition_profile", "one tagged explode for both gram levels", False),
+    ("q52_salted_agg", "skew: two-phase salted aggregation", False),
+    ("q71_quantize", "explode-then-scalar: no interpreted lambda in filter", False),
+    ("q86_incremental_dedup", "anti join on pruned single-column index", False),
+    # the last two join a broadcast ONE-ROW global total — that BNLJ is the
+    # intentional scale-safe alternative to an unpartitioned window
+    ("q87_unigram_logprob", "map-side combine on corpus term counts", True),
+    ("q88_frequent_items", "MG sketch: capacity rows/partition cross shuffle", True),
+]
+
+
+def audit_one(spark, name: str, note: str, one_row_bnlj_ok: bool, sf_dir: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    explain = df._sc._jvm.PythonSQLUtils.explainString
+    formatted = explain(qe, "formatted")
+    codegen = explain(qe, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen", codegen)
+    joins = sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    lines = [
+        f"### {name} — {note}",
+        "",
+        f"- exchanges: {plan.count('Exchange')}, generates: {plan.count('Generate')},"
+        f" codegen subtrees: {m.group(1) if m else '?'}",
+        f"- joins: {', '.join(joins) if joins else 'none'}",
+    ]
+    real_pushed = [p for p in pushed if p.strip()]
+    if real_pushed:
+        lines.append(f"- pushed filters: {'; '.join(real_pushed[:3])}")
+    if schemas:
+        cols = [s.count(":") for s in schemas]
+        lines.append(f"- read schemas (cols per scan): {cols}")
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        if one_row_bnlj_ok:
+            lines.append(
+                "- nested-loop join: broadcast ONE-ROW global total"
+                " (intentional; replaces an unpartitioned window)"
+            )
+        else:
+            lines.append("- **WARNING: cartesian/nested-loop join present**")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit")
+    # static audit: AQE wraps everything in AdaptiveSparkPlan whose children
+    # aren't planned until execution, hiding codegen subtrees — disable it
+    # here so the audited shape is the fully planned static tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    out = [
+        "# Physical-plan audit (auto-generated: scripts/plan_audit.py)",
+        "",
+        f"Input: {sf_dir}. Counts come from the ADAPTIVE final plan where",
+        "available; joins listed are the strategies present anywhere in the",
+        "plan. tests/test_plans.py asserts the load-bearing properties;",
+        "this file is the human-readable evidence.",
+        "",
+    ]
+    for name, note, bnlj_ok in AUDIT:
+        out.append(audit_one(spark, name, note, bnlj_ok, sf_dir))
+    with open("PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
