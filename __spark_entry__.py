@@ -1534,6 +1534,43 @@ def q88_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(toks, "term", capacity=256, k=10)
 
 
+def q89_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (M=4 subvectors × K=8 codewords seeded
+    from vec_id<8, q39-style determinism): integer codes per subvector.
+    Both engines fold the squared-distance sum in index order, so the
+    argmin is bit-exact."""
+    from hfsa_spark.operators.similarity import pq_codebooks_from_seeds, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    return (
+        pq_encode(emb, books)
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
+        .select("vec_id", F.col("m").cast("int").alias("m"), F.col("code").cast("int").alias("code"))
+        .orderBy("vec_id", "m")
+    )
+
+
+def q90_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over the PQ codes for 3 queries: per-query M×K lookup
+    table + M table lookups per corpus row. Rank output (dist is
+    re-derivable); the oracle folds the M lookup terms in the same order
+    so distances — and therefore ranks — are bit-identical."""
+    from hfsa_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    codes = pq_encode(emb, books)
+    queries_df = emb.filter(F.col("vec_id").isin(0, 5, 9))
+    return pq_adc_topk(codes, queries_df, books, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1624,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_incremental_dedup": q86_incremental_dedup,
         "q87_unigram_logprob": q87_unigram_logprob,
         "q88_frequent_items": q88_frequent_items,
+        "q89_pq_codes": q89_pq_codes,
+        "q90_pq_adc": q90_pq_adc,
     }
 
 
@@ -2908,6 +2947,55 @@ def oracle_sql() -> dict[str, str]:
         cnt AS (SELECT value, COUNT(*)::BIGINT AS n FROM tok GROUP BY value)
         SELECT value, n AS min_count, n AS max_count
         FROM cnt ORDER BY n DESC, value ASC LIMIT 10
+    """
+
+    # q89/q90: PQ codebooks re-derived from the table (vec_id < 8 slices);
+    # per-term squared distances fold left-to-right on BOTH engines
+    # (Spark aggregate starting at 0.0, DuckDB list_reduce — 0.0+t1 == t1
+    # exactly for squares), so codes and ADC ranks are bit-identical
+    _PQ_D2 = """list_reduce(list_transform(generate_series(1, 16),
+               i -> ({a}.embedding[{m} * 16 + i]::DOUBLE - {b}.embedding[{m} * 16 + i]::DOUBLE)
+                  * ({a}.embedding[{m} * 16 + i]::DOUBLE - {b}.embedding[{m} * 16 + i]::DOUBLE)),
+               (x, y) -> x + y)"""
+    _PQ_BASE = f"""
+        WITH cw AS (SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < 8),
+        ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+        d AS (
+            SELECT corp.vec_id, ms.m, cw.k,
+                   {_PQ_D2.format(a='corp', b='cw', m='ms.m')} AS d2
+            FROM embeddings corp, ms, cw
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS rn
+                FROM d
+            ) WHERE rn = 1
+        )
+    """
+    o["q89_pq_codes"] = _PQ_BASE + """
+        SELECT vec_id, m::INTEGER AS m, code::INTEGER AS code
+        FROM codes ORDER BY vec_id, m
+    """
+    o["q90_pq_adc"] = _PQ_BASE + f""",
+        qd AS (
+            SELECT q.vec_id AS query_id, ms.m, cw.k,
+                   {_PQ_D2.format(a='q', b='cw', m='ms.m')} AS d2
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 5, 9)) q,
+                 ms, cw
+        ),
+        dist AS (
+            SELECT qd.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list(qd.d2 ORDER BY qd.m), (x, y) -> x + y) AS dist
+            FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.code
+            WHERE c.vec_id <> qd.query_id
+            GROUP BY qd.query_id, c.vec_id
+        )
+        SELECT query_id, rank::INTEGER AS rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+            FROM dist
+        ) WHERE rank <= 5 ORDER BY query_id, rank
     """
 
     return o

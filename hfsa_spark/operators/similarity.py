@@ -126,6 +126,123 @@ def quantize_embeddings(
     return base.select(F.col(id_col), codes.alias("qvec"), "q_lo", "q_hi")
 
 
+def _pq_d2_sql(vec_col: str, codeword: list[float], start: int, d0: int) -> str:
+    """Squared L2 distance between slice(vec, start, d0) and a literal
+    codeword, as one SQL expression: index-ordered left-to-right fold, so
+    the double result is bit-identical to any engine that sums the same
+    terms in the same order (the DuckDB oracle does)."""
+    csv = ", ".join(repr(float(v)) for v in codeword)
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {start}, {d0}), array({csv}),"
+        f" (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        f" cast(0.0 as double), (a, v) -> a + v)"
+    )
+
+
+def pq_codebooks_from_seeds(
+    corpus: DataFrame,
+    m: int = 4,
+    num_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subvector m's codewords are the first
+    ``num_codes`` corpus vectors' (id < num_codes) m-th subvector slices —
+    the seed-sampling analog of q39's stride centroids, so every gate
+    oracle can re-derive the codebooks from the table itself. Returns
+    codebooks[m][k] = list of d0 floats. For production recall, train with
+    per-subvector k-means (kmeans_iterate on slices) instead."""
+    rows = (
+        corpus.filter(F.col(id_col) < num_codes)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    d0 = dim // m
+    return [
+        [[float(x) for x in r[vec_col][mm * d0 : (mm + 1) * d0]] for r in rows]
+        for mm in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: the vector is split into M subvectors;
+    each maps to its nearest codeword id (squared L2, ties → smaller id).
+    Output: (id, codes array<int>) — M bytes-ish per vector instead of
+    dim×4, the compression that keeps a 100 TB embedding corpus scannable.
+
+    Map-only (zero shuffles): codebooks are tiny and embedded as literal
+    expressions, the argmin runs per row inside the scan stage — the
+    100 TB side is never shuffled, exactly like the IVF assignment.
+    """
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    code_exprs = []
+    for mm in range(m):
+        structs = ", ".join(
+            f"struct({_pq_d2_sql(vec_col, cw, mm * d0 + 1, d0)} as d2, {k} as k)"
+            for k, cw in enumerate(codebooks[mm])
+        )
+        code_exprs.append(f"array_min(array({structs})).k")
+    codes = "array(" + ", ".join(code_exprs) + ")"
+    return df.select(F.col(id_col), F.expr(codes).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    an M×K lookup table of squared distances to every codeword ONCE, then
+    every corpus vector's approximate distance is M table lookups — no
+    decode, no per-pair vector math.
+
+    Scale: the LUT rides on the broadcast query side; the codes table (the
+    100 TB side) is scanned once with a per-row O(M) lookup sum; the only
+    shuffle is the final per-query top-k, input already reduced to
+    (query_id, neighbor_id, dist). Output: (query_id, rank, neighbor_id),
+    rank by (dist asc, neighbor_id asc).
+    """
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    lut_rows = ", ".join(
+        "array("
+        + ", ".join(_pq_d2_sql(vec_col, cw, mm * d0 + 1, d0) for cw in codebooks[mm])
+        + ")"
+        for mm in range(m)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"array({lut_rows})").alias("__lut"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(codes, __lut, (c, row) -> element_at(row, c + 1)),"
+        " cast(0.0 as double), (a, v) -> a + v)"
+    )
+    scored = (
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def quantize_embeddings_long(
     df: DataFrame,
     id_col: str = "vec_id",

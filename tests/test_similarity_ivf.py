@@ -125,3 +125,81 @@ def test_quantize_long_matches_array_variant(spark):
     a = sorted(map(tuple, wide.collect()))
     b = sorted(map(tuple, long.collect()))
     assert a == b and len(a) > 0
+
+
+def _np_pq(emb_rows, codebooks):
+    """Float64 numpy twin of pq_encode (same index-ordered summation)."""
+    import numpy as np
+
+    m, d0 = len(codebooks), len(codebooks[0][0])
+    out = {}
+    for vid, vec in emb_rows:
+        v = np.asarray(vec, dtype=np.float64)
+        codes = []
+        for mm in range(m):
+            sub = v[mm * d0 : (mm + 1) * d0]
+            d2 = [
+                float(sum((sub[i] - cw[i]) * (sub[i] - cw[i]) for i in range(d0)))
+                for cw in codebooks[mm]
+            ]
+            codes.append(min(range(len(d2)), key=lambda k: (d2[k], k)))
+        out[vid] = codes
+    return out
+
+
+def test_pq_encode_matches_numpy_twin(spark):
+    from hfsa_spark.operators.similarity import pq_codebooks_from_seeds, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb.limit(60), books).collect()}
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.limit(60).collect()]
+    want = _np_pq(rows, books)
+    assert got == want
+    # seed vectors encode to themselves (d2 = 0 against their own slices)
+    for vid in range(8):
+        if vid in got:
+            assert got[vid] == [vid] * 4
+
+
+def test_pq_adc_topk_matches_numpy_twin(spark):
+    import numpy as np
+
+    from hfsa_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id").isin(0, 5))
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_adc_topk(codes, queries, books, k=5).collect()
+    ]
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    np_codes = _np_pq(rows, books)
+    m, d0 = 4, len(books[0][0])
+    want = []
+    for qid in (0, 5):
+        qv = np.asarray(dict(rows)[qid], dtype=np.float64)
+        lut = [
+            [
+                float(sum((qv[mm * d0 + i] - cw[i]) ** 2 for i in range(d0)))
+                for cw in books[mm]
+            ]
+            for mm in range(m)
+        ]
+        dists = [
+            (sum(lut[mm][c[mm]] for mm in range(m)), vid)
+            for vid, c in np_codes.items()
+            if vid != qid
+        ]
+        for rank, (_, vid) in enumerate(sorted(dists), 1):
+            if rank <= 5:
+                want.append((qid, rank, vid))
+    assert sorted(got) == sorted(want)
