@@ -1571,6 +1571,18 @@ def q90_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event stream: users
+    cohorted by first-activity week, distinct active users per (cohort,
+    week offset). Integer-exact."""
+    from hfsa_spark.operators.events import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, period_seconds=7 * 86400).orderBy(
+        "cohort_period", "period_offset"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1663,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_frequent_items": q88_frequent_items,
         "q89_pq_codes": q89_pq_codes,
         "q90_pq_adc": q90_pq_adc,
+        "q91_cohort_retention": q91_cohort_retention,
     }
 
 
@@ -2996,6 +3009,20 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
             FROM dist
         ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    o["q91_cohort_retention"] = """
+        WITH activity AS (
+            SELECT DISTINCT user_id AS u,
+                   floor(epoch(ts) / 604800)::BIGINT AS p
+            FROM events
+        ),
+        first AS (SELECT u, MIN(p) AS cohort FROM activity GROUP BY u)
+        SELECT cohort AS cohort_period, (p - cohort)::BIGINT AS period_offset,
+               COUNT(DISTINCT a.u)::BIGINT AS n_users
+        FROM activity a JOIN first f ON a.u = f.u
+        GROUP BY cohort, p - cohort
+        ORDER BY cohort_period, period_offset
     """
 
     return o

@@ -137,3 +137,36 @@ def resample_ffill(
         .withColumn("filled", F.col("value_obs").isNull())
         .drop("value_obs")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their first-activity period
+    (floor(epoch/period)); each later active period counts toward that
+    cohort's retention at offset = period − cohort_period. Output:
+    (cohort_period, period_offset, n_users) — the classic
+    product-analytics triangle, offset 0 row = cohort size.
+
+    Scale: one (user, period) distinct pass (map-side combinable), one
+    min-per-user aggregation, then a broadcast-friendly join keyed on the
+    user — the per-user first-period table is |users| rows, far smaller
+    than the event stream; the final groupBy is over |users|×|periods|
+    activity rows, not raw events.
+    """
+    period = F.floor(F.col(ts_col).cast("long") / period_seconds).cast("long")
+    activity = events.select(
+        F.col(user_col).alias("__u"), period.alias("__p")
+    ).distinct()
+    first = activity.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        activity.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col("__u")).alias("n_users"))
+    )

@@ -80,3 +80,32 @@ def test_resample_grid_is_per_key_not_global(spark):
                out.groupBy("key").agg(F.count("*").alias("n")).collect()}
     # key 1 spans one bucket, key 2 two buckets — no global-span inflation
     assert per_key == {1: 1, 2: 2}
+
+
+def test_cohort_retention(spark):
+    import datetime as dt
+
+    from hfsa_spark.operators.events import cohort_retention
+
+    base = dt.datetime(2024, 1, 1)  # epoch 1704067200, divisible by 86400
+
+    def t(days):
+        return base + dt.timedelta(days=days)
+
+    rows = [
+        # user 1: first day 0, returns day 1 and day 2
+        (1, t(0)), (1, t(1)), (1, t(2)), (1, t(1)),
+        # user 2: first day 0, returns day 2
+        (2, t(0)), (2, t(2)),
+        # user 3: first day 1 (different cohort), returns day 2
+        (3, t(1)), (3, t(2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {
+        (r["cohort_period"] - 19723, r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev, period_seconds=86400).collect()
+    }
+    assert out == {
+        (0, 0): 2, (0, 1): 1, (0, 2): 2,
+        (1, 0): 1, (1, 1): 1,
+    }

@@ -203,3 +203,31 @@ def test_pq_adc_topk_matches_numpy_twin(spark):
             if rank <= 5:
                 want.append((qid, rank, vid))
     assert sorted(got) == sorted(want)
+
+
+def test_ivfpq_topk_is_adc_within_probed_lists(spark):
+    """IVF-PQ must equal the plain ADC ranking restricted to candidates
+    from the probed lists (pruning changes candidates, never scores)."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+        pq_encode,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    queries = emb.filter(F.col("vec_id").isin(0, 3))
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_topk(emb, queries, books, k=3, n_probe=25, centroid_stride=25).collect()
+    }
+    # n_probe == number of lists -> no pruning -> must equal full ADC
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_topk(pq_encode(emb, books), queries, books, k=3).collect()
+    }
+    assert got == want and len(got) == 6
