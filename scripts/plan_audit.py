@@ -28,10 +28,13 @@ AUDIT = [
     ("q52_salted_agg", "skew: two-phase salted aggregation", False),
     ("q71_quantize", "explode-then-scalar: no interpreted lambda in filter", False),
     ("q86_incremental_dedup", "anti join on pruned single-column index", False),
-    # the last two join a broadcast ONE-ROW global total — that BNLJ is the
-    # intentional scale-safe alternative to an unpartitioned window
+    # these join a broadcast ONE-ROW global total or a broadcast query/LUT
+    # table — intentional scale-safe shapes, not accidental cross joins
     ("q87_unigram_logprob", "map-side combine on corpus term counts", True),
     ("q88_frequent_items", "MG sketch: capacity rows/partition cross shuffle", True),
+    ("q89_pq_codes", "PQ encode: map-only, literal codebooks in the scan", False),
+    ("q90_pq_adc", "ADC: broadcast per-query LUT, M lookups per row", True),
+    ("q91_cohort_retention", "distinct (user,period) pass then small join", False),
 ]
 
 
