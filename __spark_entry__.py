@@ -1539,16 +1539,11 @@ def q89_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vec_id<8, q39-style determinism): integer codes per subvector.
     Both engines fold the squared-distance sum in index order, so the
     argmin is bit-exact."""
-    from hfsa_spark.operators.similarity import pq_codebooks_from_seeds, pq_encode
+    from hfsa_spark.operators.similarity import pq_codebooks_from_seeds, pq_encode_long
 
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
-    return (
-        pq_encode(emb, books)
-        .select("vec_id", F.posexplode("codes").alias("m", "code"))
-        .select("vec_id", F.col("m").cast("int").alias("m"), F.col("code").cast("int").alias("code"))
-        .orderBy("vec_id", "m")
-    )
+    return pq_encode_long(emb, books).orderBy("vec_id", "m")
 
 
 def q90_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:

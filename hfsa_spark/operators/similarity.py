@@ -194,6 +194,85 @@ def pq_encode(
     return df.select(F.col(id_col), F.expr(codes).alias("codes"))
 
 
+def pq_encode_long(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exploded twin of :func:`pq_encode`: (id, m, code), one row per
+    subvector. NOT explode(pq_encode(...)): a Generate over the codes
+    expression re-inlines all M×K interpreted distance folds into the
+    generator filter (evaluated twice per row — measured 2×; same trap as
+    quantize_embeddings_long). Here the subvector index explodes FIRST
+    (a literal sequence — trivial generator filter) and a lazy CASE picks
+    the single subvector argmin each row actually needs, so every
+    distance fold runs exactly once, with the same left-to-right float
+    math as pq_encode (bit-identical codes)."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    branches = []
+    for mm in range(m):
+        structs = ", ".join(
+            f"struct({_pq_d2_sql(vec_col, cw, mm * d0 + 1, d0)} as d2, {k} as k)"
+            for k, cw in enumerate(codebooks[mm])
+        )
+        branches.append(f"WHEN {mm} THEN array_min(array({structs})).k")
+    code = f"CASE m {' '.join(branches)} END"
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"))
+        .select(F.col(id_col), F.col("m").cast("int").alias("m"), F.expr(code).cast("int").alias("code"))
+    )
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The cluster-scale PQ encode path: Arrow-batched ``mapInPandas``
+    with numpy codebook matrices — for real codebooks (M×256 codewords)
+    where the literal-expression form would bloat the plan and interpret
+    every fold. One ||x−c||² matmul per (batch, subvector), codes via
+    argmin. Same tie-break (smallest codeword id — numpy argmin returns
+    the first minimum); distances accumulate in a different order than
+    the expression path, so codes can differ only on exact float ties,
+    which real embeddings don't produce (agreement is tested).
+    Returns (id, codes array<int>).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d0 = books[0].shape[1]
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for mm in range(m):
+                sub = vecs[:, mm * d0 : (mm + 1) * d0]
+                cb = books[mm]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cb.T)
+                    + (cb * cb).sum(axis=1)
+                )
+                codes[:, mm] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": batch[id_col], "codes": list(codes)})
+
+    return (
+        parallelize_compute(df.select(id_col, vec_col))
+        .mapInPandas(run, schema="id bigint, codes array<int>")
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,

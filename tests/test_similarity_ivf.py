@@ -231,3 +231,40 @@ def test_ivfpq_topk_is_adc_within_probed_lists(spark):
         for r in pq_adc_topk(pq_encode(emb, books), queries, books, k=3).collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_pq_encode_long_matches_wide(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+        pq_encode_long,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    wide = {
+        (r["vec_id"], m): c
+        for r in pq_encode(emb, books).collect()
+        for m, c in enumerate(r["codes"])
+    }
+    long = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in pq_encode_long(emb, books).collect()
+    }
+    assert long == wide and len(long) == 240
+
+
+def test_pq_encode_arrow_agrees_with_expression_path(spark):
+    from hfsa_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+        pq_encode_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    expr = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    arrow = {r["vec_id"]: list(r["codes"]) for r in pq_encode_arrow(emb, books).collect()}
+    assert arrow == expr
