@@ -412,6 +412,72 @@ def ivfpq_topk(
     )
 
 
+def pq_adc_topk_arrow(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The cluster-scale ADC path: per-query M×K lookup tables are built
+    ONCE on the driver (queries are few and the LUT is M×K doubles), ride
+    to executors via closure capture, and each Arrow batch scores all its
+    code rows with one numpy gather+sum per query — then emits only its
+    BATCH-LOCAL top-k, so the final global top-k sees (num_batches × k)
+    rows per query instead of the full corpus. 1M vectors: 30.6 s
+    interpreted-expression path → ~1 s this path (measured,
+    scripts/ann_scale_probe.py)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d0 = books[0].shape[1]
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        luts.append(
+            np.stack(
+                [
+                    ((qv[mm * d0 : (mm + 1) * d0] - books[mm]) ** 2).sum(axis=1)
+                    for mm in range(m)
+                ]
+            )
+        )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            codes = np.stack(batch["codes"].map(lambda c: np.asarray(c, dtype=np.int64)))
+            ids = batch[id_col].to_numpy()
+            rows = np.arange(m)
+            for qid, lut in zip(q_ids, luts):
+                dist = lut[rows, codes].sum(axis=1)  # gather: (n, m) -> sum
+                mask = ids != qid
+                d, i = dist[mask], ids[mask]
+                if len(d) > k:
+                    part = np.argpartition(d, k)[:k]
+                    d, i = d[part], i[part]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": i, "dist": d}
+                )
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def quantize_embeddings_long(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -268,3 +268,28 @@ def test_pq_encode_arrow_agrees_with_expression_path(spark):
     expr = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
     arrow = {r["vec_id"]: list(r["codes"]) for r in pq_encode_arrow(emb, books).collect()}
     assert arrow == expr
+
+
+def test_pq_adc_arrow_agrees_with_expression_path(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_arrow,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(150)
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id").isin(0, 7))
+    expr = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_adc_topk(codes, queries, books, k=5).collect()
+    ]
+    arrow = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_adc_topk_arrow(codes, queries, books, k=5).collect()
+    ]
+    assert arrow == expr and len(arrow) == 10
