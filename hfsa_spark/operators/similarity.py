@@ -253,7 +253,7 @@ def pq_encode_arrow(
         for batch in batches:
             if not len(batch):
                 continue
-            vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            vecs = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for mm in range(m):
                 sub = vecs[:, mm * d0 : (mm + 1) * d0]
@@ -453,7 +453,7 @@ def pq_adc_topk_arrow(
         for batch in batches:
             if not len(batch):
                 continue
-            codes = np.stack(batch["codes"].map(lambda c: np.asarray(c, dtype=np.int64)))
+            codes = np.asarray(batch["codes"].tolist(), dtype=np.int64)
             ids = batch[id_col].to_numpy()
             rows = np.arange(m)
             for qid, lut in zip(q_ids, luts):
@@ -799,7 +799,7 @@ def _ivf_probe_arrow(
         for batch in batches:
             if not len(batch):
                 continue
-            vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            vecs = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
             vnorm = np.linalg.norm(vecs, axis=1)
             cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
             out = []
@@ -848,7 +848,7 @@ def ivf_assign_arrow(
         for batch in batches:
             if not len(batch):
                 continue
-            vecs = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            vecs = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
             vnorm = np.linalg.norm(vecs, axis=1)
             cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
             out = {"id": batch[id_col], "list_id": cids[np.argmax(cos, axis=1)]}
