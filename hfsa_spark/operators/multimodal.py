@@ -170,7 +170,28 @@ def decode_bmp(data: bytes):
     raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
     raster = raster.reshape(h, row_bytes)[:, : w * (bpp // 8)]
     if bpp == 8:
-        arr = raster.reshape(h, w, 1)
+        # 8-bpp pixels are INDICES into the mandatory RGBQUAD palette that
+        # follows BITMAPINFOHEADER — treating them as literal luma is only
+        # right for the identity grayscale ramp. Map through the palette;
+        # collapse back to 1 channel when the palette is pure grayscale.
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(data):
+            return None
+        quads = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)
+        palette = quads[:, 2::-1]  # BGRX -> RGB
+        if raster.max(initial=0) >= n_colors:
+            return None
+        mapped = palette[raster.reshape(h, w)]
+        if (palette[:, 0] == palette[:, 1]).all() and (
+            palette[:, 1] == palette[:, 2]
+        ).all():
+            arr = mapped[:, :, :1]
+        else:
+            arr = mapped
     else:
         arr = raster.reshape(h, w, bpp // 8)[:, :, 2::-1]  # BGR(A) -> RGB
     if not top_down:
@@ -260,7 +281,12 @@ def parse_mp4(data: bytes) -> dict | None:
         for btype, b0, b1 in _mp4_boxes(data, m0, m1):
             if btype == b"mvhd" and b1 - b0 >= 20:
                 version = data[b0]
+                # v1 has 8-byte times: timescale at +20, duration (u64) at
+                # +24 — needs 32 body bytes; the v0 layout only needs 20.
+                # A truncated v1 box is rejected, not read past its end.
                 if version == 1:
+                    if b1 - b0 < 32:
+                        continue
                     timescale, duration = struct.unpack_from(">IQ", data, b0 + 20)
                 else:
                     timescale, duration = struct.unpack_from(">II", data, b0 + 12)
@@ -282,11 +308,12 @@ def parse_mp4(data: bytes) -> dict | None:
             timescale = None
             for b0, b1 in _mp4_find(data, t0, t1, [b"mdia"]):
                 for btype, c0, c1 in _mp4_boxes(data, b0, b1):
-                    if btype == b"mdhd" and c1 - c0 >= 20:
+                    if btype == b"mdhd" and c1 - c0 >= 16:
                         version = data[c0]
-                        (timescale,) = struct.unpack_from(
-                            ">I", data, c0 + (20 if version == 1 else 12)
-                        )
+                        off = 20 if version == 1 else 12
+                        if c1 - c0 < off + 4:  # v1 timescale sits at +20
+                            continue
+                        (timescale,) = struct.unpack_from(">I", data, c0 + off)
             for s0, s1 in _mp4_find(data, t0, t1, [b"mdia", b"minf", b"stbl", b"stts"]):
                 (n_entries,) = struct.unpack_from(">I", data, s0 + 4)
                 ts, t_acc = [], 0

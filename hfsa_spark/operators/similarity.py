@@ -461,8 +461,13 @@ def pq_adc_topk_arrow(
                 mask = ids != qid
                 d, i = dist[mask], ids[mask]
                 if len(d) > k:
-                    part = np.argpartition(d, k)[:k]
-                    d, i = d[part], i[part]
+                    # ADC distances tie structurally (identical PQ codes ⇒
+                    # exactly equal distance), so the batch-local cut must
+                    # use the SAME (dist asc, neighbor_id asc) order as the
+                    # global ranking — argpartition's arbitrary tie-breaks
+                    # could evict a neighbor the global sort would keep
+                    order = np.lexsort((i, d))[:k]
+                    d, i = d[order], i[order]
                 yield pd.DataFrame(
                     {"query_id": qid, "neighbor_id": i, "dist": d}
                 )

@@ -63,7 +63,8 @@ def frequent_items(
     """Heavy hitters via distributed Misra-Gries (space-saving family):
     each partition keeps a ``capacity``-counter summary, the per-partition
     summaries merge associatively, and the top ``k`` survivors are
-    reported as (value, min_count, max_count) bounds.
+    reported as (value, min_count, max_count) bounds. NULL values are
+    excluded from the sketch (dropped before counting, see below).
 
     Guarantees (classic MG): per partition, a counter under-counts its
     value by at most that partition's decrement-event count; a value
@@ -109,8 +110,15 @@ def frequent_items(
             }
         )
 
-    summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
-        mg_partition, schema="value string, cnt long, events long"
+    # NULLs are excluded from the sketch UP FRONT: the per-partition
+    # summaries use a NULL-value row as the decrement-event sentinel, so a
+    # genuine NULL flowing into mg_partition would be conflated with it
+    # (counted, then silently discarded by the merge filter). Heavy-hitter
+    # semantics over NULL aren't meaningful anyway — document and drop.
+    summaries = (
+        df.select(F.col(value_col).cast("string").alias(value_col))
+        .filter(F.col(value_col).isNotNull())
+        .mapInPandas(mg_partition, schema="value string, cnt long, events long")
     )
     event_total = summaries.agg(F.sum("events").alias("__events"))
     merged = (

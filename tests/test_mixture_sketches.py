@@ -142,3 +142,20 @@ def test_frequent_items_bounds_under_pressure(spark):
     assert "hot" in by_val
     for r in out:
         assert r["min_count"] <= truth[r["value"]] <= r["max_count"]
+
+
+def test_frequent_items_excludes_nulls(spark):
+    """NULL values must be dropped before sketching: they'd otherwise be
+    conflated with the sentinel events row and silently vanish from the
+    top-k while still inflating nothing — the documented contract is that
+    NULL is excluded and non-null counts stay exact."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.sketches import frequent_items
+
+    rows = [("a",)] * 5 + [(None,)] * 50 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = frequent_items(df, "v", capacity=16, k=10).collect()
+    got = {r["value"]: (r["min_count"], r["max_count"]) for r in out}
+    assert None not in got
+    assert got == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}

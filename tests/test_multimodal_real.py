@@ -167,3 +167,62 @@ def test_sample_frames_non_bmff_raises(spark):
     )
     with pytest.raises(Exception, match="BMFF|fake=True"):
         sample_frames(media, every_n=10).collect()
+
+
+def _bmp8(indices, palette):
+    """Hand-rolled 8-bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + RGBQUAD
+    palette + bottom-up padded rows (public BMP layout)."""
+    h, w = indices.shape
+    n = len(palette)
+    row_bytes = (w + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = indices[::-1]
+    pix = rows.tobytes()
+    pix_off = 14 + 40 + 4 * n
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(pix), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix), 2835, 2835, n, n)
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    return header + info + pal + pix
+
+
+def test_bmp_8bpp_maps_through_palette():
+    """8-bpp pixels are palette INDICES, not literal luma: a non-identity
+    palette must decode to the palette colors."""
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    arr = decode_bmp(_bmp8(idx, palette))
+    assert arr is not None and arr.shape == (2, 2, 3)
+    assert tuple(arr[0, 0]) == (255, 0, 0)
+    assert tuple(arr[0, 1]) == (0, 255, 0)
+    assert tuple(arr[1, 0]) == (0, 0, 255)
+    # out-of-range index → refuse rather than wrap
+    assert decode_bmp(_bmp8(np.full((2, 2), 7, dtype=np.uint8), palette)) is None
+
+
+def test_bmp_8bpp_grayscale_ramp_collapses_to_single_channel():
+    idx = np.array([[0, 3], [200, 255]], dtype=np.uint8)
+    ramp = [(i, i, i) for i in range(256)]
+    arr = decode_bmp(_bmp8(idx, ramp))
+    assert arr is not None and arr.shape == (2, 2, 1)
+    assert np.array_equal(arr[:, :, 0], idx)
+
+
+def test_parse_mp4_mvhd_version1():
+    """v1 mvhd (64-bit times) parses when complete and is REJECTED when
+    truncated — no reads past the box end into sibling boxes."""
+    mvhd_v1 = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(">IQ", 1000, 7000)
+    moov = _box(b"mvhd", mvhd_v1)
+    good = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"moov", moov) + _box(
+        b"mdat", b"\x00" * 8
+    )
+    info = parse_mp4(good)
+    assert info is not None and info["duration_s"] == 7.0
+
+    truncated = bytes([1, 0, 0, 0]) + bytes(20)  # 24 bytes < v1's 32
+    bad = (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + _box(b"moov", _box(b"mvhd", truncated))
+        + _box(b"mdat", b"\x00" * 8)
+    )
+    info = parse_mp4(bad)
+    assert info is not None and info["duration_s"] is None

@@ -293,3 +293,43 @@ def test_pq_adc_arrow_agrees_with_expression_path(spark):
         for r in pq_adc_topk_arrow(codes, queries, books, k=5).collect()
     ]
     assert arrow == expr and len(arrow) == 10
+
+
+def test_pq_adc_arrow_tiebreak_across_batches(spark):
+    """ADC distances tie structurally whenever two corpus vectors share the
+    same PQ codes. The batch-local top-k cut must break ties the same way
+    the global ranking does — (dist asc, neighbor_id asc) — or a tied
+    smaller-id neighbor can be evicted inside one Arrow batch."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_arrow,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_from_seeds(emb.limit(50), m=4, num_codes=4)
+    base = emb.filter(F.col("vec_id") == 3).select("embedding")
+    # 40 corpus rows with IDENTICAL embeddings (hence identical PQ codes
+    # and exactly tied ADC distances), spread over several Arrow batches
+    corpus = (
+        spark.range(100, 140)
+        .select(F.col("id").alias("vec_id"))
+        .crossJoin(base)
+        .repartition(8)
+    )
+    codes = pq_encode(corpus, books)
+    queries = emb.filter(F.col("vec_id") == 0)
+    expr = [
+        (r["rank"], r["neighbor_id"])
+        for r in pq_adc_topk(codes, queries, books, k=5).collect()
+    ]
+    arrow = [
+        (r["rank"], r["neighbor_id"])
+        for r in pq_adc_topk_arrow(codes, queries, books, k=5).collect()
+    ]
+    # global tiebreak keeps the five smallest ids among the tied 40
+    assert [n for _, n in expr] == [100, 101, 102, 103, 104]
+    assert arrow == expr
