@@ -1578,6 +1578,30 @@ def q91_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG raster decode in the gate: 16x16 RGBA gradient PNGs
+    (channel value = (7·id mod 200) + x + y) are built executor-side with
+    MIXED per-row filters (0..4 cycling — Sub/Up/Average/Paeth reversal
+    all on the hot path), then decode_png inflates + unfilters the actual
+    bytes. Oracle closed form: the gradient mean is exactly base+15 and
+    r=g=b ⇒ luma_milli = (base+15)·1000 (float error ~1e-11 ≪ the 0.5
+    rounding margin)."""
+    from hfsa_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_png_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_png_table(d, width=16, height=16, max_docs=200)
+    feats = extract_image_features(media)  # real path: decode_png raster
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 255000 + F.lit(0.5)).cast("long").alias("luma_milli"),
+    ).orderBy("doc_id")
+
+
 # The driver grades the FIRST 50 ``queries()`` entries each round, so a
 # fixed dict order would leave everything past q50 permanently ungraded.
 # The dict is therefore reordered deterministically per round: ~20 core
@@ -1716,6 +1740,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_pq_codes": q89_pq_codes,
         "q90_pq_adc": q90_pq_adc,
         "q91_cohort_retention": q91_cohort_retention,
+        "q92_png_decode": q92_png_decode,
     }
 
 
@@ -3063,6 +3088,14 @@ def oracle_sql() -> dict[str, str]:
         FROM activity a JOIN first f ON a.u = f.u
         GROUP BY cohort, p - cohort
         ORDER BY cohort_period, period_offset
+    """
+
+    # q92: Spark decodes REAL mixed-filter PNG bytes; the oracle computes
+    # the gradient's closed-form mean luma (base+15 for a 16x16 raster)
+    o["q92_png_decode"] = """
+        SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
+               (((7 * doc_id) % 200 + 15) * 1000)::BIGINT AS luma_milli
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """
 
     return o

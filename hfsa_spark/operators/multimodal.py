@@ -7,9 +7,12 @@ is dependency-free stdlib/numpy over public file-format layouts):
   (``parse_image_header``: width, height, channels, format), plus REAL
   raster decode + nearest-neighbor resize + pixel stats (mean_luma,
   average-hash) for UNCOMPRESSED BMP (``decode_bmp`` / ``encode_bmp`` /
-  ``resize_nearest`` — pure numpy). Compressed rasters (PNG/JPEG/GIF)
-  still yield null pixel stats: their decode genuinely needs a codec
-  library.
+  ``resize_nearest`` — pure numpy) AND non-interlaced 8-bit PNG
+  (``decode_png`` / ``encode_png`` — stdlib zlib inflate + per-scanline
+  filter reversal, all five filter types, gray/gray+alpha/RGB/RGBA/
+  palette). Remaining stubs: JPEG/GIF rasters, interlaced / 16-bit PNG
+  (their decode genuinely needs a codec library or is documented
+  NotImplementedError).
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
   numpy.
@@ -32,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -221,6 +225,176 @@ def encode_bmp(arr) -> bytes:
     return header + pix
 
 
+def _paeth_predict(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §6.6): nearest of left/up/
+    up-left to the linear estimate a + b - c, ties left-first."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr, filter_type: int | str = 0) -> bytes:
+    """HxWx{1,2,3,4} uint8 array → non-interlaced 8-bit PNG, stdlib-only
+    (zlib + the public PNG spec / RFC 2083). ``filter_type`` selects the
+    per-scanline filter: 0..4, or ``"mixed"`` to cycle 0,1,2,3,4 by row —
+    the round-trip partner that makes :func:`decode_png`'s filter reversal
+    testable on every filter class. Forward filtering is fully vectorized
+    (each filter reads ORIGINAL neighbor bytes, so no scan dependency)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = a.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    lines = []
+    for y in range(h):
+        f = (y % 5) if filter_type == "mixed" else int(filter_type)
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        up = flat[y - 1] if y else np.zeros_like(cur)
+        upleft = (
+            np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]])
+            if y
+            else np.zeros_like(cur)
+        )
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - ((left + up) >> 1)
+        else:
+            enc = cur - _paeth_predict(left, up, upleft)
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    raw = b"".join(lines)
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Full raster decode of a NON-INTERLACED 8-bit PNG → HxWxC uint8:
+    IDAT inflate (stdlib zlib) + per-scanline filter reversal for all five
+    filter types, gray / gray+alpha / RGB / RGBA / palette color types —
+    dependency-free, public PNG spec (RFC 2083). Returns None for non-PNG
+    or malformed payloads; raises NotImplementedError for the documented
+    remaining stubs (Adam7 interlace, non-8-bit depth)."""
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            return None
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+        return None
+    if interlace != 0:
+        raise NotImplementedError(
+            "PNG Adam7 interlaced decode not implemented (non-interlaced only)"
+        )
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} decode not implemented (8-bit only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride, bpp = w * channels, channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 1:
+            # Sub is a per-channel-lane running sum — cumsum, then mod 256
+            cur = line.reshape(w, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        elif f == 3:
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth_predict(a, prev[x], c)) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if arr.max(initial=0) >= len(pal):
+            return None
+        arr = pal[arr[:, :, 0]]
+    return np.ascontiguousarray(arr)
+
+
+def decode_raster(data: bytes):
+    """Dependency-free raster decode: uncompressed BMP or non-interlaced
+    8-bit PNG → HxWxC uint8. None if neither supported layout matches; may
+    raise NotImplementedError for recognized-but-unsupported PNG variants
+    (interlaced, 16-bit)."""
+    arr = decode_bmp(data)
+    if arr is None:
+        arr = decode_png(data)
+    return arr
+
+
 def resize_nearest(arr, target_width: int, target_height: int):
     """Nearest-neighbor resample (pixel-center mapping, the standard
     src = floor((dst + 0.5) * scale) rule) — pure numpy fancy indexing."""
@@ -348,16 +522,20 @@ def _fake_decode(payload: bytes) -> dict:
 def _real_decode(payload: bytes) -> dict:
     """Header decode for any recognized format; full pixel stats
     (mean_luma + 64-bit average-hash) when the raster is decodable
-    (uncompressed BMP)."""
+    (uncompressed BMP, non-interlaced 8-bit PNG)."""
     import numpy as np
 
     feats = parse_image_header(payload) or {}
-    if feats.get("format") == "bmp":
-        arr = decode_bmp(payload)
+    if feats.get("format") in ("bmp", "png"):
+        try:
+            arr = decode_raster(payload)
+        except NotImplementedError:
+            arr = None  # interlaced/16-bit PNG: stats stay null, row kept
         if arr is not None:
             luma = (
-                arr.astype(np.float64) @ [0.299, 0.587, 0.114]
-                if arr.shape[2] == 3
+                # alpha (channel 4 / gray+alpha's 2nd) never enters luma
+                arr[:, :, :3].astype(np.float64) @ [0.299, 0.587, 0.114]
+                if arr.shape[2] >= 3
                 else arr[:, :, 0].astype(np.float64)
             )
             feats["mean_luma"] = float(luma.mean()) / 255.0
@@ -374,8 +552,8 @@ def _real_decode(payload: bytes) -> dict:
 def decode_image_batch(batch: pd.DataFrame, fake: bool = False) -> pd.DataFrame:
     """Real path: header decode (PNG/JPEG/GIF/BMP) — width/height/aspect
     from actual bytes; pixel stats (mean_luma, phash) are REAL for
-    uncompressed BMP (full raster decode) and null for compressed formats
-    (codec library needed). Unrecognized payloads yield null dimensions
+    uncompressed BMP and non-interlaced 8-bit PNG (full raster decode) and
+    null for JPEG/GIF (codec library needed). Unrecognized payloads yield null dimensions
     rather than dropping the row, so the output stays 1:1 with input and
     the caller can audit decode coverage. ``fake=True`` keeps the
     deterministic plumbing decoder that always fills the pixel stats."""
@@ -501,12 +679,13 @@ def resize_images(
 ) -> DataFrame:
     """Batch image resize → (doc_id, payload, width, height).
 
-    Real path: uncompressed BMP rasters are decoded (:func:`decode_bmp`),
-    nearest-neighbor resampled with numpy (:func:`resize_nearest`), and
-    re-encoded as 24-bit BMP — fully dependency-free. Compressed codecs
-    (PNG/JPEG/GIF) still raise NotImplementedError: the raster decode
-    genuinely needs a codec library. The fake path re-digests the payload
-    to a deterministic pseudo-resized blob for synthetic corpora.
+    Real path: uncompressed BMP and non-interlaced 8-bit PNG rasters are
+    decoded (:func:`decode_raster`), nearest-neighbor resampled with numpy
+    (:func:`resize_nearest`), and re-encoded as 24-bit BMP — fully
+    dependency-free. JPEG/GIF (and interlaced/16-bit PNG) still raise
+    NotImplementedError: their raster decode genuinely needs a codec
+    library. The fake path re-digests the payload to a deterministic
+    pseudo-resized blob for synthetic corpora.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -517,15 +696,19 @@ def resize_images(
                 payloads = []
                 for p in batch["payload"]:
                     raw = bytes(p) if p is not None else b""
-                    arr = decode_bmp(raw)
+                    arr = decode_raster(raw)
                     if arr is None:
                         hdr = parse_image_header(raw)
                         fmt = hdr["format"] if hdr else "unrecognized"
                         raise NotImplementedError(
-                            f"real resize covers uncompressed BMP only; {fmt}"
-                            " raster decode needs a codec library — pass"
-                            " fake=True for the plumbing decoder"
+                            f"real resize covers uncompressed BMP and 8-bit"
+                            f" PNG only; {fmt} raster decode needs a codec"
+                            " library — pass fake=True for the plumbing"
+                            " decoder"
                         )
+                    # normalize to BMP-encodable channels: drop alpha,
+                    # collapse gray+alpha to gray
+                    arr = arr[:, :, :3] if arr.shape[2] >= 3 else arr[:, :, :1]
                     payloads.append(
                         encode_bmp(resize_nearest(arr, target_width, target_height))
                     )
@@ -668,6 +851,43 @@ def synthesize_bmp_table(
                 )
                 for i in batch["doc_id"]
             ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def synthesize_png_table(
+    documents: DataFrame, width: int = 16, height: int = 16, max_docs: int | None = None
+) -> DataFrame:
+    """Media table of REAL PNG payloads: a doc_id-derived gradient raster
+    (every channel v = (7·id mod 200) + x + y, alpha 255 — no wraparound
+    since 199 + 30 < 256), encoded RGBA with per-row MIXED filters (0..4
+    cycling) so downstream decodes exercise the full filter-reversal path.
+    The mean-luma closed form stays oracle-checkable: the gradient mean is
+    exactly base + ((width-1) + (height-1)) / 2. Payload bytes are built
+    executor-side (Arrow mapInPandas)."""
+    import numpy as np
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:height, 0:width]
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                v = ((7 * int(i)) % 200 + xs + ys).astype(np.uint8)
+                rgba = np.dstack([v, v, v, np.full_like(v, 255)])
+                payloads.append(encode_png(rgba, filter_type="mixed"))
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],

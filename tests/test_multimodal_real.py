@@ -226,3 +226,115 @@ def test_parse_mp4_mvhd_version1():
     )
     info = parse_mp4(bad)
     assert info is not None and info["duration_s"] is None
+
+
+# ------------------------------------------------------------------- PNG --
+
+
+def _png_chunk(t: bytes, d: bytes) -> bytes:
+    import zlib
+
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def test_png_roundtrip_all_filters_and_layouts():
+    """decode(encode(a)) is exact for every filter type (None/Sub/Up/
+    Average/Paeth + mixed) across gray, gray+alpha, RGB and RGBA."""
+    from hfsa_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(11, 13, c), dtype=np.uint8)
+        for f in (0, 1, 2, 3, 4, "mixed"):
+            back = decode_png(encode_png(arr, filter_type=f))
+            assert back is not None and back.shape == arr.shape, (c, f)
+            assert np.array_equal(back, arr), (c, f)
+
+
+def test_png_palette_decode():
+    import zlib
+
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    palette = [(250, 10, 20), (0, 128, 255), (9, 9, 9)]
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    from hfsa_spark.operators.multimodal import decode_png
+
+    arr = decode_png(data)
+    assert arr is not None and arr.shape == (2, 2, 3)
+    assert tuple(arr[0, 0]) == (250, 10, 20)
+    assert tuple(arr[1, 0]) == (9, 9, 9)
+
+
+def test_png_unsupported_variants_raise_not_implemented():
+    from hfsa_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    interlaced = bytearray(good)
+    # IHDR body starts at 16; interlace flag is its 13th byte
+    interlaced[16 + 12] = 1
+    interlaced[29:33] = struct.pack(
+        ">I", __import__("zlib").crc32(bytes(interlaced[12:29]))
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(bytes(interlaced))
+
+    deep = bytearray(good)
+    deep[16 + 8] = 16  # bit depth
+    deep[29:33] = struct.pack(">I", __import__("zlib").crc32(bytes(deep[12:29])))
+    with pytest.raises(NotImplementedError, match="depth 16"):
+        decode_png(bytes(deep))
+
+    assert decode_png(b"not a png at all") is None
+
+
+def test_image_features_real_png_pixels(spark):
+    """extract_image_features' real path computes pixel stats from actual
+    PNG bytes — mixed-filter gradient payloads, luma checked against the
+    same raster decoded locally."""
+    from hfsa_spark.operators.multimodal import (
+        decode_png,
+        extract_image_features,
+        synthesize_png_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    media = synthesize_png_table(docs, width=16, height=16)
+    rows = {r["doc_id"]: r for r in extract_image_features(media).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(rows) == 8
+    for i in range(8):
+        arr = decode_png(payloads[i])
+        luma = arr[:, :, :3].astype(np.float64) @ [0.299, 0.587, 0.114]
+        assert rows[i]["width"] == 16 and rows[i]["height"] == 16
+        assert rows[i]["mean_luma"] == pytest.approx(luma.mean() / 255.0, abs=1e-12)
+        base = (7 * i) % 200
+        assert round(rows[i]["mean_luma"] * 255000) == (base + 15) * 1000
+
+
+def test_resize_images_real_png(spark):
+    from hfsa_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_png,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(24, 20, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(arr, filter_type="mixed")))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    rows = resize_images(media, 8, 8).collect()
+    assert len(rows) == 1
+    got = decode_bmp(bytes(rows[0]["payload"]))
+    want = resize_nearest(arr[:, :, :3], 8, 8)
+    assert np.array_equal(got, want)
