@@ -1602,6 +1602,126 @@ def q92_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
+    """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
+    ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
+    arrival sequence for file-source streaming (FileStreamSource processes
+    oldest-mtime first; zero-padded names keep path order identical)."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    staging = f"{dst_dir}__stage{seq}"
+    df.coalesce(1).write.parquet(staging)
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, f"{seq:02d}.parquet")
+    shutil.move(_glob.glob(os.path.join(staging, "*.parquet"))[0], dst)
+    shutil.rmtree(staging)
+    t = time.time() - 3600 + seq * 60
+    os.utime(dst, (t, t))
+
+
+def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingestion path in the gate (not its batch twin): the
+    documents table arrives as three deterministic micro-batches (doc_id
+    mod 3, mtime-ordered files, maxFilesPerTrigger=1), foreachBatch runs
+    incremental dedup against the growing persisted digest index with
+    idempotent batch-id-keyed writes, and the FINAL corpus is read back —
+    per-lang survivor counts. The oracle replicates arrival-order keep
+    semantics: per digest, the keeper is the minimum (arrival_batch,
+    doc_id)."""
+    import os
+    import tempfile
+
+    from hfsa_spark.streaming.ingest import streaming_ingest_dedup
+
+    tmp = tempfile.mkdtemp(prefix="q93_")
+    src_dir = os.path.join(tmp, "arrivals")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    for k in range(3):
+        _stage_arrival_file(d.filter(F.col("doc_id") % 3 == k), src_dir, k)
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    corpus_path = os.path.join(tmp, "corpus")
+    q = streaming_ingest_dedup(
+        src,
+        index_path=os.path.join(tmp, "index"),
+        corpus_path=corpus_path,
+        checkpoint_path=os.path.join(tmp, "ck"),
+    )
+    q.awaitTermination(600)
+    corpus = spark.read.parquet(corpus_path)
+    return (
+        corpus.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+def q94_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING stream-stream interval join in the gate: clicks and
+    purchases arrive as two time-split micro-batches per side (state must
+    hold side A's batch 0 to match side B's batch 1), the join output is
+    appended to parquet by the streaming sink, and the final table is
+    aggregated per user. The watermark is wider than the event span, so
+    nothing is dropped and the closed-input result equals the batch
+    inequality join the oracle runs."""
+    import os
+    import tempfile
+
+    from hfsa_spark.streaming.joins import stream_stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix="q94_")
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cdir, pdir = os.path.join(tmp, "clicks"), os.path.join(tmp, "purchases")
+    for df, dst in ((clicks, cdir), (purchases, pdir)):
+        _stage_arrival_file(df.filter(F.col("ts") < split), dst, 0)
+        _stage_arrival_file(df.filter(F.col("ts") >= split), dst, 1)
+
+    c_stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    p_stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    joined = stream_stream_interval_join(
+        c_stream, p_stream, ts_col="ts", by_cols=["user_id"],
+        lower_seconds=0, upper_seconds=3600, watermark="60 days",
+    )
+    out_path = os.path.join(tmp, "pairs")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    pairs = spark.read.parquet(out_path)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_clicks"),
+            F.sum(F.col("value_r").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # The driver grades the FIRST 50 ``queries()`` entries each round, so a
 # fixed dict order would leave everything past q50 permanently ungraded.
 # The dict is therefore reordered deterministically per round: ~20 core
@@ -1741,6 +1861,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_pq_adc": q90_pq_adc,
         "q91_cohort_retention": q91_cohort_retention,
         "q92_png_decode": q92_png_decode,
+        "q93_streaming_dedup": q93_streaming_dedup,
+        "q94_interval_join": q94_interval_join,
     }
 
 
@@ -3096,6 +3218,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
                (((7 * doc_id) % 200 + 15) * 1000)::BIGINT AS luma_milli
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """
+
+    # q93: Spark runs the real foreachBatch streaming ingestion (3 micro-
+    # batches split on doc_id mod 3); the oracle replicates arrival-order
+    # keep semantics — per digest the keeper is min (arrival_batch, doc_id)
+    o["q93_streaming_dedup"] = f"""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars, md5({_NORM}) AS digest,
+                   (doc_id % 3) AS arrival
+            FROM documents
+        ),
+        keep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY digest ORDER BY arrival, doc_id) AS rn
+                FROM h
+            ) WHERE rn = 1
+        )
+        SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+        FROM h WHERE doc_id IN (SELECT doc_id FROM keep)
+        GROUP BY lang ORDER BY lang
+    """
+
+    # q94: Spark runs the real stream-stream interval join to completion
+    # over a closed input; the oracle is the plain inequality join
+    o["q94_interval_join"] = """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT c.user_id AS user_id, COUNT(*)::BIGINT AS n_pairs,
+               COUNT(DISTINCT c.event_id)::BIGINT AS n_clicks,
+               (SUM(CAST(p.value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+        FROM c JOIN p ON p.user_id = c.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+        GROUP BY c.user_id ORDER BY user_id
     """
 
     return o
