@@ -151,7 +151,8 @@ def pq_codebooks_from_seeds(
     the seed-sampling analog of q39's stride centroids, so every gate
     oracle can re-derive the codebooks from the table itself. Returns
     codebooks[m][k] = list of d0 floats. For production recall, train with
-    per-subvector k-means (kmeans_iterate on slices) instead."""
+    per-subvector k-means — :func:`pq_train` — instead (these seeds are
+    its default initialization)."""
     rows = (
         corpus.filter(F.col(id_col) < num_codes)
         .select(id_col, vec_col)
@@ -164,6 +165,134 @@ def pq_codebooks_from_seeds(
         [[float(x) for x in r[vec_col][mm * d0 : (mm + 1) * d0]] for r in rows]
         for mm in range(m)
     ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    num_codes: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[list[float]]] | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks with per-subvector Lloyd's k-means (squared L2)
+    — the production replacement for :func:`pq_codebooks_from_seeds`'
+    first-K sampling, cutting quantization MSE (pytest pins the
+    improvement on a seeded corpus).
+
+    Scale shape: each iteration is ONE map-only Arrow pass over the corpus
+    computing per-(subvector, code, dim) partial sums + counts with a
+    matmul argmin (map-side combine inside the Python worker); the shuffle
+    carries M×K×(dim/M) rows per partition — bounded by the codebook size,
+    NEVER the corpus — and the mean update folds on the driver over the
+    tiny aggregated table. The corpus is never shuffled, same posture as
+    pq_encode/ivf assignment. Empty cells keep their previous codeword
+    (standard Lloyd's fallback), so K never collapses.
+    """
+    import numpy as np
+
+    books = [
+        np.asarray(b, dtype=np.float64)
+        for b in (init or pq_codebooks_from_seeds(corpus, m, num_codes, id_col, vec_col))
+    ]
+    k_codes = books[0].shape[0]
+    d0 = books[0].shape[1]
+    vecs = corpus.select(vec_col)
+
+    for _ in range(iters):
+        bks = [b.copy() for b in books]
+
+        def part(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            import numpy as _np
+            import pandas as _pd
+
+            sums = _np.zeros((m, k_codes, d0))
+            cnts = _np.zeros((m, k_codes), dtype=_np.int64)
+            seen = False
+            for batch in batches:
+                if not len(batch):
+                    continue
+                seen = True
+                x = _np.asarray(batch[vec_col].tolist(), dtype=_np.float64)
+                for mm in range(m):
+                    s = x[:, mm * d0 : (mm + 1) * d0]
+                    # argmin ||s-c||² == argmin (||c||² - 2 s·c); ties →
+                    # smallest code id (argmin returns the first minimum)
+                    a = ((bks[mm] ** 2).sum(axis=1) - 2.0 * (s @ bks[mm].T)).argmin(axis=1)
+                    _np.add.at(sums[mm], a, s)
+                    _np.add.at(cnts[mm], a, 1)
+            if not seen:
+                return
+            mmi, ki, pi = _np.meshgrid(
+                _np.arange(m), _np.arange(k_codes), _np.arange(d0), indexing="ij"
+            )
+            yield _pd.DataFrame(
+                {
+                    "m": mmi.ravel(),
+                    "k": ki.ravel(),
+                    "pos": pi.ravel(),
+                    "s": sums.ravel(),
+                    # count rides on pos 0 only (it's per-(m,k), not per-dim)
+                    "c": _np.where(pi.ravel() == 0, cnts[mmi.ravel(), ki.ravel()], 0),
+                }
+            )
+
+        agg = (
+            vecs.mapInPandas(part, schema="m int, k int, pos int, s double, c long")
+            .groupBy("m", "k", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        sums = np.zeros((m, k_codes, d0))
+        cnts = np.zeros((m, k_codes), dtype=np.int64)
+        for r in agg:
+            sums[r["m"], r["k"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                cnts[r["m"], r["k"]] = r["c"]
+        for mm in range(m):
+            nz = cnts[mm] > 0
+            books[mm][nz] = sums[mm][nz] / cnts[mm][nz, None]
+    return [[[float(x) for x in cw] for cw in b] for b in books]
+
+
+def pq_mse(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of a PQ codebook over the corpus
+    (per-vector ||x − decode(encode(x))||²/dim, averaged) — the
+    quantization-quality number pq_train is judged by. One map-only Arrow
+    pass emitting (sse, n) per batch; a single two-row-ish global agg."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d0 = books[0].shape[1]
+
+    def part(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as _np
+        import pandas as _pd
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = _np.asarray(batch[vec_col].tolist(), dtype=_np.float64)
+            sse = 0.0
+            for mm in range(m):
+                s = x[:, mm * d0 : (mm + 1) * d0]
+                a = ((books[mm] ** 2).sum(axis=1) - 2.0 * (s @ books[mm].T)).argmin(axis=1)
+                sse += float(((s - books[mm][a]) ** 2).sum())
+            yield _pd.DataFrame({"sse": [sse], "n": [len(x)]})
+
+    row = (
+        corpus.select(vec_col)
+        .mapInPandas(part, schema="sse double, n long")
+        .agg(F.sum("sse").alias("sse"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    return row["sse"] / (row["n"] * m * d0)
 
 
 def pq_encode(
@@ -483,6 +612,45 @@ def pq_adc_topk_arrow(
     )
 
 
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    depth: int = 100,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the composition production ANN
+    actually ships: PQ codes prune the corpus to ``depth`` candidates per
+    query (M table lookups per row, compressed index), then the true
+    vectors of the shortlist are fetched and re-ranked exactly. Raw ADC
+    ranking saturates when near neighbors share codes (tied distances —
+    measured recall@10 ≈ k/cluster_size on clustered corpora,
+    scripts/ann_scale_probe.py); the re-rank restores it at the cost of
+    ``depth`` exact distances per query.
+
+    Scale shape: the candidate id set (queries × depth) is broadcast and
+    semi-joins the corpus — ONE corpus scan, no corpus shuffle; the exact
+    re-rank then runs on the tiny shortlist. The shortlist is the UNION of
+    all queries' candidates (a candidate of any query may be scored for
+    all — extra true candidates only improve accuracy), which keeps the
+    fetch a single semi join instead of a per-query join."""
+    cand = (
+        pq_adc_topk_arrow(
+            codes_df, queries, codebooks, k=depth, id_col=id_col, vec_col=vec_col
+        )
+        .select(F.col("neighbor_id").alias(id_col))
+        .distinct()
+    )
+    shortlist = corpus.join(F.broadcast(cand), id_col, "left_semi")
+    return exact_topk_arrow(
+        shortlist, queries, k=k, metric=metric, id_col=id_col, vec_col=vec_col
+    )
+
+
 def quantize_embeddings_long(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -558,6 +726,101 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def synthesize_clustered_embeddings(
+    spark,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 256,
+    noise: float = 0.15,
+) -> DataFrame:
+    """Deterministic CLUSTERED synthetic embedding corpus, generated
+    executor-side (no driver materialization): vector i = center(i mod
+    n_clusters) + noise·jitter(i), every component an integer-hash map to
+    [-1, 1). The cluster structure makes it a meaningful recall benchmark
+    (uniform random vectors have no neighbors to find); used by the ANN
+    recall probe (scripts/ann_scale_probe.py) and the recall-floor pytest."""
+    vec_expr = (
+        f"transform(sequence(1, {dim}), j ->"
+        f" cast(pmod(hash((id % {n_clusters}) * {dim} + j + 1000003), 10007) as double)"
+        f" / 5003.5 - 1.0"
+        f" + {float(noise)!r}D * (cast(pmod(hash(id * {dim} + j + 2000003), 10007) as double)"
+        f" / 5003.5 - 1.0))"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.expr(vec_expr).alias("embedding")
+    )
+
+
+def exact_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force EXACT top-k at scale — the ground truth every
+    approximate path's recall is measured against (and the honest baseline
+    when the corpus fits a full scan). Queries are collected driver-side
+    (they are few) and ride to executors in the closure; the corpus
+    streams through Arrow batches with ONE BLAS matmul per (batch ×
+    query-set), each batch emitting only its LOCAL top-k, so the global
+    ranking sees batches×k rows — the same no-corpus-shuffle posture as
+    :func:`pq_adc_topk_arrow`. ``metric``: 'cosine' (similarity desc) or
+    'l2' (squared distance asc). Ties break on neighbor_id asc, matching
+    the expression twins."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    qmat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
+            ids = batch[id_col].to_numpy()
+            if metric == "cosine":
+                xn = np.linalg.norm(x, axis=1)
+                # score ascending = negative cosine so one lexsort serves both
+                scores = -(x @ qmat.T) / np.outer(xn, qnorm)
+            else:
+                scores = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ qmat.T)
+                    + (qmat * qmat).sum(axis=1)[None, :]
+                )
+            for col, qid in enumerate(q_ids):
+                mask = ids != qid
+                s, i = scores[mask, col], ids[mask]
+                if len(s) > k:
+                    order = np.lexsort((i, s))[:k]  # global tie-break twin
+                    s, i = s[order], i[order]
+                yield pd.DataFrame({"query_id": qid, "neighbor_id": i, "score": s})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    out_score = (
+        (-F.col("score")).alias("cos_sim") if metric == "cosine" else F.col("score").alias("dist")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", out_score, "rank")
         .orderBy("query_id", "rank")
     )
 

@@ -12,8 +12,10 @@ reports (dynamic column widths from data):
 All formatters run driver-side over collected rows: every report is a
 top-N / per-user / per-group aggregate, so the result sets are small by
 construction no matter the input scale — the heavy lifting stayed in
-Spark. Percent formatting uses '.' (C locale); the reference uses the
-platform locale separator (SmallFilesReportCommandTest.java:13,54).
+Spark. Percent formatting follows the process locale's decimal separator
+(LC_NUMERIC), matching the reference's platform-locale behavior
+(SmallFilesReportCommandTest.java:13,54); the C-locale default '.' is
+pinned by the goldens.
 """
 
 from __future__ import annotations
@@ -44,6 +46,19 @@ def number_of_digits(value: int) -> int:
 def _pad_trunc(s: str, width: int) -> str:
     """Java '%-W.Ws' — left-justify AND truncate to width."""
     return s[:width].ljust(width)
+
+
+def _fmt_pct(pct: float) -> str:
+    """Reference parity for the smallfiles % column: Java's
+    String.format("%3.1f%%") uses the PLATFORM default locale's decimal
+    separator (SmallFilesReportCommandTest.java:13,54 pin ',' under
+    de_DE). Honor the process LC_NUMERIC the same way — under the default
+    C locale this stays '.', which the goldens pin."""
+    import locale
+
+    s = f"{pct:3.1f}"
+    dp = locale.localeconv()["decimal_point"]
+    return (s.replace(".", dp) if dp != "." else s) + "%"
 
 
 def _bucket_columns(overall_buckets: list[int]) -> tuple[list[str], list[int], int]:
@@ -193,7 +208,7 @@ def small_files_txt(report: SmallFilesReport, hotspot_limit: int = 10) -> str:
     out.append("-" * (max_w_user + 3 + max_w_cnt + 3 + 10))
     for r in user_rows:
         pct = float(r["count"]) / overall * 100.0
-        out.append(f"{r['user']:<{max_w_user}s} | {r['count']:{max_w_cnt}d} | {pct:3.1f}%")
+        out.append(f"{r['user']:<{max_w_user}s} | {r['count']:{max_w_cnt}d} | {_fmt_pct(pct)}")
     out.append("")
 
     # Per-user hotspot details (top 10 users hardcoded, :235-247)

@@ -8,7 +8,15 @@ What it demonstrates for the 100 TB posture:
   paths; the literal-expression twins exist for oracle exactness),
 * the ADC query probes the persisted (list_id, codes) index shape.
 
-Usage: python scripts/ann_scale_probe.py [n_vectors] [dim]
+Usage:
+    python scripts/ann_scale_probe.py [n_vectors] [dim]     # kernel timings
+    python scripts/ann_scale_probe.py recall [n] [dim]      # recall@10 curve
+
+The recall mode measures approximation QUALITY: recall@10 of every
+approximate path (IVF at n_probe 1/4/16, sign-bit LSH, PQ-ADC with seed
+and k-means-trained codebooks, IVF-PQ) against the exact_topk_arrow brute
+force on a clustered synthetic corpus — the number the similarity stack
+is ultimately judged by.
 """
 
 from __future__ import annotations
@@ -100,5 +108,148 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _recall_at_k(approx_df, gt: dict[int, list[int]], k: int) -> float:
+    """Mean |approx ∩ exact| / k over queries."""
+    got: dict[int, set[int]] = {}
+    for r in approx_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return round(
+        sum(len(got.get(q, set()) & set(ids)) / k for q, ids in gt.items())
+        / len(gt),
+        4,
+    )
+
+
+def _gt(corpus, queries, k: int, metric: str) -> dict[int, list[int]]:
+    from hfsa_spark.operators.similarity import exact_topk_arrow
+
+    out: dict[int, list[int]] = {}
+    for r in exact_topk_arrow(corpus, queries, k=k, metric=metric).collect():
+        out.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    return out
+
+
+def recall_main(n: int = 100_000, dim: int = 64, noise: float = 0.5) -> None:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hfsa_spark.operators.similarity import (
+        cosine_topk_lsh,
+        ivf_topk,
+        ivfpq_topk,
+        pq_adc_rerank_topk,
+        pq_adc_topk_arrow,
+        pq_codebooks_from_seeds,
+        pq_encode_arrow,
+        pq_train,
+        synthesize_clustered_embeddings,
+    )
+
+    k = 10
+    spark = get_spark("ann_recall_probe")
+    path = f"/tmp/ann_recall_corpus_{n}_{dim}_{noise}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthesize_clustered_embeddings(spark, n, dim, noise=noise).write.mode(
+            "overwrite"
+        ).parquet(path)
+    corpus = spark.read.parquet(path)
+    queries = corpus.filter(F.col("vec_id") < 16)
+
+    t0 = time.perf_counter()
+    gt_cos = _gt(corpus, queries, k, "cosine")
+    gt_l2 = _gt(corpus, queries, k, "l2")
+    bf_s = round(time.perf_counter() - t0, 2)
+
+    recalls: dict[str, float] = {}
+    costs: dict[str, float] = {}
+
+    def run(name: str, thunk, gt) -> None:
+        t = time.perf_counter()
+        recalls[name] = _recall_at_k(thunk(), gt, k)
+        costs[name] = round(time.perf_counter() - t, 2)
+
+    stride = max(1, n // 1000)  # ≈1000 inverted lists (√N-ish regime)
+    for n_probe in (1, 4, 16):
+        run(
+            f"ivf_nprobe{n_probe}",
+            lambda np_=n_probe: ivf_topk(
+                corpus, queries, k=k, n_probe=np_, centroid_stride=stride
+            ),
+            gt_cos,
+        )
+    run(
+        "lsh_8bit",
+        lambda: cosine_topk_lsh(corpus, queries, k=k, lsh_dims=list(range(8))),
+        gt_cos,
+    )
+
+    m, k_codes = 8, 256
+    seeds = pq_codebooks_from_seeds(corpus, m=m, num_codes=k_codes)
+    run(
+        "pq_adc_seed",
+        lambda: pq_adc_topk_arrow(
+            pq_encode_arrow(corpus, seeds), queries, seeds, k=k
+        ),
+        gt_l2,
+    )
+    t = time.perf_counter()
+    trained = pq_train(corpus, m=m, num_codes=k_codes, iters=3)
+    train_s = round(time.perf_counter() - t, 2)
+    run(
+        "pq_adc_trained",
+        lambda: pq_adc_topk_arrow(
+            pq_encode_arrow(corpus, trained), queries, trained, k=k
+        ),
+        gt_l2,
+    )
+    # the production composition: ADC shortlist + exact re-rank
+    for depth in (100, 300):
+        run(
+            f"pq_adc_trained_rerank{depth}",
+            lambda d=depth: pq_adc_rerank_topk(
+                corpus, pq_encode_arrow(corpus, trained), queries, trained,
+                k=k, depth=d,
+            ),
+            gt_l2,
+        )
+
+    # IVF-PQ runs the literal-expression composition (oracle twin), so it
+    # probes a smaller corpus slice at small codebooks — label carries n
+    ivfpq_n = min(n, 20_000)
+    sub = corpus.filter(F.col("vec_id") < ivfpq_n)
+    sub_gt = _gt(sub, queries, k, "l2")
+    books_s = pq_codebooks_from_seeds(sub, m=4, num_codes=16)
+    for n_probe in (4, 16):
+        run(
+            f"ivfpq_{ivfpq_n // 1000}k_nprobe{n_probe}",
+            lambda np_=n_probe: ivfpq_topk(
+                sub, queries, books_s, k=k, n_probe=np_,
+                centroid_stride=max(1, ivfpq_n // 100),
+            ),
+            sub_gt,
+        )
+
+    print(
+        json.dumps(
+            {
+                "probe": "recall@10",
+                "n_vectors": n,
+                "dim": dim,
+                "n_queries": 16,
+                "bruteforce_gt_s": bf_s,
+                "pq_train_s": train_s,
+                "recall": recalls,
+                "query_cost_s": costs,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "recall":
+        recall_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+            float(sys.argv[4]) if len(sys.argv) > 4 else 0.5,
+        )
+    else:
+        main()

@@ -47,12 +47,21 @@ def main() -> None:
     from hfsa_spark.operators.userusage import user_usage_report
 
     def run(name, thunk):
-        for _ in range(2):  # min-of-2: steady state, not first-touch codegen
+        for _ in range(3):  # min-of-3: steady state, not first-touch codegen
             t0 = time.perf_counter()
             thunk()
             el = round(time.perf_counter() - t0, 2)
             timings[name] = min(timings.get(name, el), el)
 
+    def _stat():
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8]), sum(int(x) for x in parts[1:])
+        except Exception:
+            return -1, 0
+
+    steal0, jif0 = _stat()
     run("summary", lambda: summary_report(inodes).by_user.collect())
     run(
         "smallfiles",
@@ -65,7 +74,22 @@ def main() -> None:
     run("path_subtree", lambda: path_report(inodes, dirs=["/a"]).counts.collect())
     run("inode_lookup", lambda: inode_info(inodes, [16385, "/a/g"]).collect())
 
-    print(json.dumps({"metric": "scale_probe_5m", "unit": "sec", "timings": timings}))
+    steal1, jif1 = _stat()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(jif1 - jif0, 1), 2)
+        if steal0 >= 0 and jif1 > jif0
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_5m",
+                "unit": "sec",
+                "steal_pct": steal_pct,
+                "timings": timings,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

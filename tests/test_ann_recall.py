@@ -1,0 +1,80 @@
+"""ANN approximation QUALITY floors: recall@10 against the exact
+brute-force baseline on a seeded clustered 100k corpus — the number the
+similarity stack is ultimately judged by (the exactness/equivalence tests
+elsewhere pin determinism, not approximation quality). The full
+recall-vs-cost curve lives in scripts/ann_scale_probe.py recall mode /
+PERFORMANCE.md; these tests pin floors so a regression in bucketing,
+probing, or tie-handling shows up as a failure, not a silent quality
+drop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _recall(approx_rows, gt: dict[int, set[int]], k: int = 10) -> float:
+    got: dict[int, set[int]] = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(len(got.get(q, set()) & s) / k for q, s in gt.items()) / len(gt)
+
+
+def test_ivf_recall_floor_100k(spark):
+    """IVF at n_probe=16 over ~1000 stride-sampled lists must keep
+    recall@10 ≥ 0.8 on the seeded 100k clustered corpus (measured 0.925;
+    n_probe=1 is the sanity lower rung of the curve)."""
+    from hfsa_spark.operators.similarity import (
+        exact_topk_arrow,
+        ivf_topk,
+        synthesize_clustered_embeddings,
+    )
+
+    corpus = synthesize_clustered_embeddings(
+        spark, 100_000, 64, noise=0.3
+    ).localCheckpoint(eager=True)
+    queries = corpus.filter(F.col("vec_id") < 16)
+    gt: dict[int, set[int]] = {}
+    for r in exact_topk_arrow(corpus, queries, k=10).collect():
+        gt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(gt) == 16 and all(len(s) == 10 for s in gt.values())
+
+    r16 = _recall(
+        ivf_topk(corpus, queries, k=10, n_probe=16, centroid_stride=100).collect(), gt
+    )
+    assert r16 >= 0.8, f"recall@10 at n_probe=16 regressed: {r16}"
+
+    r1 = _recall(
+        ivf_topk(corpus, queries, k=10, n_probe=1, centroid_stride=100).collect(), gt
+    )
+    assert r1 <= r16, "more probes must not lose recall"
+
+
+def test_adc_rerank_recovers_recall_20k(spark):
+    """Raw ADC ranking saturates on tied codes; the production shortlist +
+    exact-rerank composition must recover most of the loss. Floors pin the
+    ordering raw < rerank and a rerank floor."""
+    from hfsa_spark.operators.similarity import (
+        exact_topk_arrow,
+        pq_adc_rerank_topk,
+        pq_adc_topk_arrow,
+        pq_codebooks_from_seeds,
+        pq_encode_arrow,
+        synthesize_clustered_embeddings,
+    )
+
+    corpus = synthesize_clustered_embeddings(
+        spark, 20_000, 64, noise=0.3
+    ).localCheckpoint(eager=True)
+    queries = corpus.filter(F.col("vec_id") < 8)
+    gt: dict[int, set[int]] = {}
+    for r in exact_topk_arrow(corpus, queries, k=10, metric="l2").collect():
+        gt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    books = pq_codebooks_from_seeds(corpus, m=8, num_codes=256)
+    codes = pq_encode_arrow(corpus, books)
+    raw = _recall(pq_adc_topk_arrow(codes, queries, books, k=10).collect(), gt)
+    rer = _recall(
+        pq_adc_rerank_topk(corpus, codes, queries, books, k=10, depth=200).collect(),
+        gt,
+    )
+    assert rer >= max(raw, 0.6), (raw, rer)

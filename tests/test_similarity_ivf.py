@@ -333,3 +333,88 @@ def test_pq_adc_arrow_tiebreak_across_batches(spark):
     # global tiebreak keeps the five smallest ids among the tied 40
     assert [n for _, n in expr] == [100, 101, 102, 103, 104]
     assert arrow == expr
+
+
+def test_pq_train_reduces_mse_and_composes_with_adc(spark):
+    """Per-subvector Lloyd's k-means must beat the first-K seed codebooks
+    on quantization MSE, be deterministic, and plug into the unchanged
+    encode/ADC paths."""
+    from hfsa_spark.operators.similarity import (
+        pq_adc_topk_arrow,
+        pq_codebooks_from_seeds,
+        pq_encode,
+        pq_encode_arrow,
+        pq_mse,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    trained = pq_train(emb, m=4, num_codes=8, iters=4)
+    assert len(trained) == 4 and all(len(b) == 8 for b in trained)
+    assert len(trained[0][0]) == 16
+
+    mse_seed = pq_mse(emb, seeds)
+    mse_trained = pq_mse(emb, trained)
+    assert mse_trained < mse_seed * 0.9, (mse_trained, mse_seed)
+
+    # determinism: same input → identical codebooks
+    assert pq_train(emb, m=4, num_codes=8, iters=4) == trained
+
+    # Lloyd's monotonicity: more iterations never increase MSE (beyond
+    # float noise)
+    mse_1 = pq_mse(emb, pq_train(emb, m=4, num_codes=8, iters=1))
+    assert mse_trained <= mse_1 + 1e-12
+
+    # the encode + ADC paths run unchanged on trained books and agree
+    expr = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb.limit(80), trained).collect()}
+    arrow = {r["vec_id"]: list(r["codes"]) for r in pq_encode_arrow(emb.limit(80), trained).collect()}
+    assert arrow == expr
+    codes = pq_encode_arrow(emb, trained)
+    out = pq_adc_topk_arrow(codes, emb.filter(F.col("vec_id") == 2), trained, k=5).collect()
+    assert len(out) == 5
+
+
+def test_exact_topk_arrow_matches_expression_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import cosine_topk, exact_topk_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin(1, 4, 9))
+    expr = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=7).collect()
+    ]
+    arrow = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in exact_topk_arrow(emb.repartition(8), queries, k=7).collect()
+    ]
+    assert arrow == expr and len(arrow) == 21
+
+
+def test_exact_topk_arrow_l2_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import exact_topk_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"])) for r in emb.collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    x = np.stack([v for _, v in rows])
+    q = x[ids == 5][0]
+    d = ((x - q) ** 2).sum(axis=1)
+    mask = ids != 5
+    order = np.lexsort((ids[mask], d[mask]))[:6]
+    want = list(ids[mask][order])
+    got = [
+        r["neighbor_id"]
+        for r in exact_topk_arrow(
+            emb, emb.filter(F.col("vec_id") == 5), k=6, metric="l2"
+        ).collect()
+    ]
+    assert got == want

@@ -149,6 +149,19 @@ def test_small_files_txt_golden(small):
     assert out == SMALLFILES_GOLDEN
 
 
+def test_small_files_txt_comma_locale(small, monkeypatch):
+    """Reference parity: the % column uses the PLATFORM locale decimal
+    separator (SmallFilesReportCommandTest.java:13,54 pins ',' under
+    de_DE); the goldens above pin the C-locale '.' default."""
+    import locale
+
+    monkeypatch.setattr(locale, "localeconv", lambda: {"decimal_point": ","})
+    out = small_files_txt(small_files_report(small))
+    assert out == SMALLFILES_GOLDEN.replace("66.7%", "66,7%").replace(
+        "33.3%", "33,3%"
+    )
+
+
 def test_user_usage_txt_golden(small):
     rolled = user_usage_report(small, user="mm", now_ms=1600000000000, limit=None)
     assert user_usage_txt(rolled, user="mm") == USERUSAGE_GOLDEN
