@@ -1722,6 +1722,44 @@ def q94_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition in the gate: PQ-ADC prunes the
+    corpus to a 30-candidate shortlist per query (expression-path codes =
+    bit-exact vs the oracle), then the TRUE vectors of the (unioned)
+    shortlist are fetched via broadcast semi join and re-ranked by exact
+    L2. The oracle replicates both stages; near-tie rank flips can't occur
+    because equal PQ codes give exactly equal ADC distances (id tiebreak,
+    both engines) and distinct random vectors never collide at float
+    precision."""
+    from hfsa_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+    codes = pq_encode(emb, books)
+    queries_df = emb.filter(F.col("vec_id").isin(0, 5, 9))
+    return pq_adc_rerank_topk(
+        emb, codes, queries_df, books, k=5, depth=30, metric="l2"
+    ).select("query_id", "rank", "neighbor_id")
+
+
+def q96_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force Arrow kNN kernel (exact_topk_arrow, L2) in the
+    gate: batch-local BLAS top-k + global merge must reproduce the plain
+    SQL full ranking. Rank output only — the distances agree to ulps, and
+    the fixed random table has no near-ties for a ulp to flip."""
+    from hfsa_spark.operators.similarity import exact_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(1, 4, 7))
+    return exact_topk_arrow(emb, queries_df, k=10, metric="l2").select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 # The driver grades the FIRST 50 ``queries()`` entries each round, so a
 # fixed dict order would leave everything past q50 permanently ungraded.
 # The dict is therefore reordered deterministically per round: ~20 core
@@ -1863,6 +1901,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_png_decode": q92_png_decode,
         "q93_streaming_dedup": q93_streaming_dedup,
         "q94_interval_join": q94_interval_join,
+        "q95_pq_rerank": q95_pq_rerank,
+        "q96_knn_l2": q96_knn_l2,
     }
 
 
@@ -3239,6 +3279,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
         FROM h WHERE doc_id IN (SELECT doc_id FROM keep)
         GROUP BY lang ORDER BY lang
+    """
+
+    # q95: two-stage oracle — re-derive the ADC shortlist (top-30 per
+    # query by ADC dist, id tiebreak, exactly as q90), union the
+    # candidates across queries (documented rerank semantics), then exact
+    # L2 re-rank of the candidates
+    _EX_D2 = """list_reduce(list_transform(generate_series(1, 64),
+               i -> (e.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)
+                  * (e.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)),
+               (x, y) -> x + y)"""
+    o["q95_pq_rerank"] = _PQ_BASE + f""",
+        qd AS (
+            SELECT q.vec_id AS query_id, ms.m, cw.k,
+                   {_PQ_D2.format(a='q', b='cw', m='ms.m')} AS d2
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 5, 9)) q,
+                 ms, cw
+        ),
+        adc AS (
+            SELECT qd.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list(qd.d2 ORDER BY qd.m), (x, y) -> x + y) AS dist
+            FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.code
+            WHERE c.vec_id <> qd.query_id
+            GROUP BY qd.query_id, c.vec_id
+        ),
+        cand AS (
+            SELECT DISTINCT neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist ASC, neighbor_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= 30
+        ),
+        ex AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_EX_D2} AS d
+            FROM embeddings e
+            JOIN cand ON e.vec_id = cand.neighbor_id,
+                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 5, 9)) q
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, rank::INTEGER AS rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM ex
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # q96: plain full L2 ranking — the Arrow batch-local-top-k kernel
+    # must reproduce it exactly (rank output; fixed table, no near-ties)
+    o["q96_knn_l2"] = f"""
+        WITH ex AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_EX_D2} AS d
+            FROM embeddings e,
+                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1, 4, 7)) q
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, rank::INTEGER AS rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM ex
+        ) WHERE rank <= 10 ORDER BY query_id, rank
     """
 
     # q94: Spark runs the real stream-stream interval join to completion
