@@ -1602,6 +1602,28 @@ def q92_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q97_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF raster decode in the gate: gradient index rasters over the
+    grayscale-ramp palette, LZW-COMPRESSED for real executor-side, then
+    decode_gif runs the full variable-width LZW decompress + palette map.
+    Oracle closed form mirrors q92: luma_milli = ((11·id mod 200)+15)·1000
+    for the 16x16 gradient."""
+    from hfsa_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_gif_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_gif_table(d, width=16, height=16, max_docs=200)
+    feats = extract_image_features(media)  # real path: decode_gif raster
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 255000 + F.lit(0.5)).cast("long").alias("luma_milli"),
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -1903,6 +1925,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_interval_join": q94_interval_join,
         "q95_pq_rerank": q95_pq_rerank,
         "q96_knn_l2": q96_knn_l2,
+        "q97_gif_decode": q97_gif_decode,
     }
 
 
@@ -3257,6 +3280,13 @@ def oracle_sql() -> dict[str, str]:
     o["q92_png_decode"] = """
         SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
                (((7 * doc_id) % 200 + 15) * 1000)::BIGINT AS luma_milli
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """
+
+    # q97: same closed form over the LZW-compressed GIF twin
+    o["q97_gif_decode"] = """
+        SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
+               (((11 * doc_id) % 200 + 15) * 1000)::BIGINT AS luma_milli
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """
 

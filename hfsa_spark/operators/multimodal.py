@@ -7,12 +7,13 @@ is dependency-free stdlib/numpy over public file-format layouts):
   (``parse_image_header``: width, height, channels, format), plus REAL
   raster decode + nearest-neighbor resize + pixel stats (mean_luma,
   average-hash) for UNCOMPRESSED BMP (``decode_bmp`` / ``encode_bmp`` /
-  ``resize_nearest`` — pure numpy) AND non-interlaced 8-bit PNG
+  ``resize_nearest`` — pure numpy), non-interlaced 8-bit PNG
   (``decode_png`` / ``encode_png`` — stdlib zlib inflate + per-scanline
   filter reversal, all five filter types, gray/gray+alpha/RGB/RGBA/
-  palette). Remaining stubs: JPEG/GIF rasters, interlaced / 16-bit PNG
-  (their decode genuinely needs a codec library or is documented
-  NotImplementedError).
+  palette), AND non-interlaced GIF (``decode_gif`` / ``encode_gif`` —
+  full variable-width LZW codec + color-table mapping). Remaining
+  stubs: JPEG raster, interlaced PNG/GIF, 16-bit PNG (JPEG genuinely
+  needs a codec library; the rest are documented NotImplementedError).
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
   numpy.
@@ -384,14 +385,214 @@ def decode_png(data: bytes):
     return np.ascontiguousarray(arr)
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-variant LZW decompress (variable code width 3..12 bits, LSB-
+    first bit packing, clear/end codes, deferred-clear tolerant). Returns
+    the index stream or None on corrupt input. Public GIF89a spec App. F."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> list[list[int] | None]:
+        return [[i] for i in range(clear)] + [None, None]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > nbits:
+            break  # missing end code: tolerate (common in the wild)
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            table, code_size, prev = fresh(), min_code_size + 1, None
+            continue
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress — the round-trip partner of
+    :func:`_lzw_decode` (same width-growth schedule, table reset at
+    4096)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits: list[tuple[int, int]] = []  # (code, width at emission)
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    bits.append((clear, code_size))
+    seq: tuple[int, ...] = ()
+    for p in indices:
+        p = int(p)
+        cand = seq + (p,)
+        if cand in table:
+            seq = cand
+            continue
+        bits.append((table[seq], code_size))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # one step AFTER the decoder's len==2^w bump: the decoder's
+            # table lags one append, so widths stay in lock-step when the
+            # encoder bumps at next_code == 2^w + 1 (emittable max = 2^w)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            bits.append((clear, code_size))
+            table = {(i,): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        seq = (p,)
+    if seq:
+        bits.append((table[seq], code_size))
+    bits.append((end, code_size))
+    acc = val = 0
+    outb = bytearray()
+    for code, width in bits:
+        val |= code << acc
+        acc += width
+        while acc >= 8:
+            outb.append(val & 0xFF)
+            val >>= 8
+            acc -= 8
+    if acc:
+        outb.append(val & 0xFF)
+    return bytes(outb)
+
+
+def decode_gif(data: bytes):
+    """Full raster decode of the FIRST frame of a non-interlaced GIF87a/
+    GIF89a → HxWx3 uint8: LZW decompress (:func:`_lzw_decode`) + color
+    table mapping — dependency-free, public GIF89a spec. Extensions
+    (incl. GCE transparency, which is ignored — the palette color is
+    returned) are skipped; interlaced frames raise NotImplementedError;
+    malformed payloads return None."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = data[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            _, _, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n > len(data):
+                    return None
+                pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF decode not implemented (non-interlaced only)"
+                )
+            if pal is None or pos >= len(data) or iw == 0 or ih == 0:
+                return None
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if arr.max(initial=0) >= len(pal):
+                return None
+            return np.ascontiguousarray(pal[arr])
+        elif b == 0x3B:
+            break
+        else:
+            return None
+    return None
+
+
+def encode_gif(indices, palette) -> bytes:
+    """(HxW index array, [(r,g,b), ...]) → single-frame GIF89a bytes — the
+    round-trip partner of :func:`decode_gif` (global color table padded to
+    a power of two, LZW-compressed data sub-blocks)."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, (len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += bytes(3 * (n - len(palette)))
+    lzw = _lzw_encode(idx.ravel(), bits)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+        + bytes(pal)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([bits])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def decode_raster(data: bytes):
-    """Dependency-free raster decode: uncompressed BMP or non-interlaced
-    8-bit PNG → HxWxC uint8. None if neither supported layout matches; may
-    raise NotImplementedError for recognized-but-unsupported PNG variants
-    (interlaced, 16-bit)."""
+    """Dependency-free raster decode: uncompressed BMP, non-interlaced
+    8-bit PNG, or non-interlaced GIF (first frame) → HxWxC uint8. None if
+    no supported layout matches; may raise NotImplementedError for
+    recognized-but-unsupported variants (interlaced PNG/GIF, 16-bit
+    PNG)."""
     arr = decode_bmp(data)
     if arr is None:
         arr = decode_png(data)
+    if arr is None:
+        arr = decode_gif(data)
     return arr
 
 
@@ -522,11 +723,11 @@ def _fake_decode(payload: bytes) -> dict:
 def _real_decode(payload: bytes) -> dict:
     """Header decode for any recognized format; full pixel stats
     (mean_luma + 64-bit average-hash) when the raster is decodable
-    (uncompressed BMP, non-interlaced 8-bit PNG)."""
+    (uncompressed BMP, non-interlaced 8-bit PNG, non-interlaced GIF)."""
     import numpy as np
 
     feats = parse_image_header(payload) or {}
-    if feats.get("format") in ("bmp", "png"):
+    if feats.get("format") in ("bmp", "png", "gif"):
         try:
             arr = decode_raster(payload)
         except NotImplementedError:
@@ -679,13 +880,14 @@ def resize_images(
 ) -> DataFrame:
     """Batch image resize → (doc_id, payload, width, height).
 
-    Real path: uncompressed BMP and non-interlaced 8-bit PNG rasters are
-    decoded (:func:`decode_raster`), nearest-neighbor resampled with numpy
-    (:func:`resize_nearest`), and re-encoded as 24-bit BMP — fully
-    dependency-free. JPEG/GIF (and interlaced/16-bit PNG) still raise
-    NotImplementedError: their raster decode genuinely needs a codec
-    library. The fake path re-digests the payload to a deterministic
-    pseudo-resized blob for synthetic corpora.
+    Real path: uncompressed BMP, non-interlaced 8-bit PNG, and
+    non-interlaced GIF rasters are decoded (:func:`decode_raster`),
+    nearest-neighbor resampled with numpy (:func:`resize_nearest`), and
+    re-encoded as 24-bit BMP — fully dependency-free. JPEG (and
+    interlaced/16-bit variants) still raises NotImplementedError: its
+    raster decode genuinely needs a codec library. The fake path
+    re-digests the payload to a deterministic pseudo-resized blob for
+    synthetic corpora.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -888,6 +1090,41 @@ def synthesize_png_table(
                 v = ((7 * int(i)) % 200 + xs + ys).astype(np.uint8)
                 rgba = np.dstack([v, v, v, np.full_like(v, 255)])
                 payloads.append(encode_png(rgba, filter_type="mixed"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def synthesize_gif_table(
+    documents: DataFrame, width: int = 16, height: int = 16, max_docs: int | None = None
+) -> DataFrame:
+    """Media table of REAL GIF payloads: doc_id-derived gradient index
+    raster (index = (11·id mod 200) + x + y, no wraparound) over the
+    identity grayscale-ramp palette, LZW-compressed for real — downstream
+    decodes exercise the full variable-width LZW path. Mean-luma closed
+    form: base + ((width-1) + (height-1)) / 2, exactly as the PNG twin."""
+    import numpy as np
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+    ramp = [(i, i, i) for i in range(256)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grad = np.add.outer(np.arange(height), np.arange(width))
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = [
+                encode_gif(((11 * int(i)) % 200 + grad).astype(np.uint8), ramp)
+                for i in batch["doc_id"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],

@@ -338,3 +338,64 @@ def test_resize_images_real_png(spark):
     got = decode_bmp(bytes(rows[0]["payload"]))
     want = resize_nearest(arr[:, :, :3], 8, 8)
     assert np.array_equal(got, want)
+
+
+# ------------------------------------------------------------------- GIF --
+
+
+def test_gif_lzw_roundtrip_and_palette():
+    from hfsa_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    palette = [(int(r), int(g), int(b)) for r, g, b in rng.integers(0, 256, (16, 3))]
+    idx = rng.integers(0, 16, size=(23, 17), dtype=np.uint8)
+    arr = decode_gif(encode_gif(idx, palette))
+    assert arr is not None and arr.shape == (23, 17, 3)
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(arr, want)
+
+
+def test_gif_lzw_roundtrip_large_table_growth():
+    """Enough distinct pixel runs to push the LZW table through several
+    code-width bumps — the classic encoder/decoder desync spot."""
+    from hfsa_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    palette = [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    idx = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    arr = decode_gif(encode_gif(idx, palette))
+    assert arr is not None
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(arr, want)
+
+
+def test_gif_rejects_and_raises():
+    from hfsa_spark.operators.multimodal import decode_gif, encode_gif
+
+    assert decode_gif(b"NOTAGIF" * 4) is None
+    # interlace flag set → NotImplementedError, not garbage
+    data = bytearray(encode_gif(np.zeros((4, 4), dtype=np.uint8), [(0, 0, 0), (255, 255, 255)]))
+    desc = data.index(0x2C, 13)
+    data[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(data))
+
+
+def test_image_features_real_gif_pixels(spark):
+    from hfsa_spark.operators.multimodal import (
+        encode_gif,
+        extract_image_features,
+    )
+
+    ramp = [(i, i, i) for i in range(256)]
+    idx = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8) + 100
+    media = spark.createDataFrame(
+        [(3, "image", bytearray(encode_gif(idx, ramp)))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    rows = extract_image_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    # gradient mean: 100 + 15 exactly (r=g=b ⇒ luma = index value)
+    assert round(r["mean_luma"] * 255000) == 115000
