@@ -1624,6 +1624,30 @@ def q97_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q98_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the gate: solid-color 16x16 JPEGs are
+    Huffman-ENCODED for real executor-side (quality 90), then decode_jpeg
+    runs the full entropy-decode + dequant + IDCT + YCbCr→RGB path. Solid
+    8x8-aligned blocks quantize to DC-only coefficients, so the decoded
+    color has a closed form the oracle replicates term-for-term (q=3 at
+    quality 90 for both tables' DC; banker's rounding = DuckDB
+    round_even; all 600 roundings verified off any .5 boundary)."""
+    from hfsa_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_jpeg_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_jpeg_table(d, width=16, height=16, max_docs=200)
+    feats = extract_image_features(media)  # real path: decode_jpeg
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 255000 + F.lit(0.5)).cast("long").alias("luma_milli"),
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -1926,6 +1950,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_pq_rerank": q95_pq_rerank,
         "q96_knn_l2": q96_knn_l2,
         "q97_gif_decode": q97_gif_decode,
+        "q98_jpeg_decode": q98_jpeg_decode,
     }
 
 
@@ -3288,6 +3313,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
                (((11 * doc_id) % 200 + 15) * 1000)::BIGINT AS luma_milli
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """
+
+    # q98: the JPEG pipeline's closed form for solid 8x8-aligned blocks —
+    # DC-only quantization (q=3 both tables at quality 90), dequant/IDCT
+    # restores value + round_even(8(v-128)/3)*3/8, then YCbCr→RGB with the
+    # decoder's exact expression order; round_even = numpy banker's
+    o["q98_jpeg_decode"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   ((5 * doc_id) % 256)::DOUBLE AS r,
+                   ((7 * doc_id) % 256)::DOUBLE AS g,
+                   ((11 * doc_id) % 256)::DOUBLE AS b
+            FROM documents WHERE doc_id < 200
+        ),
+        yc AS (
+            SELECT doc_id,
+                   0.299 * r + 0.587 * g + 0.114 * b AS y,
+                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 AS cb,
+                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 AS cr
+            FROM c
+        ),
+        dec AS (
+            SELECT doc_id,
+                   round_even(8.0 * (y - 128.0) / 3.0, 0) * 3.0 / 8.0 + 128.0 AS yd,
+                   round_even(8.0 * (cb - 128.0) / 3.0, 0) * 3.0 / 8.0 + 128.0 AS cbd,
+                   round_even(8.0 * (cr - 128.0) / 3.0, 0) * 3.0 / 8.0 + 128.0 AS crd
+            FROM yc
+        ),
+        rgb AS (
+            SELECT doc_id,
+                   least(greatest(round_even(yd + 1.402 * (crd - 128.0), 0), 0.0), 255.0) AS rr,
+                   least(greatest(round_even(yd - 0.344136 * (cbd - 128.0) - 0.714136 * (crd - 128.0), 0), 0.0), 255.0) AS gg,
+                   least(greatest(round_even(yd + 1.772 * (cbd - 128.0), 0), 0.0), 255.0) AS bb
+            FROM dec
+        )
+        SELECT doc_id, 16::INTEGER AS width, 16::INTEGER AS height,
+               floor((0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0 * 255000.0 + 0.5)::BIGINT AS luma_milli
+        FROM rgb ORDER BY doc_id
     """
 
     # q93: Spark runs the real foreachBatch streaming ingestion (3 micro-

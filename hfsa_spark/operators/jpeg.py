@@ -1,0 +1,526 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81, public spec).
+
+``decode_jpeg``: baseline sequential 8-bit JPEGs — DQT/DHT/SOF0/SOS/DRI
+marker parse, Huffman entropy decode (byte-stuffing + restart markers),
+dequant + zigzag, matrix-form 8x8 IDCT (numpy), chroma box upsampling for
+subsampled scans, JFIF full-range YCbCr→RGB. Progressive (SOF2),
+arithmetic-coded, hierarchical, and 12-bit variants raise
+NotImplementedError; malformed payloads return None.
+
+``encode_jpeg``: the round-trip partner — 4:4:4 (or grayscale) baseline
+encoder with the Annex K example quant (quality-scaled, IJG curve) and
+Huffman tables. decode(encode(x)) is lossy by design; tests pin the
+closed-form cases (solid blocks quantize exactly) and error bounds.
+
+This closes the last compressed-raster stub in operators/multimodal.py —
+the reference has no image analog (beyond-reference surface, SURVEY.md
+LLM-pipeline section); video codec frames remain out of scope.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# zigzag scan order: ZIGZAG[i] = row-major index of the i-th coefficient
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 example quantization tables (row-major)
+QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3-K.6 example Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    """8x8 DCT-II basis M (orthonormal): forward C = M·(x−128)·Mᵀ,
+    inverse x = Mᵀ·C·M + 128."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(length, code) → symbol decode map AND symbol → (code, length)
+    encode map from a canonical Huffman spec (T.81 Annex C)."""
+    dec, enc = {}, {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            dec[(ln, code)] = vals[k]
+            enc[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return dec, enc
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (stuffing
+    already removed)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(r: int, s: int) -> int:
+    """T.81 EXTEND: magnitude-category bits → signed value."""
+    if s == 0:
+        return 0
+    return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+
+def _decode_huff(reader: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _entropy_segments(data: bytes, start: int):
+    """Split the scan into restart segments with 0xFF00 stuffing removed.
+    Returns (segments, end_pos)."""
+    segs, cur = [], bytearray()
+    pos = len(data)
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # any other marker ends the scan
+            pos = i
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(data: bytes):
+    """Baseline sequential 8-bit JPEG → HxWx3 (or HxWx1 grayscale) uint8
+    numpy array. None for non-JPEG/malformed; NotImplementedError for
+    progressive / arithmetic / hierarchical / 12-bit variants."""
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "progressive JPEG decode not implemented (baseline only)"
+            )
+        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG process not implemented (baseline only)"
+            )
+        if marker in (0xC0, 0xC1):
+            precision, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if precision != 8:
+                raise NotImplementedError("12-bit JPEG not implemented (8-bit only)")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not implemented")
+                tbl = np.zeros(64)
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = body[p + 1 + i]
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                dec, _ = _canonical_codes(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                p += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 15})
+            scan = (scan_comps, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None or not qt:
+        return None
+
+    scan_comps, scan_start = scan
+    comps = frame["comps"]
+    if len(scan_comps) != len(comps):
+        return None
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        if sc["id"] not in by_id:
+            return None
+        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks per row in this component
+        c["bh"] = mcus_y * c["v"]
+        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8))
+
+    segs, _ = _entropy_segments(data, scan_start)
+    m = _dct_matrix()
+    mcu_per_seg = restart_interval if restart_interval else mcus_x * mcus_y
+    mcu_idx = 0
+    try:
+        for seg in segs:
+            if mcu_idx >= mcus_x * mcus_y:
+                break
+            reader = _BitReader(seg)
+            pred = {c["id"]: 0 for c in comps}
+            for _ in range(mcu_per_seg):
+                if mcu_idx >= mcus_x * mcus_y:
+                    break
+                my, mx = divmod(mcu_idx, mcus_x)
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64)
+                            s = _decode_huff(reader, huff_dc[c["td"]])
+                            diff = _extend(reader.receive(s), s)
+                            pred[c["id"]] += diff
+                            coef[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huff(reader, huff_ac[c["ta"]])
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block")
+                                coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
+                                k += 1
+                            block = (
+                                m.T @ (coef.reshape(8, 8) * qt[c["tq"]]) @ m + 128.0
+                            )
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+                mcu_idx += 1
+    except (EOFError, ValueError, KeyError):
+        return None
+    if mcu_idx < mcus_x * mcus_y:
+        return None
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        out = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+    else:
+        return None
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            b = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(b & 0xFF)
+            if (b & 0xFF) == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.nbits = 0
+
+
+def _quality_scale(qtbl: list[int], quality: int):
+    """IJG quality curve: 50 → table as-is, 100 → all ones."""
+    import numpy as np
+
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.clip((np.asarray(qtbl) * s + 50) // 100, 1, 255).astype(np.int64)
+    return t
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """HxWx{1,3} uint8 array → baseline JFIF JPEG bytes (4:4:4, Annex K
+    tables at the given IJG quality; optional DRI/RSTn restart markers
+    every ``restart_interval`` MCUs). The round-trip partner of
+    :func:`decode_jpeg` — lossy; solid 8x8-aligned blocks survive exactly
+    when their quantized DC is exact (pinned in tests)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    if nch == 3:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qts = [0, 1, 1]
+        hts = [(0, 0), (1, 1), (1, 1)]
+    elif nch == 1:
+        planes = [a[:, :, 0]]
+        qts = [0]
+        hts = [(0, 0)]
+    else:
+        raise ValueError("encode_jpeg expects HxWx1 or HxWx3")
+
+    q0 = _quality_scale(QT_LUMA, quality)
+    q1 = _quality_scale(QT_CHROMA, quality)
+    qtabs = [q0.reshape(8, 8), q1.reshape(8, 8)]
+    m = _dct_matrix()
+    dec_dc0, enc_dc0 = _canonical_codes(*DC_LUMA)
+    dec_ac0, enc_ac0 = _canonical_codes(*AC_LUMA)
+    dec_dc1, enc_dc1 = _canonical_codes(*DC_CHROMA)
+    dec_ac1, enc_ac1 = _canonical_codes(*AC_CHROMA)
+    enc_dc = [enc_dc0, enc_dc1]
+    enc_ac = [enc_ac0, enc_ac1]
+
+    bw, bh = -(-w // 8), -(-h // 8)
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_n = 0
+    for my in range(bh):
+        for mx in range(bw):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8]
+                )
+                pred = [0] * len(planes)
+            mcu_n += 1
+            for ci, plane in enumerate(planes):
+                block = np.full((8, 8), plane[min(h - 1, my * 8), min(w - 1, mx * 8)])
+                ys, xs = min(8, h - my * 8), min(8, w - mx * 8)
+                if ys > 0 and xs > 0:
+                    block[:ys, :xs] = plane[my * 8 : my * 8 + ys, mx * 8 : mx * 8 + xs]
+                    # edge-replicate padding for partial blocks
+                    if xs < 8:
+                        block[:ys, xs:] = block[:ys, xs - 1 : xs]
+                    if ys < 8:
+                        block[ys:, :] = block[ys - 1 : ys, :]
+                coef = m @ (block - 128.0) @ m.T
+                qc = np.round(coef / qtabs[qts[ci]]).astype(np.int64)
+                zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                s = _category(diff)
+                code, ln = enc_dc[hts[ci][0]][s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[hts[ci][1]][0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = enc_ac[hts[ci][1]][(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[hts[ci][1]][0x00]
+                    writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, q0), (1, q1))[: (2 if nch == 3 else 1)]:
+        # entry i of the DQT segment is coefficient i of the zigzag scan,
+        # i.e. q[ZIGZAG[i]] of the row-major table
+        zz = bytes(int(q[ZIGZAG[i]]) for i in range(64))
+        out += seg(0xDB, bytes([tq]) + zz)
+    sof = struct.pack(">BHHB", 8, h, w, nch)
+    for i in range(nch):
+        sof += bytes([i + 1, 0x11, qts[i]])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    tables = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if nch == 3:
+        tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    for tclass, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    sos = bytes([nch])
+    for i in range(nch):
+        td, ta = hts[i]
+        sos += bytes([i + 1, (td << 4) | ta])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

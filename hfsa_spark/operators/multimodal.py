@@ -10,10 +10,12 @@ is dependency-free stdlib/numpy over public file-format layouts):
   ``resize_nearest`` — pure numpy), non-interlaced 8-bit PNG
   (``decode_png`` / ``encode_png`` — stdlib zlib inflate + per-scanline
   filter reversal, all five filter types, gray/gray+alpha/RGB/RGBA/
-  palette), AND non-interlaced GIF (``decode_gif`` / ``encode_gif`` —
-  full variable-width LZW codec + color-table mapping). Remaining
-  stubs: JPEG raster, interlaced PNG/GIF, 16-bit PNG (JPEG genuinely
-  needs a codec library; the rest are documented NotImplementedError).
+  palette), non-interlaced GIF (``decode_gif`` / ``encode_gif`` — full
+  variable-width LZW codec + color-table mapping), AND baseline JPEG
+  (``operators/jpeg.py`` — Huffman entropy codec, dequant + 8x8 IDCT,
+  restart markers, chroma box upsampling, YCbCr→RGB). Remaining stubs:
+  progressive/arithmetic JPEG, interlaced PNG/GIF, 16-bit PNG — all
+  documented NotImplementedError; video codec frames stay out of scope.
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
   numpy.
@@ -584,15 +586,19 @@ def encode_gif(indices, palette) -> bytes:
 
 def decode_raster(data: bytes):
     """Dependency-free raster decode: uncompressed BMP, non-interlaced
-    8-bit PNG, or non-interlaced GIF (first frame) → HxWxC uint8. None if
-    no supported layout matches; may raise NotImplementedError for
-    recognized-but-unsupported variants (interlaced PNG/GIF, 16-bit
-    PNG)."""
+    8-bit PNG, non-interlaced GIF (first frame), or baseline JPEG →
+    HxWxC uint8. None if no supported layout matches; may raise
+    NotImplementedError for recognized-but-unsupported variants
+    (interlaced PNG/GIF, 16-bit PNG, progressive/arithmetic JPEG)."""
+    from hfsa_spark.operators.jpeg import decode_jpeg
+
     arr = decode_bmp(data)
     if arr is None:
         arr = decode_png(data)
     if arr is None:
         arr = decode_gif(data)
+    if arr is None:
+        arr = decode_jpeg(data)
     return arr
 
 
@@ -723,11 +729,12 @@ def _fake_decode(payload: bytes) -> dict:
 def _real_decode(payload: bytes) -> dict:
     """Header decode for any recognized format; full pixel stats
     (mean_luma + 64-bit average-hash) when the raster is decodable
-    (uncompressed BMP, non-interlaced 8-bit PNG, non-interlaced GIF)."""
+    (uncompressed BMP, non-interlaced 8-bit PNG, non-interlaced GIF,
+    baseline JPEG)."""
     import numpy as np
 
     feats = parse_image_header(payload) or {}
-    if feats.get("format") in ("bmp", "png", "gif"):
+    if feats.get("format") in ("bmp", "png", "gif", "jpeg"):
         try:
             arr = decode_raster(payload)
         except NotImplementedError:
@@ -752,9 +759,11 @@ def _real_decode(payload: bytes) -> dict:
 
 def decode_image_batch(batch: pd.DataFrame, fake: bool = False) -> pd.DataFrame:
     """Real path: header decode (PNG/JPEG/GIF/BMP) — width/height/aspect
-    from actual bytes; pixel stats (mean_luma, phash) are REAL for
-    uncompressed BMP and non-interlaced 8-bit PNG (full raster decode) and
-    null for JPEG/GIF (codec library needed). Unrecognized payloads yield null dimensions
+    from actual bytes; pixel stats (mean_luma, phash) are REAL for every
+    supported raster layout (uncompressed BMP, non-interlaced 8-bit PNG,
+    non-interlaced GIF, baseline JPEG — full raster decode) and null for
+    the documented unsupported variants (progressive JPEG, interlaced
+    PNG/GIF, 16-bit PNG). Unrecognized payloads yield null dimensions
     rather than dropping the row, so the output stays 1:1 with input and
     the caller can audit decode coverage. ``fake=True`` keeps the
     deterministic plumbing decoder that always fills the pixel stats."""
@@ -880,14 +889,13 @@ def resize_images(
 ) -> DataFrame:
     """Batch image resize → (doc_id, payload, width, height).
 
-    Real path: uncompressed BMP, non-interlaced 8-bit PNG, and
-    non-interlaced GIF rasters are decoded (:func:`decode_raster`),
+    Real path: uncompressed BMP, non-interlaced 8-bit PNG, non-interlaced
+    GIF, and baseline JPEG rasters are decoded (:func:`decode_raster`),
     nearest-neighbor resampled with numpy (:func:`resize_nearest`), and
-    re-encoded as 24-bit BMP — fully dependency-free. JPEG (and
-    interlaced/16-bit variants) still raises NotImplementedError: its
-    raster decode genuinely needs a codec library. The fake path
-    re-digests the payload to a deterministic pseudo-resized blob for
-    synthetic corpora.
+    re-encoded as 24-bit BMP — fully dependency-free. Progressive JPEG
+    and interlaced/16-bit variants raise NotImplementedError. The fake
+    path re-digests the payload to a deterministic pseudo-resized blob
+    for synthetic corpora.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1123,6 +1131,47 @@ def synthesize_gif_table(
                 continue
             payloads = [
                 encode_gif(((11 * int(i)) % 200 + grad).astype(np.uint8), ramp)
+                for i in batch["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def synthesize_jpeg_table(
+    documents: DataFrame, width: int = 16, height: int = 16, max_docs: int | None = None
+) -> DataFrame:
+    """Media table of REAL baseline JPEG payloads: solid-color rasters
+    (r,g,b = 5·id, 7·id, 11·id mod 256) Huffman-encoded for real at
+    quality 90 — solid 8x8-aligned blocks decode to a CLOSED FORM (DC-only
+    quantization, banker's rounding) an external oracle can replicate."""
+    import numpy as np
+
+    from hfsa_spark.operators.jpeg import encode_jpeg
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = [
+                encode_jpeg(
+                    np.full(
+                        (height, width, 3),
+                        [(5 * i) % 256, (7 * i) % 256, (11 * i) % 256],
+                        dtype=np.uint8,
+                    ),
+                    quality=90,
+                )
                 for i in batch["doc_id"]
             ]
             yield pd.DataFrame(

@@ -35,6 +35,9 @@ AUDIT = [
     ("q89_pq_codes", "PQ encode: map-only, literal codebooks in the scan", False),
     ("q90_pq_adc", "ADC: broadcast per-query LUT, M lookups per row", True),
     ("q91_cohort_retention", "distinct (user,period) pass then small join", False),
+    ("q92_png_decode", "multimodal: Arrow mapInPandas, no extra exchange", False),
+    ("q95_pq_rerank", "ADC shortlist -> broadcast semi join -> exact rerank", False),
+    ("q96_knn_l2", "brute force: batch-local top-k, corpus never shuffled", False),
 ]
 
 

@@ -399,3 +399,101 @@ def test_image_features_real_gif_pixels(spark):
     assert (r["width"], r["height"]) == (16, 16)
     # gradient mean: 100 + 15 exactly (r=g=b ⇒ luma = index value)
     assert round(r["mean_luma"] * 255000) == 115000
+
+
+# ------------------------------------------------------------------ JPEG --
+
+
+def test_jpeg_solid_blocks_roundtrip_exactly():
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for color in [(0, 0, 0), (255, 255, 255), (180, 90, 40), (13, 200, 77)]:
+        a = np.zeros((16, 16, 3), dtype=np.uint8)
+        a[:, :] = color
+        back = decode_jpeg(encode_jpeg(a, quality=90))
+        assert back is not None and back.shape == (16, 16, 3)
+        # solid 8x8-aligned blocks are DC-only: every pixel identical
+        assert (back == back[0, 0]).all()
+        assert np.abs(back[0, 0].astype(int) - np.array(color)).max() <= 2
+
+
+def test_jpeg_roundtrip_error_bounds_and_shapes():
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    smooth = np.zeros((48, 64, 3), dtype=np.uint8)
+    x = np.linspace(0, 255, 64)
+    smooth[:, :, 0] = np.tile(x, (48, 1))
+    smooth[:, :, 1] = np.tile(x[::-1], (48, 1))
+    smooth[:, :, 2] = 128
+    back = decode_jpeg(encode_jpeg(smooth, quality=95))
+    assert np.abs(back.astype(float) - smooth).mean() < 1.0
+
+    noise = rng.integers(0, 256, (13, 21, 1), dtype=np.uint8)  # partial blocks
+    back = decode_jpeg(encode_jpeg(noise, quality=90))
+    assert back.shape == (13, 21, 1)
+    assert np.abs(back.astype(float) - noise).mean() < 30.0  # q90 noise bound
+
+
+def test_jpeg_restart_markers_decode_identically():
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(a, 85))
+    with_rst = decode_jpeg(encode_jpeg(a, 85, restart_interval=3))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_rejects_and_raises():
+    import pytest as _pytest
+
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    assert decode_jpeg(b"definitely not a jpeg") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no frame
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8)))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # masquerade as progressive
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_image_features_real_jpeg_pixels(spark):
+    from hfsa_spark.operators.jpeg import decode_jpeg
+    from hfsa_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_jpeg_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    media = synthesize_jpeg_table(docs, width=16, height=16)
+    rows = {r["doc_id"]: r for r in extract_image_features(media).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(rows) == 6
+    for i in range(6):
+        arr = decode_jpeg(payloads[i])
+        luma = arr.astype(np.float64) @ [0.299, 0.587, 0.114]
+        assert rows[i]["width"] == 16 and rows[i]["height"] == 16
+        assert rows[i]["mean_luma"] == pytest.approx(luma.mean() / 255.0, abs=1e-12)
+
+
+def test_resize_images_real_jpeg(spark):
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from hfsa_spark.operators.multimodal import (
+        decode_bmp,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    payload = encode_jpeg(arr, 90)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    rows = resize_images(media, 8, 8).collect()
+    got = decode_bmp(bytes(rows[0]["payload"]))
+    want = resize_nearest(decode_jpeg(payload), 8, 8)
+    assert np.array_equal(got, want)
