@@ -1837,13 +1837,41 @@ def _round_index() -> int:
     return 1 + len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
 
 
+def _graded_names() -> set[str]:
+    """Every query name that already has a driver-verified row in ANY
+    prior round's CORRECTNESS_r*.json — brand-new queries are absent and
+    jump straight into the graded window."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(f) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            pass
+    return seen
+
+
 def _rotated_order(names: list[str]) -> list[str]:
-    pool_new = [n for n in names if n not in _SENTINELS and int(n[1:3]) > 50]
-    pool_old = [n for n in names if n not in _SENTINELS and int(n[1:3]) <= 50]
+    graded = _graded_names()
+    # never-graded queries jump the queue, newest first — each round the
+    # window takes as many as fit, the graded set grows, and within a
+    # couple of rounds every family has driver-verified rows
+    fresh = sorted(
+        (n for n in names if n not in _SENTINELS and n not in graded),
+        key=lambda n: -int(n[1:3]),
+    )
+    rest = [n for n in names if n not in _SENTINELS and n in graded]
+    pool_new = [n for n in rest if int(n[1:3]) > 50]
+    pool_old = [n for n in rest if int(n[1:3]) <= 50]
     pool = pool_new + pool_old  # least-driver-verified first
-    off = ((_round_index() - 1) * _ROTATION_SLOTS) % len(pool)
+    off = ((_round_index() - 1) * _ROTATION_SLOTS) % max(len(pool), 1)
     rotated = pool[off:] + pool[:off]
-    return _SENTINELS + rotated
+    return _SENTINELS + fresh + rotated
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
