@@ -41,17 +41,28 @@ from hfsa_spark.operators.sketches import (
     approx_distinct_report,
     approx_quantile_report,
 )
+from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from hfsa_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    exact_topk_arrow,
     ivf_assign,
     ivf_assign_arrow,
     ivf_topk,
     ivf_topk_indexed,
+    ivfpq_topk,
     kmeans_iterate,
     l2_normalize,
     l2_normalize_df,
+    pq_adc_rerank_topk,
+    pq_adc_topk,
+    pq_adc_topk_arrow,
+    pq_codebooks_from_seeds,
+    pq_encode,
+    pq_encode_arrow,
+    pq_mse,
+    pq_train,
     quantize_embeddings,
     write_ivf_index,
 )
@@ -95,12 +106,24 @@ __all__ = [
     "range_join",
     "cosine_topk",
     "cosine_topk_lsh",
+    "decode_jpeg",
+    "encode_jpeg",
     "embedding_near_dup_pairs",
+    "exact_topk_arrow",
     "ivf_assign",
     "ivf_assign_arrow",
     "ivf_topk",
     "ivf_topk_indexed",
+    "ivfpq_topk",
     "kmeans_iterate",
+    "pq_adc_rerank_topk",
+    "pq_adc_topk",
+    "pq_adc_topk_arrow",
+    "pq_codebooks_from_seeds",
+    "pq_encode",
+    "pq_encode_arrow",
+    "pq_mse",
+    "pq_train",
     "l2_normalize",
     "l2_normalize_df",
     "quantize_embeddings",
