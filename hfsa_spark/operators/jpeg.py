@@ -397,10 +397,25 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
-    """HxWx{1,3} uint8 array → baseline JFIF JPEG bytes (4:4:4, Annex K
-    tables at the given IJG quality; optional DRI/RSTn restart markers
-    every ``restart_interval`` MCUs). The round-trip partner of
+def _get_block(plane, y0: int, x0: int):
+    """8x8 block at (y0, x0) with edge-replicate padding past the plane."""
+    import numpy as np
+
+    ph, pw = plane.shape
+    ys = np.clip(np.arange(y0, y0 + 8), 0, ph - 1)
+    xs = np.clip(np.arange(x0, x0 + 8), 0, pw - 1)
+    return plane[np.ix_(ys, xs)]
+
+
+def encode_jpeg(
+    arr, quality: int = 90, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """HxWx{1,3} uint8 array → baseline JFIF JPEG bytes (Annex K tables
+    at the given IJG quality; optional DRI/RSTn restart markers every
+    ``restart_interval`` MCUs; ``subsampling`` '444' or '420' — 4:2:0 box-
+    averages chroma 2x2 and interleaves 4 luma + 1 Cb + 1 Cr blocks per
+    MCU, the common real-world layout, exercising the decoder's MCU
+    interleave + upsampling path). The round-trip partner of
     :func:`decode_jpeg` — lossy; solid 8x8-aligned blocks survive exactly
     when their quantized DC is exact (pinned in tests)."""
     import numpy as np
@@ -425,6 +440,22 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
     else:
         raise ValueError("encode_jpeg expects HxWx1 or HxWx3")
 
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and nch == 3:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        for ci in (1, 2):
+            p = planes[ci]
+            if p.shape[0] % 2:
+                p = np.vstack([p, p[-1:]])
+            if p.shape[1] % 2:
+                p = np.hstack([p, p[:, -1:]])
+            planes[ci] = (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+    else:
+        samp = [(1, 1)] * nch
+
     q0 = _quality_scale(QT_LUMA, quality)
     q1 = _quality_scale(QT_CHROMA, quality)
     qtabs = [q0.reshape(8, 8), q1.reshape(8, 8)]
@@ -436,12 +467,50 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
     enc_dc = [enc_dc0, enc_dc1]
     enc_ac = [enc_ac0, enc_ac1]
 
-    bw, bh = -(-w // 8), -(-h // 8)
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     writer = _BitWriter()
     pred = [0] * len(planes)
+
+    def encode_block(block, ci: int) -> None:
+        coef = m @ (block - 128.0) @ m.T
+        qc = np.round(coef / qtabs[qts[ci]]).astype(np.int64)
+        zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s = _category(diff)
+        code, ln = enc_dc[hts[ci][0]][s]
+        writer.write(code, ln)
+        if s:
+            writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[hts[ci][1]][0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = enc_ac[hts[ci][1]][(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc_ac[hts[ci][1]][0x00]
+            writer.write(code, ln)
+
     mcu_n = 0
-    for my in range(bh):
-        for mx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_n and mcu_n % restart_interval == 0:
                 writer.flush()
                 writer.out += bytes(
@@ -450,48 +519,15 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
                 pred = [0] * len(planes)
             mcu_n += 1
             for ci, plane in enumerate(planes):
-                block = np.full((8, 8), plane[min(h - 1, my * 8), min(w - 1, mx * 8)])
-                ys, xs = min(8, h - my * 8), min(8, w - mx * 8)
-                if ys > 0 and xs > 0:
-                    block[:ys, :xs] = plane[my * 8 : my * 8 + ys, mx * 8 : mx * 8 + xs]
-                    # edge-replicate padding for partial blocks
-                    if xs < 8:
-                        block[:ys, xs:] = block[:ys, xs - 1 : xs]
-                    if ys < 8:
-                        block[ys:, :] = block[ys - 1 : ys, :]
-                coef = m @ (block - 128.0) @ m.T
-                qc = np.round(coef / qtabs[qts[ci]]).astype(np.int64)
-                zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                s = _category(diff)
-                code, ln = enc_dc[hts[ci][0]][s]
-                writer.write(code, ln)
-                if s:
-                    writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-                run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if zz[k]:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[hts[ci][1]][0xF0]
-                        writer.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = enc_ac[hts[ci][1]][(run << 4) | s]
-                    writer.write(code, ln)
-                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[hts[ci][1]][0x00]
-                    writer.write(code, ln)
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        encode_block(
+                            _get_block(
+                                plane, (my * vi + by) * 8, (mx * hi + bx) * 8
+                            ),
+                            ci,
+                        )
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -506,7 +542,8 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
         out += seg(0xDB, bytes([tq]) + zz)
     sof = struct.pack(">BHHB", 8, h, w, nch)
     for i in range(nch):
-        sof += bytes([i + 1, 0x11, qts[i]])
+        hi, vi = samp[i]
+        sof += bytes([i + 1, (hi << 4) | vi, qts[i]])
     out += seg(0xC0, sof)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))

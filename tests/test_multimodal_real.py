@@ -497,3 +497,32 @@ def test_resize_images_real_jpeg(spark):
     got = decode_bmp(bytes(rows[0]["payload"]))
     want = resize_nearest(decode_jpeg(payload), 8, 8)
     assert np.array_equal(got, want)
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 exercises the decoder's MCU interleave (4 luma + Cb + Cr per
+    MCU) and chroma box-upsampling; solid colors stay exact, smooth
+    gradients stay within chroma-subsampling error, files shrink."""
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    s = np.zeros((16, 16, 3), dtype=np.uint8)
+    s[:, :] = (180, 90, 40)
+    d = decode_jpeg(encode_jpeg(s, 90, subsampling="420"))
+    assert (d == d[0, 0]).all() and tuple(d[0, 0]) == (180, 90, 40)
+
+    x = np.linspace(0, 255, 64)
+    a = np.zeros((48, 64, 3), dtype=np.uint8)
+    a[:, :, 0] = np.tile(x, (48, 1))
+    a[:, :, 1] = np.tile(x[::-1], (48, 1))
+    a[:, :, 2] = 100
+    e444, e420 = encode_jpeg(a, 90), encode_jpeg(a, 90, subsampling="420")
+    assert len(e420) < len(e444)
+    d420 = decode_jpeg(e420)
+    assert np.abs(d420.astype(float) - a).mean() < 3.0
+
+    rng = np.random.default_rng(4)
+    b = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)  # partial MCUs
+    plain = decode_jpeg(encode_jpeg(b, 90, subsampling="420"))
+    with_rst = decode_jpeg(encode_jpeg(b, 90, subsampling="420", restart_interval=2))
+    assert plain.shape == (19, 27, 3)
+    assert np.array_equal(plain, with_rst)
