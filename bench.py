@@ -176,12 +176,14 @@ def main() -> None:
     # Durable full-name record (the driver's stdout capture keeps only the
     # last 2000 chars; both BENCH_r01 and BENCH_r02 ended up parsed:null
     # because the full-name queries dict alone exceeds that window).
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
-            json.dump(result, fh)
-    except OSError:
-        pass
+    # Partial (`bench.py qNN ...`) runs must not clobber the round artifact.
+    if not only:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_LOCAL.json"), "w") as fh:
+                json.dump(result, fh)
+        except OSError:
+            pass
     # Printed line: qNN_* keys abbreviated to qNN, timings to 3 decimals —
     # fits the driver's 2000-char tail window so `parsed` is populated.
     compact = dict(result)
