@@ -7,15 +7,15 @@ is dependency-free stdlib/numpy over public file-format layouts):
   (``parse_image_header``: width, height, channels, format), plus REAL
   raster decode + nearest-neighbor resize + pixel stats (mean_luma,
   average-hash) for UNCOMPRESSED BMP (``decode_bmp`` / ``encode_bmp`` /
-  ``resize_nearest`` — pure numpy), non-interlaced 8-bit PNG
+  ``resize_nearest`` — pure numpy), 8-bit PNG incl. Adam7 interlace
   (``decode_png`` / ``encode_png`` — stdlib zlib inflate + per-scanline
   filter reversal, all five filter types, gray/gray+alpha/RGB/RGBA/
-  palette), non-interlaced GIF (``decode_gif`` / ``encode_gif`` — full
-  variable-width LZW codec + color-table mapping), AND baseline JPEG
-  (``operators/jpeg.py`` — Huffman entropy codec, dequant + 8x8 IDCT,
-  restart markers, chroma box upsampling, YCbCr→RGB). Remaining stubs:
-  progressive/arithmetic JPEG, interlaced PNG/GIF, 16-bit PNG — all
-  documented NotImplementedError; video codec frames stay out of scope.
+  palette), GIF incl. 4-pass interlace (``decode_gif`` / ``encode_gif``
+  — full variable-width LZW codec + color-table mapping), AND baseline
+  JPEG (``operators/jpeg.py`` — Huffman entropy codec, dequant + 8x8
+  IDCT, restart markers, 4:2:0 subsampling, YCbCr→RGB). Remaining
+  stubs: progressive/arithmetic JPEG and 16-bit PNG — documented
+  NotImplementedError; video codec frames stay out of scope.
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
   numpy.
@@ -238,22 +238,13 @@ def _paeth_predict(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(arr, filter_type: int | str = 0) -> bytes:
-    """HxWx{1,2,3,4} uint8 array → non-interlaced 8-bit PNG, stdlib-only
-    (zlib + the public PNG spec / RFC 2083). ``filter_type`` selects the
-    per-scanline filter: 0..4, or ``"mixed"`` to cycle 0,1,2,3,4 by row —
-    the round-trip partner that makes :func:`decode_png`'s filter reversal
-    testable on every filter class. Forward filtering is fully vectorized
-    (each filter reads ORIGINAL neighbor bytes, so no scan dependency)."""
+def _png_filter_rows(flat, bpp: int, filter_type) -> bytes:
+    """Forward-filter the rows of one (sub-)image (h×(w·bpp) int array) —
+    fully vectorized (each filter reads ORIGINAL neighbor bytes, so no
+    scan dependency)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, c = a.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = a.reshape(h, w * c).astype(np.int32)
-    bpp = c
+    h = flat.shape[0]
     lines = []
     for y in range(h):
         f = (y % 5) if filter_type == "mixed" else int(filter_type)
@@ -276,7 +267,40 @@ def encode_png(arr, filter_type: int | str = 0) -> bytes:
         else:
             enc = cur - _paeth_predict(left, up, upleft)
         lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
-    raw = b"".join(lines)
+    return b"".join(lines)
+
+
+def encode_png(arr, filter_type: int | str = 0, interlace: bool = False) -> bytes:
+    """HxWx{1,2,3,4} uint8 array → 8-bit PNG, stdlib-only (zlib + the
+    public PNG spec / RFC 2083). ``filter_type`` selects the per-scanline
+    filter: 0..4, or ``"mixed"`` to cycle 0,1,2,3,4 by row — the
+    round-trip partner that makes :func:`decode_png`'s filter reversal
+    testable on every filter class. ``interlace=True`` writes the Adam7
+    pass sequence (each pass independently filtered), exercising the
+    decoder's deinterlace path."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[0], sub.shape[1]
+            parts.append(
+                _png_filter_rows(
+                    sub.reshape(ph, pw * c).astype(np.int32), bpp, filter_type
+                )
+            )
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_rows(a.reshape(h, w * c).astype(np.int32), bpp, filter_type)
 
     def chunk(t: bytes, d: bytes) -> bytes:
         return (
@@ -284,7 +308,7 @@ def encode_png(arr, filter_type: int | str = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(t + d))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -293,61 +317,24 @@ def encode_png(arr, filter_type: int | str = 0) -> bytes:
     )
 
 
-def decode_png(data: bytes):
-    """Full raster decode of a NON-INTERLACED 8-bit PNG → HxWxC uint8:
-    IDAT inflate (stdlib zlib) + per-scanline filter reversal for all five
-    filter types, gray / gray+alpha / RGB / RGBA / palette color types —
-    dependency-free, public PNG spec (RFC 2083). Returns None for non-PNG
-    or malformed payloads; raises NotImplementedError for the documented
-    remaining stubs (Adam7 interlace, non-8-bit depth)."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int):
+    """Reverse per-scanline PNG filters for one (sub-)image of w×h pixels
+    starting at ``pos`` in the inflated stream. Returns (h×(w·bpp) uint8
+    array, next pos) or None on truncation/bad filter byte."""
     import numpy as np
 
-    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    pos, ihdr, idat, plte = 8, None, [], None
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        if pos + 12 + ln > len(data):
-            return None
-        body = data[pos + 8 : pos + 8 + ln]
-        if ctype == b"IHDR":
-            if ln != 13:
-                return None
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"PLTE":
-            plte = body
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or not idat:
-        return None
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0 or not (0 < w < 1 << 24 and 0 < h < 1 << 24):
-        return None
-    if interlace != 0:
-        raise NotImplementedError(
-            "PNG Adam7 interlaced decode not implemented (non-interlaced only)"
-        )
-    if depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} decode not implemented (8-bit only)"
-        )
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
-    stride, bpp = w * channels, channels
-    if len(raw) < h * (stride + 1):
+    stride = w * bpp
+    if len(raw) - pos < h * (stride + 1):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         line = np.frombuffer(
@@ -376,7 +363,74 @@ def decode_png(data: bytes):
             return None
         out[y] = cur.astype(np.uint8)
         prev = cur
-    arr = out.reshape(h, w, channels)
+    return out, pos
+
+
+def decode_png(data: bytes):
+    """Full raster decode of an 8-bit PNG → HxWxC uint8: IDAT inflate
+    (stdlib zlib) + per-scanline filter reversal for all five filter
+    types, gray / gray+alpha / RGB / RGBA / palette color types, BOTH
+    non-interlaced and Adam7-interlaced layouts — dependency-free, public
+    PNG spec (RFC 2083). Returns None for non-PNG or malformed payloads;
+    raises NotImplementedError for non-8-bit depth (the one remaining
+    PNG stub)."""
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            return None
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace not in (0, 1) or not (
+        0 < w < 1 << 24 and 0 < h < 1 << 24
+    ):
+        return None
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} decode not implemented (8-bit only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if interlace == 0:
+        out = _png_unfilter(raw, 0, w, h, channels)
+        if out is None:
+            return None
+        arr = out[0].reshape(h, w, channels)
+    else:  # Adam7: 7 sub-images, each independently filtered, scattered
+        arr = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw, ph = (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            out = _png_unfilter(raw, pos, pw, ph, channels)
+            if out is None:
+                return None
+            sub, pos = out
+            arr[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
     if color_type == 3:
         if plte is None or len(plte) % 3:
             return None
@@ -483,13 +537,24 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(outb)
 
 
+def _gif_row_order(h: int) -> list[int]:
+    """GIF 4-pass interlace row sequence: rows 0,8,16.. then 4,12,.. then
+    2,6,.. then 1,3,5,.. (GIF89a spec appendix E)."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def decode_gif(data: bytes):
-    """Full raster decode of the FIRST frame of a non-interlaced GIF87a/
-    GIF89a → HxWx3 uint8: LZW decompress (:func:`_lzw_decode`) + color
-    table mapping — dependency-free, public GIF89a spec. Extensions
-    (incl. GCE transparency, which is ignored — the palette color is
-    returned) are skipped; interlaced frames raise NotImplementedError;
-    malformed payloads return None."""
+    """Full raster decode of the FIRST frame of a GIF87a/GIF89a → HxWx3
+    uint8: LZW decompress (:func:`_lzw_decode`) + color table mapping,
+    both sequential and 4-pass interlaced row layouts — dependency-free,
+    public GIF89a spec. Extensions (incl. GCE transparency, which is
+    ignored — the palette color is returned) are skipped; malformed
+    payloads return None."""
     import numpy as np
 
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -522,10 +587,6 @@ def decode_gif(data: bytes):
                     return None
                 pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF decode not implemented (non-interlaced only)"
-                )
             if pal is None or pos >= len(data) or iw == 0 or ih == 0:
                 return None
             min_code = data[pos]
@@ -541,6 +602,11 @@ def decode_gif(data: bytes):
             if idx is None or len(idx) < iw * ih:
                 return None
             arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: rows stored in 4-pass order
+                order = np.asarray(_gif_row_order(ih))
+                out_rows = np.empty_like(arr)
+                out_rows[order] = arr
+                arr = out_rows
             if arr.max(initial=0) >= len(pal):
                 return None
             return np.ascontiguousarray(pal[arr])
@@ -551,14 +617,17 @@ def decode_gif(data: bytes):
     return None
 
 
-def encode_gif(indices, palette) -> bytes:
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     """(HxW index array, [(r,g,b), ...]) → single-frame GIF89a bytes — the
     round-trip partner of :func:`decode_gif` (global color table padded to
-    a power of two, LZW-compressed data sub-blocks)."""
+    a power of two, LZW-compressed data sub-blocks; ``interlace=True``
+    stores rows in the 4-pass order and sets the descriptor flag)."""
     import numpy as np
 
     idx = np.asarray(indices, dtype=np.uint8)
     h, w = idx.shape
+    if interlace:
+        idx = idx[np.asarray(_gif_row_order(h))]
     bits = max(2, (len(palette) - 1).bit_length())
     n = 1 << bits
     pal = bytearray()
@@ -577,7 +646,7 @@ def encode_gif(indices, palette) -> bytes:
         + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
         + bytes(pal)
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
         + bytes([bits])
         + bytes(blocks)
         + b"\x3b"
@@ -585,11 +654,11 @@ def encode_gif(indices, palette) -> bytes:
 
 
 def decode_raster(data: bytes):
-    """Dependency-free raster decode: uncompressed BMP, non-interlaced
-    8-bit PNG, non-interlaced GIF (first frame), or baseline JPEG →
-    HxWxC uint8. None if no supported layout matches; may raise
-    NotImplementedError for recognized-but-unsupported variants
-    (interlaced PNG/GIF, 16-bit PNG, progressive/arithmetic JPEG)."""
+    """Dependency-free raster decode: uncompressed BMP, 8-bit PNG
+    (incl. Adam7 interlaced), GIF (incl. 4-pass interlaced, first frame),
+    or baseline JPEG → HxWxC uint8. None if no supported layout matches;
+    may raise NotImplementedError for the remaining variants (16-bit PNG,
+    progressive/arithmetic JPEG)."""
     from hfsa_spark.operators.jpeg import decode_jpeg
 
     arr = decode_bmp(data)

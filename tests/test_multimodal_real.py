@@ -272,19 +272,24 @@ def test_png_palette_decode():
     assert tuple(arr[1, 0]) == (9, 9, 9)
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: 7 independently-filtered sub-images scattered over the
+    grid — decode(encode(interlace=True)) must be exact for every
+    channel layout and for odd dimensions (empty late passes)."""
+    from hfsa_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    for c in (1, 3, 4):
+        for shape in ((16, 16, c), (11, 13, c), (3, 5, c), (1, 1, c)):
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            back = decode_png(encode_png(arr, filter_type="mixed", interlace=True))
+            assert back is not None and np.array_equal(back, arr), shape
+
+
 def test_png_unsupported_variants_raise_not_implemented():
     from hfsa_spark.operators.multimodal import decode_png, encode_png
 
     good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
-    interlaced = bytearray(good)
-    # IHDR body starts at 16; interlace flag is its 13th byte
-    interlaced[16 + 12] = 1
-    interlaced[29:33] = struct.pack(
-        ">I", __import__("zlib").crc32(bytes(interlaced[12:29]))
-    )
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(bytes(interlaced))
-
     deep = bytearray(good)
     deep[16 + 8] = 16  # bit depth
     deep[29:33] = struct.pack(">I", __import__("zlib").crc32(bytes(deep[12:29])))
@@ -369,16 +374,24 @@ def test_gif_lzw_roundtrip_large_table_growth():
     assert np.array_equal(arr, want)
 
 
-def test_gif_rejects_and_raises():
+def test_gif_interlace_roundtrip():
+    """GIF 4-pass interlace: rows stored in pass order must scatter back
+    exactly, including heights where passes are empty."""
     from hfsa_spark.operators.multimodal import decode_gif, encode_gif
 
+    rng = np.random.default_rng(17)
+    palette = [(i, 255 - i, i) for i in range(64)]
+    for shape in ((16, 9), (7, 5), (3, 4), (1, 3)):
+        idx = rng.integers(0, 64, size=shape, dtype=np.uint8)
+        arr = decode_gif(encode_gif(idx, palette, interlace=True))
+        want = np.array(palette, dtype=np.uint8)[idx]
+        assert arr is not None and np.array_equal(arr, want), shape
+
+
+def test_gif_rejects_foreign():
+    from hfsa_spark.operators.multimodal import decode_gif
+
     assert decode_gif(b"NOTAGIF" * 4) is None
-    # interlace flag set → NotImplementedError, not garbage
-    data = bytearray(encode_gif(np.zeros((4, 4), dtype=np.uint8), [(0, 0, 0), (255, 255, 255)]))
-    desc = data.index(0x2C, 13)
-    data[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(data))
 
 
 def test_image_features_real_gif_pixels(spark):
