@@ -1694,13 +1694,22 @@ def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     corpus_path = os.path.join(tmp, "corpus")
-    q = streaming_ingest_dedup(
-        src,
-        index_path=os.path.join(tmp, "index"),
-        corpus_path=corpus_path,
-        checkpoint_path=os.path.join(tmp, "ck"),
-    )
-    q.awaitTermination(600)
+    # streaming state/shuffle partitions sized to the gate workload (the
+    # per-partition state-store + commit overhead dominates at this scale;
+    # 32 -> 8 measured 5.1 s -> 3.5 s); a production stream sizes UP with
+    # key cardinality instead
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming_ingest_dedup(
+            src,
+            index_path=os.path.join(tmp, "index"),
+            corpus_path=corpus_path,
+            checkpoint_path=os.path.join(tmp, "ck"),
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     corpus = spark.read.parquet(corpus_path)
     return (
         corpus.groupBy("lang")
@@ -1747,15 +1756,22 @@ def q94_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_seconds=0, upper_seconds=3600, watermark="60 days",
     )
     out_path = os.path.join(tmp, "pairs")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", os.path.join(tmp, "ck"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # state partitions sized to the gate workload (32 -> 8 measured
+    # 8.4 s -> 3.9 s; per-partition state-store overhead dominates here)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     pairs = spark.read.parquet(out_path)
     return (
         pairs.groupBy("user_id")
