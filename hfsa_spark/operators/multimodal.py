@@ -13,8 +13,9 @@ is dependency-free stdlib/numpy over public file-format layouts):
   palette), GIF incl. 4-pass interlace (``decode_gif`` / ``encode_gif``
   — full variable-width LZW codec + color-table mapping), AND baseline
   JPEG (``operators/jpeg.py`` — Huffman entropy codec, dequant + 8x8
-  IDCT, restart markers, 4:2:0 subsampling, YCbCr→RGB). Remaining
-  stubs: progressive/arithmetic JPEG and 16-bit PNG — documented
+  IDCT, restart markers, 4:2:0 subsampling, YCbCr→RGB). 8- AND 16-bit
+  PNG depths decode (16-bit → high byte). Remaining stubs:
+  progressive/arithmetic JPEG and sub-byte PNG depths — documented
   NotImplementedError; video codec frames stay out of scope.
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
@@ -277,30 +278,38 @@ def encode_png(arr, filter_type: int | str = 0, interlace: bool = False) -> byte
     round-trip partner that makes :func:`decode_png`'s filter reversal
     testable on every filter class. ``interlace=True`` writes the Adam7
     pass sequence (each pass independently filtered), exercising the
-    decoder's deinterlace path."""
+    decoder's deinterlace path. A uint16 input array writes a 16-bit-
+    depth PNG (big-endian samples)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    bpp = c
+    bpp = c * (depth // 8)
+
+    def row_bytes(sub):
+        # filters run on the BYTE stream: 16-bit samples go big-endian
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 16:
+            flat = sub.astype(">u2").view(np.uint8).reshape(ph, pw * c * 2)
+        else:
+            flat = sub.reshape(ph, pw * c)
+        return flat.astype(np.int32)
+
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
             sub = a[y0::dy, x0::dx]
             if sub.size == 0:
                 continue
-            ph, pw = sub.shape[0], sub.shape[1]
-            parts.append(
-                _png_filter_rows(
-                    sub.reshape(ph, pw * c).astype(np.int32), bpp, filter_type
-                )
-            )
+            parts.append(_png_filter_rows(row_bytes(sub), bpp, filter_type))
         raw = b"".join(parts)
     else:
-        raw = _png_filter_rows(a.reshape(h, w * c).astype(np.int32), bpp, filter_type)
+        raw = _png_filter_rows(row_bytes(a), bpp, filter_type)
 
     def chunk(t: bytes, d: bytes) -> bytes:
         return (
@@ -308,7 +317,7 @@ def encode_png(arr, filter_type: int | str = 0, interlace: bool = False) -> byte
             + struct.pack(">I", zlib.crc32(t + d))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -367,13 +376,13 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int):
 
 
 def decode_png(data: bytes):
-    """Full raster decode of an 8-bit PNG → HxWxC uint8: IDAT inflate
-    (stdlib zlib) + per-scanline filter reversal for all five filter
-    types, gray / gray+alpha / RGB / RGBA / palette color types, BOTH
-    non-interlaced and Adam7-interlaced layouts — dependency-free, public
-    PNG spec (RFC 2083). Returns None for non-PNG or malformed payloads;
-    raises NotImplementedError for non-8-bit depth (the one remaining
-    PNG stub)."""
+    """Full raster decode of an 8- or 16-bit PNG → HxWxC uint8 (16-bit
+    samples downscale to their high byte): IDAT inflate (stdlib zlib) +
+    per-scanline filter reversal for all five filter types, gray /
+    gray+alpha / RGB / RGBA / palette color types, BOTH non-interlaced
+    and Adam7-interlaced layouts — dependency-free, public PNG spec
+    (RFC 2083). Returns None for non-PNG or malformed payloads; raises
+    NotImplementedError for sub-byte depths (1/2/4-bit)."""
     import numpy as np
 
     if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -403,22 +412,32 @@ def decode_png(data: bytes):
         0 < w < 1 << 24 and 0 < h < 1 << 24
     ):
         return None
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(
-            f"PNG bit depth {depth} decode not implemented (8-bit only)"
+            f"PNG bit depth {depth} decode not implemented (8/16-bit only)"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        return None
+    if channels is None or (depth == 16 and color_type == 3):
+        return None  # 16-bit palette is illegal per spec
+    bpp = channels * (depth // 8)  # filters operate on BYTES per pixel
+
+    def to_px(flat, hh, ww):
+        # 16-bit samples are big-endian; downscale to 8-bit = high byte
+        if depth == 16:
+            return flat.reshape(hh, ww * channels, 2)[:, :, 0].reshape(
+                hh, ww, channels
+            )
+        return flat.reshape(hh, ww, channels)
+
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
     if interlace == 0:
-        out = _png_unfilter(raw, 0, w, h, channels)
+        out = _png_unfilter(raw, 0, w, h, bpp)
         if out is None:
             return None
-        arr = out[0].reshape(h, w, channels)
+        arr = to_px(out[0], h, w)
     else:  # Adam7: 7 sub-images, each independently filtered, scattered
         arr = np.zeros((h, w, channels), dtype=np.uint8)
         pos = 0
@@ -426,11 +445,11 @@ def decode_png(data: bytes):
             pw, ph = (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            out = _png_unfilter(raw, pos, pw, ph, channels)
+            out = _png_unfilter(raw, pos, pw, ph, bpp)
             if out is None:
                 return None
             sub, pos = out
-            arr[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            arr[y0::dy, x0::dx] = to_px(sub, ph, pw)
     if color_type == 3:
         if plte is None or len(plte) % 3:
             return None
@@ -657,8 +676,8 @@ def decode_raster(data: bytes):
     """Dependency-free raster decode: uncompressed BMP, 8-bit PNG
     (incl. Adam7 interlaced), GIF (incl. 4-pass interlaced, first frame),
     or baseline JPEG → HxWxC uint8. None if no supported layout matches;
-    may raise NotImplementedError for the remaining variants (16-bit PNG,
-    progressive/arithmetic JPEG)."""
+    may raise NotImplementedError for the remaining variants (sub-byte
+    PNG depths, progressive/arithmetic JPEG)."""
     from hfsa_spark.operators.jpeg import decode_jpeg
 
     arr = decode_bmp(data)

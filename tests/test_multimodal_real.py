@@ -286,14 +286,28 @@ def test_png_adam7_interlace_roundtrip():
             assert back is not None and np.array_equal(back, arr), shape
 
 
+def test_png_16bit_roundtrip_high_byte():
+    """16-bit PNGs decode (filters run on the byte stream, bpp doubles);
+    samples downscale to the high byte. Works interlaced too."""
+    from hfsa_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(23)
+    for c in (1, 3, 4):
+        arr = rng.integers(0, 65536, size=(9, 7, c), dtype=np.uint16)
+        for il in (False, True):
+            back = decode_png(encode_png(arr, filter_type="mixed", interlace=il))
+            assert back is not None and back.shape == (9, 7, c), (c, il)
+            assert np.array_equal(back, (arr >> 8).astype(np.uint8)), (c, il)
+
+
 def test_png_unsupported_variants_raise_not_implemented():
     from hfsa_spark.operators.multimodal import decode_png, encode_png
 
     good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
     deep = bytearray(good)
-    deep[16 + 8] = 16  # bit depth
+    deep[16 + 8] = 4  # sub-byte depth
     deep[29:33] = struct.pack(">I", __import__("zlib").crc32(bytes(deep[12:29])))
-    with pytest.raises(NotImplementedError, match="depth 16"):
+    with pytest.raises(NotImplementedError, match="depth 4"):
         decode_png(bytes(deep))
 
     assert decode_png(b"not a png at all") is None
