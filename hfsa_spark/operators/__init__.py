@@ -51,7 +51,9 @@ from hfsa_spark.operators.similarity import (
     ivf_assign_arrow,
     ivf_topk,
     ivf_topk_indexed,
+    ivfpq_index_arrow,
     ivfpq_topk,
+    ivfpq_topk_arrow,
     kmeans_iterate,
     l2_normalize,
     l2_normalize_df,
@@ -114,7 +116,9 @@ __all__ = [
     "ivf_assign_arrow",
     "ivf_topk",
     "ivf_topk_indexed",
+    "ivfpq_index_arrow",
     "ivfpq_topk",
+    "ivfpq_topk_arrow",
     "kmeans_iterate",
     "pq_adc_rerank_topk",
     "pq_adc_topk",

@@ -651,6 +651,153 @@ def pq_adc_rerank_topk(
     )
 
 
+def ivfpq_index_arrow(
+    corpus: DataFrame,
+    centroid_matrix,
+    centroid_ids,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the production IVF-PQ index in ONE corpus scan → (id,
+    list_id, codes): Arrow/BLAS coarse assignment (matmul argmax, min-cid
+    ties) and PQ encode (matmul argmin per subvector, min-code ties) share
+    each batch — the 100 TB side is read once and never shuffled. Persist
+    the output ``partitionBy("list_id")`` so probes prune partitions; the
+    index is ~M bytes/vector instead of dim×4."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cmat = np.asarray(centroid_matrix, dtype=np.float64)
+    cids = np.asarray(centroid_ids, dtype=np.int64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d0 = books[0].shape[1]
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            cos = (x @ cmat.T) / np.outer(xn, cnorm)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for mm in range(m):
+                s = x[:, mm * d0 : (mm + 1) * d0]
+                codes[:, mm] = (
+                    (books[mm] ** 2).sum(axis=1) - 2.0 * (s @ books[mm].T)
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": batch[id_col],
+                    "list_id": cids[np.argmax(cos, axis=1)],
+                    "codes": list(codes),
+                }
+            )
+
+    return parallelize_compute(corpus.select(id_col, vec_col)).mapInPandas(
+        run, schema="id bigint, list_id bigint, codes array<bigint>"
+    )
+
+
+def ivfpq_topk_arrow(
+    index_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroid_matrix,
+    centroid_ids,
+    k: int = 10,
+    n_probe: int = 8,
+    corpus: DataFrame | None = None,
+    rerank_depth: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an :func:`ivfpq_index_arrow` table the production way: each
+    query's ``n_probe`` nearest lists are picked driver-side (queries are
+    few, centroids small), the index is filtered with an ``isin`` literal
+    (partition-prunable when stored partitioned by list_id), and each
+    Arrow batch ADC-scores only the rows in that query's probed lists,
+    emitting its batch-local top-k with the global (dist, id) tie-break.
+    ``rerank_depth > 0`` re-ranks the ADC shortlist exactly against the
+    true vectors (pass ``corpus``) — the full billion-scale pipeline:
+    prune → compressed scoring → exact re-rank. Returns (query_id,
+    neighbor_id, dist|score, rank)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if rerank_depth and corpus is None:
+        raise ValueError("rerank_depth > 0 needs the corpus for exact re-rank")
+    cmat = np.asarray(centroid_matrix, dtype=np.float64)
+    cids = np.asarray(centroid_ids, dtype=np.int64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d0 = books[0].shape[1]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids, luts, probes = [], [], {}
+    for r in q_rows:
+        qid = int(r[id_col])
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        cos = (qv @ cmat.T) / (np.linalg.norm(qv) * cnorm)
+        order = np.lexsort((cids, -cos))[:n_probe]  # ties → smaller cid
+        probes[qid] = cids[order]
+        q_ids.append(qid)
+        luts.append(
+            np.stack(
+                [
+                    ((qv[mm * d0 : (mm + 1) * d0] - books[mm]) ** 2).sum(axis=1)
+                    for mm in range(m)
+                ]
+            )
+        )
+    union_lists = sorted({int(v) for lists in probes.values() for v in lists})
+    cut = max(k, rerank_depth)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        rows_m = np.arange(m)
+        for batch in batches:
+            if not len(batch):
+                continue
+            codes = np.asarray(batch["codes"].tolist(), dtype=np.int64)
+            ids = batch["id"].to_numpy()
+            lists = batch["list_id"].to_numpy()
+            for qid, lut in zip(q_ids, luts):
+                mask = np.isin(lists, probes[qid]) & (ids != qid)
+                if not mask.any():
+                    continue
+                d = lut[rows_m, codes[mask]].sum(axis=1)
+                i = ids[mask]
+                if len(d) > cut:
+                    order = np.lexsort((i, d))[:cut]
+                    d, i = d[order], i[order]
+                yield pd.DataFrame({"query_id": qid, "neighbor_id": i, "dist": d})
+
+    scored = (
+        index_df.filter(F.col("list_id").isin(union_lists))
+        .select("id", "list_id", "codes")
+        .mapInPandas(run, schema="query_id bigint, neighbor_id bigint, dist double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cut)
+    )
+    if not rerank_depth:
+        return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+    cand = ranked.select(F.col("neighbor_id").alias(id_col)).distinct()
+    shortlist = corpus.join(F.broadcast(cand), id_col, "left_semi")
+    return exact_topk_arrow(
+        shortlist, queries, k=k, metric="l2", id_col=id_col, vec_col=vec_col
+    )
+
+
 def quantize_embeddings_long(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -135,7 +135,9 @@ def recall_main(n: int = 100_000, dim: int = 64, noise: float = 0.5) -> None:
     from hfsa_spark.operators.similarity import (
         cosine_topk_lsh,
         ivf_topk,
+        ivfpq_index_arrow,
         ivfpq_topk,
+        ivfpq_topk_arrow,
         pq_adc_rerank_topk,
         pq_adc_topk_arrow,
         pq_codebooks_from_seeds,
@@ -212,8 +214,31 @@ def recall_main(n: int = 100_000, dim: int = 64, noise: float = 0.5) -> None:
             gt_l2,
         )
 
-    # IVF-PQ runs the literal-expression composition (oracle twin), so it
-    # probes a smaller corpus slice at small codebooks — label carries n
+    # the PRODUCTION IVF-PQ: one-scan Arrow index over the FULL corpus
+    # (trained books, ~1000 stride centroids), pruned ADC probing, exact
+    # rerank on top — the path a real deployment runs
+    cent_rows = corpus.filter(F.col("vec_id") % stride == 0).collect()
+    cmat = [list(r["embedding"]) for r in cent_rows]
+    cids = [int(r["vec_id"]) for r in cent_rows]
+    t = time.perf_counter()
+    idx = ivfpq_index_arrow(corpus, cmat, cids, trained).localCheckpoint(eager=True)
+    index_s = round(time.perf_counter() - t, 2)
+    run(
+        "ivfpq_arrow_np16",
+        lambda: ivfpq_topk_arrow(idx, queries, trained, cmat, cids, k=k, n_probe=16),
+        gt_l2,
+    )
+    run(
+        "ivfpq_arrow_np16_rerank300",
+        lambda: ivfpq_topk_arrow(
+            idx, queries, trained, cmat, cids, k=k, n_probe=16,
+            corpus=corpus, rerank_depth=300,
+        ),
+        gt_l2,
+    )
+
+    # IVF-PQ literal-expression composition (the gate's oracle twin) —
+    # probes a smaller corpus slice at small codebooks; label carries n
     ivfpq_n = min(n, 20_000)
     sub = corpus.filter(F.col("vec_id") < ivfpq_n)
     sub_gt = _gt(sub, queries, k, "l2")
@@ -237,6 +262,7 @@ def recall_main(n: int = 100_000, dim: int = 64, noise: float = 0.5) -> None:
                 "n_queries": 16,
                 "bruteforce_gt_s": bf_s,
                 "pq_train_s": train_s,
+                "ivfpq_index_build_s": index_s,
                 "recall": recalls,
                 "query_cost_s": costs,
             }

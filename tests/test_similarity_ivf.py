@@ -418,3 +418,85 @@ def test_exact_topk_arrow_l2_matches_numpy(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_ivfpq_arrow_index_and_unpruned_equivalence(spark):
+    """One-scan index build must equal the separate Arrow assign + encode
+    passes; probing ALL lists must reproduce the plain ADC ranking."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivfpq_index_arrow,
+        ivfpq_topk_arrow,
+        pq_adc_topk_arrow,
+        pq_codebooks_from_seeds,
+        pq_encode_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = emb.filter(F.col("vec_id") < 20).collect()
+    cmat = [list(r["embedding"]) for r in seeds]
+    cids = [int(r["vec_id"]) for r in seeds]
+    books = pq_codebooks_from_seeds(emb, m=4, num_codes=8)
+
+    idx = ivfpq_index_arrow(emb, cmat, cids, books)
+    got = {r["id"]: (r["list_id"], list(r["codes"])) for r in idx.collect()}
+    lists = {r["id"]: r["list_id"] for r in ivf_assign_arrow(emb, cmat, cids).collect()}
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode_arrow(emb, books).collect()}
+    assert got == {i: (lists[i], codes[i]) for i in got}
+
+    queries = emb.filter(F.col("vec_id").isin(2, 8))
+    full = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_adc_topk_arrow(
+            pq_encode_arrow(emb, books), queries, books, k=5
+        ).collect()
+    ]
+    unpruned = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivfpq_topk_arrow(
+            idx, queries, books, cmat, cids, k=5, n_probe=len(cids)
+        ).collect()
+    ]
+    assert unpruned == full
+
+
+def test_ivfpq_arrow_pruned_with_rerank(spark):
+    """Pruned probing returns k rows per query; the rerank stage returns
+    exact distances over the shortlist (verified against numpy on the
+    candidate set)."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        ivfpq_index_arrow,
+        ivfpq_topk_arrow,
+        pq_codebooks_from_seeds,
+        synthesize_clustered_embeddings,
+    )
+
+    corpus = synthesize_clustered_embeddings(spark, 5000, 32, n_clusters=50, noise=0.3)
+    corpus = corpus.localCheckpoint(eager=True)
+    seeds = corpus.filter(F.col("vec_id") < 100).collect()
+    cmat = [list(r["embedding"]) for r in seeds]
+    cids = [int(r["vec_id"]) for r in seeds]
+    books = pq_codebooks_from_seeds(corpus, m=4, num_codes=16)
+    idx = ivfpq_index_arrow(corpus, cmat, cids, books).localCheckpoint(eager=True)
+    queries = corpus.filter(F.col("vec_id").isin(1, 3))
+
+    raw = ivfpq_topk_arrow(idx, queries, books, cmat, cids, k=10, n_probe=8).collect()
+    assert sorted({r["query_id"] for r in raw}) == [1, 3]
+    assert len(raw) == 20
+
+    rer = ivfpq_topk_arrow(
+        idx, queries, books, cmat, cids, k=10, n_probe=8,
+        corpus=corpus, rerank_depth=100,
+    ).collect()
+    assert len(rer) == 20
+    # rerank distances are EXACT L2 for the returned neighbors
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+    for r in rer:
+        want = float(((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum())
+        assert abs(r["dist"] - want) < 1e-9
