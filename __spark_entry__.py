@@ -1648,6 +1648,28 @@ def q98_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q99_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode in the gate: the same solid-color
+    rasters as q98 but transmitted as SOF2 multi-scan streams (DC/AC
+    first + successive-approximation refinement scans, EOB runs) — the
+    decoder reassembles identical coefficients, so the q98 closed-form
+    oracle gates the progressive path too."""
+    from hfsa_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_jpeg_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_jpeg_table(d, width=16, height=16, max_docs=200, progressive=True)
+    feats = extract_image_features(media)  # real path: progressive decode
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 255000 + F.lit(0.5)).cast("long").alias("luma_milli"),
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -1995,6 +2017,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_knn_l2": q96_knn_l2,
         "q97_gif_decode": q97_gif_decode,
         "q98_jpeg_decode": q98_jpeg_decode,
+        "q99_jpeg_progressive": q99_jpeg_progressive,
     }
 
 
@@ -3396,6 +3419,10 @@ def oracle_sql() -> dict[str, str]:
                floor((0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0 * 255000.0 + 0.5)::BIGINT AS luma_milli
         FROM rgb ORDER BY doc_id
     """
+
+    # q99: progressive transmission carries the SAME coefficients as q98's
+    # baseline — one closed form gates both decode paths
+    o["q99_jpeg_progressive"] = o["q98_jpeg_decode"]
 
     # q93: Spark runs the real foreachBatch streaming ingestion (3 micro-
     # batches split on doc_id mod 3); the oracle replicates arrival-order

@@ -88,6 +88,19 @@ AC_CHROMA = (
 )
 
 
+# AC table for the progressive encoder: the Annex K baseline AC tables
+# lack the EOBRUN symbols ((r<<4)|0 for r=1..14) progressive scans emit,
+# so scans use this full-coverage canonical table instead — every rs
+# symbol 0x00..0xFF present (254 codes at 9 bits + 2 at 10; Kraft < 1 so
+# the all-ones code stays unassigned). Wasteful but always valid; the
+# tables ride in the file's DHT segments, so the decoder needs nothing
+# special.
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
 def _dct_matrix():
     """8x8 DCT-II basis M (orthonormal): forward C = M·(x−128)·Mᵀ,
     inverse x = Mᵀ·C·M + 128."""
@@ -188,10 +201,160 @@ def _entropy_segments(data: bytes, start: int):
     return segs, pos
 
 
+def _execute_scan(
+    segs, scan_comps, frame, huff_dc, huff_ac, ss, se, ah, al, restart_interval
+) -> bool:
+    """Decode one entropy-coded scan into the components' zigzag-order
+    coefficient arrays. Handles all four T.81 huffman scan types:
+    sequential full-band (baseline), progressive DC first/refine
+    (interleaved or not), progressive AC first/refine (single-component,
+    EOB runs, successive approximation). Restart segments reset DC
+    predictors and the EOB run."""
+    progressive = frame["progressive"]
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+
+    if len(scan_comps) > 1:
+        n_units = mcus_x * mcus_y
+
+        def unit(u):
+            my, mx = divmod(u, mcus_x)
+            out = []
+            for c in scan_comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        out.append((c, my * c["v"] + by, mx * c["h"] + bx))
+            return out
+    else:
+        c0 = scan_comps[0]
+        n_units = c0["bw2"] * c0["bh2"]
+
+        def unit(u):
+            by, bx = divmod(u, c0["bw2"])
+            return [(c0, by, bx)]
+
+    if progressive:
+        if ss == 0:
+            kind = "dc_first" if ah == 0 else "dc_refine"
+            if se != 0:
+                return False
+        else:
+            kind = "ac_first" if ah == 0 else "ac_refine"
+            if len(scan_comps) != 1:
+                return False  # AC scans are single-component per T.81
+    else:
+        kind = "sequential"
+        if ss != 0 or se != 63 or ah != 0 or al != 0:
+            return False
+
+    p1, mm1 = 1 << al, -1 << al
+    per_seg = restart_interval if restart_interval else n_units
+    u = 0
+    for seg in segs:
+        if u >= n_units:
+            break
+        reader = _BitReader(seg)
+        pred = {c["id"]: 0 for c in scan_comps}
+        eobrun = 0
+        for _ in range(per_seg):
+            if u >= n_units:
+                break
+            for c, by, bx in unit(u):
+                coef = c["coef"][by, bx]
+                if kind == "sequential":
+                    s = _decode_huff(reader, huff_dc[c["td"]])
+                    pred[c["id"]] += _extend(reader.receive(s), s)
+                    coef[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(reader, huff_ac[c["ta"]])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block")
+                        coef[k] = _extend(reader.receive(s), s)
+                        k += 1
+                elif kind == "dc_first":
+                    s = _decode_huff(reader, huff_dc[c["td"]])
+                    pred[c["id"]] += _extend(reader.receive(s), s)
+                    coef[0] = pred[c["id"]] << al
+                elif kind == "dc_refine":
+                    if reader.read_bit():
+                        coef[0] = int(coef[0]) | p1
+                elif kind == "ac_first":
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(reader, huff_ac[c["ta"]])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band")
+                        coef[k] = _extend(reader.receive(s), s) << al
+                        k += 1
+                else:  # ac_refine — T.81 G.2 / Annex flow
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_huff(reader, huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    # TOTAL run incl. the current block —
+                                    # its correction-bit pass below still
+                                    # runs, then decrements
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    break
+                                val = 0  # ZRL: 16 zero-history skips
+                            else:
+                                if s != 1:
+                                    raise ValueError("bad refine size")
+                                val = p1 if reader.read_bit() else mm1
+                            while k <= se:
+                                if coef[k] != 0:
+                                    if reader.read_bit() and not (coef[k] & p1):
+                                        coef[k] += p1 if coef[k] >= 0 else mm1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                coef[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if coef[k] != 0:
+                                if reader.read_bit() and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] >= 0 else mm1
+                            k += 1
+                        eobrun -= 1
+            u += 1
+    return u >= n_units
+
+
 def decode_jpeg(data: bytes):
-    """Baseline sequential 8-bit JPEG → HxWx3 (or HxWx1 grayscale) uint8
-    numpy array. None for non-JPEG/malformed; NotImplementedError for
-    progressive / arithmetic / hierarchical / 12-bit variants."""
+    """8-bit huffman JPEG → HxWx3 (or HxWx1 grayscale) uint8 numpy array
+    — BOTH baseline sequential (SOF0/1) and progressive (SOF2: spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs). None for non-JPEG/malformed; NotImplementedError
+    for arithmetic-coded / hierarchical / 12-bit variants."""
     import numpy as np
 
     if len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -202,7 +365,7 @@ def decode_jpeg(data: bytes):
     frame = None
     restart_interval = 0
     pos = 2
-    scan = None
+    any_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -214,15 +377,12 @@ def decode_jpeg(data: bytes):
             continue
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seg_len]
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive JPEG decode not implemented (baseline only)"
+                "non-huffman/hierarchical JPEG process not implemented"
+                " (baseline + huffman progressive only)"
             )
-        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
-            raise NotImplementedError(
-                "non-baseline JPEG process not implemented (baseline only)"
-            )
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             precision, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG not implemented (8-bit only)")
@@ -230,7 +390,22 @@ def decode_jpeg(data: bytes):
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+                return None
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]  # MCU-padded block grid
+                c["bh"] = mcus_y * c["v"]
+                # non-interleaved (single-component scan) block grid:
+                # ceil(ceil(w·h_i/hmax) / 8)
+                c["bw2"] = -(-(-(-(w * c["h"]) // hmax)) // 8)
+                c["bh2"] = -(-(-(-(h * c["v"]) // vmax)) // 8)
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+            frame.update(hmax=hmax, vmax=vmax, mcus_x=mcus_x, mcus_y=mcus_y)
         elif marker == 0xDB:
             p = 0
             while p < len(body):
@@ -255,88 +430,50 @@ def decode_jpeg(data: bytes):
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
+            if frame is None:
+                return None
             ns = body[0]
+            by_id = {c["id"]: c for c in frame["comps"]}
             scan_comps = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
-                scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 15})
-            scan = (scan_comps, pos + 2 + seg_len)
-            break
+                if cs not in by_id:
+                    return None
+                c = by_id[cs]
+                c["td"], c["ta"] = tdta >> 4, tdta & 15
+                scan_comps.append(c)
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segs, end = _entropy_segments(data, pos + 2 + seg_len)
+            try:
+                ok = _execute_scan(
+                    segs, scan_comps, frame, huff_dc, huff_ac,
+                    ss, se, ah, al, restart_interval,
+                )
+            except (EOFError, ValueError, KeyError):
+                return None
+            if not ok:
+                return None
+            any_scan = True
+            pos = end
+            continue
         pos += 2 + seg_len
-    if frame is None or scan is None or not qt:
+    if frame is None or not any_scan or not qt:
         return None
 
-    scan_comps, scan_start = scan
     comps = frame["comps"]
-    if len(scan_comps) != len(comps):
-        return None
-    by_id = {c["id"]: c for c in comps}
-    for sc in scan_comps:
-        if sc["id"] not in by_id:
-            return None
-        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
-
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]  # blocks per row in this component
-        c["bh"] = mcus_y * c["v"]
-        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8))
-
-    segs, _ = _entropy_segments(data, scan_start)
+    w, h, hmax, vmax = frame["w"], frame["h"], frame["hmax"], frame["vmax"]
     m = _dct_matrix()
-    mcu_per_seg = restart_interval if restart_interval else mcus_x * mcus_y
-    mcu_idx = 0
-    try:
-        for seg in segs:
-            if mcu_idx >= mcus_x * mcus_y:
-                break
-            reader = _BitReader(seg)
-            pred = {c["id"]: 0 for c in comps}
-            for _ in range(mcu_per_seg):
-                if mcu_idx >= mcus_x * mcus_y:
-                    break
-                my, mx = divmod(mcu_idx, mcus_x)
-                for c in comps:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            coef = np.zeros(64)
-                            s = _decode_huff(reader, huff_dc[c["td"]])
-                            diff = _extend(reader.receive(s), s)
-                            pred[c["id"]] += diff
-                            coef[0] = pred[c["id"]]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huff(reader, huff_ac[c["ta"]])
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC run past block")
-                                coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
-                                k += 1
-                            block = (
-                                m.T @ (coef.reshape(8, 8) * qt[c["tq"]]) @ m + 128.0
-                            )
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
-                mcu_idx += 1
-    except (EOFError, ValueError, KeyError):
-        return None
-    if mcu_idx < mcus_x * mcus_y:
-        return None
-
     planes = []
     for c in comps:
-        p = c["plane"]
+        if c["tq"] not in qt:
+            return None
+        # de-zigzag + dequant + IDCT, all blocks vectorized
+        nat = np.zeros_like(c["coef"], dtype=np.float64)
+        nat[:, :, ZIGZAG] = c["coef"]
+        blocks = nat.reshape(c["bh"], c["bw"], 8, 8) * qt[c["tq"]]
+        px = np.einsum("ij,xyjk,kl->xyil", m.T, blocks, m) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         if c["h"] < hmax or c["v"] < vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         planes.append(p[:h, :w])
@@ -383,6 +520,102 @@ class _BitWriter:
             self.acc = self.nbits = 0
 
 
+def _encode_progressive_file(
+    planes, nch, w, h, q0, q1, qts, hts, qtabs, m, enc_dc, enc_ac
+) -> bytes:
+    """Assemble the SOF2 stream: quantize all coefficients once, then
+    emit the scan script (see encode_jpeg docstring)."""
+    import numpy as np
+
+    bw, bh = -(-w // 8), -(-h // 8)
+    coefs = []
+    for ci, plane in enumerate(planes):
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for my in range(bh):
+            for mx in range(bw):
+                block = _get_block(plane, my * 8, mx * 8)
+                qc = np.round(
+                    (m @ (block - 128.0) @ m.T) / qtabs[qts[ci]]
+                ).astype(np.int64)
+                arr[my, mx] = qc.reshape(64)[ZIGZAG]
+        coefs.append(arr)
+    al = 1
+
+    def dc_first() -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * nch
+        for u in range(bh * bw):
+            my, mx = divmod(u, bw)
+            for ci in range(nch):
+                v = int(coefs[ci][my, mx, 0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = _category(diff)
+                c, ln = enc_dc[hts[ci][0]][s]
+                wtr.write(c, ln)
+                if s:
+                    wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine() -> bytes:
+        wtr = _BitWriter()
+        for u in range(bh * bw):
+            my, mx = divmod(u, bw)
+            for ci in range(nch):
+                wtr.write(int(coefs[ci][my, mx, 0]) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    _, prog_ac = _canonical_codes(*PROG_AC)
+
+    def ac_scan(ci: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        bands = (coefs[ci][u // bw, u % bw] for u in range(bh * bw))
+        if refine:
+            _emit_ac_refine(wtr, bands, prog_ac, 1, 63, 0)
+        else:
+            _emit_ac_first(wtr, bands, prog_ac, 1, 63, al)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    # scan script: (component list or None=all interleaved, Ss, Se, Ah, Al, data)
+    scans = [(None, 0, 0, 0, al, dc_first())]
+    for ci in range(nch):
+        scans.append(([ci], 1, 63, 0, al, ac_scan(ci, refine=False)))
+    scans.append((None, 0, 0, al, 0, dc_refine()))
+    for ci in range(nch):
+        scans.append(([ci], 1, 63, al, 0, ac_scan(ci, refine=True)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, q0), (1, q1))[: (2 if nch == 3 else 1)]:
+        out += seg(0xDB, bytes([tq]) + bytes(int(q[ZIGZAG[i]]) for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, nch)
+    for i in range(nch):
+        sof += bytes([i + 1, 0x11, qts[i]])
+    out += seg(0xC2, sof)
+    tables = [(0x00, DC_LUMA), (0x10, PROG_AC)]
+    if nch == 3:
+        tables += [(0x01, DC_CHROMA), (0x11, PROG_AC)]
+    for tclass, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    for comp_list, ss, se, ah, al_s, payload in scans:
+        ids = list(range(nch)) if comp_list is None else comp_list
+        sos = bytes([len(ids)])
+        for i in ids:
+            td, ta = hts[i]
+            sos += bytes([i + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al_s])
+        out += seg(0xDA, sos)
+        out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _quality_scale(qtbl: list[int], quality: int):
     """IJG quality curve: 50 → table as-is, 100 → all ones."""
     import numpy as np
@@ -397,6 +630,125 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _emit_ac_first(wtr, band_iter, table, ss: int, se: int, al: int) -> None:
+    """Progressive AC first-scan emitter (T.81 G.1.2.2): per-band RLE of
+    the 2^-Al-truncated coefficients with accumulated EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = table[r << 4]
+            wtr.write(c, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for band in band_iter:
+        vals = [
+            (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in band[ss : se + 1]
+        ]
+        last = -1
+        for i in range(len(vals) - 1, -1, -1):
+            if vals[i]:
+                last = i
+                break
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(last + 1):
+            t = vals[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = table[0xF0]
+                wtr.write(c, ln)
+                r -= 16
+            s = _category(t)
+            c, ln = table[(r << 4) | s]
+            wtr.write(c, ln)
+            wtr.write(t if t > 0 else t + (1 << s) - 1, s)
+            r = 0
+        if ss + last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(wtr, band_iter, table, ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement emitter (T.81 G.1.2.3, the libjpeg
+    encode_mcu_AC_refine flow): newly-nonzero coefficients (|v|>>Al == 1)
+    are coded with runs counted over zero-HISTORY positions; already-
+    nonzero coefficients contribute correction bits, buffered so they
+    ride after the next coefficient/ZRL/EOBRUN symbol."""
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits owned by the pending EOB run
+    br_bits: list[int] = []  # correction bits of the CURRENT block so far
+
+    def flush_eob():
+        # the EOB-run symbol carries the run blocks' correction bits;
+        # the current block's bits (br_bits) ride after ITS next symbol
+        nonlocal eobrun, be_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = table[r << 4]
+            wtr.write(c, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be_bits:
+                wtr.write(b, 1)
+            be_bits = []
+
+    def flush_br():
+        nonlocal br_bits
+        for b in br_bits:
+            wtr.write(b, 1)
+        br_bits = []
+
+    for band in band_iter:
+        vals = [int(v) for v in band[ss : se + 1]]
+        absv = [abs(v) >> al for v in vals]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                c, ln = table[0xF0]
+                wtr.write(c, ln)
+                r -= 16
+                flush_br()
+            if t > 1:
+                br_bits.append(t & 1)  # correction bit for nonzero history
+                continue
+            flush_eob()
+            c, ln = table[(r << 4) | 1]
+            wtr.write(c, ln)
+            wtr.write(0 if vals[i] < 0 else 1, 1)
+            flush_br()
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits += br_bits
+            br_bits = []
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
 def _get_block(plane, y0: int, x0: int):
     """8x8 block at (y0, x0) with edge-replicate padding past the plane."""
     import numpy as np
@@ -408,16 +760,26 @@ def _get_block(plane, y0: int, x0: int):
 
 
 def encode_jpeg(
-    arr, quality: int = 90, restart_interval: int = 0, subsampling: str = "444"
+    arr,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """HxWx{1,3} uint8 array → baseline JFIF JPEG bytes (Annex K tables
-    at the given IJG quality; optional DRI/RSTn restart markers every
+    """HxWx{1,3} uint8 array → JFIF JPEG bytes (Annex K tables at the
+    given IJG quality; optional DRI/RSTn restart markers every
     ``restart_interval`` MCUs; ``subsampling`` '444' or '420' — 4:2:0 box-
     averages chroma 2x2 and interleaves 4 luma + 1 Cb + 1 Cr blocks per
     MCU, the common real-world layout, exercising the decoder's MCU
-    interleave + upsampling path). The round-trip partner of
-    :func:`decode_jpeg` — lossy; solid 8x8-aligned blocks survive exactly
-    when their quantized DC is exact (pinned in tests)."""
+    interleave + upsampling path). ``progressive=True`` writes an SOF2
+    stream with the standard scan script — DC first (Al=1, interleaved),
+    per-component AC 1..63 first (Al=1), DC refine, per-component AC
+    refine — exercising every progressive scan type in
+    :func:`decode_jpeg`; 4:4:4/grayscale only, no restart markers. The
+    round-trip partner of :func:`decode_jpeg` — lossy; solid 8x8-aligned
+    blocks survive exactly when their quantized DC is exact (pinned in
+    tests); progressive and baseline decode to IDENTICAL pixels (same
+    coefficients, different transmission order)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.float64)
@@ -466,6 +828,15 @@ def encode_jpeg(
     dec_ac1, enc_ac1 = _canonical_codes(*AC_CHROMA)
     enc_dc = [enc_dc0, enc_dc1]
     enc_ac = [enc_ac0, enc_ac1]
+
+    if progressive:
+        if samp != [(1, 1)] * nch:
+            raise ValueError(
+                "progressive encoder supports 4:4:4 / grayscale only"
+            )
+        return _encode_progressive_file(
+            planes, nch, w, h, q0, q1, qts, hts, qtabs, m, enc_dc, enc_ac
+        )
 
     hmax = max(hi for hi, _ in samp)
     vmax = max(vi for _, vi in samp)

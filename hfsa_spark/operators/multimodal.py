@@ -1233,12 +1233,19 @@ def synthesize_gif_table(
 
 
 def synthesize_jpeg_table(
-    documents: DataFrame, width: int = 16, height: int = 16, max_docs: int | None = None
+    documents: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    max_docs: int | None = None,
+    progressive: bool = False,
 ) -> DataFrame:
-    """Media table of REAL baseline JPEG payloads: solid-color rasters
-    (r,g,b = 5·id, 7·id, 11·id mod 256) Huffman-encoded for real at
-    quality 90 — solid 8x8-aligned blocks decode to a CLOSED FORM (DC-only
-    quantization, banker's rounding) an external oracle can replicate."""
+    """Media table of REAL JPEG payloads: solid-color rasters (r,g,b =
+    5·id, 7·id, 11·id mod 256) Huffman-encoded for real at quality 90 —
+    solid 8x8-aligned blocks decode to a CLOSED FORM (DC-only
+    quantization, banker's rounding) an external oracle can replicate.
+    ``progressive=True`` writes SOF2 multi-scan streams carrying the SAME
+    coefficients (identical decoded pixels, different transmission
+    order), so the one closed form gates both decode paths."""
     import numpy as np
 
     from hfsa_spark.operators.jpeg import encode_jpeg
@@ -1259,6 +1266,7 @@ def synthesize_jpeg_table(
                         dtype=np.uint8,
                     ),
                     quality=90,
+                    progressive=progressive,
                 )
                 for i in batch["doc_id"]
             ]

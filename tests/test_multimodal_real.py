@@ -481,8 +481,8 @@ def test_jpeg_rejects_and_raises():
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no frame
     data = bytearray(encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8)))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # masquerade as progressive
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    data[sof + 1] = 0xC9  # masquerade as arithmetic-coded
+    with _pytest.raises(NotImplementedError, match="arithmetic|non-huffman"):
         decode_jpeg(bytes(data))
 
 
@@ -553,3 +553,38 @@ def test_jpeg_420_subsampling_roundtrip():
     with_rst = decode_jpeg(encode_jpeg(b, 90, subsampling="420", restart_interval=2))
     assert plain.shape == (19, 27, 3)
     assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Progressive (SOF2: DC/AC first + refinement scans, EOB runs,
+    successive approximation) carries the SAME coefficients as baseline,
+    so decode must produce IDENTICAL pixels — across shapes, qualities,
+    channel counts, and sparsity (low quality = long EOB runs)."""
+    from hfsa_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(6)
+    cases = [
+        ((16, 16, 3), 90), ((40, 56, 3), 95), ((13, 21, 1), 85),
+        ((64, 64, 3), 50), ((80, 80, 3), 5),
+    ]
+    for shape, q in cases:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(a, q))
+        prog = decode_jpeg(encode_jpeg(a, q, progressive=True))
+        assert prog is not None and np.array_equal(base, prog), (shape, q)
+    # EOB-run + deferred-correction-bit edge: empty first block, AC later
+    grad = np.tile(np.linspace(0, 255, 8, dtype=np.uint8), (8, 1))
+    c = np.zeros((8, 16, 1), dtype=np.uint8)
+    c[:, 8:, 0] = grad
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(c, 90)),
+        decode_jpeg(encode_jpeg(c, 90, progressive=True)),
+    )
+
+
+def test_jpeg_progressive_rejects_subsampled_encode():
+    from hfsa_spark.operators.jpeg import encode_jpeg
+
+    a = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="4:4:4"):
+        encode_jpeg(a, 90, subsampling="420", progressive=True)
