@@ -1670,6 +1670,52 @@ def q99_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q100_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 re-expressed Spark-first):
+    maximal spans whose every 20-char window occurs >= 2x in the corpus,
+    kept when >= 40 chars. Shuffle key is an 8-byte window hash, count agg
+    is map-combinable, islands window is per-document — the oracle
+    replicates the semantics over literal grams."""
+    from hfsa_spark.operators.dedup import duplicate_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_substring_spans(d, "doc_id", "text", gram=20, min_len=40).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q101_dup_char_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level duplication budget over q100's spans (disjoint, so the sum
+    is exact): integer permille keeps the oracle compare float-free."""
+    from hfsa_spark.operators.dedup import duplicate_char_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    r = duplicate_char_ratio(d, "doc_id", "text", gram=20, min_len=40)
+    return r.select(
+        "doc_id",
+        "n_spans",
+        "dup_chars",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("dup_chars") * 1000 / F.col("n_chars")).cast("long").alias("dup_permille"),
+    ).orderBy("doc_id")
+
+
+def q102_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter incremental dedup: the corpus index (docs with
+    doc_id % 3 == 0) is scanned once into a broadcast Bloom filter; only
+    rows the filter can't clear reach the exact anti-join verify. No
+    false negatives + exact verify ⇒ the result is EXACTLY the anti-join
+    semantics the oracle states."""
+    from hfsa_spark.operators.dedup import bloom_dedup, normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(normalize_text("text")).alias("digest")
+    )
+    out = bloom_dedup(d, index, "doc_id", "text", num_bits=1 << 16, num_hashes=4)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2018,6 +2064,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_gif_decode": q97_gif_decode,
         "q98_jpeg_decode": q98_jpeg_decode,
         "q99_jpeg_progressive": q99_jpeg_progressive,
+        "q100_substring_spans": q100_substring_spans,
+        "q101_dup_char_ratio": q101_dup_char_ratio,
+        "q102_bloom_dedup": q102_bloom_dedup,
     }
 
 
@@ -3520,6 +3569,60 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN p ON p.user_id = c.user_id
             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
         GROUP BY c.user_id ORDER BY user_id
+    """
+
+    # q100/q101: exact-substring dedup — Spark keys on a 64-bit window
+    # hash, the oracle groups literal 20-char windows (collision-free by
+    # construction); the islands/gaps merge is the same in both engines
+    _SPANS = """
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 20 + 2, 1))) AS i
+            FROM documents
+        ),
+        grams AS (SELECT doc_id, i, substr(text, i, 20) AS gram FROM pos),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        duppos AS (
+            SELECT g.doc_id, g.i,
+                   g.i - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.i) AS grp
+            FROM grams g JOIN dup USING (gram)
+        ),
+        spans AS (
+            SELECT doc_id, min(i) AS span_start, max(i) + 19 AS span_end
+            FROM duppos GROUP BY doc_id, grp
+        ),
+        kept AS (
+            SELECT doc_id, span_start, span_end,
+                   span_end - span_start + 1 AS span_len
+            FROM spans WHERE span_end - span_start + 1 >= 40
+        )
+    """
+    o["q100_substring_spans"] = _SPANS + """
+        SELECT doc_id, span_start::INTEGER AS span_start,
+               span_end::INTEGER AS span_end, span_len::INTEGER AS span_len
+        FROM kept ORDER BY doc_id, span_start
+    """
+    o["q101_dup_char_ratio"] = _SPANS + """
+        SELECT k.doc_id, count(*)::BIGINT AS n_spans,
+               sum(span_len)::BIGINT AS dup_chars, d.n_chars,
+               ((sum(span_len) * 1000) // d.n_chars)::BIGINT AS dup_permille
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY k.doc_id, d.n_chars ORDER BY k.doc_id
+    """
+
+    # q102: the Bloom prefilter is exact by construction (no false
+    # negatives, maybes verified) — the oracle is the plain anti join
+    o["q102_bloom_dedup"] = f"""
+        WITH h AS (SELECT doc_id, lang, md5({_NORM}) AS digest FROM documents),
+        idx AS (SELECT DISTINCT digest FROM h WHERE doc_id % 3 = 0),
+        fresh AS (
+            SELECT doc_id, lang, digest FROM h
+            WHERE digest NOT IN (SELECT digest FROM idx)
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY digest)
+        SELECT f.doc_id, f.lang FROM fresh f
+        WHERE f.doc_id IN (SELECT doc_id FROM keep)
+        ORDER BY f.doc_id
     """
 
     return o

@@ -500,3 +500,262 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+# --------------------------------------------------- exact substrings --
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 20,
+    min_len: int = 40,
+    sample_mod: int = 1,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document, in the spirit of
+    exact-substring deduplication for LLM training corpora (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    public paper; they build a corpus suffix array offline, we re-express
+    the operator Spark-first).
+
+    A character position ``i`` (1-based) in a document is *duplicated*
+    when the length-``gram`` window starting at ``i`` occurs at least
+    twice anywhere in the corpus (another document or elsewhere in the
+    same one). Runs of duplicated positions no more than ``max_gap``
+    apart are merged (gaps-and-islands) into spans ``[span_start,
+    span_end]``; only spans of at least ``min_len`` characters are
+    emitted. With the exact defaults, any substring of length >=
+    max(gram, min_len) that occurs twice in the corpus is contained in an
+    emitted span (every one of its windows is duplicated); conversely
+    every emitted position sits in *some* twice-occurring window, so the
+    spans are exactly the union of duplicated windows — the removal
+    targets of the paper.
+
+    Scale: the shuffle is keyed on a 64-bit xxhash of the window (8-byte
+    key, never the window text); pass 1 is a count aggregation with
+    map-side partial combine, pass 2 a left-semi join of positions
+    against the surviving hashes — both hash-partition on the same key.
+    Total shuffled rows ~= corpus characters / ``sample_mod``: at the
+    100 TB scale set ``sample_mod`` > 1 to keep only windows whose hash
+    ≡ 0 (mod ``sample_mod``) — CONTENT-DEFINED sampling (the winnowing /
+    MOSS fingerprinting idea), so identical substrings select identical
+    windows regardless of their alignment in each document; a fixed
+    positional stride would miss every cross-doc match whose offsets
+    disagree modulo the stride. Sampled mode is probabilistic: a
+    duplicated region of length L is missed with probability ~=
+    (1 - 1/sample_mod)^(L - gram + 1), and span boundaries are resolved
+    to the sampled windows (``max_gap`` defaults to ``4 * sample_mod``
+    to bridge the geometric gaps between samples; exact mode defaults to
+    ``max_gap=1``). The islands window partitions by document, so its
+    state is bounded by the longest document, not the corpus.
+
+    Returns (id_col, span_start, span_end, span_len).
+    """
+    if sample_mod < 1:
+        raise ValueError("sample_mod must be >= 1")
+    if max_gap is None:
+        max_gap = 1 if sample_mod == 1 else 4 * sample_mod
+    from hfsa_spark.plans import parallelize_compute
+
+    text = F.col(text_col)
+    positions = F.when(
+        F.length(text) >= gram,
+        F.sequence(F.lit(1), F.length(text) - gram + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = parallelize_compute(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(positions).alias("i"),
+        text,
+    ).select(
+        id_col,
+        "i",
+        F.xxhash64(F.substring(text, F.col("i"), F.lit(gram))).alias("gh"),
+    )
+    if sample_mod > 1:
+        grams = grams.filter(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    dup_pos = grams.join(dup.select("gh"), "gh", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    islands = dup_pos.withColumn(
+        "new_grp",
+        F.when(
+            F.col("i") - F.lag("i").over(w) <= max_gap, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp",
+        F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(gram - 1)).alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+        .filter(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_end", "span_len")
+    )
+
+
+def duplicate_char_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 20,
+    min_len: int = 40,
+) -> DataFrame:
+    """Per-document duplicated-character budget: how much of each document
+    sits inside duplicated spans (the doc-level filter signal — drop or
+    trim documents past a duplication threshold). Spans from
+    :func:`duplicate_substring_spans` are maximal and therefore disjoint,
+    so summing their lengths is exact.
+
+    Returns (id_col, n_spans, dup_chars, n_chars, dup_ratio) for every
+    document that has at least one qualifying span.
+    """
+    spans = duplicate_substring_spans(df, id_col, text_col, gram=gram, min_len=min_len)
+    lens = df.select(F.col(id_col), F.length(text_col).alias("n_chars"))
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").alias("dup_chars"),
+        )
+        .join(lens, id_col)
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_chars").cast("double") / F.col("n_chars"), 6),
+        )
+        .select(id_col, "n_spans", "dup_chars", "n_chars", "dup_ratio")
+    )
+
+
+# ------------------------------------------------------------- bloom --
+
+
+class BloomFilter:
+    """A plain Bloom filter over string keys: ``num_bits`` bits stored as
+    64-bit words, ``num_hashes`` seeded xxhash64 probes per key. Built
+    distributedly (the corpus is never collected — only the fixed-size
+    word array comes back to the driver, like a centroid set), shipped to
+    executors as a one-row broadcast so membership tests stay pure
+    JVM-side expressions."""
+
+    def __init__(self, words: list[int], num_bits: int, num_hashes: int):
+        self.words = words
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+
+    def to_row_df(self, spark) -> DataFrame:
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        schema = StructType([StructField("__bloom", ArrayType(LongType()), False)])
+        return spark.createDataFrame([(self.words,)], schema)
+
+
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{j}:"), col)), F.lit(num_bits))
+        for j in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, num_bits: int = 1 << 20, num_hashes: int = 4
+) -> BloomFilter:
+    """Build a Bloom filter over ``df[col]`` with one distributed pass:
+    explode each key into its ``num_hashes`` bit positions, groupBy the
+    64-bit word index with a ``bit_or`` of the set bit — map-side partial
+    aggregation collapses each partition to <= num_bits/64 rows before the
+    (tiny) shuffle, so the cost is a single scan of the corpus regardless
+    of its size. Only the word array (num_bits/8 bytes, a driver-chosen
+    constant) is collected."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    c = F.col(col)
+    pos = F.explode(F.array(*_bloom_positions(c, num_bits, num_hashes))).alias("p")
+    words = (
+        df.select(pos)
+        .select((F.col("p") / 64).cast("long").alias("w"), F.pmod(F.col("p"), F.lit(64)).alias("b"))
+        .groupBy("w")
+        .agg(
+            F.bit_or(
+                F.call_function("shiftleft", F.lit(1).cast("long"), F.col("b").cast("int"))
+            ).alias("bits")
+        )
+        .collect()
+    )
+    arr = [0] * (num_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return BloomFilter(arr, num_bits, num_hashes)
+
+
+def bloom_might_contain(bf: BloomFilter, col: Column | str) -> Column:
+    """Membership-test expression against the broadcast ``__bloom`` column
+    (attach it first via ``df.crossJoin(F.broadcast(bf.to_row_df(spark)))``
+    — the repo's one-row-broadcast pattern). All ``num_hashes`` probes are
+    plain element_at/bitwise expressions, fully codegen'd; no UDF, no
+    shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    cond = F.lit(True)
+    for p in _bloom_positions(c, bf.num_bits, bf.num_hashes):
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        word = F.element_at(F.col("__bloom"), ((p / 64).cast("long") + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return cond
+
+
+def bloom_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_digest_col: str = "digest",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    bloom: BloomFilter | None = None,
+) -> DataFrame:
+    """Incremental dedup with a broadcast Bloom prefilter: semantically
+    IDENTICAL to :func:`incremental_dedup` (Bloom filters have no false
+    negatives, and every "maybe" is verified with the exact anti join),
+    but only the rows the filter cannot clear — true duplicates plus the
+    ~(1 - e^{-kn/m})^k false-positive sliver — ever reach the join
+    shuffle. Rows the filter clears are definitely new and flow through
+    map-only.
+
+    Scale: the prefilter cuts the new batch's anti-join shuffle volume to
+    the duplicate rate + FPR; the index is still only scanned once (to
+    build the filter, map-combinable) instead of shuffled wholesale. The
+    broadcast word array is a driver-chosen constant (num_bits/8 bytes —
+    ~10 bits per corpus key for ~1% FPR), which caps the economical
+    corpus size at a few hundred million keys per filter; past that,
+    shard the corpus and dedupe per shard, or fall back to
+    :func:`incremental_dedup`'s co-partitioned join. Pass a prebuilt
+    ``bloom`` to amortize the build across batches.
+    """
+    spark = new_df.sparkSession
+    index_keys = index_df.select(F.col(index_digest_col).alias("__digest"))
+    if bloom is None:
+        bloom = bloom_build(index_keys, "__digest", num_bits, num_hashes)
+
+    hashed = new_df.withColumn("__digest", F.md5(normalize_text(text_col)))
+    tagged = hashed.crossJoin(F.broadcast(bloom.to_row_df(spark))).withColumn(
+        "__maybe", bloom_might_contain(bloom, "__digest")
+    ).drop("__bloom")
+    definite_new = tagged.filter(~F.col("__maybe")).drop("__maybe")
+    verified_new = (
+        tagged.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(index_keys, "__digest", "left_anti")
+    )
+    fresh = definite_new.unionByName(verified_new)
+    keep = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.join(keep, id_col, "left_semi").drop("__digest")
