@@ -1716,6 +1716,33 @@ def q102_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q103_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode in the gate: Motion-JPEG AVI containers
+    (6 solid frames per doc, color = q98's closed form at s = doc_id +
+    41·frame_idx, fps 25/10 by parity) are built executor-side, the RIFF
+    parser extracts every 2nd frame's JPEG payload, and the JPEG codec
+    decodes real frame pixels. ts_milli is exact integer math in the
+    oracle (both fps divide 1000)."""
+    from hfsa_spark.operators.multimodal import (
+        extract_frame_features,
+        sample_frames,
+        synthesize_avi_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_avi_table(d, width=16, height=16, n_frames=6, max_docs=120)
+    frames = sample_frames(media, every_n=2)  # real path: parse_avi
+    feats = extract_frame_features(frames)  # real path: decode_jpeg per frame
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        F.floor(F.col("frame_ts_s") * 1000 + F.lit(0.5)).cast("long").alias("ts_milli"),
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 255000 + F.lit(0.5)).cast("long").alias("luma_milli"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2067,6 +2094,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_substring_spans": q100_substring_spans,
         "q101_dup_char_ratio": q101_dup_char_ratio,
         "q102_bloom_dedup": q102_bloom_dedup,
+        "q103_mjpeg_frames": q103_mjpeg_frames,
     }
 
 
@@ -3623,6 +3651,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.doc_id, f.lang FROM fresh f
         WHERE f.doc_id IN (SELECT doc_id FROM keep)
         ORDER BY f.doc_id
+    """
+
+    # q103: MJPEG frames decode exactly like q98's solid JPEGs — same
+    # DC-only closed form at s = doc_id + 41·frame_idx; timestamps are
+    # exact integer milliseconds (fps 25/10 both divide 1000)
+    o["q103_mjpeg_frames"] = """
+        WITH fr AS (
+            SELECT doc_id, unnest([0, 2, 4]) AS frame_idx
+            FROM documents WHERE doc_id < 120
+        ),
+        c AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN frame_idx * 40
+                        ELSE frame_idx * 100 END AS ts_milli,
+                   ((5 * (doc_id + 41 * frame_idx)) % 256)::DOUBLE AS r,
+                   ((7 * (doc_id + 41 * frame_idx)) % 256)::DOUBLE AS g,
+                   ((11 * (doc_id + 41 * frame_idx)) % 256)::DOUBLE AS b
+            FROM fr
+        ),
+        yc AS (
+            SELECT doc_id, frame_idx, ts_milli,
+                   0.299 * r + 0.587 * g + 0.114 * b AS y,
+                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 AS cb,
+                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 AS cr
+            FROM c
+        ),
+        dec AS (
+            SELECT doc_id, frame_idx, ts_milli,
+                   round_even(8.0 * (y - 128.0) / 3.0, 0) * 3.0 / 8.0 + 128.0 AS yd,
+                   round_even(8.0 * (cb - 128.0) / 3.0, 0) * 3.0 / 8.0 + 128.0 AS cbd,
+                   round_even(8.0 * (cr - 128.0) / 3.0, 0) * 3.0 / 8.0 + 128.0 AS crd
+            FROM yc
+        ),
+        rgb AS (
+            SELECT doc_id, frame_idx, ts_milli,
+                   least(greatest(round_even(yd + 1.402 * (crd - 128.0), 0), 0.0), 255.0) AS rr,
+                   least(greatest(round_even(yd - 0.344136 * (cbd - 128.0) - 0.714136 * (crd - 128.0), 0), 0.0), 255.0) AS gg,
+                   least(greatest(round_even(yd + 1.772 * (cbd - 128.0), 0), 0.0), 255.0) AS bb
+            FROM dec
+        )
+        SELECT doc_id, frame_idx::INTEGER AS frame_idx, ts_milli::BIGINT AS ts_milli,
+               16::INTEGER AS width, 16::INTEGER AS height,
+               floor((0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0 * 255000.0 + 0.5)::BIGINT AS luma_milli
+        FROM rgb ORDER BY doc_id, frame_idx
     """
 
     return o

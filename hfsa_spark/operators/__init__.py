@@ -9,7 +9,12 @@ from hfsa_spark.operators.userusage import user_usage_report
 from hfsa_spark.operators.pathreport import path_report
 from hfsa_spark.operators.inodeinfo import inode_info
 from hfsa_spark.operators.dedup import (
+    bloom_build,
+    bloom_dedup,
+    bloom_might_contain,
     connected_components,
+    duplicate_char_ratio,
+    duplicate_substring_spans,
     exact_dedup,
     exact_dedup_groups,
     minhash_lsh_candidates,

@@ -15,15 +15,20 @@ is dependency-free stdlib/numpy over public file-format layouts):
   JPEG (``operators/jpeg.py`` — Huffman entropy codec, dequant + 8x8
   IDCT, restart markers, 4:2:0 subsampling, YCbCr→RGB). 8- AND 16-bit
   PNG depths decode (16-bit → high byte). Remaining stubs:
-  progressive/arithmetic JPEG and sub-byte PNG depths — documented
-  NotImplementedError; video codec frames stay out of scope.
+  arithmetic-coded JPEG and sub-byte PNG depths — documented
+  NotImplementedError.
 * audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
   chunk; RMS and clip ratio computed from the actual PCM samples with
   numpy.
 * video — REAL ISO BMFF (MP4/MOV) container probe (``parse_mp4``): movie
   duration (mvhd), video track dimensions (tkhd), and per-frame
-  timestamps from the mdhd/stts sample table; frame PIXEL decode stays
-  stubbed (codec needed).
+  timestamps from the mdhd/stts sample table. REAL frame PIXEL decode
+  for Motion-JPEG AVI (``encode_avi_mjpeg`` / ``parse_avi``): the RIFF
+  container yields complete per-frame JPEG streams, which the
+  dependency-free JPEG codec decodes — ``sample_frames`` emits real
+  frame payloads and ``extract_frame_features`` real pixel stats.
+  Inter-frame codecs (H.26x/VP9/AV1) remain out of scope (patented
+  bitstream decoders, not container work).
 
 Scale notes:
 * media bytes dominate row size → repartition so batches stay within
@@ -937,11 +942,22 @@ def sample_frames(
                         digest = hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
                         rows.append((r["doc_id"], idx, float(idx), digest))
                     continue
+                avi = parse_avi(payload)
+                if avi is not None:
+                    # MJPEG AVI: every sampled frame carries its REAL
+                    # payload (a complete JPEG — decodable downstream by
+                    # extract_frame_features)
+                    fps = avi["fps"] or 1.0
+                    for idx in range(0, avi["n_frames"], every_n):
+                        rows.append(
+                            (r["doc_id"], idx, idx / fps, avi["frames"][idx])
+                        )
+                    continue
                 probe = parse_mp4(payload)
                 if probe is None:
                     raise NotImplementedError(
-                        "real frame sampling covers ISO BMFF (MP4/MOV) containers"
-                        " only; this payload is not BMFF — pass fake=True for the"
+                        "real frame sampling covers RIFF AVI and ISO BMFF"
+                        " (MP4/MOV) containers only — pass fake=True for the"
                         " plumbing decoder"
                     )
                 ts = probe["sample_ts_s"]
@@ -1331,4 +1347,223 @@ def synthesize_media_table(documents: DataFrame, media_type: str = "image") -> D
         F.lit(None).cast("int").alias("height"),
         F.lit(3).alias("n_channels"),
         F.lit("fake").alias("format"),
+    )
+
+
+# ----------------------------------------------------------- AVI/MJPEG --
+# RIFF AVI container (public Microsoft "AVI RIFF File Reference" layout)
+# carrying Motion-JPEG: every frame is a complete baseline JPEG stream,
+# so the dependency-free JPEG codec (operators/jpeg.py) decodes REAL
+# video frame pixels — the last multimodal family to go real.
+
+FRAME_FEATURES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts_s double,"
+    " width int, height int, mean_luma double, phash bigint"
+)
+
+
+def _riff_chunk(ckid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return ckid + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(subtype: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + payload)
+
+
+def encode_avi_mjpeg(frames, fps: int = 25, quality: int = 90) -> bytes:
+    """Encode HxWx3 uint8 rasters as a Motion-JPEG AVI: RIFF('AVI ')
+    { LIST hdrl [avih, LIST strl [strh 'vids'/'MJPG', strf BITMAPINFO]],
+    LIST movi ['00dc' <jpeg>...], idx1 } — each frame Huffman-encoded for
+    real by :func:`hfsa_spark.operators.jpeg.encode_jpeg`."""
+    from hfsa_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max(len(j) for j in jpegs),
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IIIIIIIIii", 0, 0, 0, 1, fps, 0, len(frames),
+                      max(len(j) for j in jpegs), quality * 100, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_chunks, idx_entries, off = [], [], 4  # offset counts from 'movi' fourcc
+    for j in jpegs:
+        ck = _riff_chunk(b"00dc", j)
+        movi_chunks.append(ck)
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += len(ck)
+    movi = _riff_list(b"movi", b"".join(movi_chunks))
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_chunks(data: bytes, start: int, end: int):
+    """Yield (ckid, body_start, body_end) for RIFF chunks in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        ckid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            return
+        yield ckid, body, body + size
+        pos = body + size + (size % 2)  # chunks are word-aligned
+
+
+def parse_avi(data: bytes) -> dict | None:
+    """RIFF AVI container probe + frame extraction. Returns dimensions and
+    fps from the headers and the RAW per-frame payloads from the movi
+    list (for MJPG streams each payload is a complete JPEG). None for
+    non-AVI payloads; the idx1 index is ignored (movi order is
+    authoritative for a single video stream)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    out: dict = {"format": "avi", "width": None, "height": None, "fps": None,
+                 "codec": None, "n_frames": 0, "frames": []}
+    vid_stream = None  # stream number of the first vids stream
+    stream_no = 0
+    for ckid, b0, b1 in _avi_chunks(data, 12, len(data)):
+        if ckid != b"LIST":
+            continue
+        subtype = data[b0 : b0 + 4]
+        if subtype == b"hdrl":
+            for c2, s0, s1 in _avi_chunks(data, b0 + 4, b1):
+                if c2 == b"avih" and s1 - s0 >= 40:
+                    vals = struct.unpack_from("<10I", data, s0)
+                    if vals[0]:
+                        out["fps"] = 1_000_000 / vals[0]
+                    out["width"], out["height"] = vals[8], vals[9]
+                elif c2 == b"LIST" and data[s0 : s0 + 4] == b"strl":
+                    for c3, t0, t1 in _avi_chunks(data, s0 + 4, s1):
+                        if c3 == b"strh" and t1 - t0 >= 48:
+                            fcc_type = data[t0 : t0 + 4]
+                            if fcc_type == b"vids" and vid_stream is None:
+                                vid_stream = stream_no
+                                out["codec"] = (
+                                    data[t0 + 4 : t0 + 8].decode("ascii", "replace").strip()
+                                )
+                                scale, rate = struct.unpack_from("<II", data, t0 + 20)
+                                if scale and rate:
+                                    out["fps"] = rate / scale
+                    stream_no += 1
+        elif subtype == b"movi":
+            want = f"{vid_stream or 0:02d}".encode()  # stream prefix, e.g. b'00'
+            for c2, s0, s1 in _avi_chunks(data, b0 + 4, b1):
+                if c2[:2] == want and c2[2:] in (b"dc", b"db"):
+                    out["frames"].append(data[s0:s1])
+    out["n_frames"] = len(out["frames"])
+    return out
+
+
+def synthesize_avi_table(
+    documents: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 6,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Media table of REAL Motion-JPEG AVI payloads: each document gets
+    ``n_frames`` solid-color frames with r,g,b = (5·s, 7·s, 11·s) mod 256
+    for s = doc_id + 41·frame_idx — the same closed form as the JPEG gate
+    (q98), so every decoded frame's pixel stats are oracle-checkable.
+    fps = 25 for doc_id even, 10 otherwise (both divide 1000 → exact
+    millisecond timestamps). Payloads are built executor-side."""
+    import numpy as np
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                frames = [
+                    np.full(
+                        (height, width, 3),
+                        [(5 * s) % 256, (7 * s) % 256, (11 * s) % 256],
+                        dtype=np.uint8,
+                    )
+                    for s in (int(i) + 41 * f for f in range(n_frames))
+                ]
+                payloads.append(
+                    encode_avi_mjpeg(frames, fps=25 if int(i) % 2 == 0 else 10)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def extract_frame_features(
+    frames: DataFrame, fake: bool = False, min_partitions: int | None = None
+) -> DataFrame:
+    """Per-frame pixel stats over :func:`sample_frames` output — decodes
+    each sampled frame payload (MJPEG frames are complete JPEGs, so the
+    dependency-free codec applies) and keys the result by (doc_id,
+    frame_idx). Null payloads (e.g. MP4 container-only probes) yield null
+    stats; the row is kept so the sampling structure stays visible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = []
+            for _, r in batch.iterrows():
+                p = r["frame_payload"]
+                feats = (
+                    (_fake_decode(bytes(p)) if fake else _real_decode(bytes(p)))
+                    if p is not None
+                    else {}
+                )
+                rows.append(
+                    (
+                        r["doc_id"],
+                        r["frame_idx"],
+                        r["frame_ts_s"],
+                        feats.get("width"),
+                        feats.get("height"),
+                        feats.get("mean_luma"),
+                        feats.get("phash"),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_ts_s",
+                    "width", "height", "mean_luma", "phash",
+                ],
+            )
+            for c in ("width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["phash"] = pd.array(out["phash"], dtype="Int64")
+            yield out
+
+    return _maybe_parallel(frames, min_partitions).mapInPandas(
+        run, schema=FRAME_FEATURES_SCHEMA
     )
