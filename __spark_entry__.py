@@ -1743,6 +1743,39 @@ def q103_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def _audio_codec_query(spark: SparkSession, sf_dir: str, codec: int) -> DataFrame:
+    from hfsa_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_audio_table(d, codec=codec, max_docs=150)
+    feats = extract_audio_features(media)  # real path: G.711 decode
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        F.floor(F.col("duration_s") * 1000 + F.lit(0.5)).cast("long").alias("dur_milli"),
+        F.floor(F.col("rms") * 1000000 + F.lit(0.5)).cast("long").alias("rms_micro"),
+        F.floor(F.col("clip_ratio") * 1000 + F.lit(0.5)).cast("long").alias("clip_permille"),
+    ).orderBy("doc_id")
+
+
+def q104_mulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 µ-law decode in the gate: constant-amplitude WAVs are
+    companded executor-side (format tag 7), parse_wav expands them back
+    through the dependency-free codec (bit-exact vs CPython audioop over
+    the full 16-bit range — tests/test_audio_codecs.py), and the oracle
+    replicates the 14-bit-domain integer closed form term-for-term."""
+    return _audio_codec_query(spark, sf_dir, codec=7)
+
+
+def q105_alaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law decode in the gate — the A-law twin of q104
+    (format tag 6, 13-bit segment closed form)."""
+    return _audio_codec_query(spark, sf_dir, codec=6)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2095,6 +2128,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_dup_char_ratio": q101_dup_char_ratio,
         "q102_bloom_dedup": q102_bloom_dedup,
         "q103_mjpeg_frames": q103_mjpeg_frames,
+        "q104_mulaw_audio": q104_mulaw_audio,
+        "q105_alaw_audio": q105_alaw_audio,
     }
 
 
@@ -3695,6 +3730,69 @@ def oracle_sql() -> dict[str, str]:
                16::INTEGER AS width, 16::INTEGER AS height,
                floor((0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0 * 255000.0 + 0.5)::BIGINT AS luma_milli
         FROM rgb ORDER BY doc_id, frame_idx
+    """
+
+    # q104/q105: G.711 closed forms (audio.py docstring) — all integer
+    # shifts/compares; amplitude always positive and below clip, so the
+    # sign/clip branches never fire. Constant signal ⇒ RMS = dec/32768.
+    o["q104_mulaw_audio"] = """
+        WITH amp AS (
+            SELECT doc_id, (997 * doc_id) % 30000 + 100 AS a
+            FROM documents WHERE doc_id < 150
+        ),
+        seg AS (
+            SELECT doc_id, (a // 4) + 33 AS m FROM amp
+        ),
+        enc AS (
+            SELECT doc_id, m,
+                   CASE WHEN m < 64 THEN 0 WHEN m < 128 THEN 1
+                        WHEN m < 256 THEN 2 WHEN m < 512 THEN 3
+                        WHEN m < 1024 THEN 4 WHEN m < 2048 THEN 5
+                        WHEN m < 4096 THEN 6 ELSE 7 END AS e
+            FROM seg
+        ),
+        dec AS (
+            SELECT doc_id,
+                   ((((m >> (e + 1)) & 15) * 8 + 132) << e) - 132 AS v
+            FROM enc
+        )
+        SELECT doc_id, 8000::INTEGER AS sample_rate, 100::BIGINT AS dur_milli,
+               floor(v / 32768.0 * 1000000.0 + 0.5)::BIGINT AS rms_micro,
+               0::BIGINT AS clip_permille
+        FROM dec ORDER BY doc_id
+    """
+    o["q105_alaw_audio"] = """
+        WITH amp AS (
+            SELECT doc_id, (997 * doc_id) % 30000 + 100 AS a
+            FROM documents WHERE doc_id < 150
+        ),
+        seg AS (
+            SELECT doc_id, a // 8 AS p FROM amp
+        ),
+        enc AS (
+            SELECT doc_id, p,
+                   CASE WHEN p <= 31 THEN 0 WHEN p <= 63 THEN 1
+                        WHEN p <= 127 THEN 2 WHEN p <= 255 THEN 3
+                        WHEN p <= 511 THEN 4 WHEN p <= 1023 THEN 5
+                        WHEN p <= 2047 THEN 6 ELSE 7 END AS s
+            FROM seg
+        ),
+        mant AS (
+            SELECT doc_id, s,
+                   (p >> (CASE WHEN s = 0 THEN 1 ELSE s END)) & 15 AS t
+            FROM enc
+        ),
+        dec AS (
+            SELECT doc_id,
+                   CASE WHEN s = 0 THEN t * 16 + 8
+                        WHEN s = 1 THEN t * 16 + 264
+                        ELSE (t * 16 + 264) << (s - 1) END AS v
+            FROM mant
+        )
+        SELECT doc_id, 8000::INTEGER AS sample_rate, 100::BIGINT AS dur_milli,
+               floor(v / 32768.0 * 1000000.0 + 0.5)::BIGINT AS rms_micro,
+               0::BIGINT AS clip_permille
+        FROM dec ORDER BY doc_id
     """
 
     return o

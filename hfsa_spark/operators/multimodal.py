@@ -17,9 +17,12 @@ is dependency-free stdlib/numpy over public file-format layouts):
   PNG depths decode (16-bit → high byte). Remaining stubs:
   arithmetic-coded JPEG and sub-byte PNG depths — documented
   NotImplementedError.
-* audio — REAL WAV (RIFF PCM) decode: duration, sample rate from the fmt
-  chunk; RMS and clip ratio computed from the actual PCM samples with
-  numpy.
+* audio — REAL WAV (RIFF) decode: duration, sample rate from the fmt
+  chunk; RMS and clip ratio computed from the actual samples with numpy.
+  Linear PCM (8/16-bit) plus COMPRESSED formats via the dependency-free
+  codecs in ``operators/audio.py``: G.711 µ-law / A-law (bit-exact vs
+  CPython audioop over the full 16-bit range) and IMA ADPCM (format
+  0x11 block layout).
 * video — REAL ISO BMFF (MP4/MOV) container probe (``parse_mp4``): movie
   duration (mvhd), video track dimensions (tkhd), and per-frame
   timestamps from the mdhd/stts sample table. REAL frame PIXEL decode
@@ -116,28 +119,46 @@ def parse_image_header(data: bytes) -> dict | None:
 
 
 def parse_wav(data: bytes) -> dict | None:
-    """RIFF/WAVE decode: fmt-chunk metadata plus the REAL PCM samples
-    (int16/int8) as a numpy array for downstream stats. Returns None for
-    non-WAV payloads."""
+    """RIFF/WAVE decode: fmt-chunk metadata plus the REAL samples as a
+    numpy array for downstream stats. Handles linear PCM (format tag 1,
+    8/16-bit), G.711 A-law (6) and µ-law (7), and IMA ADPCM (0x11) —
+    compressed payloads are decoded to int16 PCM by the dependency-free
+    codecs in ``operators/audio.py``. Returns None for non-WAV payloads
+    or unsupported format tags."""
     import numpy as np
+
+    from hfsa_spark.operators import audio as _audio
 
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     pos = 12
     fmt = None
     samples = None
+    tag = 1
+    samples_per_block = 505
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
-            _, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            tag, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             fmt = {"n_channels": n_ch, "sample_rate": rate, "bits": bits}
+            if tag == _audio.WAVE_IMA_ADPCM and len(body) >= 20:
+                (samples_per_block,) = struct.unpack_from("<H", body, 18)
         elif cid == b"data" and fmt is not None:
-            if fmt["bits"] == 16:
+            if tag == _audio.WAVE_MULAW:
+                samples = _audio.ulaw_decode(np.frombuffer(body, dtype="u1"))
+                full = 32768.0
+            elif tag == _audio.WAVE_ALAW:
+                samples = _audio.alaw_decode(np.frombuffer(body, dtype="u1"))
+                full = 32768.0
+            elif tag == _audio.WAVE_IMA_ADPCM:
+                samples = _audio.adpcm_ima_decode(bytes(body), samples_per_block)
+                full = 32768.0
+            elif tag == _audio.WAVE_PCM and fmt["bits"] == 16:
                 samples = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
                 full = 32768.0
-            elif fmt["bits"] == 8:
+            elif tag == _audio.WAVE_PCM and fmt["bits"] == 8:
                 samples = np.frombuffer(body, dtype="u1").astype("int16") - 128
                 full = 128.0
             else:
@@ -1567,3 +1588,44 @@ def extract_frame_features(
     return _maybe_parallel(frames, min_partitions).mapInPandas(
         run, schema=FRAME_FEATURES_SCHEMA
     )
+
+
+def synthesize_audio_table(
+    documents: DataFrame,
+    codec: int = 1,
+    n_samples: int = 800,
+    sample_rate: int = 8000,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Media table of REAL WAV payloads: a constant-amplitude signal with
+    amplitude a = (997·doc_id) mod 30000 + 100 (always positive, below
+    every codec's clip point), encoded in the requested format (PCM /
+    A-law / µ-law / IMA ADPCM — ``operators/audio.py``). For the G.711
+    codecs the decoded amplitude — hence RMS — has the integer closed
+    form in audio.py's docstring, so gate oracles can replicate it."""
+    import numpy as np
+
+    from hfsa_spark.operators.audio import encode_wav
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                amp = (997 * int(i)) % 30000 + 100
+                sig = np.full(n_samples, amp, dtype=np.int16)
+                payloads.append(encode_wav(sig, sample_rate, codec))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")

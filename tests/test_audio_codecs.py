@@ -1,0 +1,114 @@
+"""G.711 µ-law / A-law and IMA ADPCM codecs: bit-exactness against
+CPython's audioop over the FULL 16-bit range, roundtrip properties, WAV
+container round-trips through parse_wav, and the Spark feature path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hfsa_spark.operators.audio import (
+    WAVE_ALAW,
+    WAVE_IMA_ADPCM,
+    WAVE_MULAW,
+    WAVE_PCM,
+    adpcm_ima_decode,
+    adpcm_ima_encode,
+    alaw_decode,
+    alaw_encode,
+    encode_wav,
+    ulaw_decode,
+    ulaw_encode,
+)
+from hfsa_spark.operators.multimodal import parse_wav
+
+audioop = pytest.importorskip("audioop")  # stdlib through 3.12
+
+ALL16 = np.arange(-32768, 32768, dtype=np.int16)
+
+
+def test_ulaw_encode_bit_exact_vs_audioop():
+    ref = np.frombuffer(audioop.lin2ulaw(ALL16.astype("<i2").tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(ulaw_encode(ALL16), ref)
+
+
+def test_ulaw_decode_bit_exact_vs_audioop():
+    codes = np.arange(256, dtype=np.uint8)
+    ref = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2")
+    assert np.array_equal(ulaw_decode(codes), ref)
+
+
+def test_alaw_encode_bit_exact_vs_audioop():
+    ref = np.frombuffer(audioop.lin2alaw(ALL16.astype("<i2").tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(alaw_encode(ALL16), ref)
+
+
+def test_alaw_decode_bit_exact_vs_audioop():
+    codes = np.arange(256, dtype=np.uint8)
+    ref = np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype="<i2")
+    assert np.array_equal(alaw_decode(codes), ref)
+
+
+def test_g711_roundtrip_idempotent():
+    # decode∘encode is identity on the codec's output lattice
+    for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+        lattice = dec(np.arange(256, dtype=np.uint8))
+        assert np.array_equal(dec(enc(lattice)), lattice)
+
+
+def test_adpcm_roundtrip_snr():
+    t = np.arange(4000)
+    sig = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    dec = adpcm_ima_decode(adpcm_ima_encode(sig))[: len(sig)]
+    err = dec.astype(float) - sig.astype(float)
+    snr = 10 * np.log10((sig.astype(float) ** 2).mean() / (err**2).mean())
+    assert snr > 20  # standard IMA quality on a mid-level sine
+
+
+def test_adpcm_block_boundaries_reset_header():
+    # 3 blocks: first sample of each block must decode exactly (it is
+    # carried verbatim in the block header)
+    sig = (np.linspace(-30000, 30000, 1200)).astype(np.int16)
+    dec = adpcm_ima_decode(adpcm_ima_encode(sig, block_samples=505), block_samples=505)
+    for b0 in (0, 505, 1010):
+        assert dec[b0] == sig[b0]
+
+
+@pytest.mark.parametrize("codec", [WAVE_PCM, WAVE_MULAW, WAVE_ALAW, WAVE_IMA_ADPCM])
+def test_wav_roundtrip_all_codecs(codec):
+    amp = 1234
+    sig = np.full(800, amp, dtype=np.int16)
+    w = parse_wav(encode_wav(sig, 8000, codec))
+    assert w is not None
+    assert w["sample_rate"] == 8000
+    assert w["duration_s"] == pytest.approx(0.1)
+    tol = 0.02 if codec in (WAVE_MULAW, WAVE_ALAW) else 0.05
+    assert w["rms"] == pytest.approx(amp / 32768.0, rel=tol)
+    assert w["clip_ratio"] == 0.0
+
+
+def test_parse_wav_rejects_unknown_tag():
+    sig = np.zeros(10, dtype=np.int16)
+    wav = bytearray(encode_wav(sig, 8000, WAVE_PCM))
+    wav[20:22] = (0x55).to_bytes(2, "little")  # bogus format tag
+    assert parse_wav(bytes(wav)) is None
+
+
+def test_spark_audio_features_mulaw(spark):
+    from hfsa_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    media = synthesize_audio_table(docs, codec=WAVE_MULAW)
+    feats = {r.doc_id: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 5
+    for i in range(5):
+        amp = (997 * i) % 30000 + 100
+        # µ-law closed form: p14+33 segment quantization
+        m = (amp >> 2) + 33
+        e = max(m.bit_length() - 6, 0)
+        dec = ((((m >> (e + 1)) & 15) * 8 + 132) << e) - 132
+        assert feats[i].rms == pytest.approx(dec / 32768.0)
+        assert feats[i].sample_rate == 8000
