@@ -1776,6 +1776,37 @@ def q105_alaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_codec_query(spark, sf_dir, codec=6)
 
 
+def q106_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's per-iteration kernel in the gate: adjacent
+    symbol-pair counts over the char-exploded word histogram (map-
+    combinable agg on vocab-sized data; the corpus is scanned exactly
+    once for the histogram). Top-30 under the trainer's deterministic
+    (count desc, pair asc) order."""
+    from hfsa_spark.operators.bpe import bpe_pair_counts, word_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(word_vocab(d, "text"))
+        .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(30)
+    )
+
+
+def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE training loop (8 merges) on the documents
+    corpus — inherently iterative, so no single SQL oracle exists
+    (rows-only gate); exactness against an independent pure-Python
+    reference implementation is pinned by tests/test_bpe.py."""
+    from hfsa_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", num_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).orderBy("rank")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2130,6 +2161,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_mjpeg_frames": q103_mjpeg_frames,
         "q104_mulaw_audio": q104_mulaw_audio,
         "q105_alaw_audio": q105_alaw_audio,
+        "q106_bpe_pair_counts": q106_bpe_pair_counts,
+        "q107_bpe_merges": q107_bpe_merges,
     }
 
 
@@ -3794,5 +3827,27 @@ def oracle_sql() -> dict[str, str]:
                0::BIGINT AS clip_permille
         FROM dec ORDER BY doc_id
     """
+
+    # q106: BPE pair-count kernel — char-exploded word histogram with the
+    # </w> end-of-word marker, adjacent pairs weighted by word count
+    o["q106_bpe_pair_counts"] = f"""
+        WITH words AS (
+            SELECT unnest({_TOKS}) AS w FROM documents
+        ),
+        wc AS (SELECT w, count(*)::BIGINT AS cnt FROM words GROUP BY w),
+        sym AS (SELECT string_split(w, '') || ['</w>'] AS syms, cnt FROM wc),
+        idx AS (
+            SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM sym
+        ),
+        pairs AS (
+            SELECT syms[i] AS "left", syms[i + 1] AS "right", cnt FROM idx
+        )
+        SELECT "left", "right", sum(cnt)::BIGINT AS cnt
+        FROM pairs GROUP BY "left", "right"
+        ORDER BY cnt DESC, "left" ASC, "right" ASC
+        LIMIT 30
+    """
+    # q107: iterative training loop — no single-statement SQL equivalent
+    # (rows-only gate; pinned by tests/test_bpe.py vs a reference impl)
 
     return o
