@@ -1807,6 +1807,40 @@ def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q108_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection end-to-end on REAL video: MJPEG AVIs with one
+    grayscale jump per doc (cut at 2 + doc_id mod 4), every frame
+    JPEG-decoded, cuts found by a JVM lag-window on mean luma. The ~0.235
+    luma jump dwarfs quantization noise, so the detector must recover
+    the closed-form cut list exactly."""
+    from hfsa_spark.operators.multimodal import (
+        detect_scene_changes,
+        synthesize_scene_avi_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_scene_avi_table(d, n_frames=8, max_docs=100)
+    cuts = detect_scene_changes(media, threshold=0.1)
+    return cuts.select(
+        "doc_id",
+        "frame_idx",
+        F.floor(F.col("frame_ts_s") * 1000 + F.lit(0.5)).cast("long").alias("ts_milli"),
+        (F.col("luma_delta") > 0).alias("brighter"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q109_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA covariance accumulator in the gate (expression twin over
+    the first 8 dims): per-row µ-quantized products summed as integers —
+    associative, partition-order-independent, so the DuckDB oracle is
+    exact to the last bit. The float64 Arrow path (covariance_arrow) is
+    equivalence-tested against this in tests/test_pca.py."""
+    from hfsa_spark.operators.pca import embedding_moments
+
+    d = _t(spark, sf_dir, "embeddings")
+    return embedding_moments(d, "embedding", dims=8).orderBy("i", "j")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2163,6 +2197,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_alaw_audio": q105_alaw_audio,
         "q106_bpe_pair_counts": q106_bpe_pair_counts,
         "q107_bpe_merges": q107_bpe_merges,
+        "q108_scene_changes": q108_scene_changes,
+        "q109_embedding_moments": q109_embedding_moments,
     }
 
 
@@ -3849,5 +3885,33 @@ def oracle_sql() -> dict[str, str]:
     """
     # q107: iterative training loop — no single-statement SQL equivalent
     # (rows-only gate; pinned by tests/test_bpe.py vs a reference impl)
+
+    # q108: the scene cut is planted at 2 + doc_id mod 4 (always a
+    # brightening jump at 25 fps → ts = frame · 40 ms)
+    o["q108_scene_changes"] = """
+        SELECT doc_id,
+               (2 + doc_id % 4)::INTEGER AS frame_idx,
+               ((2 + doc_id % 4) * 40)::BIGINT AS ts_milli,
+               true AS brighter
+        FROM documents WHERE doc_id < 100
+        ORDER BY doc_id, frame_idx
+    """
+
+    # q109: integer moment sums — each term floor(x·10⁶+0.5)-quantized
+    # BEFORE summation, so both engines do exact integer arithmetic over
+    # identical IEEE products
+    o["q109_embedding_moments"] = """
+        WITH grid AS (
+            SELECT a.range AS i, b.range AS j
+            FROM range(0, 8) a, range(0, 8) b WHERE a.range <= b.range
+        )
+        SELECT g.i::INTEGER AS i, g.j::INTEGER AS j, count(*)::BIGINT AS n,
+               sum(floor(embedding[g.i + 1]::DOUBLE * embedding[g.j + 1]::DOUBLE
+                         * 1000000.0 + 0.5))::BIGINT AS sxy_q,
+               sum(floor(embedding[g.i + 1]::DOUBLE * 1000000.0 + 0.5))::BIGINT AS sx_q,
+               sum(floor(embedding[g.j + 1]::DOUBLE * 1000000.0 + 0.5))::BIGINT AS sy_q
+        FROM embeddings, grid g
+        GROUP BY g.i, g.j ORDER BY i, j
+    """
 
     return o

@@ -1629,3 +1629,82 @@ def synthesize_audio_table(
             )
 
     return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def synthesize_scene_avi_table(
+    documents: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 8,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Media table of REAL MJPEG AVIs with ONE scene cut per document at
+    frame c = 2 + (doc_id mod 4): grayscale solid frames at v1 = 40 +
+    (doc_id mod 150) before the cut and v1 + 60 after — a ~0.235 luma
+    jump vs JPEG quantization noise of ~±0.01, so any sane threshold
+    recovers the cut exactly. The oracle is the literal closed form."""
+    import numpy as np
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                cut = 2 + int(i) % 4
+                v1 = 40 + int(i) % 150
+                frames = [
+                    np.full((height, width, 3), v1 if f < cut else v1 + 60, dtype=np.uint8)
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=25))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def detect_scene_changes(
+    media: DataFrame,
+    threshold: float = 0.1,
+    every_n: int = 1,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Scene-cut detection over video columns: decode sampled frames
+    (Arrow boundary — the only Python stage), then the temporal logic is
+    a pure JVM window: per-document lag of mean luma, emit frames whose
+    |Δluma| exceeds ``threshold``. Returns (doc_id, frame_idx,
+    frame_ts_s, luma_delta).
+
+    Scale: frame decode is map-only over the sampled frames; the window
+    partitions by document and its state is one row — no corpus-wide
+    shuffle beyond the per-doc repartition the window needs."""
+    from pyspark.sql import Window
+
+    feats = extract_frame_features(
+        sample_frames(media, every_n=every_n, min_partitions=min_partitions),
+        min_partitions=min_partitions,
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        feats.withColumn("__prev", F.lag("mean_luma").over(w))
+        .filter(
+            F.col("__prev").isNotNull()
+            & (F.abs(F.col("mean_luma") - F.col("__prev")) > threshold)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "frame_ts_s",
+            (F.col("mean_luma") - F.col("__prev")).alias("luma_delta"),
+        )
+    )
