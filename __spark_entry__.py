@@ -1841,6 +1841,23 @@ def q109_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_moments(d, "embedding", dims=8).orderBy("i", "j")
 
 
+def q110_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated speech/silence segmentation on REAL PCM WAVs with a
+    doc_id-derived square envelope (all boundaries multiples of the
+    10 ms frame) — the detector must recover the exact alternating
+    segment lattice the oracle computes with integer arithmetic."""
+    from hfsa_spark.operators.multimodal import (
+        extract_audio_segments,
+        synthesize_segmented_audio_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_segmented_audio_table(d, max_docs=100)
+    return extract_audio_segments(media, frame_ms=10, threshold=0.01).orderBy(
+        "doc_id", "seg_idx"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2199,6 +2216,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_bpe_merges": q107_bpe_merges,
         "q108_scene_changes": q108_scene_changes,
         "q109_embedding_moments": q109_embedding_moments,
+        "q110_audio_segments": q110_audio_segments,
     }
 
 
@@ -3912,6 +3930,34 @@ def oracle_sql() -> dict[str, str]:
                sum(floor(embedding[g.j + 1]::DOUBLE * 1000000.0 + 0.5))::BIGINT AS sy_q
         FROM embeddings, grid g
         GROUP BY g.i, g.j ORDER BY i, j
+    """
+
+    # q110: the planted square envelope — silent [kp, kp+off), active
+    # [kp+off, (k+1)p), clipped at 200 ms; all integer arithmetic
+    o["q110_audio_segments"] = """
+        WITH d AS (
+            SELECT doc_id, 20 + (doc_id % 3) * 10 AS off,
+                   30 + (doc_id % 5) * 10 AS onn
+            FROM documents WHERE doc_id < 100
+        ),
+        ks AS (
+            SELECT doc_id, off, onn, off + onn AS p,
+                   unnest(range(0, 1 + 200 // (off + onn))) AS k
+            FROM d
+        ),
+        segs AS (
+            SELECT doc_id, k * p AS s, least(k * p + off, 200) AS e,
+                   false AS active
+            FROM ks
+            UNION ALL
+            SELECT doc_id, least(k * p + off, 200), least(k * p + p, 200), true
+            FROM ks
+        )
+        SELECT doc_id,
+               (row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1)::INTEGER AS seg_idx,
+               s::INTEGER AS start_ms, e::INTEGER AS end_ms, active
+        FROM segs WHERE s < e
+        ORDER BY doc_id, seg_idx
     """
 
     return o

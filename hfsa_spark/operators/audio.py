@@ -217,3 +217,33 @@ def encode_wav(
         if len(payload) % 2:
             chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ------------------------------------------------------- segmentation --
+
+
+def silence_segments(
+    samples: "np.ndarray",
+    sample_rate: int,
+    frame_ms: int = 10,
+    threshold: float = 0.01,
+) -> list[tuple[int, int, bool]]:
+    """Energy-gated speech/silence segmentation of one int16 PCM signal:
+    split into ``frame_ms`` frames, mark each frame active when its RMS
+    (full-scale-normalized) exceeds ``threshold``, then merge consecutive
+    same-state frames. Returns [(start_ms, end_ms, active)] with
+    half-open [start, end) millisecond bounds."""
+    frame_len = max(sample_rate * frame_ms // 1000, 1)
+    n_frames = len(samples) // frame_len
+    if n_frames == 0:
+        return []
+    x = samples[: n_frames * frame_len].astype(np.float64) / 32768.0
+    rms = np.sqrt((x.reshape(n_frames, frame_len) ** 2).mean(axis=1))
+    active = rms > threshold
+    segs: list[tuple[int, int, bool]] = []
+    start = 0
+    for f in range(1, n_frames + 1):
+        if f == n_frames or active[f] != active[start]:
+            segs.append((start * frame_ms, f * frame_ms, bool(active[start])))
+            start = f
+    return segs

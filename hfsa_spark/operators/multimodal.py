@@ -118,13 +118,15 @@ def parse_image_header(data: bytes) -> dict | None:
     return None
 
 
-def parse_wav(data: bytes) -> dict | None:
+def parse_wav(data: bytes, return_samples: bool = False) -> dict | None:
     """RIFF/WAVE decode: fmt-chunk metadata plus the REAL samples as a
     numpy array for downstream stats. Handles linear PCM (format tag 1,
     8/16-bit), G.711 A-law (6) and µ-law (7), and IMA ADPCM (0x11) —
     compressed payloads are decoded to int16 PCM by the dependency-free
     codecs in ``operators/audio.py``. Returns None for non-WAV payloads
-    or unsupported format tags."""
+    or unsupported format tags. ``return_samples=True`` adds the decoded
+    int16 array under ``"samples"`` (full-scale 16-bit domain) for
+    sample-level operators (segmentation)."""
     import numpy as np
 
     from hfsa_spark.operators import audio as _audio
@@ -164,7 +166,7 @@ def parse_wav(data: bytes) -> dict | None:
             else:
                 return None
             n_frames = len(samples) // max(fmt["n_channels"], 1)
-            return {
+            out = {
                 **fmt,
                 "duration_s": n_frames / max(fmt["sample_rate"], 1),
                 "rms": float(np.sqrt(np.mean((samples / full) ** 2)))
@@ -174,6 +176,12 @@ def parse_wav(data: bytes) -> dict | None:
                 if len(samples)
                 else 0.0,
             }
+            if return_samples:
+                # normalize 8-bit PCM into the 16-bit full-scale domain
+                out["samples"] = (
+                    samples if full == 32768.0 else (samples.astype("int32") << 8).astype("int16")
+                )
+            return out
         pos += 8 + clen + (clen & 1)
     return None
 
@@ -1708,3 +1716,95 @@ def detect_scene_changes(
             (F.col("mean_luma") - F.col("__prev")).alias("luma_delta"),
         )
     )
+
+
+AUDIO_SEGMENTS_SCHEMA = (
+    "doc_id bigint, seg_idx int, start_ms int, end_ms int, active boolean"
+)
+
+
+def extract_audio_segments(
+    media: DataFrame,
+    frame_ms: int = 10,
+    threshold: float = 0.01,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Speech/silence segmentation over audio columns: decode each WAV
+    (any supported codec) to samples, energy-gate ``frame_ms`` frames,
+    merge runs → (doc_id, seg_idx, start_ms, end_ms, active) with
+    half-open bounds. Arrow map-only; non-WAV payloads yield no rows."""
+    from hfsa_spark.operators.audio import silence_segments
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                w = parse_wav(payload, return_samples=True)
+                if w is None:
+                    continue
+                segs = silence_segments(
+                    w["samples"], w["sample_rate"], frame_ms, threshold
+                )
+                for k, (s, e, act) in enumerate(segs):
+                    rows.append((r["doc_id"], k, s, e, act))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "seg_idx", "start_ms", "end_ms", "active"]
+                )
+
+    return (
+        _maybe_parallel(
+            media.filter(F.col("media_type") == "audio").select("doc_id", "payload"),
+            min_partitions,
+        )
+        .mapInPandas(run, schema=AUDIO_SEGMENTS_SCHEMA)
+    )
+
+
+def synthesize_segmented_audio_table(
+    documents: DataFrame,
+    total_ms: int = 200,
+    sample_rate: int = 8000,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Media table of REAL PCM WAVs with a doc_id-derived square on/off
+    envelope: silence for off_ms = 20 + 10·(doc_id mod 3), tone
+    (constant amplitude 5000 ≈ −16 dBFS) for on_ms = 30 + 10·(doc_id
+    mod 5), repeating until ``total_ms``. All bounds are multiples of
+    the 10 ms analysis frame, so the segmentation closed form is exact
+    integer arithmetic the oracle replicates."""
+    import numpy as np
+
+    from hfsa_spark.operators.audio import encode_wav
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+    spms = sample_rate // 1000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                off = 20 + int(i) % 3 * 10
+                on = 30 + int(i) % 5 * 10
+                sig = np.zeros(total_ms * spms, dtype=np.int16)
+                t = 0
+                while t < total_ms:
+                    a0, a1 = t + off, min(t + off + on, total_ms)
+                    if a0 < total_ms:
+                        sig[a0 * spms : a1 * spms] = 5000
+                    t += off + on
+                payloads.append(encode_wav(sig, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")

@@ -112,3 +112,48 @@ def test_spark_audio_features_mulaw(spark):
         dec = ((((m >> (e + 1)) & 15) * 8 + 132) << e) - 132
         assert feats[i].rms == pytest.approx(dec / 32768.0)
         assert feats[i].sample_rate == 8000
+
+
+def test_silence_segments_alternating_pattern():
+    from hfsa_spark.operators.audio import silence_segments
+
+    sr = 8000
+    sig = np.zeros(200 * 8, dtype=np.int16)
+    sig[40 * 8 : 100 * 8] = 5000  # tone 40-100ms
+    sig[150 * 8 : 200 * 8] = 5000  # tone 150-200ms
+    segs = silence_segments(sig, sr, frame_ms=10, threshold=0.01)
+    assert segs == [
+        (0, 40, False), (40, 100, True), (100, 150, False), (150, 200, True)
+    ]
+
+
+def test_silence_segments_edge_cases():
+    from hfsa_spark.operators.audio import silence_segments
+
+    assert silence_segments(np.zeros(0, dtype=np.int16), 8000) == []
+    # shorter than one frame
+    assert silence_segments(np.zeros(5, dtype=np.int16), 8000) == []
+    # all-active single segment
+    segs = silence_segments(np.full(160, 5000, dtype=np.int16), 8000)
+    assert segs == [(0, 20, True)]
+
+
+def test_spark_audio_segments_roundtrip(spark):
+    from hfsa_spark.operators.multimodal import (
+        extract_audio_segments,
+        synthesize_segmented_audio_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
+    media = synthesize_segmented_audio_table(docs)
+    out = extract_audio_segments(media).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.start_ms, r.end_ms, r.active))
+    for i in range(4):
+        segs = by_doc[i]
+        # alternates starting silent, covers [0, 200) without gaps
+        assert segs[0][0] == 0 and segs[-1][1] == 200
+        for (s1, e1, a1), (s2, e2, a2) in zip(segs, segs[1:]):
+            assert e1 == s2 and a1 != a2
+        assert segs[0][2] is False
