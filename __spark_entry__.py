@@ -1858,6 +1858,20 @@ def q110_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 most cosine-similar vectors with a DIFFERENT label (Arrow
+    batch-local top-k, corpus never shuffled). Rank output — the oracle
+    is the full SQL ranking with the label-inequality filter."""
+    from hfsa_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(2, 3, 8))
+    return hard_negatives(emb, queries_df, k=5, metric="cosine").select(
+        "query_id", "rank", "neighbor_id", "neighbor_label"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2217,6 +2231,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_scene_changes": q108_scene_changes,
         "q109_embedding_moments": q109_embedding_moments,
         "q110_audio_segments": q110_audio_segments,
+        "q111_hard_negatives": q111_hard_negatives,
     }
 
 
@@ -3958,6 +3973,28 @@ def oracle_sql() -> dict[str, str]:
                s::INTEGER AS start_ms, e::INTEGER AS end_ms, active
         FROM segs WHERE s < e
         ORDER BY doc_id, seg_idx
+    """
+
+    # q111: q28's full cosine ranking plus the label-inequality filter
+    o["q111_hard_negatives"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+                   FROM embeddings WHERE vec_id IN (2, 3, 8)),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                   list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id AND e.label <> q.qlab)
+        SELECT query_id, rank, neighbor_id, neighbor_label FROM (
+            SELECT query_id, neighbor_id, neighbor_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC)::INT AS rank
+            FROM scored) t
+        WHERE rank <= 5 ORDER BY query_id, rank
     """
 
     return o

@@ -972,6 +972,83 @@ def exact_topk_arrow(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most similar corpus vectors with a DIFFERENT label (similar
+    enough to be confusing, labeled differently — the classic in-batch /
+    ANN-mined negatives recipe). Same no-corpus-shuffle posture as
+    :func:`exact_topk_arrow`: queries (ids, vectors, labels) ride in the
+    closure, each Arrow batch emits only its local top-k, the global
+    ranking sees batches×k rows. Ties break (score, neighbor_id) —
+    matching the SQL oracle.
+
+    Returns (query_id, neighbor_id, neighbor_label, rank)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    q_rows = queries.select(id_col, vec_col, label_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q_labels = [r[label_col] for r in q_rows]
+    qmat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
+            ids = batch[id_col].to_numpy()
+            labels = batch[label_col].to_numpy()
+            if metric == "cosine":
+                xn = np.linalg.norm(x, axis=1)
+                scores = -(x @ qmat.T) / np.outer(xn, qnorm)
+            else:
+                scores = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ qmat.T)
+                    + (qmat * qmat).sum(axis=1)[None, :]
+                )
+            for col, (qid, qlab) in enumerate(zip(q_ids, q_labels)):
+                mask = (ids != qid) & (labels != qlab)
+                s, i, lab = scores[mask, col], ids[mask], labels[mask]
+                if len(s) > k:
+                    order = np.lexsort((i, s))[:k]
+                    s, i, lab = s[order], i[order], lab[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": i,
+                        "neighbor_label": lab,
+                        "score": s,
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        run,
+        schema="query_id bigint, neighbor_id bigint, neighbor_label int, score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def sign_lsh_bucket(vec: Column | str, dims: list[int]) -> Column:
     """Signature int from the sign bits of the selected dimensions
     (element_at is 1-based). 4 dims → 16 buckets; at scale use 8-12 dims

@@ -38,6 +38,10 @@ AUDIT = [
     ("q92_png_decode", "multimodal: Arrow mapInPandas, no extra exchange", False),
     ("q95_pq_rerank", "ADC shortlist -> broadcast semi join -> exact rerank", False),
     ("q96_knn_l2", "brute force: batch-local top-k, corpus never shuffled", False),
+    ("q100_substring_spans", "substring dedup: 8-byte hash keys, co-partitioned semi join", False),
+    ("q102_bloom_dedup", "bloom prefilter: one-row broadcast, maybes-only anti join", True),
+    ("q106_bpe_pair_counts", "BPE kernel: vocab-sized agg, map-side combine", False),
+    ("q109_embedding_moments", "PCA moments: one Expand, integer map-combinable sums", False),
 ]
 
 

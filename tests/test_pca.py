@@ -105,3 +105,42 @@ def test_scene_changes_none_on_static_video(spark):
     # to treat its gradual changes as within-scene, then a tiny one
     media = synthesize_avi_table(docs, n_frames=4)
     assert detect_scene_changes(media, threshold=2.0).count() == 0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from hfsa_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = hard_negatives(emb, queries, k=5).collect()
+    qlab = {r.vec_id: r.label for r in queries.collect()}
+    assert len(out) == 2 * 5
+    for r in out:
+        assert r.neighbor_label != qlab[r.query_id]
+        assert r.neighbor_id != r.query_id
+    # ranks contiguous per query
+    for q in qlab:
+        ranks = sorted(r.rank for r in out if r.query_id == q)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_hard_negatives_are_hardest_by_cosine(spark):
+    import numpy as np
+
+    from hfsa_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    qi = int(np.where(ids == 0)[0][0])
+    sims = (x @ x[qi]) / (np.linalg.norm(x, axis=1) * np.linalg.norm(x[qi]))
+    mask = (ids != 0) & (labels != labels[qi])
+    order = np.lexsort((ids[mask], -sims[mask]))
+    expect = ids[mask][order][:5].tolist()
+    got = [
+        r.neighbor_id
+        for r in hard_negatives(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    ]
+    assert got == expect
