@@ -1872,6 +1872,17 @@ def q111_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier inference (FineWeb-Edu pattern):
+    every document scored by a fixed md5-bucketed linear model in ONE
+    map-only codegen expression — no explode, no shuffle. The oracle
+    replays the identical integer model over an unnest."""
+    from hfsa_spark.operators.text import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2096,6 +2107,13 @@ def _graded_names() -> set[str]:
     return seen
 
 
+def _qnum(name: str) -> int:
+    """Full numeric id of a query name ('q108_scene_changes' -> 108)."""
+    import re
+
+    return int(re.match(r"q(\d+)", name).group(1))
+
+
 def _rotated_order(names: list[str]) -> list[str]:
     graded = _graded_names()
     # never-graded queries jump the queue, newest first — each round the
@@ -2103,11 +2121,11 @@ def _rotated_order(names: list[str]) -> list[str]:
     # couple of rounds every family has driver-verified rows
     fresh = sorted(
         (n for n in names if n not in _SENTINELS and n not in graded),
-        key=lambda n: -int(n[1:3]),
+        key=lambda n: -_qnum(n),
     )
     rest = [n for n in names if n not in _SENTINELS and n in graded]
-    pool_new = [n for n in rest if int(n[1:3]) > 50]
-    pool_old = [n for n in rest if int(n[1:3]) <= 50]
+    pool_new = [n for n in rest if _qnum(n) > 50]
+    pool_old = [n for n in rest if _qnum(n) <= 50]
     pool = pool_new + pool_old  # least-driver-verified first
     off = ((_round_index() - 1) * _ROTATION_SLOTS) % max(len(pool), 1)
     rotated = pool[off:] + pool[:off]
@@ -2232,6 +2250,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_embedding_moments": q109_embedding_moments,
         "q110_audio_segments": q110_audio_segments,
         "q111_hard_negatives": q111_hard_negatives,
+        "q112_classifier_scores": q112_classifier_scores,
     }
 
 
@@ -3995,6 +4014,21 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cos_sim DESC, neighbor_id ASC)::INT AS rank
             FROM scored) t
         WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # q112: same integer model — bucket = h64('7:'||tok) % 64, weight = b%17-8
+    o["q112_classifier_scores"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   SUM(({_h64("tok", 7)} % 64) % 17 - 8)::BIGINT AS logit_num
+            FROM toks GROUP BY doc_id)
+        SELECT doc_id, n_tokens, logit_num,
+               FLOOR(logit_num::DOUBLE * 1000000.0 / n_tokens::DOUBLE)::BIGINT
+                   AS logit_micro,
+               FLOOR(logit_num::DOUBLE * 1000000.0 / n_tokens::DOUBLE) >= 0 AS keep
+        FROM scored ORDER BY doc_id
     """
 
     return o

@@ -485,3 +485,60 @@ def vocab_top_terms(
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Quality-classifier INFERENCE over hashed bag-of-words features —
+    the FineWeb-Edu / CCNet pattern of scoring every document with a
+    cheap linear model before any expensive processing.
+
+    The model is a fixed closed form so any engine reproduces it bit-for-
+    bit: each token hashes to one of ``n_buckets`` buckets via the
+    portable 60-bit md5 hash (functions/hashing.py), and bucket ``b``
+    carries integer weight ``(b % 17) - 8`` (a deterministic stand-in for
+    trained weights — swap in a literal weight map for a real model).
+
+    Outputs per document, all exact integers:
+
+    * ``n_tokens`` — token count
+    * ``logit_num`` — Σ weight(bucket(token)) (the unnormalized logit)
+    * ``logit_micro`` — floor(1e6 · logit_num / n_tokens), the
+      length-normalized logit in micro-units
+    * ``keep`` — the classifier decision logit_micro >= 0
+
+    Scale: map-only — the whole score is ONE array-aggregate expression
+    inside whole-stage codegen (no explode, no shuffle, no UDF). At
+    100 TB this is a single pass over the text column at scan speed;
+    the classifier decision then drives partition-pruned downstream
+    filters. Real trained weights arrive as a broadcast literal map
+    (n_buckets entries), which keeps the map-only property.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+
+    def w(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), t)), 1, 15), 16, 10)
+            .cast("long") % n_buckets
+        )
+        return (bucket % 17) - F.lit(8)
+
+    num = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t))
+    n = F.size(toks).cast("long")
+    # empty documents carry no signal: null logit, keep=false (ANSI-safe)
+    logit_micro = F.when(
+        n > 0, F.floor(num.cast("double") * 1000000.0 / n.cast("double")).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        num.alias("logit_num"),
+        logit_micro.alias("logit_micro"),
+        F.coalesce(logit_micro >= 0, F.lit(False)).alias("keep"),
+    )

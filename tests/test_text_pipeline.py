@@ -201,3 +201,31 @@ def test_unigram_logprob_score(spark):
     assert rows[1]["sum_logp_micro"] == 3 * lp_ab
     assert rows[2]["n_tokens"] == 2
     assert rows[2]["sum_logp_micro"] == lp_ab + lp_c
+
+
+def test_hashed_linear_score(spark):
+    import hashlib
+
+    from hfsa_spark.operators.text import hashed_linear_score
+
+    d = spark.createDataFrame(
+        [(1, "Alpha beta  beta"), (2, "")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_score(d).collect()}
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(f"7:{tok}".encode()).hexdigest()[:15], 16) % 64
+        return (b % 17) - 8
+
+    num = w("alpha") + 2 * w("beta")
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["logit_num"] == num
+    import math
+
+    assert rows[1]["logit_micro"] == math.floor(num * 1e6 / 3)
+    assert rows[1]["keep"] == (rows[1]["logit_micro"] >= 0)
+    # empty text: zero tokens, null logit, keep=false (ANSI div-by-zero safe)
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["logit_num"] == 0
+    assert rows[2]["logit_micro"] is None
+    assert rows[2]["keep"] is False
