@@ -1883,6 +1883,17 @@ def q112_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(d).orderBy("doc_id")
 
 
+def q113_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: exact cosine top-10 per query (Arrow
+    no-shuffle kernel), relevance = same label, integer-exact recall@k /
+    truncated-MRR — the oracle replays the full SQL ranking."""
+    from hfsa_spark.operators.similarity import retrieval_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(2, 3, 8, 13, 21))
+    return retrieval_eval(emb, queries_df, k=10, metric="cosine")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2251,6 +2262,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_audio_segments": q110_audio_segments,
         "q111_hard_negatives": q111_hard_negatives,
         "q112_classifier_scores": q112_classifier_scores,
+        "q113_retrieval_eval": q113_retrieval_eval,
     }
 
 
@@ -4029,6 +4041,44 @@ def oracle_sql() -> dict[str, str]:
                    AS logit_micro,
                FLOOR(logit_num::DOUBLE * 1000000.0 / n_tokens::DOUBLE) >= 0 AS keep
         FROM scored ORDER BY doc_id
+    """
+
+    # q113: full exact cosine ranking (q111's scorer), relevance = same label,
+    # truncated-MRR@10 + recall@10 as floor-micro integers
+    o["q113_retrieval_eval"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+                   FROM embeddings WHERE vec_id IN (2, 3, 8, 13, 21)),
+        scored AS (
+            SELECT q.query_id, q.qlab, e.vec_id AS nid, e.label AS nlab,
+                   list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id),
+        ranked AS (
+            SELECT query_id, qlab, nlab,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, nid ASC)::INT AS rank
+            FROM scored),
+        nrel AS (SELECT q.query_id, (COUNT(*) - 1)::BIGINT AS n_relevant
+                 FROM embeddings e JOIN q ON e.label = q.qlab GROUP BY q.query_id),
+        perq AS (
+            SELECT query_id,
+                   SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+                   MIN(CASE WHEN nlab = qlab THEN rank END)::INT AS first_rel_rank
+            FROM ranked WHERE rank <= 10 GROUP BY query_id)
+        SELECT p.query_id, n.n_relevant, p.hits_at_k, p.first_rel_rank,
+               COALESCE(FLOOR(1000000.0 / p.first_rel_rank::DOUBLE)::BIGINT, 0)
+                   AS rr_micro,
+               CASE WHEN LEAST(10, n.n_relevant) > 0 THEN
+                    FLOOR(p.hits_at_k::DOUBLE * 1000000.0
+                          / LEAST(10, n.n_relevant)::DOUBLE)::BIGINT
+                    ELSE 0 END AS recall_at_k_micro
+        FROM perq p JOIN nrel n USING (query_id)
+        ORDER BY p.query_id
     """
 
     return o

@@ -1562,3 +1562,77 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def retrieval_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Offline retrieval-quality evaluation — the recall@k / MRR@k harness
+    every embedding pipeline needs before it trusts an index. For each
+    query vector, the corpus is ranked by exact similarity (self excluded,
+    ties (score, neighbor_id) — identical to :func:`exact_topk_arrow`),
+    relevance = same ``label_col``. Per query, all metrics exact integers:
+
+    * ``n_relevant``     — same-label corpus rows (excluding the query)
+    * ``hits_at_k``      — relevant rows inside the exact top-k
+    * ``first_rel_rank`` — rank of the first relevant row within the
+      top-k (null if none — truncated MRR@k semantics)
+    * ``rr_micro``       — floor(1e6 / first_rel_rank), 0 if none
+    * ``recall_at_k_micro`` — floor(1e6 · hits / min(k, n_relevant))
+
+    Scale: the ranking is the no-corpus-shuffle Arrow kernel (batch-local
+    top-k, global merge over batches×k rows); labels reach the tiny top-k
+    table by broadcasting IT against a two-column corpus projection (the
+    corpus is never shuffled); ``n_relevant`` folds out of one map-side
+    combinable groupBy(label). Total cost ≈ one corpus scan + one
+    two-column corpus scan.
+    """
+    topk = exact_topk_arrow(corpus, queries, k=k, metric=metric,
+                            id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("neighbor_label")
+    )
+    labeled = labels.join(F.broadcast(topk), "neighbor_id")
+
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    label_counts = corpus.groupBy(F.col(label_col).alias("query_label")).agg(
+        F.count(F.lit(1)).alias("label_n")
+    )
+    # exclude the query itself from its own relevant set
+    n_rel = q_side.join(label_counts, "query_label").select(
+        "query_id", "query_label", (F.col("label_n") - 1).alias("n_relevant")
+    )
+
+    per_q = (
+        labeled.join(F.broadcast(n_rel), "query_id")
+        .withColumn("is_rel", F.col("neighbor_label") == F.col("query_label"))
+        .groupBy("query_id", "n_relevant")
+        .agg(
+            F.sum(F.col("is_rel").cast("long")).alias("hits_at_k"),
+            F.min(F.when(F.col("is_rel"), F.col("rank"))).alias("first_rel_rank"),
+        )
+    )
+    denom = F.least(F.lit(k).cast("long"), F.col("n_relevant"))
+    return per_q.select(
+        "query_id",
+        "n_relevant",
+        "hits_at_k",
+        "first_rel_rank",
+        F.coalesce(
+            F.floor(1000000.0 / F.col("first_rel_rank").cast("double")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rr_micro"),
+        F.when(denom > 0,
+               F.floor(F.col("hits_at_k").cast("double") * 1000000.0
+                       / denom.cast("double")).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("recall_at_k_micro"),
+    ).orderBy("query_id")

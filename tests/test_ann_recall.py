@@ -78,3 +78,36 @@ def test_adc_rerank_recovers_recall_20k(spark):
         gt,
     )
     assert rer >= max(raw, 0.6), (raw, rer)
+
+
+def test_retrieval_eval_tiny(spark):
+    from hfsa_spark.operators.similarity import retrieval_eval
+
+    # 1-d embeddings on a line: ranking by cosine is degenerate, so use 2-d
+    # points at distinct angles; label 1 = first three, label 2 = rest.
+    rows = [
+        (1, [1.0, 0.0], 1),
+        (2, [0.9, 0.1], 1),
+        (3, [0.8, 0.3], 1),
+        (4, [0.0, 1.0], 2),
+        (5, [0.1, 0.9], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    q = df.filter("vec_id = 1")
+    got = {r["query_id"]: r for r in retrieval_eval(df, q, k=2).collect()}
+    r1 = got[1]
+    # top-2 by cosine for (1,0): vec 2 then vec 3 — both label 1
+    assert r1["n_relevant"] == 2
+    assert r1["hits_at_k"] == 2
+    assert r1["first_rel_rank"] == 1
+    assert r1["rr_micro"] == 1000000
+    assert r1["recall_at_k_micro"] == 1000000
+
+    # a query whose nearest neighbors are the OTHER label
+    q2 = df.filter("vec_id = 4")
+    r4 = {r["query_id"]: r for r in retrieval_eval(df, q2, k=1).collect()}[4]
+    assert r4["n_relevant"] == 1
+    assert r4["hits_at_k"] == 1  # vec 5 is both nearest and same-label
+    assert r4["first_rel_rank"] == 1
