@@ -1894,6 +1894,21 @@ def q113_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(emb, queries_df, k=10, metric="cosine")
 
 
+def q114_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-frequency tracking on REAL audio: PCM WAVs carrying a
+    sine at bin-exact frequency k = 3 + doc_id mod 60, every 256-sample
+    frame FFT'd — the peak bin must recover the closed form exactly
+    (on-bin tones make the argmax immune to int16 rounding noise)."""
+    from hfsa_spark.operators.multimodal import (
+        extract_spectral_peaks,
+        synthesize_tone_audio_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_tone_audio_table(d, n_fft=256, n_frames=4, max_docs=100)
+    return extract_spectral_peaks(media, n_fft=256).orderBy("doc_id", "frame_idx")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2263,6 +2278,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_hard_negatives": q111_hard_negatives,
         "q112_classifier_scores": q112_classifier_scores,
         "q113_retrieval_eval": q113_retrieval_eval,
+        "q114_spectral_peaks": q114_spectral_peaks,
     }
 
 
@@ -4079,6 +4095,16 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0 END AS recall_at_k_micro
         FROM perq p JOIN nrel n USING (query_id)
         ORDER BY p.query_id
+    """
+
+    # q114: on-bin tones → peak_bin has the synthesis closed form
+    # k = 3 + doc_id%60; peak_hz_milli = k·8000·1000 // 256
+    o["q114_spectral_peaks"] = """
+        SELECT doc_id, unnest(generate_series(0, 3))::INT AS frame_idx,
+               (3 + doc_id % 60)::INT AS peak_bin,
+               ((3 + doc_id % 60) * 8000000 // 256)::BIGINT AS peak_hz_milli
+        FROM documents WHERE doc_id < 100
+        ORDER BY doc_id, frame_idx
     """
 
     return o

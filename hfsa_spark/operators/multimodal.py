@@ -1808,3 +1808,94 @@ def synthesize_segmented_audio_table(
             )
 
     return docs.mapInPandas(run, schema="doc_id bigint, media_type string, payload binary")
+
+
+def synthesize_tone_audio_table(
+    documents: DataFrame,
+    n_fft: int = 256,
+    n_frames: int = 4,
+    sample_rate: int = 8000,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Media table of REAL PCM WAVs carrying a pure sine at a bin-exact
+    frequency: bin k = 3 + (doc_id mod 60), f = k·sr/n_fft, amplitude
+    8000, ``n_frames`` full analysis windows. Because the tone sits
+    exactly on an FFT bin, the spectral argmax is immune to int16
+    rounding noise and has the closed form the gate oracle replicates."""
+    import numpy as np
+
+    from hfsa_spark.operators.audio import encode_wav
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            n = n_fft * n_frames
+            t = np.arange(n, dtype=np.float64)
+            for doc_id in batch["doc_id"]:
+                k = 3 + int(doc_id) % 60
+                x = np.rint(
+                    8000.0 * np.sin(2.0 * np.pi * k * t / n_fft)
+                ).astype(np.int16)
+                payloads.append(encode_wav(x, sample_rate=sample_rate))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def extract_spectral_peaks(
+    media: DataFrame,
+    n_fft: int = 256,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Dominant-frequency tracking over audio columns — the
+    tone-detection / audio-fingerprinting primitive: decode each WAV
+    (any supported codec), slice into non-overlapping ``n_fft``-sample
+    frames, real-FFT each frame, report the peak magnitude bin (DC
+    excluded; ties break toward the lower bin via argmax). Output
+    (doc_id, frame_idx, peak_bin, peak_hz_milli) with
+    peak_hz_milli = floor(peak_bin·sr·1000 / n_fft) — exact integers, so
+    downstream grouping (e.g. per-tone dedup) is engine-portable.
+
+    Scale: Arrow map-only over the payload column (one numpy rfft per
+    frame batch, no shuffle, no driver collect); partial frames are
+    dropped. Non-WAV payloads yield no rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                w = parse_wav(payload, return_samples=True)
+                if w is None:
+                    continue
+                x = np.asarray(w["samples"], dtype=np.float64)
+                n_frames = len(x) // n_fft
+                if n_frames == 0:
+                    continue
+                frames = x[: n_frames * n_fft].reshape(n_frames, n_fft)
+                mag = np.abs(np.fft.rfft(frames, axis=1))
+                peak = 1 + np.argmax(mag[:, 1:], axis=1)  # DC excluded
+                sr = int(w["sample_rate"])
+                for fi in range(n_frames):
+                    pb = int(peak[fi])
+                    rows.append(
+                        (r["doc_id"], fi, pb, pb * sr * 1000 // n_fft)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "frame_idx", "peak_bin", "peak_hz_milli"],
+                )
+
+    src = _maybe_parallel(media.select("doc_id", "payload"), min_partitions)
+    return src.mapInPandas(
+        run,
+        schema="doc_id bigint, frame_idx int, peak_bin int, peak_hz_milli bigint",
+    )

@@ -157,3 +157,35 @@ def test_spark_audio_segments_roundtrip(spark):
         for (s1, e1, a1), (s2, e2, a2) in zip(segs, segs[1:]):
             assert e1 == s2 and a1 != a2
         assert segs[0][2] is False
+
+
+def test_extract_spectral_peaks_offbin_and_codec(spark):
+    """Peak detection works on arbitrary (off-bin) tones and on a
+    compressed codec, not just the synthesized on-bin lattice."""
+    import numpy as np
+
+    from hfsa_spark.operators.audio import WAVE_MULAW, encode_wav
+    from hfsa_spark.operators.multimodal import extract_spectral_peaks
+
+    sr, n_fft = 8000, 256
+    t = np.arange(n_fft * 2, dtype=np.float64)
+    # off-bin tone between bins 10 and 11 — argmax must land on one of them
+    x1 = np.rint(8000 * np.sin(2 * np.pi * 10.4 * t / n_fft)).astype(np.int16)
+    # on-bin tone through the µ-law codec: quantization noise is broadband
+    # and tens of dB below the tone, so bin 20 must still win
+    x2 = np.rint(8000 * np.sin(2 * np.pi * 20 * t / n_fft)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(x1, sample_rate=sr))),
+        (2, bytearray(encode_wav(x2, sample_rate=sr, codec=WAVE_MULAW))),
+        (3, bytearray(b"not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = extract_spectral_peaks(df, n_fft=n_fft).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by) == [1, 2]  # non-WAV row yields nothing
+    assert all(r["peak_bin"] in (10, 11) for r in by[1])
+    assert all(r["peak_bin"] == 20 for r in by[2])
+    assert by[2][0]["peak_hz_milli"] == 20 * sr * 1000 // n_fft
+    assert len(by[1]) == len(by[2]) == 2
