@@ -1909,6 +1909,16 @@ def q114_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spectral_peaks(media, n_fft=256).orderBy("doc_id", "frame_idx")
 
 
+def q115_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing + spike flags over the event stream,
+    integer-exact (truncated half-life weights over cents) — the oracle
+    unrolls the identical 8-lag weighted sum."""
+    from hfsa_spark.operators.events import ewma_smooth
+
+    ev = _events(spark, sf_dir)
+    return ewma_smooth(ev).orderBy("event_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2279,6 +2289,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_classifier_scores": q112_classifier_scores,
         "q113_retrieval_eval": q113_retrieval_eval,
         "q114_spectral_peaks": q114_spectral_peaks,
+        "q115_ewma_anomaly": q115_ewma_anomaly,
     }
 
 
@@ -4105,6 +4116,31 @@ def oracle_sql() -> dict[str, str]:
                ((3 + doc_id % 60) * 8000000 // 256)::BIGINT AS peak_hz_milli
         FROM documents WHERE doc_id < 100
         ORDER BY doc_id, frame_idx
+    """
+
+    # q115: identical unrolled 8-lag half-life weighted sum over cents
+    _wts = [1 << (7 - i) for i in range(8)]
+    _num = " + ".join(
+        [f"cents * {_wts[0]}"]
+        + [f"COALESCE(c{i} * {_wts[i]}, 0)" for i in range(1, 8)]
+    )
+    _den = " + ".join(
+        [str(_wts[0])]
+        + [f"CASE WHEN c{i} IS NOT NULL THEN {_wts[i]} ELSE 0 END" for i in range(1, 8)]
+    )
+    _lags = ", ".join(f"lag(cents, {i}) OVER w AS c{i}" for i in range(1, 8))
+    o["q115_ewma_anomaly"] = f"""
+        WITH e AS (SELECT event_id, user_id, ts,
+                          FLOOR(value * 100)::BIGINT AS cents FROM events),
+        l AS (SELECT event_id, user_id, cents, {_lags}
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT event_id, user_id, cents,
+                     FLOOR(({_num})::DOUBLE / ({_den})::DOUBLE)::BIGINT
+                         AS smooth_cents
+              FROM l)
+        SELECT event_id, user_id, cents, smooth_cents,
+               ABS(cents - smooth_cents) > 20000 AS spike
+        FROM s ORDER BY event_id
     """
 
     return o

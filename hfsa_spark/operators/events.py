@@ -170,3 +170,48 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col("__u")).alias("n_users"))
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    horizon: int = 8,
+    spike_cents: int = 20000,
+) -> DataFrame:
+    """Per-key EWMA smoothing + spike flags over an ordered event stream —
+    the metric-smoothing / anomaly-gate primitive for telemetry and
+    training-loss streams, built integer-exact so results are identical
+    on any engine and any partition order.
+
+    The EWMA is the truncated half-life form over the last ``horizon``
+    rows: weight 2^(horizon-1-i) for lag i (current row heaviest), i.e.
+    alpha=1/2 cut off at the horizon. Values go through floor(value·100)
+    cents; ``smooth_cents = floor(Σ wᵢ·centsᵢ / Σ wᵢ)`` over the lags
+    that exist (stream warm-up shrinks the window rather than padding).
+    ``spike`` flags |cents − smooth_cents| > spike_cents.
+
+    Scale: ONE shuffle on the key (all lags share a single window frame);
+    the unrolled lag sum stays in whole-stage codegen — no UDF, no state
+    store. The streaming twin is applyInPandasWithState with a
+    horizon-deep deque per key (bounded state).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    df = df.withColumn("cents", cents)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(horizon):
+        wt = 1 << (horizon - 1 - i)
+        lagged = F.lag("cents", i).over(w) if i else F.col("cents")
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0)
+    smooth = F.floor(num.cast("double") / den.cast("double")).cast("long")
+    return df.select(
+        "event_id",
+        key_col,
+        "cents",
+        smooth.alias("smooth_cents"),
+        (F.abs(F.col("cents") - smooth) > spike_cents).alias("spike"),
+    )

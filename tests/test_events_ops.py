@@ -109,3 +109,28 @@ def test_cohort_retention(spark):
         (0, 0): 2, (0, 1): 1, (0, 2): 2,
         (1, 0): 1, (1, 1): 1,
     }
+
+
+def test_ewma_smooth_warmup_and_spike(spark):
+    from hfsa_spark.operators.events import ewma_smooth
+
+    rows = [
+        # user 1: constant 1.00 then a 500.00 spike
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:01:00", 1.0),
+        (3, 1, "2024-01-01 00:02:00", 500.0),
+        # user 2: single event — EWMA is the value itself
+        (4, 2, "2024-01-01 00:00:00", 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r for r in ewma_smooth(df).collect()}
+    # warm-up: first row's window is itself
+    assert got[1]["smooth_cents"] == 100
+    assert got[2]["smooth_cents"] == 100
+    # spike row: (50000*128 + 100*64 + 100*32) / (128+64+32) = 28614.28..
+    assert got[3]["smooth_cents"] == (50000 * 128 + 100 * 64 + 100 * 32) // 224
+    assert got[3]["spike"] is True
+    assert got[1]["spike"] is False
+    assert got[4]["smooth_cents"] == 725
