@@ -1919,6 +1919,16 @@ def q115_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_smooth(ev).orderBy("event_id")
 
 
+def q116_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token shares vs a uniform
+    target → integer repeat factors (DoReMi-style composition). The
+    oracle replays the share arithmetic over the same token counts."""
+    from hfsa_spark.operators.sampling import mixture_reweight
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_reweight(d, group_col="source", text_col="text")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2290,6 +2300,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_retrieval_eval": q113_retrieval_eval,
         "q114_spectral_peaks": q114_spectral_peaks,
         "q115_ewma_anomaly": q115_ewma_anomaly,
+        "q116_mixture_reweight": q116_mixture_reweight,
     }
 
 
@@ -4141,6 +4152,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, cents, smooth_cents,
                ABS(cents - smooth_cents) > 20000 AS spike
         FROM s ORDER BY event_id
+    """
+
+    # q116: uniform target over sources; same floor-micro share arithmetic
+    o["q116_mixture_reweight"] = f"""
+        WITH per AS (
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   SUM(len({_TOKS}))::BIGINT AS n_tokens,
+                   1::BIGINT AS target_wt
+            FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_tokens)::BIGINT AS tot_tokens,
+                       SUM(target_wt)::BIGINT AS tot_wt FROM per)
+        SELECT source, n_docs, n_tokens, target_wt,
+               FLOOR(1000000.0
+                     * (target_wt::DOUBLE / tot_wt::DOUBLE)
+                     / (n_tokens::DOUBLE / tot_tokens::DOUBLE))::BIGINT
+                   AS repeat_micro
+        FROM per CROSS JOIN tot ORDER BY source
     """
 
     return o

@@ -226,3 +226,67 @@ def interleave_order(
             (2.0 * F.col("stratum_rank") - 1.0) / (2.0 * w.cast("double")),
         )
     )
+
+
+def mixture_reweight(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    target: dict[str, int] | None = None,
+) -> DataFrame:
+    """Domain-mixture reweighting — the dataset-composition step (DoReMi /
+    SlimPajama style): compare each domain's ACTUAL token share against a
+    TARGET share and emit the per-domain repeat factor that achieves the
+    target under epoch-repetition sampling.
+
+    ``target`` maps group → integer target weight (defaults to uniform);
+    groups absent from an explicit target get weight 0 (drop). Outputs per
+    group, integer-exact: ``n_docs``, ``n_tokens``, ``target_wt``, and
+
+        repeat_micro = floor(1e6 · (target_wt/Σtarget) / (n_tokens/Σtokens))
+
+    > 1e6 means upsample (repeat epochs), < 1e6 downsample. Feed
+    ``repeat_micro`` to :func:`weighted_sample` / :func:`interleave_order`
+    to materialize the mixture.
+
+    Scale: one map-side-combinable groupBy over (group, token-count) — the
+    token count is a single array-size expression, no explode; the share
+    arithmetic runs on the tiny per-group aggregate.
+    """
+    from hfsa_spark.operators.text import token_count
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+    )
+    if target is None:
+        wt = F.lit(1).cast("long")
+    else:
+        wt = F.coalesce(
+            *[
+                F.when(F.col(group_col) == g, F.lit(int(w)).cast("long"))
+                for g, w in sorted(target.items())
+            ]
+            + [F.lit(0).cast("long")]
+        )
+    per = per.withColumn("target_wt", wt)
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("target_wt").alias("tot_wt")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "target_wt",
+            F.floor(
+                1000000.0
+                * (F.col("target_wt").cast("double") / F.col("tot_wt").cast("double"))
+                / (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
+            )
+            .cast("long")
+            .alias("repeat_micro"),
+        )
+        .orderBy(group_col)
+    )

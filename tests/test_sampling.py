@@ -99,3 +99,32 @@ def test_fixed_size_sample_small_stratum_keeps_all(spark):
 
     df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
     assert fixed_size_sample(df, "doc_id", "lang", k=10).count() == 2
+
+
+def test_mixture_reweight(spark):
+    from hfsa_spark.operators.sampling import mixture_reweight
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "web"),    # web: 5 tokens
+            (2, "d e", "web"),
+            (3, "f g h i j", "code"),  # code: 5 tokens
+            (4, "k l m n o p q r s t", "books"),  # books: 10 tokens
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    # uniform target: each source should get 1/3 of tokens; total = 20
+    got = {r["source"]: r for r in mixture_reweight(df).collect()}
+    # web: actual 5/20 = 0.25, target 1/3 → repeat = (1/3)/(1/4) = 4/3
+    assert got["web"]["repeat_micro"] == 1333333
+    assert got["books"]["repeat_micro"] == 666666
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 5
+
+    # explicit target: drop books (weight 0), upweight code
+    got2 = {
+        r["source"]: r
+        for r in mixture_reweight(df, target={"web": 1, "code": 3}).collect()
+    }
+    assert got2["books"]["repeat_micro"] == 0
+    # code: target 3/4, actual 1/4 → 3×
+    assert got2["code"]["repeat_micro"] == 3000000
