@@ -1929,6 +1929,19 @@ def q116_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_reweight(d, group_col="source", text_col="text")
 
 
+def q117_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization over the embeddings table (deterministic
+    hash-seeded draws). Iterative + driver-assisted candidate selection →
+    genuinely non-SQL-expressible, so no oracle entry (rows-only gate);
+    quality and determinism are pinned by tests/test_similarity_ivf.py."""
+    from hfsa_spark.operators.similarity import kmeans_parallel_init
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init(emb, k=8, rounds=2, seed=11).select(
+        "centroid_id", "src_vec_id"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2301,6 +2314,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_spectral_peaks": q114_spectral_peaks,
         "q115_ewma_anomaly": q115_ewma_anomaly,
         "q116_mixture_reweight": q116_mixture_reweight,
+        "q117_kmeans_parallel_init": q117_kmeans_parallel_init,
     }
 
 

@@ -1636,3 +1636,150 @@ def retrieval_eval(
         .otherwise(F.lit(0).cast("long"))
         .alias("recall_at_k_micro"),
     ).orderBy("query_id")
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB'12) — the scalable
+    k-means++ that fixes ``pq_codebooks_from_seeds``-style first-K seeding:
+    instead of k sequential corpus passes (k-means++) it runs ``rounds``
+    passes that each sample ~``oversample`` points with probability
+    ∝ distance² to the current candidate set, then solves weighted
+    k-means++ on the tiny candidate set driver-side.
+
+    Deterministic by construction: every "random" draw is the portable
+    md5 hash of (seed, round, point id), so the same inputs give the same
+    centers on any cluster layout — reproducible training runs.
+
+    Scale posture: per round ONE map-only corpus pass (candidate literals
+    ride in the plan like :func:`kmeans_iterate`'s; min-distance² is an
+    array_min over a literal struct array inside codegen) + a scalar agg
+    for φ; sampled candidates (≈ oversample ≈ 2k rows) are the only data
+    collected. The final weighting pass is one more map-only assignment +
+    a C-row groupBy. The corpus is never shuffled.
+
+    Returns (centroid_id 0..k-1, vec, src_vec_id) — centers are actual
+    corpus points (k-means++ property), ready for :func:`kmeans_iterate`.
+    """
+    import hashlib
+
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.plans import parallelize_compute
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    l = oversample if oversample is not None else 2 * k
+    base = parallelize_compute(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+
+    # deterministic first center: min hash(seed, id)
+    first = (
+        base.withColumn("h", portable_hash64(F.col("id").cast("string"), seed))
+        .orderBy("h", "id")
+        .limit(1)
+        .collect()[0]
+    )
+    cands: list[tuple[int, list[float]]] = [(int(first["id"]), [float(x) for x in first["vec"]])]
+
+    def d2_expr() -> Column:
+        arr = _centroid_array_expr([(cid, v, 0.0) for cid, v in cands])
+        return F.array_min(
+            F.transform(
+                arr,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("vec"), c["cvec"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+
+    two60 = float(1 << 60)
+    for r in range(rounds):
+        scored = base.withColumn("d2", d2_expr())
+        phi = scored.agg(F.sum("d2")).collect()[0][0]
+        if not phi or phi <= 0.0:  # corpus fully covered already
+            break
+        u = portable_hash64(
+            F.concat(F.lit(f"r{r}:"), F.col("id").cast("string")), seed
+        ).cast("double") / F.lit(two60)
+        picked = scored.filter(u * F.lit(float(phi)) < F.lit(float(l)) * F.col("d2"))
+        have = {cid for cid, _ in cands}
+        for row in picked.select("id", "vec").collect():
+            if int(row["id"]) not in have:
+                cands.append((int(row["id"]), [float(x) for x in row["vec"]]))
+                have.add(int(row["id"]))
+
+    # weight candidates by the size of their nearest-candidate cell
+    arr = _centroid_array_expr([(cid, v, 0.0) for cid, v in cands])
+    nearest = base.withColumn(
+        "cid",
+        -F.array_max(
+            F.transform(
+                arr,
+                lambda c: F.struct(
+                    (
+                        -F.aggregate(
+                            F.zip_with(
+                                F.col("vec"), c["cvec"], lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("neg_d2"),
+                    (-c["cid"]).alias("neg_id"),
+                ),
+            )
+        )["neg_id"],
+    )
+    weights = {
+        int(r["cid"]): int(r["n"])
+        for r in nearest.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # driver-side weighted k-means++ over the tiny candidate set,
+    # hash-seeded draws — deterministic
+    def unit(tag: str) -> float:
+        return int(hashlib.md5(f"{seed}:{tag}".encode()).hexdigest()[:15], 16) / two60
+
+    ids = [cid for cid, _ in cands]
+    vecs = {cid: v for cid, v in cands}
+    w = {cid: float(weights.get(cid, 0) or 1) for cid in ids}
+    chosen = [ids[0]]
+    while len(chosen) < min(k, len(ids)):
+        d2s = {}
+        for cid in ids:
+            if cid in chosen:
+                continue
+            d2s[cid] = min(
+                sum((a - b) * (a - b) for a, b in zip(vecs[cid], vecs[c]))
+                for c in chosen
+            ) * w[cid]
+        tot = sum(d2s.values())
+        if tot <= 0:
+            remaining = [c for c in ids if c not in chosen]
+            chosen.extend(remaining[: k - len(chosen)])
+            break
+        r = unit(f"pick{len(chosen)}") * tot
+        acc = 0.0
+        pick = None
+        for cid in sorted(d2s):
+            acc += d2s[cid]
+            if acc >= r:
+                pick = cid
+                break
+        chosen.append(pick if pick is not None else sorted(d2s)[-1])
+
+    spark = corpus.sparkSession
+    out = [(i, vecs[cid], cid) for i, cid in enumerate(chosen)]
+    return spark.createDataFrame(
+        out, f"centroid_id bigint, {vec_col} array<double>, src_{id_col} bigint"
+    )

@@ -500,3 +500,44 @@ def test_ivfpq_arrow_pruned_with_rerank(spark):
     for r in rer:
         want = float(((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum())
         assert abs(r["dist"] - want) < 1e-9
+
+
+def test_kmeans_parallel_init(spark):
+    """k-means|| must (a) be deterministic, (b) pick k actual corpus
+    points, (c) beat naive first-K seeding on clustering cost for a
+    corpus whose first K points sit in one cluster."""
+    import random
+
+    from hfsa_spark.operators.similarity import kmeans_parallel_init
+
+    rng = random.Random(5)
+    rows = []
+    # three tight clusters at (0,0), (10,0), (0,10); the first 4 ids all in
+    # cluster A so first-K seeding is pathological
+    centers = [(0.0, 0.0)] * 4 + [(10.0, 0.0), (0.0, 10.0)] * 8
+    vid = 0
+    for cx, cy in centers + [(0.0, 0.0)] * 10:
+        rows.append((vid, [cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = kmeans_parallel_init(df, k=3, rounds=2, seed=11).collect()
+    again = kmeans_parallel_init(df, k=3, rounds=2, seed=11).collect()
+    assert [r["src_vec_id"] for r in got] == [r["src_vec_id"] for r in again]
+    assert len(got) == 3
+    ids = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    assert all(tuple(r["embedding"]) == tuple(ids[r["src_vec_id"]]) for r in got)
+
+    def cost(cents):
+        tot = 0.0
+        for v in ids.values():
+            tot += min(
+                sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents
+            )
+        return tot
+
+    init_cost = cost([r["embedding"] for r in got])
+    naive_cost = cost([ids[0], ids[1], ids[2]])  # first-K: all in cluster A
+    assert init_cost < naive_cost
+    # with 3 well-separated clusters the init should cover all three
+    assert init_cost < 0.1 * naive_cost
