@@ -90,3 +90,70 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, cents bigint, smooth_cents bigint,"
+    " spike boolean"
+)
+
+
+def stateful_ewma(
+    events: DataFrame,
+    horizon: int = 8,
+    spike_cents: int = 20000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``operators/events.ewma_smooth``: per-key EWMA
+    smoothing + spike flags with a horizon-deep ring of recent cents as
+    the ONLY state — O(horizon · #keys), independent of stream length.
+    Emits one row per event as it arrives. Same integer-exact truncated
+    half-life arithmetic as the batch form, so the two are equivalence-
+    testable row-for-row (tests/test_streaming_stateful.py).
+
+    Same in-order-arrival contract as :func:`stateful_sessionize`
+    (micro-batches sorted internally on (ts, event_id))."""
+
+    state_schema = "recent array<bigint>"
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (user,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
+        (recent,) = state.get if state.exists else ([],)
+        recent = list(recent)
+        out: list[tuple[int, int, int, int, bool]] = []
+        for eid, value in zip(batch[id_col], batch[value_col]):
+            cents = math.floor(float(value) * 100)
+            recent.append(cents)
+            if len(recent) > horizon:
+                recent.pop(0)
+            num = den = 0
+            for i, c in enumerate(reversed(recent)):  # i=0 newest
+                wt = 1 << (horizon - 1 - i)
+                num += c * wt
+                den += wt
+            smooth = math.floor(num / den)
+            out.append(
+                (int(eid), int(user), cents, smooth, abs(cents - smooth) > spike_cents)
+            )
+        state.update((recent,))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "cents", "smooth_cents", "spike"]
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -82,3 +82,61 @@ def test_stateful_sessions_match_batch(spark, tmp_path):
         for r in sessionize_events(all_events, gap_minutes=10).collect()
     }
     assert got <= batch
+
+
+def test_stateful_ewma_matches_batch(spark, tmp_path):
+    """Streaming EWMA (horizon-deep ring state) emits exactly the batch
+    ewma_smooth rows, across micro-batch boundaries."""
+    from hfsa_spark.operators.events import ewma_smooth
+    from hfsa_spark.streaming.stateful import stateful_ewma
+
+    rows = [
+        # 3 micro-batches; user 1's window spans all three
+        [(1, 1, 0, 1.0), (2, 1, 10, 2.0), (3, 2, 5, 400.0)],
+        [(4, 1, 20, 3.0), (5, 2, 30, 4.0)],
+        [(6, 1, 40, 500.0), (7, 2, 50, 4.5)],
+    ]
+    base = str(tmp_path / "ewma_src")
+    os.makedirs(base)
+    for i, batch in enumerate(rows):
+        df = spark.createDataFrame(
+            batch, "event_id bigint, user_id bigint, ts_s bigint, value double"
+        )
+        df.coalesce(1).write.parquet(os.path.join(base, f"d{i}"))
+        for f in os.listdir(os.path.join(base, f"d{i}")):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(base, f"d{i}", f),
+                    os.path.join(base, f"{i:02d}.parquet"),
+                )
+
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts_s bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        stateful_ewma(src, horizon=4)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["cents"], r["smooth_cents"], r["spike"])
+        for r in spark.sql("select * from ewma_out").collect()
+    }
+
+    flat = [r for b in rows for r in b]
+    bdf = spark.createDataFrame(
+        flat, "event_id bigint, user_id bigint, ts_s bigint, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    want = {
+        r["event_id"]: (r["cents"], r["smooth_cents"], r["spike"])
+        for r in ewma_smooth(bdf, horizon=4, order_cols=("ts", "event_id")).collect()
+    }
+    assert got == want and len(got) == 7
