@@ -1942,6 +1942,16 @@ def q117_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring with add-one smoothing (micro-nat integers, same
+    convention as q87's unigram scorer) — the oracle rebuilds the same
+    bigram model from the same corpus."""
+    from hfsa_spark.operators.text import bigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2315,6 +2325,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_ewma_anomaly": q115_ewma_anomaly,
         "q116_mixture_reweight": q116_mixture_reweight,
         "q117_kmeans_parallel_init": q117_kmeans_parallel_init,
+        "q118_bigram_logprob": q118_bigram_logprob,
     }
 
 
@@ -4183,6 +4194,31 @@ def oracle_sql() -> dict[str, str]:
                      / (n_tokens::DOUBLE / tot_tokens::DOUBLE))::BIGINT
                    AS repeat_micro
         FROM per CROSS JOIN tot ORDER BY source
+    """
+
+    # q118: same add-one bigram model, log taken once per distinct bigram
+    o["q118_bigram_logprob"] = f"""
+        WITH tl AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        bgs AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM tl WHERE len(t) >= 2),
+        vocab AS (
+            SELECT COUNT(DISTINCT tok)::DOUBLE AS v
+            FROM (SELECT unnest(t) AS tok FROM tl)),
+        bgc AS (SELECT bg, COUNT(*)::BIGINT AS cbg FROM bgs GROUP BY bg),
+        hist AS (SELECT split_part(bg, ' ', 1) AS head, SUM(cbg)::BIGINT AS chead
+                 FROM bgc GROUP BY 1),
+        model AS (
+            SELECT bg, ROUND(LN((cbg + 1)::DOUBLE / (chead::DOUBLE + v)) * 1e6)::BIGINT
+                       AS logp_micro
+            FROM bgc JOIN hist ON split_part(bgc.bg, ' ', 1) = hist.head
+            CROSS JOIN vocab)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               SUM(logp_micro)::BIGINT AS sum_logp_micro
+        FROM bgs JOIN model USING (bg)
+        GROUP BY doc_id ORDER BY doc_id
     """
 
     return o

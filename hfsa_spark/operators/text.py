@@ -542,3 +542,71 @@ def hashed_linear_score(
         logit_micro.alias("logit_micro"),
         F.coalesce(logit_micro >= 0, F.lit(False)).alias("keep"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM quality proxy with add-one smoothing — one order up from
+    :func:`unigram_logprob_score` toward KenLM perplexity filtering: each
+    document is scored by Σ ln P(w₂|w₁) over its bigrams under the
+    corpus's own bigram model,
+
+        P(w₂|w₁) = (C(w₁w₂) + 1) / (H(w₁) + V)
+
+    where C is the corpus bigram count, H(w₁) the history count (= corpus
+    occurrences of w₁ as a bigram head), V the distinct-unigram vocabulary
+    size. Same micro-nat integer convention as the unigram scorer: the log
+    is taken ONCE per distinct bigram and rounded to an integer, so per-doc
+    aggregation is an exact integer sum under any partitioning.
+
+    Output: (id, n_bigrams, sum_logp_micro). Repetitive/templated text →
+    high mean (predictable bigrams); rare-junction text → low.
+
+    Scale: one tagged explode of doc bigrams feeds BOTH the bigram and the
+    history groupBy (each map-side combinable, shuffle rows bounded by
+    distinct grams per partition); the vocab size is a scalar broadcast;
+    the doc⋈model join keys on the bigram — head-word skew is AQE
+    skew-join territory, same posture as the unigram scorer.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(id_col, text_col))
+    doc_bg = base.select(
+        F.col(id_col), F.explode(bigram_array(text_col)).alias("bg")
+    )
+    bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    hist_counts = (
+        bg_counts.groupBy(
+            F.substring_index(F.col("bg"), " ", 1).alias("head")
+        )
+        .agg(F.sum("cbg").alias("chead"))
+    )
+    vocab = base.select(F.explode(tokens(text_col)).alias("term")).agg(
+        F.count_distinct("term").cast("double").alias("__v")
+    )
+    model = (
+        bg_counts.withColumn("head", F.substring_index(F.col("bg"), " ", 1))
+        .join(hist_counts, "head")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("cbg").cast("double") + 1.0)
+                    / (F.col("chead").cast("double") + F.col("__v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        doc_bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+    )

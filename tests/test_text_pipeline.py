@@ -229,3 +229,26 @@ def test_hashed_linear_score(spark):
     assert rows[2]["logit_num"] == 0
     assert rows[2]["logit_micro"] is None
     assert rows[2]["keep"] is False
+
+
+def test_bigram_logprob_score(spark):
+    import math
+
+    from hfsa_spark.operators.text import bigram_logprob_score
+
+    # corpus: doc1 "a b a b", doc2 "a b c"
+    # bigrams: a b (x3), b a (x1), b c (x1); heads: a→3, b→2; V=3
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob_score(d).collect()}
+    lp_ab = round(math.log((3 + 1) / (3 + 3)) * 1e6)
+    lp_ba = round(math.log((1 + 1) / (2 + 4)) * 1e6)  # V=4: a,b,c,x
+    lp_bc = round(math.log((1 + 1) / (2 + 4)) * 1e6)
+    # recompute with V=4 (vocab includes the bigram-less doc3's token)
+    lp_ab = round(math.log((3 + 1) / (3 + 4)) * 1e6)
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["sum_logp_micro"] == 2 * lp_ab + lp_ba
+    assert rows[2]["n_bigrams"] == 2
+    assert rows[2]["sum_logp_micro"] == lp_ab + lp_bc
+    assert 3 not in rows  # no bigrams → no row
