@@ -1952,6 +1952,16 @@ def q118_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(d).orderBy("doc_id")
 
 
+def q119_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD (modified z-score) outlier flags per event type —
+    integer-cents domain keeps exact percentile parity with the oracle's
+    median()."""
+    from hfsa_spark.operators.features import robust_zscore
+
+    ev = _events(spark, sf_dir)
+    return robust_zscore(ev).orderBy("event_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2326,6 +2336,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_mixture_reweight": q116_mixture_reweight,
         "q117_kmeans_parallel_init": q117_kmeans_parallel_init,
         "q118_bigram_logprob": q118_bigram_logprob,
+        "q119_robust_zscore": q119_robust_zscore,
     }
 
 
@@ -4219,6 +4230,29 @@ def oracle_sql() -> dict[str, str]:
                SUM(logp_micro)::BIGINT AS sum_logp_micro
         FROM bgs JOIN model USING (bg)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q119: DuckDB median(int) averages the two middle values — the same
+    # exact half-integer Spark's percentile(0.5) produces on cents
+    o["q119_robust_zscore"] = """
+        WITH e AS (SELECT event_id, event_type,
+                          FLOOR(value * 100)::BIGINT AS cents FROM events),
+        m AS (SELECT event_type, median(cents)::DOUBLE AS med
+              FROM e GROUP BY event_type),
+        d AS (SELECT e.event_id, e.event_type, e.cents, m.med,
+                     ABS(e.cents::DOUBLE - m.med) AS adev
+              FROM e JOIN m USING (event_type)),
+        s AS (SELECT event_type, median(adev)::DOUBLE AS mad
+              FROM d GROUP BY event_type),
+        z AS (SELECT d.event_id, d.event_type, d.cents,
+                     CASE WHEN s.mad > 0.0 THEN
+                         FLOOR(1000000.0 * 0.6745 * (d.cents::DOUBLE - d.med)
+                               / s.mad)::BIGINT
+                     END AS mz_micro
+              FROM d JOIN s USING (event_type))
+        SELECT event_id, event_type, cents, mz_micro,
+               COALESCE(ABS(mz_micro) > 3500000, FALSE) AS outlier
+        FROM z ORDER BY event_id
     """
 
     return o

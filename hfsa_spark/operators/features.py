@@ -79,3 +79,67 @@ def zscore_standardize(
         (F.col("__c").cast("double") - mean) / F.sqrt(var),
     )
     return enriched.withColumn("z", z).drop("__c", "__n", "__s", "__s2")
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    threshold_micro: int = 3_500_000,
+) -> DataFrame:
+    """Median/MAD outlier detection per group — the robust twin of
+    :func:`group_zscore`: a handful of extreme rows cannot drag the
+    center/scale the way they drag mean/stddev, which is exactly what a
+    quality gate over heavy-tailed telemetry needs.
+
+    Works in integer cents (floor(value·100)); median and MAD are exact
+    percentile(0.5) values (Spark's ``percentile`` ≡ DuckDB's
+    ``median``: average the two middle values — a one-IEEE-op parity).
+    Output per row: the modified z-score in micro-units,
+
+        mz_micro = floor(1e6 · 0.6745 · (cents − median) / MAD)
+
+    (0.6745 ≈ Φ⁻¹(0.75) makes MAD comparable to σ), and ``outlier`` =
+    |mz_micro| > threshold_micro (default 3.5 — the standard
+    Iglewicz–Hoaglin cut). MAD = 0 (over half the group identical) marks
+    nothing (null mz, outlier=false) rather than dividing by zero.
+
+    Scale: two shuffles on the group key (exact percentiles need the
+    group's values together; groups are few) + a broadcast join back to
+    the rows — the row table is never re-shuffled. For extreme
+    cardinality swap the exact percentile for approx_percentile and keep
+    the rest.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    rows = df.select(F.col(id_col), F.col(group_col), cents.alias("cents"))
+    med = rows.groupBy(group_col).agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
+    )
+    dev = rows.join(F.broadcast(med), group_col).withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    mz = F.when(
+        F.col("mad") > 0.0,
+        F.floor(
+            1000000.0
+            * 0.6745
+            * (F.col("cents").cast("double") - F.col("med"))
+            / F.col("mad")
+        ).cast("long"),
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .select(
+            id_col,
+            group_col,
+            "cents",
+            mz.alias("mz_micro"),
+            F.coalesce(
+                F.abs(mz) > F.lit(threshold_micro), F.lit(False)
+            ).alias("outlier"),
+        )
+    )

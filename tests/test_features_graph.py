@@ -97,3 +97,25 @@ def test_triangle_count_max_degree_excludes_hub(spark):
 
     capped = triangle_count(df, max_degree=5).collect()[0]
     assert (capped["n_nodes"], capped["n_edges"], capped["n_triangles"]) == (4, 6, 4)
+
+
+def test_robust_zscore(spark):
+    from hfsa_spark.operators.features import robust_zscore
+
+    # group A: 1,2,3,4,100 — median 3.00 (300), adev {200,100,0,100,9700},
+    # MAD 100; the 100.0 row: mz = 0.6745*(10000-300)/100 = 65.4...
+    rows = [
+        (1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0), (4, "A", 4.0),
+        (5, "A", 100.0),
+        # group B: all identical → MAD 0 → no flags, null mz
+        (6, "B", 5.0), (7, "B", 5.0), (8, "B", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    got = {r["event_id"]: r for r in robust_zscore(df).collect()}
+    import math
+
+    assert got[3]["mz_micro"] == 0 and got[3]["outlier"] is False
+    want5 = math.floor(1e6 * 0.6745 * (10000 - 300) / 100)
+    assert got[5]["mz_micro"] == want5 and got[5]["outlier"] is True
+    assert got[1]["outlier"] is False  # mz = 0.6745*(-200)/100 = -1.349
+    assert got[6]["mz_micro"] is None and got[6]["outlier"] is False
