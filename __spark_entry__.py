@@ -1962,6 +1962,16 @@ def q119_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_zscore(ev).orderBy("event_id")
 
 
+def q120_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature sampling over languages (XLM-R rule): sqrt is
+    IEEE-exact and weights are integer-quantized before normalizing, so
+    the oracle reproduces every micro-unit."""
+    from hfsa_spark.operators.sampling import temperature_reweight
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_reweight(d, group_col="lang", alpha=0.5)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2337,6 +2347,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_kmeans_parallel_init": q117_kmeans_parallel_init,
         "q118_bigram_logprob": q118_bigram_logprob,
         "q119_robust_zscore": q119_robust_zscore,
+        "q120_temperature_sampling": q120_temperature_sampling,
     }
 
 
@@ -4253,6 +4264,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, event_type, cents, mz_micro,
                COALESCE(ABS(mz_micro) > 3500000, FALSE) AS outlier
         FROM z ORDER BY event_id
+    """
+
+    # q120: sqrt-share weights quantized to 1e9 then integer-normalized
+    o["q120_temperature_sampling"] = f"""
+        WITH per AS (
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   SUM(len({_TOKS}))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n_tokens)::BIGINT AS tot_tokens FROM per),
+        pq AS (SELECT lang, n_docs, n_tokens, tot_tokens,
+                      FLOOR(SQRT(n_tokens::DOUBLE / tot_tokens::DOUBLE)
+                            * 1e9)::BIGINT AS q
+               FROM per CROSS JOIN tot),
+        qt AS (SELECT SUM(q)::BIGINT AS q_tot FROM pq)
+        SELECT lang, n_docs, n_tokens, q,
+               FLOOR(1000000.0 * (q::DOUBLE / q_tot::DOUBLE)
+                     / (n_tokens::DOUBLE / tot_tokens::DOUBLE))::BIGINT
+                   AS repeat_micro
+        FROM pq CROSS JOIN qt ORDER BY lang
     """
 
     return o

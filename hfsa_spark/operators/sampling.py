@@ -290,3 +290,58 @@ def mixture_reweight(
         )
         .orderBy(group_col)
     )
+
+
+def temperature_reweight(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the XLM-R / mT5 α-sampling
+    rule): target share ∝ (actual share)^α, flattening the mixture toward
+    uniform as α→0 so low-resource domains are upsampled.
+
+    Engine-parity design: the only transcendental, s^α, is taken once per
+    group and immediately quantized to an integer weight
+    ``q = floor(s^α · 1e9)``; the normalizing denominator is then an exact
+    integer sum (no float-addition-order hazard), and
+
+        repeat_micro = floor(1e6 · (q/Σq) / s)
+
+    is reproducible bit-for-bit. α=0.5 (sqrt) is IEEE-correctly-rounded
+    everywhere; other α go through pow, where cross-libm last-ulp
+    differences are possible (the quantization makes a flip astronomically
+    unlikely but not impossible — pin α=0.5 when an exact oracle matters).
+
+    Scale: same single map-combinable groupBy as :func:`mixture_reweight`;
+    everything after the aggregate runs on one tiny row per domain.
+    """
+    from hfsa_spark.operators.text import token_count
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    q = F.floor(F.pow(share, F.lit(float(alpha))) * 1e9).cast("long")
+    perq = per.crossJoin(F.broadcast(tot)).withColumn("q", q)
+    qtot = perq.agg(F.sum("q").alias("q_tot"))
+    return (
+        perq.crossJoin(F.broadcast(qtot))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "q",
+            F.floor(
+                1000000.0
+                * (F.col("q").cast("double") / F.col("q_tot").cast("double"))
+                / share
+            )
+            .cast("long")
+            .alias("repeat_micro"),
+        )
+        .orderBy(group_col)
+    )

@@ -128,3 +128,26 @@ def test_mixture_reweight(spark):
     assert got2["books"]["repeat_micro"] == 0
     # code: target 3/4, actual 1/4 → 3×
     assert got2["code"]["repeat_micro"] == 3000000
+
+
+def test_temperature_reweight(spark):
+    import math
+
+    from hfsa_spark.operators.sampling import temperature_reweight
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i", "en"),  # 9 tokens
+            (2, "j", "zh"),                   # 1 token
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in temperature_reweight(df, alpha=0.5).collect()}
+    # shares 0.9 / 0.1 → sqrt 0.9487/0.3162 → low-resource zh upsampled
+    q_en = math.floor(math.sqrt(0.9) * 1e9)
+    q_zh = math.floor(math.sqrt(0.1) * 1e9)
+    assert got["en"]["q"] == q_en and got["zh"]["q"] == q_zh
+    assert got["zh"]["repeat_micro"] == math.floor(
+        1e6 * (q_zh / (q_en + q_zh)) / 0.1
+    )
+    assert got["zh"]["repeat_micro"] > 1000000 > got["en"]["repeat_micro"]
