@@ -1972,6 +1972,23 @@ def q120_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_reweight(d, group_col="lang", alpha=0.5)
 
 
+def q121_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over document tokens (width 256 « vocab, so
+    collisions are real) probed for a fixed term list; the oracle
+    rebuilds the identical counter matrix with the portable hash."""
+    from hfsa_spark.operators.sketches import count_min_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode_outer(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).alias("tok")).filter(F.col("tok").isNotNull())
+    probes = ["table", "spark", "window", "zzz_absent", "query"]
+    return count_min_estimate(toks, "tok", probes)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2348,6 +2365,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_bigram_logprob": q118_bigram_logprob,
         "q119_robust_zscore": q119_robust_zscore,
         "q120_temperature_sampling": q120_temperature_sampling,
+        "q121_count_min": q121_count_min,
     }
 
 
@@ -4283,6 +4301,31 @@ def oracle_sql() -> dict[str, str]:
                      / (n_tokens::DOUBLE / tot_tokens::DOUBLE))::BIGINT
                    AS repeat_micro
         FROM pq CROSS JOIN qt ORDER BY lang
+    """
+
+    # q121: identical CM matrix — bucket_j(tok) = h64((31000+j)||':'||tok) % 256
+    o["q121_count_min"] = f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+        js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        matrix AS (
+            SELECT j, (('0x' || substr(md5(concat((31000 + j)::VARCHAR, ':', tok)),
+                        1, 15))::BIGINT % 256) AS bucket,
+                   COUNT(*)::BIGINT AS cnt
+            FROM toks CROSS JOIN js GROUP BY 1, 2),
+        probes(value) AS (VALUES ('table'), ('spark'), ('window'),
+                                 ('zzz_absent'), ('query')),
+        pb AS (SELECT value, j,
+                      (('0x' || substr(md5(concat((31000 + j)::VARCHAR, ':', value)),
+                        1, 15))::BIGINT % 256) AS bucket
+               FROM probes CROSS JOIN js),
+        est AS (SELECT value, MIN(COALESCE(m.cnt, 0))::BIGINT AS est
+                FROM pb LEFT JOIN matrix m USING (j, bucket) GROUP BY value),
+        exact AS (SELECT tok AS value, COUNT(*)::BIGINT AS exact
+                  FROM toks WHERE tok IN ('table','spark','window','zzz_absent','query')
+                  GROUP BY tok)
+        SELECT e.value, e.est, COALESCE(x.exact, 0)::BIGINT AS exact,
+               (e.est - COALESCE(x.exact, 0))::BIGINT AS overestimate
+        FROM est e LEFT JOIN exact x USING (value) ORDER BY e.value
     """
 
     return o

@@ -152,3 +152,92 @@ def approx_quantile_report(
         F.percentile_approx(value_col, probs, F.lit(accuracy)).alias("approx_q"),
         F.percentile(F.col(value_col), probs).alias("exact_q"),
     )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    value_col: str,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 31,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates — the point-query complement
+    of :func:`frequent_items` (Misra-Gries finds WHICH items are heavy;
+    CM answers "how often does THIS item occur" for any later probe
+    without rescanning raw data).
+
+    The sketch is a depth×width counter matrix: row j hashes every value
+    with the portable md5 hash seeded by (seed, j); estimate(v) =
+    min_j counter[j][bucket_j(v)] ≥ true count (overestimates only —
+    collisions add, never subtract). Error bound: ≤ N·e/width with
+    probability 1−e^−depth.
+
+    Returns one row per probe value: (value, est, [exact, overestimate])
+    — ``overestimate = est − exact ≥ 0`` lets the gate assert the
+    one-sided guarantee.
+
+    Scale: building the matrix is one explode (depth rows per input row)
+    into a groupBy(row, bucket) — map-side combinable, so the shuffle
+    carries ≤ depth·width rows per partition regardless of input size;
+    probes join the (≤ depth·width)-row matrix via broadcast. The matrix
+    is reusable: persist it once, answer any probe stream forever.
+    """
+    from hfsa_spark.functions.hashing import portable_hash64
+
+    v = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (portable_hash64(v, seed * 1000 + j) % width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    matrix = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    import hashlib
+
+    def bucket_of(val: str, j: int) -> int:
+        h = int(
+            hashlib.md5(f"{seed * 1000 + j}:{val}".encode()).hexdigest()[:15], 16
+        )
+        return h % width
+
+    probe_rows = [
+        (p, j, bucket_of(p, j)) for p in probes for j in range(depth)
+    ]
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        probe_rows, "value string, row int, bucket bigint"
+    )
+    est = (
+        probe_df.join(F.broadcast(matrix), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    if not with_exact:
+        return est.orderBy("value")
+    exact = (
+        df.select(v.alias("value"))
+        .filter(F.col("value").isin(*probes))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "value", "left")
+        .select(
+            "value",
+            "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overestimate"),
+        )
+        .orderBy("value")
+    )

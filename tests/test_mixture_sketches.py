@@ -159,3 +159,23 @@ def test_frequent_items_excludes_nulls(spark):
     got = {r["value"]: (r["min_count"], r["max_count"]) for r in out}
     assert None not in got
     assert got == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}
+
+
+def test_count_min_estimate(spark):
+    from hfsa_spark.operators.sketches import count_min_estimate
+
+    # tiny width forces collisions → overestimates, never underestimates
+    vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 3 + [f"x{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    got = {r["value"]: r for r in
+           count_min_estimate(df, "tok", ["a", "b", "c", "missing"],
+                              depth=4, width=8).collect()}
+    for v, true in [("a", 10), ("b", 5), ("c", 3), ("missing", 0)]:
+        assert got[v]["exact"] == true
+        assert got[v]["est"] >= true          # one-sided guarantee
+        assert got[v]["overestimate"] == got[v]["est"] - true
+    # generous width → exact answers (no collisions among 53 distinct)
+    wide = {r["value"]: r for r in
+            count_min_estimate(df, "tok", ["a", "missing"],
+                               depth=4, width=65536).collect()}
+    assert wide["a"]["est"] == 10 and wide["missing"]["est"] == 0
