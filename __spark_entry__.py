@@ -1989,6 +1989,15 @@ def q121_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimate(toks, "tok", probes)
 
 
+def q122_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal in integer nano-bits (one rounded
+    transcendental per (doc, char), exact integer sums after)."""
+    from hfsa_spark.operators.text import char_entropy_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy_profile(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2366,6 +2375,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_robust_zscore": q119_robust_zscore,
         "q120_temperature_sampling": q120_temperature_sampling,
         "q121_count_min": q121_count_min,
+        "q122_char_entropy": q122_char_entropy,
     }
 
 
@@ -4326,6 +4336,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.value, e.est, COALESCE(x.exact, 0)::BIGINT AS exact,
                (e.est - COALESCE(x.exact, 0))::BIGINT AS overestimate
         FROM est e LEFT JOIN exact x USING (value) ORDER BY e.value
+    """
+
+    # q122: same per-(doc,char) rounded nano-bit terms, integer sums
+    o["q122_char_entropy"] = """
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        pc AS (SELECT doc_id, ch, COUNT(*)::BIGINT AS cnt
+               FROM chars WHERE len(ch) > 0 GROUP BY doc_id, ch),
+        tot AS (SELECT doc_id, SUM(cnt)::BIGINT AS n FROM pc GROUP BY doc_id),
+        terms AS (
+            SELECT pc.doc_id,
+                   ROUND(-(pc.cnt::DOUBLE / t.n::DOUBLE)
+                         * log2(pc.cnt::DOUBLE / t.n::DOUBLE) * 1e9)::BIGINT
+                       AS term_nano
+            FROM pc JOIN tot t USING (doc_id)),
+        per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_distinct_chars,
+                       SUM(term_nano)::BIGINT AS entropy_nano
+                FROM terms GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(t.n, 0)::BIGINT AS n_chars,
+               COALESCE(p.n_distinct_chars, 0)::BIGINT AS n_distinct_chars,
+               COALESCE(p.entropy_nano, 0)::BIGINT AS entropy_nano
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id) LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
     """
 
     return o

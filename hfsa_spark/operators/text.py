@@ -610,3 +610,62 @@ def bigram_logprob_score(
             F.sum("logp_micro").alias("sum_logp_micro"),
         )
     )
+
+
+def char_entropy_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap
+    "compressibility" quality signal: gibberish/base64 blobs score near
+    log2(alphabet), stuck-key/repeated-char junk scores near 0, natural
+    language sits in between (≈ 4–4.5 bits for English). The standard
+    companion cut to the repetition and LM filters.
+
+    Integer-exact convention: per (doc, char) the term
+    ``round(−(c/n)·log2(c/n)·1e9)`` nano-bits is rounded once, so the
+    per-doc total ``entropy_nano`` is an integer sum — partition-order
+    independent and engine-reproducible. Also emits ``n_chars`` and
+    ``n_distinct_chars``.
+
+    Scale: one explode to single characters → two-level groupBy
+    ((doc, char) then doc), both map-side combinable; shuffle rows are
+    bounded by documents × alphabet, far below raw character count.
+    Empty docs keep a row of zeros.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(id_col, text_col))
+    per_char = (
+        base.select(
+            F.col(id_col),
+            F.explode_outer(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .filter(F.col("ch").isNotNull() & (F.length("ch") > 0))
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = per_char.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    terms = per_char.join(totals, id_col).select(
+        F.col(id_col),
+        F.round(
+            -(F.col("cnt") / F.col("n"))
+            * F.log2(F.col("cnt").cast("double") / F.col("n").cast("double"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("term_nano"),
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum("term_nano").alias("entropy_nano"),
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc.join(totals, id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0)).alias("n_distinct_chars"),
+            F.coalesce("entropy_nano", F.lit(0)).alias("entropy_nano"),
+        )
+    )

@@ -252,3 +252,24 @@ def test_bigram_logprob_score(spark):
     assert rows[2]["n_bigrams"] == 2
     assert rows[2]["sum_logp_micro"] == lp_ab + lp_bc
     assert 3 not in rows  # no bigrams → no row
+
+
+def test_char_entropy_profile(spark):
+    import math
+
+    from hfsa_spark.operators.text import char_entropy_profile
+
+    d = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy_profile(d).collect()}
+    # constant string → 0 bits
+    assert rows[1]["entropy_nano"] == 0 and rows[1]["n_distinct_chars"] == 1
+    # two equiprobable chars → 1 bit = 2 × round(0.5e9)
+    assert rows[2]["entropy_nano"] == 2 * round(0.5 * 1e9)
+    # four distinct → 2 bits
+    assert rows[3]["entropy_nano"] == 4 * round(-(0.25) * math.log2(0.25) * 1e9)
+    assert rows[3]["n_chars"] == 4
+    # empty doc keeps a zero row
+    assert rows[4]["n_chars"] == 0 and rows[4]["entropy_nano"] == 0
