@@ -1998,6 +1998,31 @@ def q122_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_profile(d).orderBy("doc_id")
 
 
+def q123_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit rollup per source over a corpus with deterministically
+    planted emails / IPs / phone numbers (doc_id mod 5/7/11) — the scan
+    must recover exactly the planted counts; patterns stay in the
+    Java∩RE2 dialect so the oracle runs them verbatim."""
+    from hfsa_spark.operators.text import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com"))
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".1"))
+               ).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" +1415550"),
+                        F.lpad((did % 1000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    return pii_scan(d.withColumn("text", planted), group_col="source")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2376,6 +2401,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_temperature_sampling": q120_temperature_sampling,
         "q121_count_min": q121_count_min,
         "q122_char_entropy": q122_char_entropy,
+        "q123_pii_audit": q123_pii_audit,
     }
 
 
@@ -4360,6 +4386,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN tot t USING (doc_id) LEFT JOIN per p USING (doc_id)
         ORDER BY d.doc_id
+    """
+
+    # q123: identical planted strings + identical patterns via RE2
+    o["q123_pii_audit"] = r"""
+        WITH planted AS (
+            SELECT doc_id, source,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' user' || doc_id::VARCHAR || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' +1415550' || lpad((doc_id % 1000)::VARCHAR, 4, '0')
+                           ELSE '' END AS text
+            FROM documents),
+        per AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text, '\+\d{7,15}'))::BIGINT AS n_phone
+            FROM planted)
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS docs_with_pii,
+               SUM(n_email)::BIGINT AS n_email,
+               SUM(n_ipv4)::BIGINT AS n_ipv4,
+               SUM(n_phone)::BIGINT AS n_phone
+        FROM per GROUP BY source ORDER BY source
     """
 
     return o

@@ -669,3 +669,56 @@ def char_entropy_profile(
             F.coalesce("entropy_nano", F.lit(0)).alias("entropy_nano"),
         )
     )
+
+
+DEFAULT_PII_PATTERNS: dict[str, str] = {
+    # deliberately dialect-portable (no backrefs/lookaround): these run
+    # unchanged under Java regex (Spark) and RE2 (DuckDB/ripgrep-family)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Corpus PII audit — the release-gate report every dataset needs
+    before publication: per-pattern hit counts per document
+    (email / IPv4 / phone by default), optionally rolled up per
+    ``group_col`` as (n_docs, docs_with_pii, n_<pattern>… totals).
+    Masking is :func:`regex_redact`'s job; this is the measurement side.
+
+    Scale: pure narrow map of ``regexp_count`` expressions (codegen, no
+    UDF); the optional rollup is one map-side-combinable groupBy on the
+    group key. Pattern dialect is kept to the Java∩RE2 intersection so
+    audits reproduce across engines.
+    """
+    pats = DEFAULT_PII_PATTERNS if patterns is None else patterns
+    per_doc = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{n}")
+            for n, p in pats.items()
+        ],
+    )
+    if group_col is None:
+        return per_doc
+    any_hit = sum(
+        (F.col(f"n_{n}") for n in pats), F.lit(0).cast("long")
+    ) > 0
+    return (
+        per_doc.withColumn("__hit", any_hit.cast("long"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__hit").alias("docs_with_pii"),
+            *[F.sum(f"n_{n}").alias(f"n_{n}") for n in pats],
+        )
+        .orderBy(group_col)
+    )

@@ -273,3 +273,24 @@ def test_char_entropy_profile(spark):
     assert rows[3]["n_chars"] == 4
     # empty doc keeps a zero row
     assert rows[4]["n_chars"] == 0 and rows[4]["entropy_nano"] == 0
+
+
+def test_pii_scan(spark):
+    from hfsa_spark.operators.text import pii_scan
+
+    d = spark.createDataFrame(
+        [
+            (1, "contact me at bob@corp.io or +12345678", "a"),
+            (2, "server 192.168.1.1 and 10.0.0.2 up", "a"),
+            (3, "clean document", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    per_doc = {r["doc_id"]: r for r in pii_scan(d).collect()}
+    assert per_doc[1]["n_email"] == 1 and per_doc[1]["n_phone"] == 1
+    assert per_doc[2]["n_ipv4"] == 2
+    assert per_doc[3]["n_email"] == per_doc[3]["n_ipv4"] == per_doc[3]["n_phone"] == 0
+
+    rolled = {r["source"]: r for r in pii_scan(d, group_col="source").collect()}
+    assert rolled["a"]["docs_with_pii"] == 2 and rolled["a"]["n_ipv4"] == 2
+    assert rolled["b"]["docs_with_pii"] == 0 and rolled["b"]["n_docs"] == 1
