@@ -2023,6 +2023,22 @@ def q123_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(d.withColumn("text", planted), group_col="source")
 
 
+def q124_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup detection end-to-end on REAL images: BMPs whose
+    8×8 block pattern IS a known 64-bit code (so phash == code exactly),
+    planted Hamming-1 pairs at doc_id ≡ 1 (mod 10), full decode → aHash →
+    banded pair join. The oracle recomputes the codes and brute-forces
+    all pairs — banding must lose nothing inside the radius."""
+    from hfsa_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synthesize_patterned_bmp_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_patterned_bmp_table(d, max_docs=100)
+    return image_near_dup_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2402,6 +2418,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_count_min": q121_count_min,
         "q122_char_entropy": q122_char_entropy,
         "q123_pii_audit": q123_pii_audit,
+        "q124_image_neardup": q124_image_neardup,
     }
 
 
@@ -4419,6 +4436,27 @@ def oracle_sql() -> dict[str, str]:
                SUM(n_ipv4)::BIGINT AS n_ipv4,
                SUM(n_phone)::BIGINT AS n_phone
         FROM per GROUP BY source ORDER BY source
+    """
+
+    # q124: recompute the block codes, brute-force all pairs (100 docs)
+    o["q124_image_neardup"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        codes AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 1 THEN
+                       xor((('0x' || substr(md5('img:' || (doc_id - 1)::VARCHAR),
+                              1, 15))::BIGINT | 1),
+                           (1::BIGINT << (5 + (doc_id * 7) % 50)::INT))
+                   ELSE
+                       (('0x' || substr(md5('img:' || doc_id::VARCHAR),
+                         1, 15))::BIGINT | 1)
+                   END AS b
+            FROM d)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               bit_count(xor(a.b, c.b))::INT AS hamming
+        FROM codes a JOIN codes c ON a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.b, c.b)) <= 3
+        ORDER BY id_a, id_b
     """
 
     return o

@@ -275,6 +275,30 @@ def simhash_neardup_pairs(
     with bands = max_hamming + 1 (the classic 64-bit/4-band layout); the
     signature column is a single long either way.
     """
+    sigs = simhash(df, id_col, text_col, bits=bits)
+    return hamming_neardup_pairs(
+        sigs, id_col, "simhash", bits=bits, max_hamming=max_hamming,
+        bands=bands, max_bucket=max_bucket,
+    )
+
+
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs over ANY precomputed bit-signature column
+    (SimHash, image pHash, audio fingerprint …): the pigeonhole banding
+    body of :func:`simhash_neardup_pairs`, factored out so every modality
+    shares one scale-safe candidate generator. Signatures within the
+    Hamming radius agree exactly on ≥ 1 of ``bands`` contiguous chunks
+    (bands > max_hamming), so candidates come from an equi self-join on
+    (band, chunk) — one shuffle, never a cross join — then an exact
+    popcount verify. Returns (id_a, id_b, hamming) with id_a < id_b."""
     if bands is None:
         bands = max_hamming + 1
     if bands <= max_hamming:
@@ -282,15 +306,13 @@ def simhash_neardup_pairs(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) for full recall"
         )
 
-    sigs = simhash(df, id_col, text_col, bits=bits)
-
     # contiguous chunk boundaries covering all `bits` (widths differ by ≤1)
     edges = [round(b * bits / bands) for b in range(bands + 1)]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", edges[b])
+                F.shiftright(sig_col, edges[b])
                 .bitwiseAND(F.lit((1 << (edges[b + 1] - edges[b])) - 1))
                 .cast("string")
                 .alias("key"),
@@ -303,8 +325,8 @@ def simhash_neardup_pairs(
     )
     cand = _bucket_pairs(banded, id_col, max_bucket)
 
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sig_b"))
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("_sig_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

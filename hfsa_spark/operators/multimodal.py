@@ -1899,3 +1899,83 @@ def extract_spectral_peaks(
         run,
         schema="doc_id bigint, frame_idx int, peak_bin int, peak_hz_milli bigint",
     )
+
+
+def synthesize_patterned_bmp_table(
+    documents: DataFrame, max_docs: int | None = 100
+) -> DataFrame:
+    """Media table of REAL 16×16 BMPs whose 8×8 block pattern IS a known
+    64-bit code, so the downstream aHash has a closed form: cell (r,c) of
+    the 8×8 grid (2×2 pixels each) is white iff bit ``63−(8r+c)`` of
+    ``B(doc_id)`` is set, hence ``phash == B(doc_id)`` exactly.
+
+    ``B`` plants near-duplicates: doc_ids ≡ 1 (mod 10) reuse the previous
+    doc's base code with ONE mid bit flipped (Hamming distance 1); all
+    other codes are independent 60-bit hashes (expected pairwise distance
+    ≈ 30 — far outside any small radius). Bit 0 is forced 1 and the top 4
+    bits are 0, so the thumbnail mean is strictly between black and white
+    and the threshold comparison is exact."""
+    import hashlib
+
+    import numpy as np
+
+    docs = documents.select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+
+    def code(doc_id: int) -> int:
+        group = doc_id - 1 if doc_id % 10 == 1 else doc_id
+        b = int(hashlib.md5(f"img:{group}".encode()).hexdigest()[:15], 16) | 1
+        if doc_id % 10 == 1:
+            b ^= 1 << (5 + (doc_id * 7) % 50)
+        return b
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                b = code(int(doc_id))
+                cells = np.array(
+                    [(b >> (63 - i)) & 1 for i in range(64)], dtype=np.uint8
+                ).reshape(8, 8) * np.uint8(255)
+                img = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id bigint, media_type string, payload binary"
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+    fake: bool = False,
+) -> DataFrame:
+    """Image near-duplicate detection — the visual-dedup step of a
+    multimodal pipeline: decode every raster payload, compute the 64-bit
+    perceptual hash (8×8 aHash, :func:`decode_image_batch`), then find
+    all pairs within ``max_hamming`` via the shared pigeonhole banding
+    generator (``dedup.hamming_neardup_pairs``) — an equi join on band
+    chunks, never a cross join, exact popcount verify.
+
+    Scale: decode is Arrow map-only; the only shuffle is the (band, chunk)
+    self-join whose buckets are capped; undecodable payloads (no phash)
+    are dropped before banding. Returns (id_a, id_b, hamming)."""
+    from hfsa_spark.operators.dedup import hamming_neardup_pairs
+
+    feats = extract_image_features(media, fake=fake)
+    sigs = feats.select("doc_id", "phash").filter(F.col("phash").isNotNull())
+    return hamming_neardup_pairs(
+        sigs, "doc_id", "phash", bits=64, max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )

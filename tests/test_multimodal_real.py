@@ -588,3 +588,30 @@ def test_jpeg_progressive_rejects_subsampled_encode():
     a = np.zeros((16, 16, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="4:4:4"):
         encode_jpeg(a, 90, subsampling="420", progressive=True)
+
+
+def test_image_near_dup_pairs(spark):
+    """Exact duplicate and 1-bit-perturbed images are found; a distinct
+    image is not paired."""
+    import numpy as np
+
+    from hfsa_spark.operators.multimodal import encode_bmp, image_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = (rng.rand(16, 16) > 0.5).astype(np.uint8) * 255
+    near = base.copy()
+    near[0:2, 0:2] ^= 255  # flip ONE 2x2 block → one aHash bit
+    other = (rng.rand(16, 16) > 0.5).astype(np.uint8) * 255
+    rows = [
+        (1, "image", bytearray(encode_bmp(base))),
+        (2, "image", bytearray(encode_bmp(base))),   # exact dup of 1
+        (3, "image", bytearray(encode_bmp(near))),   # hamming 1 from 1/2
+        (4, "image", bytearray(encode_bmp(other))),
+        (5, "audio", bytearray(b"not an image")),    # filtered JVM-side
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media_type string, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_near_dup_pairs(df, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert not any(4 in p for p in got)
