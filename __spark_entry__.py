@@ -2039,6 +2039,23 @@ def q124_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q125_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest: unigram-LM mean log-prob as easiness, decile
+    bins easy→hard, hash-shuffled within bins — every step integer/
+    hash-deterministic so the oracle reproduces the exact ordering."""
+    from hfsa_spark.operators.sampling import curriculum_order
+    from hfsa_spark.operators.text import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(d).select(
+        "doc_id",
+        F.floor(
+            F.col("sum_logp_micro").cast("double") / F.col("n_tokens").cast("double")
+        ).cast("long").alias("score"),
+    )
+    return curriculum_order(scored).orderBy("position")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2419,6 +2436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_char_entropy": q122_char_entropy,
         "q123_pii_audit": q123_pii_audit,
         "q124_image_neardup": q124_image_neardup,
+        "q125_curriculum": q125_curriculum,
     }
 
 
@@ -4457,6 +4475,31 @@ def oracle_sql() -> dict[str, str]:
         FROM codes a JOIN codes c ON a.doc_id < c.doc_id
         WHERE bit_count(xor(a.b, c.b)) <= 3
         ORDER BY id_a, id_b
+    """
+
+    # q125: q87's scorer → floor-mean score → ntile/row_number with id
+    # tiebreaks and the portable-hash shuffle key
+    o["q125_curriculum"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        total AS (SELECT SUM(cnt)::DOUBLE AS n FROM counts),
+        lp AS (SELECT term,
+                      round(ln(cnt::DOUBLE / n) * 1e6)::BIGINT AS logp_micro
+               FROM counts, total),
+        scored AS (
+            SELECT t.doc_id,
+                   FLOOR(SUM(lp.logp_micro)::DOUBLE / COUNT(*)::DOUBLE)::BIGINT
+                       AS score
+            FROM tok t JOIN lp USING (term) GROUP BY t.doc_id),
+        binned AS (
+            SELECT doc_id, score,
+                   ntile(10) OVER (ORDER BY score DESC, doc_id ASC)::INT AS bin,
+                   {_h64("doc_id::VARCHAR", 17)} AS shuffle_key
+            FROM scored)
+        SELECT doc_id, score, bin, shuffle_key,
+               ROW_NUMBER() OVER (ORDER BY bin ASC, shuffle_key ASC,
+                                  doc_id ASC)::INT AS position
+        FROM binned ORDER BY position
     """
 
     return o

@@ -345,3 +345,41 @@ def temperature_reweight(
         )
         .orderBy(group_col)
     )
+
+
+def curriculum_order(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    n_bins: int = 10,
+    seed: int = 17,
+) -> DataFrame:
+    """Curriculum ordering: bin documents into ``n_bins`` difficulty
+    quantiles (ntile over ``score_col`` DESCENDING — high score = easy =
+    first), then shuffle WITHIN each bin by a deterministic hash so
+    training sees easy→hard progression without intra-bin ordering bias.
+    ``position`` is the global 1-based curriculum index.
+
+    Determinism/parity: ntile and row_number use total orders with id
+    tiebreaks, and the shuffle key is the portable md5 hash — the
+    curriculum is byte-identical across engines and reruns.
+
+    Scale note: the two windows are global total orders — fine for
+    curriculum *manifests* (row = document, not token). At extreme doc
+    counts run it per shard (partitionBy a shard key) and concatenate
+    shards round-robin, which preserves the easy→hard shape.
+    """
+    from hfsa_spark.functions.hashing import portable_hash64
+
+    wb = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    shuffle_key = portable_hash64(F.col(id_col).cast("string"), seed)
+    out = scored.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.ntile(n_bins).over(wb).alias("bin"),
+        shuffle_key.alias("shuffle_key"),
+    )
+    wp = Window.orderBy(
+        F.col("bin").asc(), F.col("shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("position", F.row_number().over(wp))

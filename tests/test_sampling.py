@@ -151,3 +151,22 @@ def test_temperature_reweight(spark):
         1e6 * (q_zh / (q_en + q_zh)) / 0.1
     )
     assert got["zh"]["repeat_micro"] > 1000000 > got["en"]["repeat_micro"]
+
+
+def test_curriculum_order(spark):
+    from hfsa_spark.operators.sampling import curriculum_order
+
+    rows = [(i, 100 - i) for i in range(20)]  # doc 0 easiest (highest score)
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint")
+    got = curriculum_order(df, n_bins=4).orderBy("position").collect()
+    # positions are 1..20, bins non-decreasing easy→hard
+    assert [r["position"] for r in got] == list(range(1, 21))
+    bins = [r["bin"] for r in got]
+    assert bins == sorted(bins) and bins[0] == 1 and bins[-1] == 4
+    # bin 1 holds the 5 easiest docs (ids 0-4), shuffled within
+    first = {r["doc_id"] for r in got[:5]}
+    assert first == {0, 1, 2, 3, 4}
+    assert [r["doc_id"] for r in got[:5]] != [0, 1, 2, 3, 4]  # shuffled
+    # deterministic across runs
+    again = curriculum_order(df, n_bins=4).orderBy("position").collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
