@@ -2056,6 +2056,18 @@ def q125_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(scored).orderBy("position")
 
 
+def q126_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: bucket CASE map + two bucket-keyed
+    windows; per-doc padded width and waste, fully order-deterministic."""
+    from hfsa_spark.operators.packing import length_bucket_batches
+    from hfsa_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return length_bucket_batches(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2437,6 +2449,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_pii_audit": q123_pii_audit,
         "q124_image_neardup": q124_image_neardup,
         "q125_curriculum": q125_curriculum,
+        "q126_length_batches": q126_length_batches,
     }
 
 
@@ -4500,6 +4513,30 @@ def oracle_sql() -> dict[str, str]:
                ROW_NUMBER() OVER (ORDER BY bin ASC, shuffle_key ASC,
                                   doc_id ASC)::INT AS position
         FROM binned ORDER BY position
+    """
+
+    # q126: bucket = smallest edge ≥ length (16/32/64/128, else overflow 4);
+    # batches of 8 in (len desc, id) order, padded to the batch max
+    o["q126_length_batches"] = f"""
+        WITH d AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+        b AS (SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens <= 16 THEN 0
+                          WHEN n_tokens <= 32 THEN 1
+                          WHEN n_tokens <= 64 THEN 2
+                          WHEN n_tokens <= 128 THEN 3
+                          ELSE 4 END AS bucket
+              FROM d),
+        r AS (SELECT doc_id, n_tokens, bucket,
+                     (((ROW_NUMBER() OVER (PARTITION BY bucket
+                                           ORDER BY n_tokens DESC, doc_id ASC))
+                       - 1) // 8)::INT + 1 AS batch_idx
+              FROM b)
+        SELECT doc_id, n_tokens, bucket, batch_idx,
+               MAX(n_tokens) OVER (PARTITION BY bucket, batch_idx)::BIGINT
+                   AS batch_max_len,
+               (MAX(n_tokens) OVER (PARTITION BY bucket, batch_idx)
+                - n_tokens)::BIGINT AS pad_tokens
+        FROM r ORDER BY doc_id
     """
 
     return o

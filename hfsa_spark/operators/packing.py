@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -108,4 +108,53 @@ def packing_efficiency(
         F.floor(
             F.col("total_tokens") * 1000 / (F.col("n_seqs") * F.lit(cap))
         ).cast("long").alias("fill_permille"),
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_tokens",
+    batch_size: int = 8,
+    bucket_edges: tuple[int, ...] = (16, 32, 64, 128),
+) -> DataFrame:
+    """Length-bucketed batching — the inference/training loader policy
+    that minimizes padding waste: documents go to the bucket of the
+    smallest edge ≥ their length (longer → last bucket), then form
+    fixed-size batches within the bucket in (length desc, id) order.
+    Each batch pads to ITS OWN max length, so mixing a 500-token doc
+    with a 10-token doc never happens.
+
+    Output per document: bucket, batch_idx (bucket-local, dense from 1),
+    batch_max_len (the batch's padded width), pad_tokens
+    (batch_max_len − length) — ``SUM(pad_tokens) / SUM(batch_max_len)``
+    is the fleet-level padding-waste rate, and comparing it against the
+    single-global-batch baseline is the audit every serving team runs.
+
+    Determinism/scale: bucket assignment is a map-only CASE expression;
+    batching is two windows partitioned BY BUCKET (shuffle keyed on the
+    few buckets — at extreme scale add a shard key to the partition like
+    :func:`pack_sequences` does, which leaves ≤ 1 ragged batch per
+    shard). No UDFs, total orders everywhere, engine-reproducible.
+    """
+    edges = sorted(bucket_edges)
+    bucket = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        bucket = F.when(F.col(length_col) <= e, F.lit(i)).otherwise(bucket)
+    out = df.select(F.col(id_col), F.col(length_col), bucket.alias("bucket"))
+    wo = Window.partitionBy("bucket").orderBy(
+        F.col(length_col).desc(), F.col(id_col).asc()
+    )
+    out = out.withColumn(
+        "batch_idx",
+        ((F.row_number().over(wo) - 1) / batch_size).cast("int") + 1,
+    )
+    wb = Window.partitionBy("bucket", "batch_idx")
+    return out.select(
+        id_col,
+        length_col,
+        "bucket",
+        "batch_idx",
+        F.max(length_col).over(wb).alias("batch_max_len"),
+        (F.max(length_col).over(wb) - F.col(length_col)).alias("pad_tokens"),
     )

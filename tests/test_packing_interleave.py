@@ -68,3 +68,21 @@ def test_interleave_drops_unweighted_stratum(spark):
     df = spark.createDataFrame([("a", 1), ("zz", 2)], "s string, id long")
     out = interleave_order(df, "s", {"a": 1}, "id").collect()
     assert [r["s"] for r in out] == ["a"]
+
+
+def test_length_bucket_batches(spark):
+    from hfsa_spark.operators.packing import length_bucket_batches
+
+    rows = [(i, l) for i, l in enumerate([5, 10, 15, 20, 30, 60, 200, 500])]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    got = {r["doc_id"]: r for r in
+           length_bucket_batches(df, batch_size=2).collect()}
+    # bucket edges 16/32/64/128: 5,10,15→0; 20,30→1; 60→2; 200,500→overflow 4
+    assert [got[i]["bucket"] for i in range(8)] == [0, 0, 0, 1, 1, 2, 4, 4]
+    # bucket 0, batch_size 2, len desc: (15,10) then (5)
+    assert got[2]["batch_idx"] == 1 and got[1]["batch_idx"] == 1
+    assert got[0]["batch_idx"] == 2
+    assert got[1]["batch_max_len"] == 15 and got[1]["pad_tokens"] == 5
+    assert got[0]["pad_tokens"] == 0  # alone in its batch
+    # overflow bucket pads 200 against 500
+    assert got[6]["batch_max_len"] == 500 and got[6]["pad_tokens"] == 300
