@@ -2068,6 +2068,16 @@ def q126_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(d).orderBy("doc_id")
 
 
+def q127_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection: per exact-content
+    group keep the max-(quality, -id) member (quality = n_chars here) —
+    the full keep/drop decision table, oracle = the same window argmax."""
+    from hfsa_spark.operators.dedup import canonical_keeper
+
+    d = _t(spark, sf_dir, "documents")
+    return canonical_keeper(d, "doc_id", "text", "n_chars").orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2450,6 +2460,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_image_neardup": q124_image_neardup,
         "q125_curriculum": q125_curriculum,
         "q126_length_batches": q126_length_batches,
+        "q127_canonical_keeper": q127_canonical_keeper,
     }
 
 
@@ -4537,6 +4548,24 @@ def oracle_sql() -> dict[str, str]:
                (MAX(n_tokens) OVER (PARTITION BY bucket, batch_idx)
                 - n_tokens)::BIGINT AS pad_tokens
         FROM r ORDER BY doc_id
+    """
+
+    # q127: digest = 16-hex md5 prefix of normalized text; keeper =
+    # argmax (n_chars desc, doc_id asc) per digest
+    o["q127_canonical_keeper"] = f"""
+        WITH rows_ AS (
+            SELECT doc_id, n_chars,
+                   substr(md5({_NORM}), 1, 16) AS digest
+            FROM documents),
+        k AS (SELECT digest, doc_id AS keeper_id FROM (
+                  SELECT digest, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY digest
+                                            ORDER BY n_chars DESC, doc_id ASC)
+                             AS rn
+                  FROM rows_) t WHERE rn = 1)
+        SELECT r.doc_id, r.digest, (r.doc_id = k.keeper_id) AS keep,
+               k.keeper_id
+        FROM rows_ r JOIN k USING (digest) ORDER BY r.doc_id
     """
 
     return o

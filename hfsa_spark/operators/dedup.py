@@ -781,3 +781,48 @@ def bloom_dedup(
     fresh = definite_new.unionByName(verified_new)
     keep = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col)).select(id_col)
     return fresh.join(keep, id_col, "left_semi").drop("__digest")
+
+
+def canonical_keeper(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Quality-aware representative selection: like :func:`exact_dedup`
+    (group by normalized-content digest) but the survivor is the
+    HIGHEST-quality member, not the smallest id — when duplicates differ
+    in extraction quality (truncation, encoding damage), keeping the best
+    copy beats keeping the first. Tie-break (quality desc, id asc) is
+    total, so the decision is deterministic.
+
+    Returns one row per input doc: (id, digest, keep, keeper_id) — the
+    full decision table, so callers can either filter ``keep`` or audit
+    what was dropped and why.
+
+    Scale: identical shape to exact_dedup — one groupBy on the digest
+    (map-side combinable max_by), then the tiny (digest → keeper) table
+    joins back on the digest. The text column itself never shuffles.
+    """
+    from hfsa_spark.functions.hashing import portable_hash_hex
+
+    digest = portable_hash_hex(normalize_text(text_col))
+    rows = df.select(
+        F.col(id_col), F.col(quality_col), digest.alias("digest")
+    )
+    keepers = rows.groupBy("digest").agg(
+        F.max(
+            F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "digest", (-F.col("best.neg_id")).alias("keeper_id")
+    )
+    return (
+        rows.join(keepers, "digest")
+        .select(
+            id_col,
+            "digest",
+            (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+            "keeper_id",
+        )
+    )

@@ -150,3 +150,19 @@ def test_incremental_dedup_empty_index(spark):
         r["doc_id"] for r in incremental_dedup(batch, index, "doc_id", "text").collect()
     )
     assert kept == [1, 3]
+
+
+def test_canonical_keeper(spark):
+    from hfsa_spark.operators.dedup import canonical_keeper
+
+    rows = [
+        (1, "Hello  World", 5),   # same normalized content as 2 and 3
+        (2, "hello world", 9),    # highest quality → the keeper
+        (3, "HELLO WORLD ", 9),   # quality tie → lower id wins (2)
+        (4, "unique", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, q bigint")
+    got = {r["doc_id"]: r for r in canonical_keeper(df, "doc_id", "text", "q").collect()}
+    assert [got[i]["keeper_id"] for i in (1, 2, 3)] == [2, 2, 2]
+    assert [got[i]["keep"] for i in (1, 2, 3, 4)] == [False, True, False, True]
+    assert got[1]["digest"] == got[3]["digest"] != got[4]["digest"]
