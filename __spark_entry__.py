@@ -2078,6 +2078,15 @@ def q127_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_keeper(d, "doc_id", "text", "n_chars").orderBy("doc_id")
 
 
+def q128_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over the events user_id key: exact
+    per-key counts, floor-micro shares, uniform-key skew ratio, top-10."""
+    from hfsa_spark.plans import skew_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_audit(ev, "user_id", top_k=10)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2461,6 +2470,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_curriculum": q125_curriculum,
         "q126_length_batches": q126_length_batches,
         "q127_canonical_keeper": q127_canonical_keeper,
+        "q128_skew_audit": q128_skew_audit,
     }
 
 
@@ -4566,6 +4576,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, r.digest, (r.doc_id = k.keeper_id) AS keep,
                k.keeper_id
         FROM rows_ r JOIN k USING (digest) ORDER BY r.doc_id
+    """
+
+    # q128: exact counts; top-10 by (n_rows desc, key asc)
+    o["q128_skew_audit"] = """
+        WITH per AS (SELECT user_id AS key, COUNT(*)::BIGINT AS n_rows
+                     FROM events GROUP BY user_id),
+        tot AS (SELECT SUM(n_rows)::BIGINT AS total_rows,
+                       COUNT(*)::BIGINT AS n_keys FROM per)
+        SELECT key, n_rows, n_keys,
+               FLOOR(n_rows::DOUBLE * 1000000.0 / total_rows::DOUBLE)::BIGINT
+                   AS share_micro,
+               FLOOR(n_rows::DOUBLE * n_keys::DOUBLE * 1000000.0
+                     / total_rows::DOUBLE)::BIGINT AS skew_ratio_micro
+        FROM per CROSS JOIN tot
+        ORDER BY n_rows DESC, key ASC LIMIT 10
     """
 
     return o

@@ -183,3 +183,52 @@ def salted_join(
     )
     cond = (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["__salt"] == dim_s["__salt"])
     return fact_s.join(dim_s, cond, how).drop(dim_s["__salt"]).drop(fact_s["__salt"])
+
+
+def skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — run this BEFORE a big groupBy/join
+    to decide whether :func:`salted_agg` / :func:`salted_join` / AQE skew
+    handling is needed: per-key row counts for the ``top_k`` heaviest
+    keys, each with its share of total rows and the skew ratio vs a
+    perfectly uniform key (share · n_keys; 1.0 = balanced, 100 = that
+    key carries 100 partitions' worth).
+
+    Integer/exactness: counts are exact; ``share_micro`` and
+    ``skew_ratio_micro`` are floor-micro integers, reproducible anywhere.
+
+    Scale: one map-side-combinable groupBy on the key (the same shuffle
+    the audited operation would do, but carrying ONE count per key per
+    partition); totals fold from the per-key aggregate (rows = #keys,
+    not #rows); top-k is TakeOrdered, no global sort.
+    """
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(key_col).alias("key"),
+            "n_rows",
+            "n_keys",
+            F.floor(
+                F.col("n_rows").cast("double") * 1000000.0
+                / F.col("total_rows").cast("double")
+            ).cast("long").alias("share_micro"),
+            F.floor(
+                F.col("n_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                * 1000000.0
+                / F.col("total_rows").cast("double")
+            ).cast("long").alias("skew_ratio_micro"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )

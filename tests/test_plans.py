@@ -169,3 +169,16 @@ def test_quantize_long_no_interpreted_lambda_in_filter(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = explain_str(quantize_embeddings_long(emb), "formatted")
     assert "lambdafunction" not in plan
+
+
+def test_skew_audit(spark):
+    from hfsa_spark.plans import skew_audit
+
+    rows = [(k,) for k in ["hot"] * 90 + ["warm"] * 8 + ["a", "b"]]
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_audit(df, "k", top_k=3).collect()
+    assert [r["key"] for r in got] == ["hot", "warm", "a"]
+    hot = got[0]
+    assert hot["n_rows"] == 90 and hot["n_keys"] == 4
+    assert hot["share_micro"] == 900000
+    assert hot["skew_ratio_micro"] == 3600000  # 0.9 × 4 keys
