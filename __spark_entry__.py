@@ -2087,6 +2087,37 @@ def q128_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_audit(ev, "user_id", top_k=10)
 
 
+def q129_wds_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar sharding end-to-end: write 100 real BMP payloads
+    (fixed 822-byte encoding) into 4 tar shards, read them BACK through
+    the shard reader, and report per-shard sample/byte totals — the
+    oracle is the doc_id%4 closed form."""
+    import shutil
+    import tempfile
+
+    from hfsa_spark.operators.multimodal import synthesize_patterned_bmp_table
+    from hfsa_spark.sinks.webdataset import read_wds_shards, write_wds_shards
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_patterned_bmp_table(d, max_docs=100)
+    out = tempfile.mkdtemp(prefix="wds_gate_")
+    try:
+        write_wds_shards(media, out, n_shards=4, ext="bmp")
+        back = read_wds_shards(spark, out, ext="bmp")
+        return (
+            back.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.length("payload")).alias("total_bytes"),
+            )
+            .orderBy("shard")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2471,6 +2502,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_length_batches": q126_length_batches,
         "q127_canonical_keeper": q127_canonical_keeper,
         "q128_skew_audit": q128_skew_audit,
+        "q129_wds_shards": q129_wds_shards,
     }
 
 
@@ -4591,6 +4623,14 @@ def oracle_sql() -> dict[str, str]:
                      / total_rows::DOUBLE)::BIGINT AS skew_ratio_micro
         FROM per CROSS JOIN tot
         ORDER BY n_rows DESC, key ASC LIMIT 10
+    """
+
+    # q129: every 16×16 24-bit BMP encodes to exactly 54+16·48 = 822 bytes
+    o["q129_wds_shards"] = """
+        SELECT (doc_id % 4)::INT AS shard, COUNT(*)::BIGINT AS n_samples,
+               (COUNT(*) * 822)::BIGINT AS total_bytes
+        FROM documents WHERE doc_id < 100
+        GROUP BY 1 ORDER BY shard
     """
 
     return o
