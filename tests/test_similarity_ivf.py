@@ -541,3 +541,41 @@ def test_kmeans_parallel_init(spark):
     assert init_cost < naive_cost
     # with 3 well-separated clusters the init should cover all three
     assert init_cost < 0.1 * naive_cost
+
+
+def test_kmeans_parallel_init_feeds_ivf(spark):
+    """Composition contract: k-means|| output → Lloyd refinement →
+    IVF assignment, all on DataFrames, no reshaping beyond a rename."""
+    import random
+
+    from hfsa_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_iterate,
+        kmeans_parallel_init,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for vid in range(60):
+        cx, cy = [(0.0, 5.0), (5.0, 0.0), (4.0, 4.0)][vid % 3]
+        rows.append(
+            (vid, [cx + rng.uniform(-0.3, 0.3), cy + rng.uniform(-0.3, 0.3)])
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    init = kmeans_parallel_init(df, k=3, rounds=2, seed=7).select(
+        F.col("centroid_id").alias("vec_id"), "embedding"
+    )
+    refined = kmeans_iterate(df, init, iters=2)
+    cents = refined.select(
+        F.col("centroid_id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    assigned = ivf_assign(df, cents)
+    got = {r["id"]: r["list_id"] for r in assigned.collect()}
+    assert len(got) == 60
+    # the three planted clusters land in three distinct lists, coherently
+    by_cluster = {}
+    for vid, lid in got.items():
+        by_cluster.setdefault(vid % 3, set()).add(lid)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len(set().union(*by_cluster.values())) == 3
