@@ -2118,6 +2118,21 @@ def q129_wds_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q130_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-extraction step on planted markup: every doc wrapped in a
+    fixed html/script/entity shell — the stripper must recover exactly
+    ``text || ' & more'`` and the audit counters' closed form."""
+    from hfsa_spark.operators.text import html_extract
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit('<html><body onload="x()"><script type="text/js">var a=1;</script><p>'),
+        F.col("text"),
+        F.lit("</p> &amp; more</body></html>"),
+    )
+    return html_extract(d.withColumn("text", planted)).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2503,6 +2518,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_canonical_keeper": q127_canonical_keeper,
         "q128_skew_audit": q128_skew_audit,
         "q129_wds_shards": q129_wds_shards,
+        "q130_html_extract": q130_html_extract,
     }
 
 
@@ -4631,6 +4647,20 @@ def oracle_sql() -> dict[str, str]:
                (COUNT(*) * 822)::BIGINT AS total_bytes
         FROM documents WHERE doc_id < 100
         GROUP BY 1 ORDER BY shard
+    """
+
+    # q130: the planted shell strips to exactly text || ' & more';
+    # 8 tags, 1 script, kept ratio from the literal lengths
+    o["q130_html_extract"] = """
+        WITH p AS (SELECT doc_id, text,
+            '<html><body onload="x()"><script type="text/js">var a=1;</script><p>'
+            || text || '</p> &amp; more</body></html>' AS planted
+            FROM documents)
+        SELECT doc_id, text || ' & more' AS clean_text,
+               8::BIGINT AS n_tags, 1::BIGINT AS n_scripts,
+               FLOOR(length(text || ' & more')::DOUBLE * 1000000.0
+                     / length(planted)::DOUBLE)::BIGINT AS kept_ratio_micro
+        FROM p ORDER BY doc_id
     """
 
     return o

@@ -722,3 +722,50 @@ def pii_scan(
         )
         .orderBy(group_col)
     )
+
+
+def strip_html(text: Column | str) -> Column:
+    """Markup → clean text, the extraction step upstream of every web
+    corpus: drop <script>/<style> elements WITH their contents, strip
+    remaining tags, decode the five predefined XML entities + numeric
+    decimal entities, collapse whitespace. Pure regexp chain (codegen,
+    no UDF) in the portable Java∩RE2 dialect — `(?s)` dot-all for
+    element bodies, no lookaround.
+
+    A regex stack is the honest 80% of web extraction (real boilerplate
+    removal adds DOM heuristics); it is deterministic, engine-portable,
+    and linear-time — which is what the 100 TB first pass needs.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    c = F.regexp_replace(c, r"&lt;", "<")
+    c = F.regexp_replace(c, r"&gt;", ">")
+    c = F.regexp_replace(c, r"&quot;", "\"")
+    c = F.regexp_replace(c, r"&apos;", "'")
+    c = F.regexp_replace(c, r"&#(\d+);", " ")
+    c = F.regexp_replace(c, r"&amp;", "&")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_extract(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc extraction report: cleaned text + integrity counters
+    (tags stripped, scripts dropped, chars kept ratio in micro units) —
+    the audit columns a crawl-extraction stage logs. Map-only."""
+    c = F.col(text_col)
+    n_tags = F.regexp_count(c, F.lit(r"<[^>]+>")).cast("long")
+    n_scripts = F.regexp_count(c, F.lit(r"(?is)<script[^>]*>")).cast("long")
+    clean = strip_html(c)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_tags.alias("n_tags"),
+        n_scripts.alias("n_scripts"),
+        F.floor(
+            F.length(clean).cast("double") * 1000000.0
+            / F.greatest(F.length(c), F.lit(1)).cast("double")
+        ).cast("long").alias("kept_ratio_micro"),
+    )

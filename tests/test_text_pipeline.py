@@ -294,3 +294,27 @@ def test_pii_scan(spark):
     rolled = {r["source"]: r for r in pii_scan(d, group_col="source").collect()}
     assert rolled["a"]["docs_with_pii"] == 2 and rolled["a"]["n_ipv4"] == 2
     assert rolled["b"]["docs_with_pii"] == 0 and rolled["b"]["n_docs"] == 1
+
+
+def test_strip_html_and_extract(spark):
+    from hfsa_spark.operators.text import html_extract
+
+    d = spark.createDataFrame(
+        [
+            (1, '<div class="x">Hello <b>big</b> world</div>'),
+            (2, "<script>evil(1 < 2);</script>keep<style>p{}</style>this"),
+            (3, "a &amp; b &lt;tag&gt; &#65; c"),
+            (4, "no markup here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in html_extract(d).collect()}
+    assert got[1]["clean_text"] == "Hello big world"
+    assert got[1]["n_tags"] == 4
+    # script bodies are dropped wholesale, even containing '<'
+    assert got[2]["clean_text"] == "keep this"
+    assert got[2]["n_scripts"] == 1
+    # entity decode: &amp; last (no double-decode), numeric → space
+    assert got[3]["clean_text"] == "a & b <tag> c"
+    assert got[4]["clean_text"] == "no markup here"
+    assert got[4]["kept_ratio_micro"] == 1000000
