@@ -2133,6 +2133,25 @@ def q130_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(d.withColumn("text", planted)).orderBy("doc_id")
 
 
+def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (pico-unit ranks, floor arithmetic) over
+    the customer→supplier purchase graph; 3 fixed iterations unroll into
+    the SQL oracle. Top-50 by (pr desc, node)."""
+    from hfsa_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=3).limit(50)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2519,6 +2538,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_skew_audit": q128_skew_audit,
         "q129_wds_shards": q129_wds_shards,
         "q130_html_extract": q130_html_extract,
+        "q131_pagerank": q131_pagerank,
     }
 
 
@@ -4661,6 +4681,37 @@ def oracle_sql() -> dict[str, str]:
                FLOOR(length(text || ' & more')::DOUBLE * 1000000.0
                      / length(planted)::DOUBLE)::BIGINT AS kept_ratio_micro
         FROM p ORDER BY doc_id
+    """
+
+    # q131: 3 PageRank iterations unrolled; every step FLOOR over DOUBLE
+    # division exactly as the Spark expressions compute it
+    _pr_iter = """
+        SELECT n.node,
+               ({base} + FLOOR((85 * COALESCE(s.in_sum, 0))::DOUBLE / 100))::BIGINT
+                   AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(FLOOR(p.pr::DOUBLE / d.outdeg::DOUBLE)::BIGINT)::BIGINT
+                       AS in_sum
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            JOIN outdeg d ON e.src = d.src
+            GROUP BY e.dst) s ON n.node = s.node
+    """
+    o["q131_pagerank"] = f"""
+        WITH edges AS (
+            SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS src,
+                            's' || l.l_suppkey::VARCHAR AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        pr0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn)::BIGINT AS pr
+                FROM nodes),
+        pr1 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr0")}),
+        pr2 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr1")}),
+        pr3 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr2")})
+        SELECT node, pr FROM pr3 ORDER BY pr DESC, node ASC LIMIT 50
     """
 
     return o

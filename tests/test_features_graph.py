@@ -119,3 +119,25 @@ def test_robust_zscore(spark):
     assert got[5]["mz_micro"] == want5 and got[5]["outlier"] is True
     assert got[1]["outlier"] is False  # mz = 0.6745*(-200)/100 = -1.349
     assert got[6]["mz_micro"] is None and got[6]["outlier"] is False
+
+
+def test_pagerank_tiny(spark):
+    """Hand-checkable graph: a sink that everyone links to outranks the
+    others; determinism across runs; rank values integer pico-units."""
+    from hfsa_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    got = pagerank(edges, iters=3).collect()
+    ranks = {r["node"]: r["pr"] for r in got}
+    assert set(ranks) == {"a", "b", "c", "hub"}
+    assert ranks["hub"] == max(ranks.values())
+    assert ranks["a"] > ranks["b"] == ranks["c"]  # a gets hub's outflow
+    # iteration 1 closed form for b (no in-links): base only
+    E = 10**12
+    base = (15 * E // 100) // 4
+    assert ranks["b"] == base + 0
+    again = {r["node"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
+    assert again == ranks
