@@ -2152,6 +2152,14 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3).limit(50)
 
 
+def q132_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (lag window → pair counts → floor-micro conditionals)."""
+    from hfsa_spark.operators.events import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2539,6 +2547,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_wds_shards": q129_wds_shards,
         "q130_html_extract": q130_html_extract,
         "q131_pagerank": q131_pagerank,
+        "q132_event_transitions": q132_event_transitions,
     }
 
 
@@ -4712,6 +4721,26 @@ def oracle_sql() -> dict[str, str]:
         pr2 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr1")}),
         pr3 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr2")})
         SELECT node, pr FROM pr3 ORDER BY pr DESC, node ASC LIMIT 50
+    """
+
+    # q132: identical lag-pair counts + conditional floor-micro
+    o["q132_event_transitions"] = """
+        WITH l AS (
+            SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events),
+        pairs AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+                  FROM l WHERE from_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+        d AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM pairs
+              GROUP BY from_type)
+        SELECT p.from_type, p.to_type, p.n, d.n_from,
+               FLOOR(p.n::DOUBLE * 1000000.0 / d.n_from::DOUBLE)::BIGINT
+                   AS p_micro
+        FROM pairs p JOIN d USING (from_type)
+        ORDER BY p.from_type, p.to_type
     """
 
     return o

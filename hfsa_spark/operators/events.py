@@ -215,3 +215,48 @@ def ewma_smooth(
         smooth.alias("smooth_cents"),
         (F.abs(F.col("cents") - smooth) > spike_cents).alias("spike"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key event
+    streams — the behavioral-model fit step (and the generator of
+    synthetic-session simulators): for each (from_type, to_type) of
+    CONSECUTIVE events within a key, the count and the row-conditional
+    probability floor-micro integer
+    ``p_micro = floor(1e6 · n / n_from)``.
+
+    Scale: one shuffle for the per-key lag window, then a map-combinable
+    groupBy on the (from, to) pair — the matrix is |types|², tiny; the
+    conditional denominator folds from the pair counts themselves (one
+    more groupBy on the matrix, not the events).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    denom = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(denom, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.floor(
+                F.col("n").cast("double") * 1000000.0 / F.col("n_from").cast("double")
+            ).cast("long").alias("p_micro"),
+        )
+        .orderBy("from_type", "to_type")
+    )

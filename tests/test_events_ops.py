@@ -134,3 +134,26 @@ def test_ewma_smooth_warmup_and_spike(spark):
     assert got[3]["spike"] is True
     assert got[1]["spike"] is False
     assert got[4]["smooth_cents"] == 725
+
+
+def test_event_transitions(spark):
+    from hfsa_spark.operators.events import event_transitions
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "view"),
+        (4, 2, "2024-01-01 00:00:00", "view"),   # first event: no pair
+        (5, 2, "2024-01-01 00:01:00", "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value string"
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"),
+             F.col("value").alias("event_type"))
+    got = {(r["from_type"], r["to_type"]): r for r in event_transitions(df).collect()}
+    # view → {click, buy}: n_from = 2, each 500000 micro
+    assert got[("view", "click")]["n"] == 1
+    assert got[("view", "click")]["p_micro"] == 500000
+    assert got[("view", "buy")]["p_micro"] == 500000
+    assert got[("click", "view")]["p_micro"] == 1000000
+    assert ("buy", "view") not in got  # cross-user boundary never pairs
