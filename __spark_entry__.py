@@ -2160,6 +2160,18 @@ def q132_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_events(spark, sf_dir))
 
 
+def q133_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed split: the split hash keys on the normalized-text
+    digest so exact duplicates can never straddle train/test. Output is
+    the per-doc decision; the oracle reproduces digest and thresholds."""
+    from hfsa_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(d).select("doc_id", "digest", "split").orderBy(
+        "doc_id"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2548,6 +2560,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_html_extract": q130_html_extract,
         "q131_pagerank": q131_pagerank,
         "q132_event_transitions": q132_event_transitions,
+        "q133_leakage_safe_split": q133_leakage_safe_split,
     }
 
 
@@ -4741,6 +4754,25 @@ def oracle_sql() -> dict[str, str]:
                    AS p_micro
         FROM pairs p JOIN d USING (from_type)
         ORDER BY p.from_type, p.to_type
+    """
+
+    # q133: digest = 16-hex md5 of normalized text; thresholds repeat
+    # split_column's float accumulation (0.8, then 0.8+0.1) exactly
+    _c = 0.0
+    _c += 0.8
+    _ls_train = int(_c * (1 << 60))
+    _c += 0.1
+    _ls_val = int(_c * (1 << 60))
+    o["q133_leakage_safe_split"] = f"""
+        WITH r AS (SELECT doc_id, substr(md5({_NORM}), 1, 16) AS digest
+                   FROM documents)
+        SELECT doc_id, digest,
+               CASE WHEN {_h64("concat('split:', digest)")} < {_ls_train}
+                    THEN 'train'
+                    WHEN {_h64("concat('split:', digest)")} < {_ls_val}
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r ORDER BY doc_id
     """
 
     return o

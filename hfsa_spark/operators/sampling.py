@@ -383,3 +383,33 @@ def curriculum_order(
         F.col("bin").asc(), F.col("shuffle_key").asc(), F.col(id_col).asc()
     )
     return out.withColumn("position", F.row_number().over(wp))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak duplicates across the
+    boundary: the split hash keys on the CONTENT DIGEST (normalized
+    text), not the document id, so every member of an exact-duplicate
+    group lands in the same split — the failure mode of naive id-hashed
+    splits is a train copy of a test document.
+
+    Returns the rows with ``digest`` and ``split`` columns; pair with
+    :func:`hfsa_spark.operators.dedup.canonical_keeper` to also collapse
+    the group. Near-dup-safe variants key the same split hash on the
+    connected-component representative instead of the digest.
+
+    Scale: map-only — one md5 per row, a CASE over the hash; no shuffle
+    at all (the digest is computed inline, not via the dedup groupBy).
+    """
+    from hfsa_spark.operators.dedup import normalize_text
+    from hfsa_spark.functions.hashing import portable_hash_hex
+
+    w = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    digest = portable_hash_hex(normalize_text(text_col))
+    out = df.withColumn("digest", digest)
+    return out.withColumn("split", split_column("digest", w, salt=salt))

@@ -170,3 +170,20 @@ def test_curriculum_order(spark):
     # deterministic across runs
     again = curriculum_order(df, n_bins=4).orderBy("position").collect()
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+
+
+def test_leakage_safe_split(spark):
+    from hfsa_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"doc number {i % 10}") for i in range(50)]  # 5 copies each
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = leakage_safe_split(df).collect()
+    # every duplicate group lands wholly in one split
+    by_digest = {}
+    for r in got:
+        by_digest.setdefault(r["digest"], set()).add(r["split"])
+    assert len(by_digest) == 10
+    assert all(len(s) == 1 for s in by_digest.values())
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(df).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in got}
