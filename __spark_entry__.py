@@ -2172,6 +2172,16 @@ def q133_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal. DEFLATE is not
+    SQL-expressible, so no oracle entry (rows-only gate); the separation
+    property and n_bytes parity are pinned by pytest."""
+    from hfsa_spark.operators.text import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2561,6 +2571,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_pagerank": q131_pagerank,
         "q132_event_transitions": q132_event_transitions,
         "q133_leakage_safe_split": q133_leakage_safe_split,
+        "q134_compression_ratio": q134_compression_ratio,
     }
 
 

@@ -769,3 +769,59 @@ def html_extract(
             / F.greatest(F.length(c), F.lit(1)).cast("double")
         ).cast("long").alias("kept_ratio_micro"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the strongest single "junk
+    text" signal in production filters (used alongside the Gopher rules):
+    highly repetitive/templated text compresses far below natural
+    language; random/encrypted blobs barely compress at all. Typical
+    English prose lands near ratio ≈ 0.3–0.5; flag the tails.
+
+    Output: (id, n_bytes, n_compressed, ratio_micro =
+    floor(1e6 · n_compressed / n_bytes)); empty docs → null ratio.
+
+    Scale: zlib is not expressible in SQL, so this is the honest Arrow
+    path — mapInPandas, one deflate per doc, no shuffle. zlib output is
+    deterministic for a fixed (input, level, strategy, library build),
+    which pins the rows-only gate; treat cross-version comparisons as
+    approximate (the RATIO is stable far beyond byte-identity).
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids, nb, nc = [], [], []
+            for i, t in zip(batch[id_col], batch[text_col]):
+                raw = (t or "").encode("utf-8")
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(zlib.compress(raw, level)) if raw else 0)
+            out = pd.DataFrame({id_col: ids, "n_bytes": nb, "n_compressed": nc})
+            yield out
+
+    scored = df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} bigint, n_bytes bigint, n_compressed bigint"
+    )
+    return scored.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.floor(
+                F.col("n_compressed").cast("double") * 1000000.0
+                / F.col("n_bytes").cast("double")
+            ).cast("long"),
+        ).alias("ratio_micro"),
+    )

@@ -318,3 +318,21 @@ def test_strip_html_and_extract(spark):
     assert got[3]["clean_text"] == "a & b <tag> c"
     assert got[4]["clean_text"] == "no markup here"
     assert got[4]["kept_ratio_micro"] == 1000000
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from hfsa_spark.operators.text import compression_ratio
+
+    rep = "spam " * 200
+    rnd = "".join(chr(33 + ((i * 7919) % 90)) for i in range(1000))
+    d = spark.createDataFrame(
+        [(1, rep), (2, rnd), (3, "")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(d).collect()}
+    assert got[1]["n_bytes"] == 1000
+    assert got[1]["n_compressed"] == len(zlib.compress(rep.encode(), 6))
+    # repetitive text compresses an order of magnitude harder
+    assert got[1]["ratio_micro"] < 100000 < got[2]["ratio_micro"]
+    assert got[3]["ratio_micro"] is None and got[3]["n_compressed"] == 0
