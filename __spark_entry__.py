@@ -2182,6 +2182,17 @@ def q134_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(d).orderBy("doc_id")
 
 
+def q135_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval: labels act as multi-chunk
+    documents; rank output only (float similarity stays internal, like
+    q28) so the gate is exact."""
+    from hfsa_spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return maxsim_topk(emb, queries_df, k=3).select("query_id", "group", "rank")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2572,6 +2583,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_event_transitions": q132_event_transitions,
         "q133_leakage_safe_split": q133_leakage_safe_split,
         "q134_compression_ratio": q134_compression_ratio,
+        "q135_maxsim": q135_maxsim,
     }
 
 
@@ -4784,6 +4796,29 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'val'
                     ELSE 'test' END AS split
         FROM r ORDER BY doc_id
+    """
+
+    # q135: per-(query, label-group) MAX cosine, rank ties (maxsim desc,
+    # group asc); rank-only output like q28
+    o["q135_maxsim"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+            SELECT q.query_id, e.label AS grp,
+                   MAX(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))))
+                       AS maxsim
+            FROM embeddings e CROSS JOIN q GROUP BY q.query_id, e.label)
+        SELECT query_id, grp AS "group", rank FROM (
+            SELECT query_id, grp,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY maxsim DESC, grp ASC)::INT AS rank
+            FROM scored) t
+        WHERE rank <= 3 ORDER BY query_id, rank
     """
 
     return o

@@ -1783,3 +1783,60 @@ def kmeans_parallel_init(
     return spark.createDataFrame(
         out, f"centroid_id bigint, {vec_col} array<double>, src_{id_col} bigint"
     )
+
+
+def maxsim_topk(
+    chunks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: a "document" is
+    a GROUP of chunk vectors (``group_col``); a query scores a document
+    by the MAX cosine over its chunks, and the top-k documents win. The
+    multi-vector upgrade over single-embedding kNN — long documents stop
+    being penalized for having one good passage.
+
+    Scale: chunk scoring reuses the no-corpus-shuffle posture (queries
+    broadcast as literals via the JVM expression scorer — here a plain
+    per-row cosine against each collected query); per-document max and
+    the ranking operate on |groups| × |queries| rows, far smaller than
+    the chunk table. Ties (score, group) asc on group id.
+
+    Returns (query_id, group, maxsim, rank).
+    """
+    q_rows = queries.select(id_col, vec_col).collect()
+    out = None
+    base = chunks.select(
+        F.col(group_col).alias("grp"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("vnorm"),
+    )
+    per_q = []
+    for r in q_rows:
+        qid = int(r[id_col])
+        qv = [float(x) for x in r[vec_col]]
+        qnorm = sum(x * x for x in qv) ** 0.5
+        arr = ",".join(f"{x!r}D" for x in qv)
+        qcol = F.expr(f"array({arr})")
+        cos = dot(F.col("vec"), qcol) / (F.col("vnorm") * F.lit(qnorm))
+        per_q.append(
+            base.select(
+                F.lit(qid).alias("query_id"),
+                "grp",
+                cos.alias("cos"),
+            )
+        )
+    scored = per_q[0]
+    for p in per_q[1:]:
+        scored = scored.unionAll(p)
+    agg = scored.groupBy("query_id", "grp").agg(F.max("cos").alias("maxsim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("grp"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("grp").alias("group"), "maxsim", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -111,3 +111,27 @@ def test_retrieval_eval_tiny(spark):
     assert r4["n_relevant"] == 1
     assert r4["hits_at_k"] == 1  # vec 5 is both nearest and same-label
     assert r4["first_rel_rank"] == 1
+
+
+def test_maxsim_topk(spark):
+    """A doc with ONE highly-relevant chunk must beat a doc whose chunks
+    are all mediocre — the late-interaction property."""
+    from hfsa_spark.operators.similarity import maxsim_topk
+
+    rows = [
+        # doc 1: one perfect chunk + one orthogonal chunk
+        (10, [1.0, 0.0], 1),
+        (11, [0.0, 1.0], 1),
+        # doc 2: two uniformly mediocre chunks
+        (20, [0.7, 0.7], 2),
+        (21, [0.6, 0.8], 2),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = maxsim_topk(chunks, q, k=2).collect()
+    assert [(r["group"], r["rank"]) for r in got] == [(1, 1), (2, 2)]
+    assert abs(got[0]["maxsim"] - 1.0) < 1e-12
