@@ -2193,6 +2193,22 @@ def q135_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(emb, queries_df, k=3).select("query_id", "group", "rank")
 
 
+def q136_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph edge extraction from planted anchors — two hrefs per
+    doc with closed-form targets; link_idx preserves document order."""
+    from hfsa_spark.operators.text import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit('<a href="doc'), ((did * 7 + 1) % 500).cast("string"),
+        F.lit('">x</a><a href="doc'), ((did * 13 + 2) % 500).cast("string"),
+        F.lit('">y</a>'),
+    )
+    return extract_links(d.withColumn("text", planted)).orderBy("src", "link_idx")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2584,6 +2600,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_leakage_safe_split": q133_leakage_safe_split,
         "q134_compression_ratio": q134_compression_ratio,
         "q135_maxsim": q135_maxsim,
+        "q136_link_extraction": q136_link_extraction,
     }
 
 
@@ -4819,6 +4836,18 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY maxsim DESC, grp ASC)::INT AS rank
             FROM scored) t
         WHERE rank <= 3 ORDER BY query_id, rank
+    """
+
+    # q136: planted anchors → closed-form (src, link_idx, href) rows
+    o["q136_link_extraction"] = """
+        SELECT doc_id AS src, 0 AS link_idx,
+               'doc' || ((doc_id * 7 + 1) % 500)::VARCHAR AS href
+        FROM documents
+        UNION ALL
+        SELECT doc_id AS src, 1 AS link_idx,
+               'doc' || ((doc_id * 13 + 2) % 500)::VARCHAR AS href
+        FROM documents
+        ORDER BY src, link_idx
     """
 
     return o

@@ -825,3 +825,23 @@ def compression_ratio(
             ).cast("long"),
         ).alias("ratio_micro"),
     )
+
+
+def extract_links(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hyperlink edge extraction from markup — the web-graph builder that
+    feeds :func:`hfsa_spark.operators.graph.pagerank` and link-based
+    quality signals: one (src, href) row per ``href="…"`` occurrence, in
+    document order (``link_idx``). Pure regexp_extract_all (codegen,
+    Java∩RE2 dialect); docs without links yield no rows.
+
+    Scale: narrow map + one explode (rows = links, not chars).
+    """
+    links = F.expr(
+        f"regexp_extract_all({text_col}, 'href=\"([^\"]*)\"', 1)"
+    )
+    return (
+        df.select(F.col(id_col).alias("src"), F.posexplode(links).alias("link_idx", "href"))
+        .select("src", "link_idx", "href")
+    )

@@ -336,3 +336,19 @@ def test_compression_ratio(spark):
     # repetitive text compresses an order of magnitude harder
     assert got[1]["ratio_micro"] < 100000 < got[2]["ratio_micro"]
     assert got[3]["ratio_micro"] is None and got[3]["n_compressed"] == 0
+
+
+def test_extract_links(spark):
+    from hfsa_spark.operators.text import extract_links
+
+    d = spark.createDataFrame(
+        [
+            (1, 'see <a href="x">a</a> and <A HREF="y">b</A> and <a href="z">c</a>'),
+            (2, "no links"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = [(r["src"], r["link_idx"], r["href"])
+           for r in extract_links(d).orderBy("src", "link_idx").collect()]
+    # lowercase href= only (case-sensitive by design — normalize upstream)
+    assert got == [(1, 0, "x"), (1, 1, "z")]
