@@ -2209,6 +2209,30 @@ def q136_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(d.withColumn("text", planted)).orderBy("src", "link_idx")
 
 
+def q137_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web-graph pipeline: plant anchors (q136's closed form),
+    EXTRACT the edges from the markup, run integer-exact PageRank on
+    them. The oracle builds the same closed-form edge list directly and
+    unrolls the same 2 iterations — extraction + graph must both be
+    exact for the rank table to match."""
+    from hfsa_spark.operators.graph import pagerank
+    from hfsa_spark.operators.text import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit('<a href="doc'), ((did * 7 + 1) % 500).cast("string"),
+        F.lit('">x</a><a href="doc'), ((did * 13 + 2) % 500).cast("string"),
+        F.lit('">y</a>'),
+    )
+    edges = extract_links(d.withColumn("text", planted)).select(
+        F.concat(F.lit("doc"), F.col("src").cast("string")).alias("src"),
+        F.col("href").alias("dst"),
+    )
+    return pagerank(edges, iters=2).limit(50)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2601,6 +2625,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_compression_ratio": q134_compression_ratio,
         "q135_maxsim": q135_maxsim,
         "q136_link_extraction": q136_link_extraction,
+        "q137_link_pagerank": q137_link_pagerank,
     }
 
 
@@ -4848,6 +4873,28 @@ def oracle_sql() -> dict[str, str]:
                'doc' || ((doc_id * 13 + 2) % 500)::VARCHAR AS href
         FROM documents
         ORDER BY src, link_idx
+    """
+
+    # q137: same unrolled-iteration template as q131 over the planted
+    # closed-form link graph (2 iterations)
+    o["q137_link_pagerank"] = f"""
+        WITH edges AS (
+            SELECT 'doc' || doc_id::VARCHAR AS src,
+                   'doc' || ((doc_id * 7 + 1) % 500)::VARCHAR AS dst
+            FROM documents
+            UNION
+            SELECT 'doc' || doc_id::VARCHAR AS src,
+                   'doc' || ((doc_id * 13 + 2) % 500)::VARCHAR AS dst
+            FROM documents),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        pr0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn)::BIGINT AS pr
+                FROM nodes),
+        pr1 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr0")}),
+        pr2 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr1")})
+        SELECT node, pr FROM pr2 ORDER BY pr DESC, node ASC LIMIT 50
     """
 
     return o
