@@ -2233,6 +2233,15 @@ def q137_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=2).limit(50)
 
 
+def q138_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card table per language: counts, floor-micro shares,
+    exact token-count quantiles (quantile_cont parity)."""
+    from hfsa_spark.operators.text import corpus_datasheet
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_datasheet(d)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2626,6 +2635,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_maxsim": q135_maxsim,
         "q136_link_extraction": q136_link_extraction,
         "q137_link_pagerank": q137_link_pagerank,
+        "q138_corpus_datasheet": q138_corpus_datasheet,
     }
 
 
@@ -4895,6 +4905,24 @@ def oracle_sql() -> dict[str, str]:
         pr1 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr0")}),
         pr2 AS ({_pr_iter.format(base="(SELECT (15 * 1000000000000 // 100) // n FROM nn)", prev="pr1")})
         SELECT node, pr FROM pr2 ORDER BY pr DESC, node ASC LIMIT 50
+    """
+
+    # q138: quantile_cont = Spark percentile (linear interpolation)
+    o["q138_corpus_datasheet"] = f"""
+        WITH base AS (SELECT lang, len({_TOKS})::BIGINT AS n_toks FROM documents),
+        per AS (
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_toks)::BIGINT AS n_tokens,
+                   quantile_cont(n_toks, 0.5) AS p50_tokens,
+                   quantile_cont(n_toks, 0.9) AS p90_tokens,
+                   MAX(n_toks)::BIGINT AS max_tokens
+            FROM base GROUP BY lang),
+        tot AS (SELECT SUM(n_tokens)::BIGINT AS tot_tokens FROM per)
+        SELECT lang, n_docs, n_tokens,
+               FLOOR(n_tokens::DOUBLE * 1000000.0 / tot_tokens::DOUBLE)::BIGINT
+                   AS share_micro,
+               p50_tokens, p90_tokens, max_tokens
+        FROM per CROSS JOIN tot ORDER BY lang
     """
 
     return o

@@ -845,3 +845,46 @@ def extract_links(
         df.select(F.col(id_col).alias("src"), F.posexplode(links).alias("link_idx", "href"))
         .select("src", "link_idx", "href")
     )
+
+
+def corpus_datasheet(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Dataset-card statistics per group — the "datasheet for datasets"
+    table a corpus release ships with: document and token counts, group
+    share, and exact token-count quantiles (p50/p90/max). All integers
+    or exact percentile values (integer inputs → the .5-exact midpoint
+    average, the same one-IEEE-op parity as
+    ``features.robust_zscore``); shares are floor-micro.
+
+    Scale: one map-side-combinable groupBy for counts + one exact
+    percentile aggregate per group (groups are few; at extreme group
+    cardinality swap in approx_percentile and keep the schema).
+    """
+    base = df.select(
+        F.col(group_col), token_count(text_col).cast("long").alias("n_toks")
+    )
+    per = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.percentile(F.col("n_toks"), F.lit(0.5)).alias("p50_tokens"),
+        F.percentile(F.col("n_toks"), F.lit(0.9)).alias("p90_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens").cast("double") * 1000000.0
+                / F.col("tot_tokens").cast("double")
+            ).cast("long").alias("share_micro"),
+            "p50_tokens",
+            "p90_tokens",
+            "max_tokens",
+        )
+        .orderBy(group_col)
+    )

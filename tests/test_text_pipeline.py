@@ -352,3 +352,25 @@ def test_extract_links(spark):
            for r in extract_links(d).orderBy("src", "link_idx").collect()]
     # lowercase href= only (case-sensitive by design — normalize upstream)
     assert got == [(1, 0, "x"), (1, 1, "z")]
+
+
+def test_corpus_datasheet(spark):
+    from hfsa_spark.operators.text import corpus_datasheet
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),        # 3 tokens
+            (2, "a b c d e", "en"),    # 5
+            (3, "a b c d e f g", "en"),  # 7
+            (4, "x", "zh"),            # 1
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in corpus_datasheet(d).collect()}
+    en = got["en"]
+    assert en["n_docs"] == 3 and en["n_tokens"] == 15
+    assert en["p50_tokens"] == 5.0
+    assert abs(en["p90_tokens"] - (5 + 0.8 * 2)) < 1e-9  # pos = 1.8
+    assert en["max_tokens"] == 7
+    assert en["share_micro"] == 937500  # 15/16
+    assert got["zh"]["share_micro"] == 62500
