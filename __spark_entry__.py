@@ -2242,6 +2242,34 @@ def q138_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datasheet(d)
 
 
+def q139_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export → re-import → per-lang aggregate; any loss or type
+    drift through the text format breaks the oracle (which aggregates
+    the parquet directly)."""
+    import shutil
+    import tempfile
+
+    from hfsa_spark.sinks.jsonl import read_jsonl, write_jsonl_shards
+
+    d = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_gate_")
+    try:
+        write_jsonl_shards(d.select("doc_id", "text", "lang"), out, n_shards=4)
+        back = read_jsonl(spark, out, schema="doc_id bigint, text string, lang string")
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_chars"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+            .orderBy("lang")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2636,6 +2664,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_link_extraction": q136_link_extraction,
         "q137_link_pagerank": q137_link_pagerank,
         "q138_corpus_datasheet": q138_corpus_datasheet,
+        "q139_jsonl_roundtrip": q139_jsonl_roundtrip,
     }
 
 
@@ -4923,6 +4952,14 @@ def oracle_sql() -> dict[str, str]:
                    AS share_micro,
                p50_tokens, p90_tokens, max_tokens
         FROM per CROSS JOIN tot ORDER BY lang
+    """
+
+    # q139: the JSONL round-trip must preserve every row/char/id exactly
+    o["q139_jsonl_roundtrip"] = """
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(length(text))::BIGINT AS sum_chars,
+               SUM(doc_id)::BIGINT AS sum_ids
+        FROM documents GROUP BY lang ORDER BY lang
     """
 
     return o
