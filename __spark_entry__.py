@@ -2270,6 +2270,57 @@ def q139_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q140_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing+retrieval end-to-end: chunk the corpus (map-only
+    chunker), hash-embed every chunk (8-dim deterministic embedding —
+    stand-in for a model, SQL-reproducible), retrieve cosine top-3 for
+    three chunk queries. Rank-only output; the oracle rebuilds chunker,
+    embedder, and ranking in SQL."""
+    from hfsa_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = chunk_documents(d, chunk_tokens=24, overlap=0)
+
+    def embed(col: Column) -> Column:
+        dims = []
+        for i in range(8):
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{100 + i}:"), col)), 1, 15), 16, 10
+            ).cast("long")
+            dims.append(((h % 2001 - 1000).cast("double")) / 1000.0)
+        return F.array(*dims)
+
+    emb = chunks.select(
+        "doc_id", "chunk_id", embed(F.col("chunk_text")).alias("v")
+    )
+    q = emb.filter((F.col("doc_id").isin(1, 2, 3)) & (F.col("chunk_id") == 0)).select(
+        F.col("doc_id").alias("query_doc"), F.col("v").alias("qv")
+    )
+    dot_qv = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = emb.crossJoin(q).select(
+        "query_doc",
+        "doc_id",
+        "chunk_id",
+        (dot_qv / (norm(F.col("v")) * norm(F.col("qv")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("cos"), F.asc("doc_id"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_doc", "rank", "doc_id", "chunk_id")
+        .orderBy("query_doc", "rank")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2665,6 +2716,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_link_pagerank": q137_link_pagerank,
         "q138_corpus_datasheet": q138_corpus_datasheet,
         "q139_jsonl_roundtrip": q139_jsonl_roundtrip,
+        "q140_rag_pipeline": q140_rag_pipeline,
     }
 
 
@@ -4960,6 +5012,44 @@ def oracle_sql() -> dict[str, str]:
                SUM(length(text))::BIGINT AS sum_chars,
                SUM(doc_id)::BIGINT AS sum_ids
         FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    # q140: chunker (q63's slicing, 24/0) + hash embedder + q28-style
+    # cosine ranking, rebuilt verbatim
+    _emb8 = "list_value(" + ", ".join(
+        f"((('0x' || substr(md5(concat('{100 + i}:', chunk_text)), 1, 15))::BIGINT"
+        f" % 2001 - 1000)::DOUBLE / 1000.0)"
+        for i in range(8)
+    ) + ")"
+    o["q140_rag_pipeline"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+        nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, len(toks) - 1, 24)) AS s
+               FROM nz),
+        ch AS (SELECT doc_id, (s // 24)::INT AS chunk_id,
+                      array_to_string(toks[s + 1 : s + 24], ' ') AS chunk_text
+               FROM st),
+        emb AS (SELECT doc_id, chunk_id, {_emb8} AS v FROM ch),
+        q AS (SELECT doc_id AS query_doc, v AS qv FROM emb
+              WHERE doc_id IN (1, 2, 3) AND chunk_id = 0),
+        scored AS (
+            SELECT q.query_doc, e.doc_id, e.chunk_id,
+                   list_sum(list_transform(generate_series(1, 8),
+                        i -> e.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 8),
+                        i -> e.v[i] * e.v[i])))
+                    * sqrt(list_sum(list_transform(generate_series(1, 8),
+                        i -> q.qv[i] * q.qv[i])))) AS cos
+            FROM emb e CROSS JOIN q)
+        SELECT query_doc, rank, doc_id, chunk_id FROM (
+            SELECT query_doc, doc_id, chunk_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_doc
+                                      ORDER BY cos DESC, doc_id ASC,
+                                               chunk_id ASC)::INT AS rank
+            FROM scored) t
+        WHERE rank <= 3 ORDER BY query_doc, rank
     """
 
     return o
