@@ -2321,6 +2321,24 @@ def q140_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup on REAL WAVs: tone docs sharing
+    doc_id mod 60 must collide on the peak-track md5; the oracle builds
+    the fingerprint from the synthesis closed form."""
+    from hfsa_spark.operators.multimodal import (
+        audio_fingerprints,
+        synthesize_tone_audio_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_tone_audio_table(d, n_fft=256, n_frames=4, max_docs=100)
+    fp = audio_fingerprints(media, n_fft=256)
+    groups = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_same"))
+    return fp.join(groups, "fingerprint").select(
+        "doc_id", "n_frames", "fingerprint", "n_same"
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2717,6 +2735,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_corpus_datasheet": q138_corpus_datasheet,
         "q139_jsonl_roundtrip": q139_jsonl_roundtrip,
         "q140_rag_pipeline": q140_rag_pipeline,
+        "q141_audio_fingerprint": q141_audio_fingerprint,
     }
 
 
@@ -5050,6 +5069,22 @@ def oracle_sql() -> dict[str, str]:
                                                chunk_id ASC)::INT AS rank
             FROM scored) t
         WHERE rank <= 3 ORDER BY query_doc, rank
+    """
+
+    # q141: fingerprint = md5('k,k,k,k') with k = 3 + doc_id%60; group
+    # sizes from the mod-60 classes over doc_id < 100
+    o["q141_audio_fingerprint"] = """
+        WITH f AS (
+            SELECT doc_id, 4::BIGINT AS n_frames,
+                   md5((3 + doc_id % 60)::VARCHAR || ',' ||
+                       (3 + doc_id % 60)::VARCHAR || ',' ||
+                       (3 + doc_id % 60)::VARCHAR || ',' ||
+                       (3 + doc_id % 60)::VARCHAR) AS fingerprint
+            FROM documents WHERE doc_id < 100),
+        g AS (SELECT fingerprint, COUNT(*)::BIGINT AS n_same
+              FROM f GROUP BY fingerprint)
+        SELECT f.doc_id, f.n_frames, f.fingerprint, g.n_same
+        FROM f JOIN g USING (fingerprint) ORDER BY f.doc_id
     """
 
     return o

@@ -1979,3 +1979,43 @@ def image_near_dup_pairs(
         sigs, "doc_id", "phash", bits=64, max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    n_fft: int = 256,
+    max_frames: int = 16,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Audio fingerprinting over the dominant-frequency track — the
+    constellation-hash idea reduced to its deterministic core: the
+    fingerprint is the md5 of the first ``max_frames`` spectral peak
+    bins (``extract_spectral_peaks``), so two recordings match iff their
+    peak tracks match — robust to amplitude changes and to any codec the
+    WAV layer decodes (peaks survive G.711/ADPCM re-encoding when tones
+    sit on FFT bins). Returns (doc_id, n_frames, fingerprint).
+
+    Exact-match dedup on the fingerprint is a plain groupBy; feed
+    near-match needs into :func:`hfsa_spark.operators.dedup.
+    hamming_neardup_pairs` over a per-frame-quantized signature instead.
+
+    Scale: peaks are Arrow map-only; the fingerprint folds per doc with
+    a map-combinable collect_list bounded by ``max_frames``.
+    """
+    peaks = extract_spectral_peaks(media, n_fft=n_fft, min_partitions=min_partitions)
+    seq = (
+        peaks.filter(F.col("frame_idx") < max_frames)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.array_sort(
+                F.collect_list(F.struct("frame_idx", "peak_bin"))
+            ).alias("__seq"),
+        )
+    )
+    sig = F.md5(
+        F.array_join(
+            F.transform(F.col("__seq"), lambda s: s["peak_bin"].cast("string")), ","
+        )
+    )
+    return seq.select("doc_id", "n_frames", sig.alias("fingerprint"))

@@ -189,3 +189,25 @@ def test_extract_spectral_peaks_offbin_and_codec(spark):
     assert all(r["peak_bin"] == 20 for r in by[2])
     assert by[2][0]["peak_hz_milli"] == 20 * sr * 1000 // n_fft
     assert len(by[1]) == len(by[2]) == 2
+
+
+def test_audio_fingerprints_codec_invariance(spark):
+    """Same on-bin tone through PCM and through the µ-law codec must
+    yield the SAME fingerprint (peaks survive companding); a different
+    tone must not."""
+    import numpy as np
+
+    from hfsa_spark.operators.audio import WAVE_MULAW, encode_wav
+    from hfsa_spark.operators.multimodal import audio_fingerprints
+
+    t = np.arange(256 * 3, dtype=np.float64)
+    tone20 = np.rint(8000 * np.sin(2 * np.pi * 20 * t / 256)).astype(np.int16)
+    tone21 = np.rint(8000 * np.sin(2 * np.pi * 21 * t / 256)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(tone20))),
+        (2, bytearray(encode_wav(tone20, codec=WAVE_MULAW))),
+        (3, bytearray(encode_wav(tone21))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r["fingerprint"] for r in audio_fingerprints(df).collect()}
+    assert got[1] == got[2] != got[3]
