@@ -2339,6 +2339,37 @@ def q141_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q142_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff with deterministic edits (drop mod-17,
+    rewrite mod-13, add 20 fresh ids) — the digest-compare join must
+    classify every id per the closed form; removed beats modified for
+    ids hit by both."""
+    from hfsa_spark.operators.dedup import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new = (
+        d.filter(did % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            d.filter(did < 20).select(
+                (did + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+            )
+        )
+    )
+    return (
+        corpus_diff(d, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("status")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2736,6 +2767,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_jsonl_roundtrip": q139_jsonl_roundtrip,
         "q140_rag_pipeline": q140_rag_pipeline,
         "q141_audio_fingerprint": q141_audio_fingerprint,
+        "q142_corpus_diff": q142_corpus_diff,
     }
 
 
@@ -5085,6 +5117,22 @@ def oracle_sql() -> dict[str, str]:
               FROM f GROUP BY fingerprint)
         SELECT f.doc_id, f.n_frames, f.fingerprint, g.n_same
         FROM f JOIN g USING (fingerprint) ORDER BY f.doc_id
+    """
+
+    # q142: closed form — removed: %17=0; modified: %13=0 (and not
+    # removed); added: 20 fresh 10000+ ids; rest unchanged
+    o["q142_corpus_diff"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN 'removed'
+                        WHEN doc_id % 13 = 0 THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, 'added' AS status
+            FROM documents WHERE doc_id < 20)
+        SELECT status, COUNT(*)::BIGINT AS n, SUM(doc_id)::BIGINT AS sum_ids
+        FROM s GROUP BY status ORDER BY status
     """
 
     return o

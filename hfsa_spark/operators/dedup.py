@@ -826,3 +826,41 @@ def canonical_keeper(
             "keeper_id",
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff — the release-note table between two dataset
+    versions: per document id, whether it was ``added``, ``removed``,
+    ``modified`` (same id, different normalized-content digest), or
+    ``unchanged``. Join on the id, compare content by digest, so moved
+    bytes with identical content don't count as change.
+
+    Returns (id, status, old_digest, new_digest); aggregate the status
+    column for the summary counts. Scale: ONE full outer join keyed on
+    the id — both sides project to (id, 16-hex digest) before shuffling,
+    so the text never moves; at 100 TB this is the minimum possible
+    comparison (you must look at every id once).
+    """
+    from hfsa_spark.functions.hashing import portable_hash_hex
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            portable_hash_hex(normalize_text(text_col)).alias(f"{name}_digest"),
+        )
+
+    o = side(old, "old")
+    n = side(new, "new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_digest", "new_digest")

@@ -166,3 +166,21 @@ def test_canonical_keeper(spark):
     assert [got[i]["keeper_id"] for i in (1, 2, 3)] == [2, 2, 2]
     assert [got[i]["keep"] for i in (1, 2, 3, 4)] == [False, True, False, True]
     assert got[1]["digest"] == got[3]["digest"] != got[4]["digest"]
+
+
+def test_corpus_diff(spark):
+    from hfsa_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"),
+         (4, "Whitespace   Only")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (5, "brand new"),
+         (4, "whitespace only")],  # normalizes identically → unchanged
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed",
+                   4: "unchanged", 5: "added"}
