@@ -48,6 +48,11 @@ AUDIT = [
     ("q118_bigram_logprob", "bigram LM: one explode feeds model and scoring", True),
     ("q121_count_min", "CM sketch: bounded matrix groupBy, broadcast probes", False),
     ("q124_image_neardup", "image pHash: banded equi join, popcount verify", False),
+    ("q131_pagerank", "PageRank iter: rank⋈edges join + map-combinable groupBy", False),
+    ("q133_leakage_safe_split", "content-keyed split: map-only, zero shuffles", False),
+    ("q138_corpus_datasheet", "datasheet: one groupBy + tiny percentile agg", True),
+    ("q140_rag_pipeline", "RAG: map-only chunk+embed, broadcast query cross", True),
+    ("q142_corpus_diff", "corpus diff: digest-projected full outer join", False),
 ]
 
 
