@@ -2370,6 +2370,26 @@ def q142_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from per-day mergeable HLL sketches
+    (DataSketches union — distinct counts don't sum). Deterministic
+    output: exact counts + the within-5% audit flag; the estimate itself
+    stays internal (sketch values aren't SQL-reproducible)."""
+    from hfsa_spark.operators.sketches import daily_distinct_rollup
+
+    ev = _events(spark, sf_dir)
+    return (
+        daily_distinct_rollup(ev, window_days=7, bound=0.05)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "d1_exact",
+            "w_exact",
+            "within_bound",
+        )
+        .orderBy("day")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2768,6 +2788,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_rag_pipeline": q140_rag_pipeline,
         "q141_audio_fingerprint": q141_audio_fingerprint,
         "q142_corpus_diff": q142_corpus_diff,
+        "q143_sketch_rollup": q143_sketch_rollup,
     }
 
 
@@ -5133,6 +5154,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 20)
         SELECT status, COUNT(*)::BIGINT AS n, SUM(doc_id)::BIGINT AS sum_ids
         FROM s GROUP BY status ORDER BY status
+    """
+
+    # q143: exact sides of the sketch rollup; within_bound must hold
+    # (HLL lg_k=14 on ≤ hundreds of users is far inside 5%)
+    o["q143_sketch_rollup"] = """
+        WITH e AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+        per AS (SELECT day, COUNT(DISTINCT user_id)::BIGINT AS d1_exact
+                FROM e GROUP BY day),
+        pairs AS (SELECT DISTINCT day, user_id FROM e),
+        wexact AS (
+            SELECT c.day, COUNT(DISTINCT p.user_id)::BIGINT AS w_exact
+            FROM per c JOIN pairs p
+              ON p.day <= c.day AND p.day > c.day - INTERVAL 7 DAY
+            GROUP BY c.day)
+        SELECT strftime(per.day, '%Y-%m-%d') AS day, per.d1_exact,
+               wexact.w_exact, TRUE AS within_bound
+        FROM per JOIN wexact USING (day) ORDER BY day
     """
 
     return o

@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -240,4 +240,79 @@ def count_min_estimate(
             (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overestimate"),
         )
         .orderBy("value")
+    )
+
+
+def daily_distinct_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window_days: int = 7,
+    lg_k: int = 14,
+    bound: float = 0.05,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Rolling distinct counts from MERGEABLE per-day sketches — the
+    pattern that makes "7-day active users" tractable at 100 TB: build
+    ONE DataSketches HLL sketch per day (map-side combinable, a few KB),
+    persist them, and answer any window by UNIONING sketches instead of
+    rescanning raw events. Distinct counts don't sum — sketch union is
+    the only way to roll them up without a full re-scan.
+
+    Output per day: ``d1_exact``/``d1_est`` (that day) and
+    ``w_est`` (trailing ``window_days`` union), plus the exact window
+    count and a ``within_bound`` audit when ``with_exact`` (turn off at
+    scale — the exact path is the expensive re-scan this op replaces).
+
+    Scale: sketches shuffle one row per (day, partition); the window
+    union runs over #days rows via a range-frame window on the sketch
+    column (collect_list of ≤ window_days sketches per row, then a
+    driverless union via hll_union_agg over a tiny exploded frame).
+    """
+    days = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"), F.col(value_col).alias("v")
+    )
+    per_day = days.groupBy("day").agg(
+        F.hll_sketch_agg("v", F.lit(lg_k)).alias("sketch"),
+        F.count_distinct(F.col("v")).alias("d1_exact"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    framed = per_day.withColumn("sketches", F.collect_list("sketch").over(w))
+    unioned = (
+        framed.select("day", "d1_exact", "sketch", F.explode("sketches").alias("s"))
+        .groupBy("day")
+        .agg(
+            F.first("d1_exact").alias("d1_exact"),
+            F.hll_sketch_estimate(F.first("sketch")).cast("long").alias("d1_est"),
+            F.hll_sketch_estimate(F.hll_union_agg("s")).cast("long").alias("w_est"),
+        )
+    )
+    if not with_exact:
+        return unioned.orderBy("day")
+    # exact window distinct (audit path): day ⨯ trailing-window self join
+    pairs = days.distinct().alias("a")
+    cal = per_day.select("day").alias("c")
+    exact_w = (
+        cal.join(
+            pairs,
+            (F.col("a.day") <= F.col("c.day"))
+            & (F.col("a.day") > F.date_sub(F.col("c.day"), window_days)),
+        )
+        .groupBy(F.col("c.day").alias("day"))
+        .agg(F.count_distinct("a.v").alias("w_exact"))
+    )
+    return (
+        unioned.join(exact_w, "day")
+        .select(
+            "day",
+            "d1_exact",
+            "d1_est",
+            "w_exact",
+            "w_est",
+            (
+                F.abs(F.col("w_est") - F.col("w_exact"))
+                <= F.lit(bound) * F.col("w_exact")
+            ).alias("within_bound"),
+        )
+        .orderBy("day")
     )

@@ -179,3 +179,28 @@ def test_count_min_estimate(spark):
             count_min_estimate(df, "tok", ["a", "missing"],
                                depth=4, width=65536).collect()}
     assert wide["a"]["est"] == 10 and wide["missing"]["est"] == 0
+
+
+def test_daily_distinct_rollup(spark):
+    from datetime import datetime
+
+    from hfsa_spark.operators.sketches import daily_distinct_rollup
+
+    rows = []
+    # 3 days: day1 users {1..50}, day2 {26..75}, day3 {1..10}
+    for u in range(1, 51):
+        rows.append((datetime(2024, 1, 1, 10), u))
+    for u in range(26, 76):
+        rows.append((datetime(2024, 1, 2, 11), u))
+    for u in range(1, 11):
+        rows.append((datetime(2024, 1, 3, 9), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    got = {str(r["day"])[:10]: r
+           for r in daily_distinct_rollup(df, window_days=2, bound=0.05).collect()}
+    d1, d2, d3 = got["2024-01-01"], got["2024-01-02"], got["2024-01-03"]
+    assert (d1["d1_exact"], d2["d1_exact"], d3["d1_exact"]) == (50, 50, 10)
+    # trailing-2-day exact windows: 50, 75 (1..75), 60 (26..75 ∪ 1..10)
+    assert (d1["w_exact"], d2["w_exact"], d3["w_exact"]) == (50, 75, 60)
+    # HLL at lg_k=14 on tiny sets is exact-ish; bound asserts it
+    assert all(r["within_bound"] for r in got.values())
+    assert d2["w_est"] != d2["d1_exact"] + d1["d1_exact"]  # union ≠ sum
