@@ -2390,6 +2390,15 @@ def q143_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language (pieces/word and
+    chars/piece as floor-micro integers; q25's piece-count twin)."""
+    from hfsa_spark.operators.text import tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(d)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2789,6 +2798,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_audio_fingerprint": q141_audio_fingerprint,
         "q142_corpus_diff": q142_corpus_diff,
         "q143_sketch_rollup": q143_sketch_rollup,
+        "q144_tokenizer_fertility": q144_tokenizer_fertility,
     }
 
 
@@ -5171,6 +5181,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(per.day, '%Y-%m-%d') AS day, per.d1_exact,
                wexact.w_exact, TRUE AS within_bound
         FROM per JOIN wexact USING (day) ORDER BY day
+    """
+
+    # q144: q25's piece-count expression, aggregated per lang
+    o["q144_tokenizer_fertility"] = f"""
+        WITH base AS (
+            SELECT lang, len({_TOKS})::BIGINT AS n_words,
+                   (list_sum(list_transform({_TOKS},
+                        w -> 1 + CAST(FLOOR((GREATEST(len(w), 4) - 4) / 4.0)
+                                      AS BIGINT)))
+                    + len(list_filter(string_split_regex(text, '[\\sA-Za-z]+'),
+                                      t -> len(t) > 0)))::BIGINT AS n_pieces,
+                   length(text)::BIGINT AS n_chars
+            FROM documents),
+        per AS (SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                       SUM(n_words)::BIGINT AS n_words,
+                       SUM(n_pieces)::BIGINT AS n_pieces,
+                       SUM(n_chars)::BIGINT AS n_chars
+                FROM base GROUP BY lang)
+        SELECT lang, n_docs, n_words, n_pieces, n_chars,
+               FLOOR(n_pieces::DOUBLE * 1000000.0 / n_words::DOUBLE)::BIGINT
+                   AS pieces_per_word_micro,
+               FLOOR(n_chars::DOUBLE * 1000000.0 / n_pieces::DOUBLE)::BIGINT
+                   AS chars_per_piece_micro
+        FROM per ORDER BY lang
     """
 
     return o

@@ -888,3 +888,43 @@ def corpus_datasheet(
         )
         .orderBy(group_col)
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-fertility audit per language — the multilingual-equity
+    check run before fixing a tokenizer: words, BPE-ish pieces
+    (``bpe_ish_token_count``), and characters per group, with the two
+    ratios that matter as floor-micro integers:
+
+    * ``pieces_per_word_micro`` — fertility (1.0 = every word one piece;
+      high = the tokenizer fragments this language)
+    * ``chars_per_piece_micro`` — compression (how much text a piece
+      carries; low = expensive context windows for this language)
+
+    Scale: three array-expression sums in ONE map-side-combinable
+    groupBy — a single corpus scan, no explode, no shuffle beyond the
+    group key.
+    """
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_words"),
+        F.sum(bpe_ish_token_count(text_col)).alias("n_pieces"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+    )
+    return base.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.floor(
+            F.col("n_pieces").cast("double") * 1000000.0
+            / F.col("n_words").cast("double")
+        ).cast("long").alias("pieces_per_word_micro"),
+        F.floor(
+            F.col("n_chars").cast("double") * 1000000.0
+            / F.col("n_pieces").cast("double")
+        ).cast("long").alias("chars_per_piece_micro"),
+    ).orderBy(group_col)

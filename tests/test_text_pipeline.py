@@ -374,3 +374,24 @@ def test_corpus_datasheet(spark):
     assert en["max_tokens"] == 7
     assert en["share_micro"] == 937500  # 15/16
     assert got["zh"]["share_micro"] == 62500
+
+
+def test_tokenizer_fertility(spark):
+    from hfsa_spark.operators.text import tokenizer_fertility
+
+    d = spark.createDataFrame(
+        [
+            (1, "short words here", "en"),          # 3 words, all ≤5 chars
+            (2, "internationalization", "de"),      # 1 word, 20 chars → 5 pieces
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in tokenizer_fertility(d).collect()}
+    assert got["en"]["n_words"] == 3
+    # "short"→1+0, "words"→1+0, "here"→1+0 pieces; no punct runs
+    assert got["en"]["n_pieces"] == 3
+    assert got["en"]["pieces_per_word_micro"] == 1000000
+    # 20-char word: 1 + floor((20-4)/4) = 5 pieces
+    assert got["de"]["n_pieces"] == 5
+    assert got["de"]["pieces_per_word_micro"] == 5000000
+    assert got["de"]["chars_per_piece_micro"] == 4000000
