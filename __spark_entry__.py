@@ -2399,6 +2399,33 @@ def q144_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(d)
 
 
+def q145_chat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-aware SFT dedup: the SAME conversation rendered through
+    two chat templates ('User:'-style for even ids, '<|user|>'-style
+    for odd ids, odd reusing the even text) must collapse to one group
+    of 2 with the even id as keeper."""
+    from hfsa_spark.operators.dedup import chat_dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("User: "), F.col("text"), F.lit(" Assistant: ok")
+        ).alias("text"),
+    )
+    odd = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.concat(
+                F.lit("<|user|> "), F.col("text"), F.lit(" <|assistant|> ok")
+            ).alias("text"),
+        )
+    )
+    rendered = even.unionByName(odd)
+    return chat_dedup_groups(rendered, "doc_id", "text").orderBy("keep_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2799,6 +2826,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_corpus_diff": q142_corpus_diff,
         "q143_sketch_rollup": q143_sketch_rollup,
         "q144_tokenizer_fertility": q144_tokenizer_fertility,
+        "q145_chat_dedup": q145_chat_dedup,
     }
 
 
@@ -5205,6 +5233,15 @@ def oracle_sql() -> dict[str, str]:
                FLOOR(n_chars::DOUBLE * 1000000.0 / n_pieces::DOUBLE)::BIGINT
                    AS chars_per_piece_micro
         FROM per ORDER BY lang
+    """
+
+    # q145: both templates normalize to '<norm text> ok'; one group of 2
+    # per even doc, keeper = the even id
+    o["q145_chat_dedup"] = f"""
+        SELECT md5({_NORM} || ' ok') AS digest, 2::BIGINT AS doc_count,
+               doc_id AS keep_id
+        FROM documents WHERE doc_id % 2 = 0
+        ORDER BY keep_id
     """
 
     return o

@@ -864,3 +864,40 @@ def corpus_diff(
         .otherwise(F.lit("modified"))
     )
     return joined.select(id_col, status.alias("status"), "old_digest", "new_digest")
+
+
+def normalize_chat_text(c: Column | str) -> Column:
+    """Template-aware canonical form for instruction/chat data: strip
+    role markers (``User:`` / ``Assistant:`` / ``System:`` and the
+    ``<|...|>`` special-token family), then apply :func:`normalize_text`.
+    Two exports of the same conversation through different chat templates
+    dedupe to the same digest — the failure mode of raw-text dedup on
+    SFT corpora is the same dialogue surviving once per template.
+
+    Portable regexps (Java∩RE2, no lookaround); extend the role
+    alternation for project-specific templates.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    col = F.regexp_replace(col, r"<\|[a-z_]+\|>", " ")
+    col = F.regexp_replace(
+        col, r"(?i)\b(user|assistant|system|human|ai)\s*:", " "
+    )
+    return normalize_text(col)
+
+
+def chat_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """:func:`exact_dedup_groups` over the template-normalized form:
+    (digest, doc_count, keep_id) — one row per distinct CONVERSATION,
+    regardless of which chat template rendered it. Same single-shuffle
+    scale shape as the plain exact dedup."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_chat_text(text_col)).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

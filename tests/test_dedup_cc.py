@@ -184,3 +184,22 @@ def test_corpus_diff(spark):
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "modified", 3: "removed",
                    4: "unchanged", 5: "added"}
+
+
+def test_chat_dedup_groups(spark):
+    from hfsa_spark.operators.dedup import chat_dedup_groups, normalize_chat_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "User: hello world Assistant: hi there"),
+        (2, "<|user|> Hello   WORLD <|assistant|> hi there"),
+        (3, "SYSTEM: be nice Human: hello world AI: hi there"),
+        (4, "User: different convo Assistant: sure"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["keep_id"]: r for r in chat_dedup_groups(df, "doc_id", "text").collect()}
+    # 1 and 2 are the same conversation; 3 adds a system turn (different)
+    assert got[1]["doc_count"] == 2
+    assert got[3]["doc_count"] == 1 and got[4]["doc_count"] == 1
+    norm = df.select(normalize_chat_text("text").alias("n")).collect()
+    assert norm[0]["n"] == norm[1]["n"] == "hello world hi there"
