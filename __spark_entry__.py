@@ -2426,6 +2426,15 @@ def q145_chat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat_dedup_groups(rendered, "doc_id", "text").orderBy("keep_id")
 
 
+def q146_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by count with micro-nat PMI — one log per
+    surviving bigram, replayed verbatim by the oracle."""
+    from hfsa_spark.operators.text import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_pmi(d, min_count=5, k=50)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2827,6 +2836,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_sketch_rollup": q143_sketch_rollup,
         "q144_tokenizer_fertility": q144_tokenizer_fertility,
         "q145_chat_dedup": q145_chat_dedup,
+        "q146_collocations": q146_collocations,
     }
 
 
@@ -5242,6 +5252,29 @@ def oracle_sql() -> dict[str, str]:
                doc_id AS keep_id
         FROM documents WHERE doc_id % 2 = 0
         ORDER BY keep_id
+    """
+
+    # q146: same counts + one ln per surviving bigram (micro-nats)
+    o["q146_collocations"] = f"""
+        WITH tl AS (SELECT {_TOKS} AS t FROM documents),
+        uni AS (SELECT tok AS w, COUNT(*)::BIGINT AS cw
+                FROM (SELECT unnest(t) AS tok FROM tl) GROUP BY tok),
+        nu AS (SELECT SUM(cw)::DOUBLE AS n FROM uni),
+        bgs AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM tl WHERE len(t) >= 2),
+        bgc AS (SELECT bg, COUNT(*)::BIGINT AS cbg FROM bgs GROUP BY bg),
+        nb AS (SELECT SUM(cbg)::DOUBLE AS n FROM bgc),
+        surv AS (SELECT bg, cbg FROM bgc WHERE cbg >= 5)
+        SELECT s.bg, s.cbg,
+               ROUND(LN(s.cbg::DOUBLE * nu.n * nu.n
+                        / (nb.n * u1.cw::DOUBLE * u2.cw::DOUBLE)) * 1e6)::BIGINT
+                   AS pmi_micro
+        FROM surv s
+        JOIN uni u1 ON u1.w = split_part(s.bg, ' ', 1)
+        JOIN uni u2 ON u2.w = split_part(s.bg, ' ', -1)
+        CROSS JOIN nu CROSS JOIN nb
+        ORDER BY s.cbg DESC, s.bg ASC LIMIT 50
     """
 
     return o

@@ -928,3 +928,63 @@ def tokenizer_fertility(
             / F.col("n_pieces").cast("double")
         ).cast("long").alias("chars_per_piece_micro"),
     ).orderBy(group_col)
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation extraction: the ``k`` most frequent word bigrams (count
+    ≥ ``min_count``) with their pointwise mutual information,
+
+        PMI = ln( p(ab) / (p(a)·p(b)) )  with p from corpus counts
+            = ln( C(ab)·N_uni² / (N_bi·C(a)·C(b)) )
+
+    as micro-nat integers (one log per surviving bigram — exact integer
+    downstream). High PMI = genuine collocation ("new york"); PMI ≈ 0 =
+    chance co-occurrence — the phrase-mining primitive behind tokenizer
+    merge rules and stop-phrase lists.
+
+    Scale: bigram + unigram counts are the same tagged-explode groupBys
+    as ``repetition_profile``; the PMI join touches only the ≥min_count
+    survivors (vocabulary-sized); final top-k is TakeOrdered by
+    (count desc, bigram asc).
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(text_col))
+    uni = base.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    n_uni = uni.agg(F.sum("cw").cast("double").alias("__nu"))
+    bg = base.select(F.explode(bigram_array(text_col)).alias("bg")).groupBy(
+        "bg"
+    ).agg(F.count(F.lit(1)).alias("cbg"))
+    n_bi = bg.agg(F.sum("cbg").cast("double").alias("__nb"))
+    survivors = bg.filter(F.col("cbg") >= min_count)
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    joined = (
+        survivors.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("cbg").cast("double")
+            * F.col("__nu")
+            * F.col("__nu")
+            / (F.col("__nb") * F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        joined.select("bg", "cbg", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("cbg"), F.asc("bg"))
+        .limit(k)
+    )

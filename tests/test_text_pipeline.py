@@ -395,3 +395,22 @@ def test_tokenizer_fertility(spark):
     assert got["de"]["n_pieces"] == 5
     assert got["de"]["pieces_per_word_micro"] == 5000000
     assert got["de"]["chars_per_piece_micro"] == 4000000
+
+
+def test_bigram_pmi(spark):
+    import math
+
+    from hfsa_spark.operators.text import bigram_pmi
+
+    # "of the" appears 5 times; "xx yy" 5 times but xx/yy appear ONLY
+    # together → maximal PMI; "of"/"the" also appear apart → lower PMI
+    docs = ["of the thing"] * 5 + ["xx yy"] * 5 + ["of sorts", "the end"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {r["bg"]: r for r in bigram_pmi(d, min_count=5, k=10).collect()}
+    assert set(got) == {"of the", "the thing", "xx yy"}
+    assert got["xx yy"]["pmi_micro"] > got["of the"]["pmi_micro"]
+    # closed form for 'xx yy': C=5, c1=c2=5, Nuni=29, Nbi=17
+    want = round(math.log(5 * 29 * 29 / (17 * 5 * 5)) * 1e6)
+    assert got["xx yy"]["pmi_micro"] == want
