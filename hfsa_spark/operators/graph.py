@@ -128,14 +128,24 @@ def pagerank(
     from hfsa_spark.plans import parallelize_compute
 
     E = 10**12
-    e = parallelize_compute(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).distinct()
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
+    # materialize the loop invariants ONCE — edge lists are usually the
+    # output of an upstream join/distinct, and without this every
+    # iteration's action would replay that whole lineage
+    e = (
+        parallelize_compute(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
     n_nodes = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
 
     base = F.lit(((100 - damping_pct) * E // 100) // n_nodes).cast("long")
     pr = nodes.withColumn("pr", F.lit(E // n_nodes).cast("long"))
