@@ -2439,6 +2439,31 @@ def q146_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(d, min_count=5, k=50)
 
 
+def q147_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization end-to-end: uniform-target repeat factors
+    (q116) joined back to docs, stochastically rounded into actual
+    epoch-indexed copies with per-epoch shuffle keys. Summary output:
+    per source, docs in, samples out, and the epoch histogram."""
+    from hfsa_spark.operators.sampling import materialize_mixture, mixture_reweight
+
+    d = _t(spark, sf_dir, "documents")
+    factors = mixture_reweight(d, group_col="source", text_col="text").select(
+        "source", "repeat_micro"
+    )
+    expanded = materialize_mixture(
+        d.select("doc_id", "source").join(F.broadcast(factors), "source")
+    )
+    return (
+        expanded.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs_in"),
+            F.count(F.lit(1)).alias("n_samples_out"),
+            F.max("epoch_idx").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2841,6 +2866,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_tokenizer_fertility": q144_tokenizer_fertility,
         "q145_chat_dedup": q145_chat_dedup,
         "q146_collocations": q146_collocations,
+        "q147_materialize_mixture": q147_materialize_mixture,
     }
 
 
@@ -5280,6 +5306,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni u2 ON u2.w = split_part(s.bg, ' ', -1)
         CROSS JOIN nu CROSS JOIN nb
         ORDER BY s.cbg DESC, s.bg ASC LIMIT 50
+    """
+
+    # q147: q116's factors + identical stochastic rounding per doc
+    o["q147_materialize_mixture"] = f"""
+        WITH per AS (
+            SELECT source, SUM(len({_TOKS}))::BIGINT AS n_tokens
+            FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_tokens)::BIGINT AS tot_tokens,
+                       COUNT(*)::BIGINT AS tot_wt FROM per),
+        f AS (SELECT source,
+                     FLOOR(1000000.0 * (1.0 / tot_wt::DOUBLE)
+                           / (n_tokens::DOUBLE / tot_tokens::DOUBLE))::BIGINT
+                         AS rm
+              FROM per CROSS JOIN tot),
+        c AS (SELECT d.doc_id, d.source,
+                     (rm // 1000000
+                      + CASE WHEN ({_h64("doc_id::VARCHAR", 23)} % 1000000)
+                                  < rm % 1000000 THEN 1 ELSE 0 END)::BIGINT
+                         AS n_copies
+              FROM documents d JOIN f USING (source))
+        SELECT source, COUNT(*)::BIGINT AS n_docs_in,
+               SUM(n_copies)::BIGINT AS n_samples_out,
+               (MAX(n_copies) - 1)::INT AS max_epoch
+        FROM c WHERE n_copies > 0 GROUP BY source ORDER BY source
     """
 
     return o

@@ -413,3 +413,49 @@ def leakage_safe_split(
     digest = portable_hash_hex(normalize_text(text_col))
     out = df.withColumn("digest", digest)
     return out.withColumn("split", split_column("digest", w, salt=salt))
+
+
+def materialize_mixture(
+    df: DataFrame,
+    repeat_micro_col: str = "repeat_micro",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Turn per-row repeat factors (:func:`mixture_reweight` /
+    :func:`temperature_reweight` output joined back to docs) into the
+    ACTUAL materialized sample: each row is emitted
+    ``floor(repeat_micro/1e6)`` times plus one more with probability
+    ``frac = repeat_micro mod 1e6`` — decided by the portable hash, so
+    the expansion is deterministic, exactly reproducible, and its
+    EXPECTED multiplicity equals the requested factor (stochastic
+    rounding — the standard way to honor fractional epochs without bias).
+
+    Output: input columns + ``epoch_idx`` (0-based copy index) +
+    ``shuffle_key`` (hash of (epoch, id) — sort by it per epoch for the
+    standard reshuffle-each-epoch training order).
+
+    Scale: map-only — a ``sequence``/explode per row (rows out =
+    Σ multiplicities); no shuffle; the training loader sorts by
+    (epoch_idx, shuffle_key) partition-locally.
+    """
+    from hfsa_spark.functions.hashing import portable_hash64
+
+    base = F.floor(F.col(repeat_micro_col) / 1000000).cast("int")
+    frac = (F.col(repeat_micro_col) % 1000000).cast("long")
+    u = portable_hash64(F.col(id_col).cast("string"), seed) % 1000000
+    n_copies = base + F.when(u < frac, 1).otherwise(0)
+    out = df.withColumn("__n", n_copies).filter(F.col("__n") > 0)
+    out = out.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("epoch_idx")
+    ).drop("__n")
+    return out.withColumn(
+        "shuffle_key",
+        portable_hash64(
+            F.concat(
+                F.col("epoch_idx").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            ),
+            seed,
+        ),
+    )

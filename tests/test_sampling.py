@@ -187,3 +187,30 @@ def test_leakage_safe_split(spark):
     # deterministic
     again = {r["doc_id"]: r["split"] for r in leakage_safe_split(df).collect()}
     assert again == {r["doc_id"]: r["split"] for r in got}
+
+
+def test_materialize_mixture(spark):
+    import hashlib
+
+    from hfsa_spark.operators.sampling import materialize_mixture
+
+    df = spark.createDataFrame(
+        [(1, 2500000), (2, 1000000), (3, 400000), (4, 0)],
+        "doc_id bigint, repeat_micro bigint",
+    )
+    got = {}
+    for r in materialize_mixture(df).collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch_idx"])
+
+    def extra(doc_id, frac):
+        u = int(hashlib.md5(f"23:{doc_id}".encode()).hexdigest()[:15], 16) % 1000000
+        return 1 if u < frac else 0
+
+    assert sorted(got[1]) == list(range(2 + extra(1, 500000)))
+    assert got[2] == [0]                      # exactly one epoch
+    assert got.get(3, []) == ([0] if extra(3, 400000) else [])
+    assert 4 not in got                       # zero weight → dropped
+    # deterministic reshuffle keys: distinct per epoch
+    rows = materialize_mixture(df).collect()
+    keys = [(r["doc_id"], r["epoch_idx"], r["shuffle_key"]) for r in rows]
+    assert len({k[2] for k in keys}) == len(keys)
