@@ -2697,12 +2697,13 @@ def _qnum(name: str) -> int:
 
 def _rotated_order(names: list[str]) -> list[str]:
     graded = _graded_names()
-    # never-graded queries jump the queue, newest first — each round the
-    # window takes as many as fit, the graded set grows, and within a
-    # couple of rounds every family has driver-verified rows
+    # never-graded queries jump the queue, OLDEST first (FIFO): the
+    # longest-waiting families get driver-verified rows before this
+    # round's additions — each round the window drains ~30 more and the
+    # graded set grows until every family has driver rows
     fresh = sorted(
         (n for n in names if n not in _SENTINELS and n not in graded),
-        key=lambda n: -_qnum(n),
+        key=_qnum,
     )
     rest = [n for n in names if n not in _SENTINELS and n in graded]
     pool_new = [n for n in rest if _qnum(n) > 50]
