@@ -2464,6 +2464,28 @@ def q147_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split over real MinHash-LSH pair evidence:
+    component-keyed hashing so fuzzy variants never straddle train/test.
+    Iterative CC → no oracle entry (rows-only gate); the grouping and
+    content-keying invariants are pinned by pytest."""
+    from hfsa_spark.operators.dedup import minhash_lsh_candidates, minhash_signature
+    from hfsa_spark.operators.sampling import neardup_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = minhash_lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    out = neardup_safe_split(d, pairs)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("component").alias("n_components"),
+        )
+        .orderBy("split")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2868,6 +2890,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_chat_dedup": q145_chat_dedup,
         "q146_collocations": q146_collocations,
         "q147_materialize_mixture": q147_materialize_mixture,
+        "q148_neardup_safe_split": q148_neardup_safe_split,
     }
 
 

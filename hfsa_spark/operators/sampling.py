@@ -459,3 +459,45 @@ def materialize_mixture(
             seed,
         ),
     )
+
+
+def neardup_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """The near-dup upgrade of :func:`leakage_safe_split`: given pairwise
+    near-duplicate evidence (MinHash-LSH / SimHash / embedding pairs as
+    (id_a, id_b)), group docs into connected components and key the
+    split hash on the COMPONENT — so not only exact copies but fuzzy
+    variants of a document land on the same side of the train/test
+    boundary (near-dup train/test contamination is the one naive splits
+    can't see).
+
+    The split key is the component's minimum member CONTENT DIGEST (not
+    the min id), so re-ingesting the same corpus with renumbered ids
+    reproduces the same split. Returns rows + ``component`` + ``split``.
+
+    Scale: components via the O(diameter)-round min-label propagation
+    (dedup.connected_components); the key derivation is one groupBy over
+    (component → min digest); everything else is map-only.
+    """
+    from hfsa_spark.functions.hashing import portable_hash_hex
+    from hfsa_spark.operators.dedup import connected_components, normalize_text
+
+    w = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    comp = connected_components(
+        df.select(F.col(id_col).alias("id")), pairs, id_col="id"
+    ).select(F.col("id").alias(id_col), F.col("group_id").alias("component"))
+    hashed = df.join(comp, id_col).withColumn(
+        "__digest", portable_hash_hex(normalize_text(text_col))
+    )
+    keys = hashed.groupBy("component").agg(F.min("__digest").alias("__key"))
+    return (
+        hashed.join(keys, "component")
+        .withColumn("split", split_column("__key", w, salt=salt))
+        .drop("__digest", "__key")
+    )

@@ -214,3 +214,30 @@ def test_materialize_mixture(spark):
     rows = materialize_mixture(df).collect()
     keys = [(r["doc_id"], r["epoch_idx"], r["shuffle_key"]) for r in rows]
     assert len({k[2] for k in keys}) == len(keys)
+
+
+def test_neardup_safe_split(spark):
+    from hfsa_spark.operators.sampling import neardup_safe_split
+
+    # docs 1-2-3 chained near-dups (different texts!), 4-5 a pair, 6 alone
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(1, 7)],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    got = neardup_safe_split(docs, pairs).collect()
+    comp = {r["doc_id"]: r["component"] for r in got}
+    split = {r["doc_id"]: r["split"] for r in got}
+    assert comp[1] == comp[2] == comp[3] != comp[4]
+    assert comp[4] == comp[5] != comp[6]
+    # the leakage property: a whole component shares one split
+    assert split[1] == split[2] == split[3]
+    assert split[4] == split[5]
+    # content-keyed: renumbering ids preserves the assignment of doc text
+    docs2 = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    pairs2 = pairs.selectExpr("id_a + 100 as id_a", "id_b + 100 as id_b")
+    split2 = {r["text"]: r["split"]
+              for r in neardup_safe_split(docs2, pairs2).collect()}
+    assert all(split2[f"document body {i}"] == split[i] for i in range(1, 7))
