@@ -232,3 +232,35 @@ def skew_audit(
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top_k)
     )
+
+
+def observe_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    name: str = "quality",
+):
+    """Attach zero-cost runtime quality counters to a corpus scan — the
+    observability hook a production pipeline wires into every stage:
+    row count, empty-text count, and total characters are computed BY
+    THE ACTION ITSELF (Spark ``observe``: accumulator-style, no extra
+    scan, no separate job) and readable from the returned
+    ``Observation`` after any action on the returned DataFrame.
+
+    Returns ``(df_with_observation, observation)``;
+    ``observation.get`` → {'n_rows', 'n_empty', 'n_chars'}. Works the
+    same under batch and foreachBatch micro-batches (use a fresh
+    observation per batch).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.length(F.trim(F.col(text_col))) == 0).cast("long")
+        ).alias("n_empty"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("n_chars"),
+    )
+    return out, obs

@@ -207,3 +207,19 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # and the result is correct (5 nations in region 0)
     assert q.collect()[0]["s"] is not None
+
+
+def test_observe_quality(spark):
+    """Observation metrics come from the SAME job as the action — no
+    second scan — and report the exact counters."""
+    from hfsa_spark.plans import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "   "), (3, "abc def")], "doc_id bigint, text string"
+    )
+    out, obs = observe_quality(df)
+    assert out.count() == 3
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_empty"] == 1
+    assert got["n_chars"] == 5 + 3 + 7
