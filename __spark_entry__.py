@@ -2486,6 +2486,16 @@ def q148_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy counts per event type (deterministic Laplace draw from
+    the portable hash — same release twice = same numbers); the oracle
+    replays the inverse-CDF transform exactly."""
+    from hfsa_spark.operators.sketches import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", epsilon_milli=500)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2891,6 +2901,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_collocations": q146_collocations,
         "q147_materialize_mixture": q147_materialize_mixture,
         "q148_neardup_safe_split": q148_neardup_safe_split,
+        "q149_dp_counts": q149_dp_counts,
     }
 
 
@@ -5354,6 +5365,27 @@ def oracle_sql() -> dict[str, str]:
                SUM(n_copies)::BIGINT AS n_samples_out,
                (MAX(n_copies) - 1)::INT AS max_epoch
         FROM c WHERE n_copies > 0 GROUP BY source ORDER BY source
+    """
+
+    # q149: identical deterministic Laplace draw (ε = 0.5 → scale 2.0)
+    o["q149_dp_counts"] = f"""
+        WITH per AS (SELECT event_type, COUNT(*)::BIGINT AS n
+                     FROM events GROUP BY event_type),
+        d AS (SELECT event_type, n,
+                     ({_h64("event_type", 41)}::DOUBLE
+                      / 1152921504606846976.0) - 0.5 AS u
+              FROM per),
+        z AS (SELECT event_type, n, u,
+                     -2.0 * LN(1.0 - 2.0 * ABS(u)) AS mag
+              FROM d),
+        y AS (SELECT event_type, n,
+                     FLOOR((n::DOUBLE + (CASE WHEN u < 0 THEN -mag ELSE mag END))
+                           * 1000000.0)::BIGINT AS noisy_micro
+              FROM z)
+        SELECT event_type, n, noisy_micro,
+               GREATEST(ROUND(noisy_micro::DOUBLE / 1000000.0)::BIGINT, 0)
+                   AS released
+        FROM y ORDER BY event_type
     """
 
     return o

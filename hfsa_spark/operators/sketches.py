@@ -316,3 +316,45 @@ def daily_distinct_rollup(
         )
         .orderBy("day")
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon_milli: int = 1000,
+    seed: int = 41,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism —
+    the release-safe aggregate for user-facing dashboards: true count +
+    Laplace(1/ε) noise (sensitivity 1 for counting queries).
+
+    Reproducibility twist: the noise draw is DETERMINISTIC — uniform
+    u ∈ (−½,½) from the portable hash of (seed, group), transformed by
+    the Laplace inverse CDF, noise = −(1/ε)·sgn(u)·ln(1−2|u|) — so a
+    re-release of the same table publishes the same numbers (fresh noise
+    per release would leak by averaging; fixing the draw per (seed,
+    group) is the standard 'noise reuse' defense). ε arrives in
+    milli-units; output ``noisy_micro = floor((n + noise)·1e6)`` plus
+    the clamped-to-zero ``released`` count.
+
+    Scale: one map-combinable groupBy; the noise is one hash + one log
+    per GROUP row. Note: a real DP deployment also bounds user
+    contribution upstream; this operator implements the mechanism.
+    """
+    from hfsa_spark.functions.hashing import portable_hash64
+
+    eps = epsilon_milli / 1000.0
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    h = portable_hash64(F.col(group_col).cast("string"), seed)
+    u = (h.cast("double") / float(1 << 60)) - 0.5  # (−½, ½)
+    mag = -(1.0 / eps) * F.log(1.0 - 2.0 * F.abs(u))
+    noise = F.when(u < 0, -mag).otherwise(mag)
+    noisy_micro = F.floor((F.col("n").cast("double") + noise) * 1000000.0).cast("long")
+    return per.select(
+        group_col,
+        "n",
+        noisy_micro.alias("noisy_micro"),
+        F.greatest(
+            F.round(noisy_micro.cast("double") / 1000000.0).cast("long"), F.lit(0)
+        ).alias("released"),
+    ).orderBy(group_col)

@@ -204,3 +204,31 @@ def test_daily_distinct_rollup(spark):
     # HLL at lg_k=14 on tiny sets is exact-ish; bound asserts it
     assert all(r["within_bound"] for r in got.values())
     assert d2["w_est"] != d2["d1_exact"] + d1["d1_exact"]  # union ≠ sum
+
+
+def test_dp_noisy_counts(spark):
+    import hashlib
+    import math
+
+    from hfsa_spark.operators.sketches import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 10, "g string"
+    )
+    got = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon_milli=500).collect()}
+
+    def expected(g, n):
+        h = int(hashlib.md5(f"41:{g}".encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60) - 0.5
+        mag = -2.0 * math.log(1.0 - 2.0 * abs(u))
+        noise = -mag if u < 0 else mag
+        return math.floor((n + noise) * 1e6)
+
+    assert got["a"]["noisy_micro"] == expected("a", 100)
+    assert got["b"]["noisy_micro"] == expected("b", 10)
+    # released counts are clamped and integral
+    assert got["a"]["released"] >= 0
+    # deterministic across runs (noise-reuse defense)
+    again = {r["g"]: r["noisy_micro"]
+             for r in dp_noisy_counts(df, "g", epsilon_milli=500).collect()}
+    assert again == {g: r["noisy_micro"] for g, r in got.items()}
