@@ -2496,6 +2496,20 @@ def q149_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(ev, "event_type", epsilon_milli=500)
 
 
+def q150_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard manifest (whole docs, cumsum-before shard
+    ids) summarized per shard — the oracle replays the window."""
+    from hfsa_spark.operators.packing import token_budget_shards
+
+    d = _t(spark, sf_dir, "documents")
+    m = token_budget_shards(d, tokens_per_shard=4096)
+    return (
+        m.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("shard_id")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2902,6 +2916,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_materialize_mixture": q147_materialize_mixture,
         "q148_neardup_safe_split": q148_neardup_safe_split,
         "q149_dp_counts": q149_dp_counts,
+        "q150_token_shards": q150_token_shards,
     }
 
 
@@ -5386,6 +5401,21 @@ def oracle_sql() -> dict[str, str]:
                GREATEST(ROUND(noisy_micro::DOUBLE / 1000000.0)::BIGINT, 0)
                    AS released
         FROM y ORDER BY event_type
+    """
+
+    # q150: identical cumsum-before window and floor shard assignment
+    o["q150_token_shards"] = f"""
+        WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+                   FROM documents),
+        m AS (SELECT doc_id, n_tokens,
+                     FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)::DOUBLE
+                           / 4096)::INT AS shard_id
+              FROM t)
+        SELECT shard_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS n_tokens
+        FROM m GROUP BY shard_id ORDER BY shard_id
     """
 
     return o

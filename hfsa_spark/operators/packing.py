@@ -158,3 +158,38 @@ def length_bucket_batches(
         F.max(length_col).over(wb).alias("batch_max_len"),
         (F.max(length_col).over(wb) - F.col(length_col)).alias("pad_tokens"),
     )
+
+
+def token_budget_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_shard: int = 4096,
+) -> DataFrame:
+    """Assign documents to export shards so each shard carries roughly
+    ``tokens_per_shard`` tokens — the manifest step before a sharded
+    JSONL/WebDataset write when shards must be SIZE-balanced in tokens,
+    not in documents (downstream training reads shards round-robin, so a
+    fat shard = a straggler).
+
+    Deterministic: docs in ``id_col`` order, shard = floor((cumulative
+    tokens BEFORE this doc) / budget) — a document lands wholly in one
+    shard (never split), shards can overshoot by at most one document.
+    Returns (id, n_tokens, shard_id); feed the pairs to
+    ``sinks.jsonl.write_jsonl_shards``-style writers partitioned by
+    ``shard_id``.
+
+    Scale note: the running sum is a single total-order window — fine
+    for manifests up to ~10⁸ docs; beyond that run it per top-level
+    shard key (e.g. source) and offset shard ids per group.
+    """
+    from hfsa_spark.operators.text import token_count
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    toks = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.withColumn(
+        "shard_id", F.floor(cum_before / tokens_per_shard).cast("int")
+    )

@@ -86,3 +86,15 @@ def test_length_bucket_batches(spark):
     assert got[0]["pad_tokens"] == 0  # alone in its batch
     # overflow bucket pads 200 against 500
     assert got[6]["batch_max_len"] == 500 and got[6]["pad_tokens"] == 300
+
+
+def test_token_budget_shards(spark):
+    from hfsa_spark.operators.packing import token_budget_shards
+
+    # tokens: 3, 4, 5, 6 with budget 7 → cum-before 0,3,7,12 →
+    # shards 0,0,1,1
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 4, 5, 6])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["shard_id"]
+           for r in token_budget_shards(df, tokens_per_shard=7).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
