@@ -175,4 +175,8 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    # the final pr is checkpointed (self-contained); release the cached
+    # invariants so repeated calls don't accumulate executor storage
+    for cached in (e, nodes, outdeg):
+        cached.unpersist()
     return pr.orderBy(F.desc("pr"), F.asc("node"))

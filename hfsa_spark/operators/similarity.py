@@ -1606,9 +1606,16 @@ def retrieval_eval(
     label_counts = corpus.groupBy(F.col(label_col).alias("query_label")).agg(
         F.count(F.lit(1)).alias("label_n")
     )
-    # exclude the query itself from its own relevant set
-    n_rel = q_side.join(label_counts, "query_label").select(
-        "query_id", "query_label", (F.col("label_n") - 1).alias("n_relevant")
+    # exclude the query itself from its own relevant set; a query whose
+    # label is absent from the corpus keeps a row (n_relevant = 0 after
+    # the self-exclusion would go negative — clamp via the coalesce)
+    n_rel = q_side.join(label_counts, "query_label", "left").select(
+        "query_id",
+        "query_label",
+        F.greatest(
+            F.coalesce(F.col("label_n"), F.lit(1).cast("long")) - 1,
+            F.lit(0).cast("long"),
+        ).alias("n_relevant"),
     )
 
     per_q = (
@@ -1808,7 +1815,6 @@ def maxsim_topk(
     Returns (query_id, group, maxsim, rank).
     """
     q_rows = queries.select(id_col, vec_col).collect()
-    out = None
     base = chunks.select(
         F.col(group_col).alias("grp"),
         F.col(vec_col).alias("vec"),

@@ -186,6 +186,8 @@ def count_min_estimate(
     """
     from hfsa_spark.functions.hashing import portable_hash64
 
+    if not probes:
+        raise ValueError("probes must be a non-empty list of values to estimate")
     v = F.col(value_col).cast("string")
     pairs = F.array(
         *[
