@@ -4683,6 +4683,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q112: same integer model — bucket = h64('7:'||tok) % 64, weight = b%17-8
+    # LEFT JOIN back to documents: a zero-token document has no unnested
+    # rows (so no scored row) but the Spark side still emits it with
+    # n_tokens=0, null logit_micro, keep=false — keep the oracle aligned.
     o["q112_classifier_scores"] = f"""
         WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
         scored AS (
@@ -4690,11 +4693,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_tokens,
                    SUM(({_h64("tok", 7)} % 64) % 17 - 8)::BIGINT AS logit_num
             FROM toks GROUP BY doc_id)
-        SELECT doc_id, n_tokens, logit_num,
-               FLOOR(logit_num::DOUBLE * 1000000.0 / n_tokens::DOUBLE)::BIGINT
-                   AS logit_micro,
-               FLOOR(logit_num::DOUBLE * 1000000.0 / n_tokens::DOUBLE) >= 0 AS keep
-        FROM scored ORDER BY doc_id
+        SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens,
+               COALESCE(s.logit_num, 0)::BIGINT AS logit_num,
+               CASE WHEN s.n_tokens > 0 THEN
+                   FLOOR(s.logit_num::DOUBLE * 1000000.0 / s.n_tokens::DOUBLE)::BIGINT
+               END AS logit_micro,
+               COALESCE(FLOOR(s.logit_num::DOUBLE * 1000000.0
+                              / s.n_tokens::DOUBLE) >= 0, false) AS keep
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
     """
 
     # q113: full exact cosine ranking (q111's scorer), relevance = same label,

@@ -103,7 +103,7 @@ def _bench_report_suite(spark, timings: dict[str, float]) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    only = set(sys.argv[1:])
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
     spark = get_spark("hfsa_bench")
 
     qs = entrymod.queries()
@@ -160,15 +160,37 @@ def main() -> None:
         if steal0 >= 0 and jif1 > jif0
         else None
     )
+    # Per-family means so the cross-round comparison stays apples-to-apples:
+    # streaming-lifecycle gates (q93/q94 run a REAL Structured-Streaming
+    # start→drain→stop cycle, ~10× a median batch query) and the 210k-inode
+    # report suite would otherwise inflate the batch mean as more land.
+    # Cross-round comparisons use families.batch.mean (rule in BASELINE.md).
+    STREAMING_LIFECYCLE = {"q93_streaming_dedup", "q94_interval_join"}
+    fams: dict[str, list[float]] = {"batch": [], "streaming_lifecycle": [], "reports": []}
+    for k, v in timings.items():
+        if k == "extract_210k":
+            continue
+        if k in STREAMING_LIFECYCLE:
+            fams["streaming_lifecycle"].append(v)
+        elif k.startswith("report_"):
+            fams["reports"].append(v)
+        else:
+            fams["batch"].append(v)
+    families = {
+        fam: {"n": len(vs), "total": round(sum(vs), 4),
+              "mean": round(sum(vs) / len(vs), 4)}
+        for fam, vs in fams.items() if vs
+    }
     result = {
         "metric": "suite_wall",
         "value": total,
         "unit": "sec",
         # the suite GROWS across rounds as operators are added —
-        # compare mean_per_query (or per-query values) across
+        # compare families.batch.mean (or per-query values) across
         # rounds, not raw suite_wall
         "n_queries": n,
         "mean_per_query": round(total / max(n, 1), 4),
+        "families": families,
         "steal_pct": steal_pct,  # host CPU-steal share during the timed runs
         "queries": timings,
         "sf": _sf_of(sf_dir),
@@ -176,11 +198,16 @@ def main() -> None:
     # Durable full-name record (the driver's stdout capture keeps only the
     # last 2000 chars; both BENCH_r01 and BENCH_r02 ended up parsed:null
     # because the full-name queries dict alone exceeds that window).
-    # Partial (`bench.py qNN ...`) runs must not clobber the round artifact.
+    # Default target is the UNCOMMITTED scratch file BENCH_RUN.json so a
+    # driver/ad-hoc run never dirties the tree; the committed round record
+    # BENCH_LOCAL.json is written only under an explicit --record flag.
+    # Partial (`bench.py qNN ...`) runs must not clobber either artifact.
     if not only:
+        record = os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1" or "--record" in sys.argv
+        out_name = "BENCH_LOCAL.json" if record else "BENCH_RUN.json"
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_LOCAL.json"), "w") as fh:
+                                   out_name), "w") as fh:
                 json.dump(result, fh)
         except OSError:
             pass

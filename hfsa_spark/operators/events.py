@@ -179,6 +179,7 @@ def ewma_smooth(
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     horizon: int = 8,
     spike_cents: int = 20000,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Per-key EWMA smoothing + spike flags over an ordered event stream —
     the metric-smoothing / anomaly-gate primitive for telemetry and
@@ -208,8 +209,12 @@ def ewma_smooth(
         num = num + F.coalesce(lagged * wt, F.lit(0))
         den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0)
     smooth = F.floor(num.cast("double") / den.cast("double")).cast("long")
+    # the output id column follows order_cols (its last entry is the
+    # per-key tiebreaker/event id) unless overridden — matching the
+    # stateful_ewma twin's signature rather than hardcoding "event_id"
+    out_id = id_col if id_col is not None else order_cols[-1]
     return df.select(
-        "event_id",
+        out_id,
         key_col,
         "cents",
         smooth.alias("smooth_cents"),

@@ -1606,16 +1606,29 @@ def retrieval_eval(
     label_counts = corpus.groupBy(F.col(label_col).alias("query_label")).agg(
         F.count(F.lit(1)).alias("label_n")
     )
-    # exclude the query itself from its own relevant set; a query whose
-    # label is absent from the corpus keeps a row (n_relevant = 0 after
-    # the self-exclusion would go negative — clamp via the coalesce)
-    n_rel = q_side.join(label_counts, "query_label", "left").select(
-        "query_id",
-        "query_label",
-        F.greatest(
-            F.coalesce(F.col("label_n"), F.lit(1).cast("long")) - 1,
-            F.lit(0).cast("long"),
-        ).alias("n_relevant"),
+    # exclude the query itself from its own relevant set ONLY when the
+    # query id actually exists in the corpus — exact_topk_arrow only
+    # drops a self-match for in-corpus ids, so an external query (id not
+    # in the corpus) competes against the full label_n rows and must not
+    # lose the -1. A query whose label is absent keeps a row with
+    # n_relevant = 0 (coalesce + greatest clamp).
+    corpus_ids = corpus.select(F.col(id_col).alias("query_id")).distinct().withColumn(
+        "in_corpus", F.lit(True)
+    )
+    n_rel = (
+        q_side.join(label_counts, "query_label", "left")
+        .join(corpus_ids, "query_id", "left")
+        .select(
+            "query_id",
+            "query_label",
+            F.greatest(
+                F.coalesce(F.col("label_n"), F.lit(0).cast("long"))
+                - F.when(F.coalesce(F.col("in_corpus"), F.lit(False)), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("n_relevant"),
+        )
     )
 
     per_q = (

@@ -278,7 +278,13 @@ def daily_distinct_rollup(
         F.hll_sketch_agg("v", F.lit(lg_k)).alias("sketch"),
         F.count_distinct(F.col("v")).alias("d1_exact"),
     )
-    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    # range frame on epoch DAYS, not a row frame: with missing days a
+    # rowsBetween over the last N PRESENT rows would widen the window
+    # beyond N calendar days and diverge from the exact audit path below
+    # (which is calendar-day via date_sub) — both paths must share
+    # "trailing window_days CALENDAR days" semantics.
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    w = Window.orderBy(day_num).rangeBetween(-(window_days - 1), 0)
     framed = per_day.withColumn("sketches", F.collect_list("sketch").over(w))
     unioned = (
         framed.select("day", "d1_exact", "sketch", F.explode("sketches").alias("s"))

@@ -30,14 +30,18 @@ def write_jsonl_shards(
 ) -> list[str]:
     """Write ``df`` as ``part-{i:05d}.jsonl`` shards under ``out_dir``.
 
-    Rows are hash-distributed across ``n_shards`` by Spark's repartition;
-    within a shard, rows are sorted by ``order_col`` (pass None to skip)
-    so re-exports of identical data produce identical files. Returns the
-    shard paths."""
+    When ``order_col`` is given, rows are HASH-distributed across
+    ``n_shards`` on that column (``repartition(n, col)``) and sorted by
+    it within each shard, so shard membership depends only on the data —
+    re-exports of identical data produce identical files regardless of
+    upstream partitioning. With ``order_col=None`` the split is
+    round-robin and NOT deterministic across different input layouts.
+    Returns the shard paths."""
     staging = out_dir + "__stage"
-    part = df.repartition(n_shards)
     if order_col is not None:
-        part = part.sortWithinPartitions(order_col)
+        part = df.repartition(n_shards, order_col).sortWithinPartitions(order_col)
+    else:
+        part = df.repartition(n_shards)
     part.write.mode("overwrite").json(staging)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
