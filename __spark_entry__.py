@@ -2510,6 +2510,42 @@ def q150_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN approximation QUALITY as a gated value: recall@10 of the IVF
+    path (deterministic vec_id%25 seed centroids, 2-list probe) against
+    an in-query brute-force twin (exact_topk_arrow — the Arrow/BLAS
+    production kernel), per query as exact integers. Both rankings are
+    tie-broken on neighbor_id asc, so hits-per-query is deterministic and
+    the oracle replays BOTH sides in SQL and intersects them — the driver
+    now sees approximation quality, not just ranking determinism (the
+    recall FLOOR lives in tests/test_ann_recall.py on a 100k corpus)."""
+    from hfsa_spark.operators.similarity import exact_topk_arrow, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 97 == 3)
+    approx = ivf_topk(emb, qs, k=10, n_probe=2, centroid_stride=25).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact_topk_arrow(emb, qs, k=10).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    qid = qs.select(F.col("vec_id").alias("query_id"))
+    return (
+        qid.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits_at_10"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 100000).cast("long").alias(
+                "recall_at_10_micro"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2917,6 +2953,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_neardup_safe_split": q148_neardup_safe_split,
         "q149_dp_counts": q149_dp_counts,
         "q150_token_shards": q150_token_shards,
+        "q151_ann_recall": q151_ann_recall,
     }
 
 
@@ -5424,6 +5461,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard_id, COUNT(*)::BIGINT AS n_docs,
                SUM(n_tokens)::BIGINT AS n_tokens
         FROM m GROUP BY shard_id ORDER BY shard_id
+    """
+
+    # q151: replay BOTH rankings — the q39 IVF pipeline (same centroids,
+    # same 2-list probe, same tie-breaks) and the brute-force exact top-10
+    # — then count their per-query intersection. hits_at_10 is an exact
+    # integer on both engines because every ranking tie breaks on
+    # neighbor_id asc.
+    o["q151_ann_recall"] = f"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id % 25 = 0),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id % 97 = 3),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c),
+        lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        probe AS (
+            SELECT query_id, qv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_cos('qv', 'cv')} DESC, cid ASC) AS rn
+            FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, qv, cid FROM probe WHERE rn <= 2),
+        ivf AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, l.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                        ORDER BY {_cos('l.embedding', 'p.qv')} DESC,
+                                 l.vec_id ASC) AS rank
+            FROM lists l JOIN probes p ON l.cid = p.cid
+            WHERE l.vec_id <> p.query_id) t WHERE rank <= 10),
+        bf AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                                 e.vec_id ASC) AS rank
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id) t WHERE rank <= 10),
+        hit AS (SELECT i.query_id, COUNT(*)::BIGINT AS h
+                FROM ivf i JOIN bf b
+                  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+                GROUP BY i.query_id)
+        SELECT q.query_id,
+               COALESCE(h.h, 0)::BIGINT AS hits_at_10,
+               (COALESCE(h.h, 0) * 100000)::BIGINT AS recall_at_10_micro
+        FROM q LEFT JOIN hit h ON q.query_id = h.query_id
+        ORDER BY q.query_id
     """
 
     return o
