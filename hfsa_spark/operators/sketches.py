@@ -154,6 +154,55 @@ def approx_quantile_report(
     )
 
 
+def _count_min_matrix_arrow(
+    df: DataFrame, value_col: str, depth: int, width: int, seed: int
+) -> DataFrame:
+    """Arrow kernel twin of the expression matrix build: per batch,
+    ``value_counts`` compresses to DISTINCT values, each hashed once per
+    depth row with C-speed hashlib (memoized across batches per executor)
+    — vs the expression path's depth× md5 per INPUT ROW — and the shuffle
+    carries (row, bucket, partial) triples bounded by depth × distinct-
+    per-batch instead of depth × rows. Identical counters
+    (equivalence-tested)."""
+    import hashlib
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cache: dict[str, list[int]] = {}
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows: list[int] = []
+            buckets: list[int] = []
+            cnts: list[int] = []
+            for val, cnt in batch["__v"].value_counts().items():
+                bks = cache.get(val)
+                if bks is None:
+                    bks = [
+                        int(
+                            hashlib.md5(
+                                f"{seed * 1000 + j}:{val}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % width
+                        for j in range(depth)
+                    ]
+                    cache[val] = bks
+                for j in range(depth):
+                    rows.append(j)
+                    buckets.append(bks[j])
+                    cnts.append(int(cnt))
+            yield pd.DataFrame({"row": rows, "bucket": buckets, "cnt": cnts})
+
+    partials = df.select(
+        F.col(value_col).cast("string").alias("__v")
+    ).mapInPandas(run, schema="row int, bucket bigint, cnt bigint")
+    return partials.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def count_min_estimate(
     df: DataFrame,
     value_col: str,
@@ -162,6 +211,7 @@ def count_min_estimate(
     width: int = 256,
     seed: int = 31,
     with_exact: bool = True,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Count-Min sketch frequency estimates — the point-query complement
     of :func:`frequent_items` (Misra-Gries finds WHICH items are heavy;
@@ -183,27 +233,36 @@ def count_min_estimate(
     carries ≤ depth·width rows per partition regardless of input size;
     probes join the (≤ depth·width)-row matrix via broadcast. The matrix
     is reusable: persist it once, answer any probe stream forever.
+    ``kernel='arrow'`` swaps the matrix build for the Arrow kernel
+    (:func:`_count_min_matrix_arrow`): one md5 per DISTINCT value per
+    batch instead of per row — same counters, equivalence-tested; the
+    gate keeps ``'expr'`` for oracle bit-exactness.
     """
     from hfsa_spark.functions.hashing import portable_hash64
 
     if not probes:
         raise ValueError("probes must be a non-empty list of values to estimate")
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"kernel must be 'expr' or 'arrow', got {kernel!r}")
     v = F.col(value_col).cast("string")
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("row"),
-                (portable_hash64(v, seed * 1000 + j) % width).alias("bucket"),
-            )
-            for j in range(depth)
-        ]
-    )
-    matrix = (
-        df.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if kernel == "arrow":
+        matrix = _count_min_matrix_arrow(df, value_col, depth, width, seed)
+    else:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (portable_hash64(v, seed * 1000 + j) % width).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+        matrix = (
+            df.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
 
     import hashlib
 

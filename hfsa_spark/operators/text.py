@@ -544,6 +544,91 @@ def hashed_linear_score(
     )
 
 
+def _py_tokens(text: str | None) -> list[str]:
+    """Python twin of :func:`tokens` (Java-regex semantics: ``\\s`` without
+    UNICODE_CHARACTER_CLASS is the ASCII class ``[ \\t\\n\\x0B\\f\\r]``;
+    empties dropped, so Spark's leading ``trim`` is immaterial). ASCII
+    parity with Java ``toLowerCase`` — the corpora these twins score are
+    byte-level ASCII after normalization; the equivalence pytest pins it."""
+    import re
+
+    if text is None:
+        return []
+    return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.lower()) if t]
+
+
+def hashed_linear_score_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Arrow kernel twin of :func:`hashed_linear_score` — identical output
+    (equivalence-tested), built for throughput: the expression path's
+    ``F.aggregate`` lambda is interpreted per TOKEN OCCURRENCE (Spark
+    higher-order functions don't codegen the lambda body, so every token
+    pays an interpreted md5 → conv → mod chain); this twin hashes each
+    distinct token ONCE per executor (memoized dict, C-speed hashlib.md5)
+    and scores occurrences by dictionary lookup. Same map-only posture —
+    no explode, no shuffle; the gate keeps the expression path for oracle
+    bit-exactness."""
+    import hashlib
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    pre = f"{seed}:".encode()
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cache: dict[str, int] = {}
+        for batch in batches:
+            if not len(batch):
+                continue
+            n_tok, logits = [], []
+            for text in batch[text_col]:
+                if text is None:
+                    # expression-path parity: split(NULL) is NULL, so both
+                    # n_tokens and the aggregate are NULL (not 0)
+                    n_tok.append(None)
+                    logits.append(None)
+                    continue
+                toks = _py_tokens(text)
+                s = 0
+                for tok in toks:
+                    w = cache.get(tok)
+                    if w is None:
+                        h = int(
+                            hashlib.md5(pre + tok.encode()).hexdigest()[:15], 16
+                        )
+                        w = (h % n_buckets) % 17 - 8
+                        cache[tok] = w
+                    s += w
+                n_tok.append(len(toks))
+                logits.append(s)
+            yield pd.DataFrame(
+                {id_col: batch[id_col], "n_tokens": n_tok, "logit_num": logits}
+            )
+
+    scored = df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} bigint, n_tokens bigint, logit_num bigint"
+    )
+    n = F.col("n_tokens")
+    logit_micro = F.when(
+        n > 0,
+        F.floor(F.col("logit_num").cast("double") * 1000000.0 / n.cast("double")).cast(
+            "long"
+        ),
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "logit_num",
+        logit_micro.alias("logit_micro"),
+        F.coalesce(logit_micro >= 0, F.lit(False)).alias("keep"),
+    )
+
+
 def bigram_logprob_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -667,6 +752,146 @@ def char_entropy_profile(
             F.coalesce("n", F.lit(0)).alias("n_chars"),
             F.coalesce("n_distinct_chars", F.lit(0)).alias("n_distinct_chars"),
             F.coalesce("entropy_nano", F.lit(0)).alias("entropy_nano"),
+        )
+    )
+
+
+def char_entropy_profile_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow kernel twin of :func:`char_entropy_profile` — identical
+    integer output (equivalence-tested), MAP-ONLY: the expression path
+    explodes every document to one row per CHARACTER (a billion-row
+    intermediate per GB of text) and shuffles twice; this twin computes
+    each document's histogram and entropy inside the Arrow batch
+    (C-speed ``Counter``) and shuffles NOTHING. Rounding parity: the
+    per-(doc,char) nano-bit term replays Spark's HALF_UP via
+    ``floor(x·1e9 + 0.5)`` on the same float64 math.
+
+    The gate keeps the expression path for oracle bit-exactness; this is
+    the 100 TB production path."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            n_chars, n_distinct, entropy = [], [], []
+            for text in batch[text_col]:
+                if not text:
+                    n_chars.append(0)
+                    n_distinct.append(0)
+                    entropy.append(0)
+                    continue
+                counts = Counter(text)
+                n = len(text)
+                e = 0
+                for c in counts.values():
+                    p = c / n
+                    e += math.floor(-p * math.log2(p) * 1e9 + 0.5)
+                n_chars.append(n)
+                n_distinct.append(len(counts))
+                entropy.append(e)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "n_chars": n_chars,
+                    "n_distinct_chars": n_distinct,
+                    "entropy_nano": entropy,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=f"{id_col} bigint, n_chars bigint, n_distinct_chars bigint,"
+        " entropy_nano bigint",
+    )
+
+
+def bigram_logprob_score_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow kernel twin of :func:`bigram_logprob_score` — identical
+    integer output (equivalence-tested). One Arrow pass tokenizes each
+    batch and emits COMPRESSED partials instead of the expression path's
+    two raw explodes: per-doc bigram counts ``(id, bg, c)`` (repeats
+    collapse) plus each batch's distinct unigrams tagged ``id = -1`` for
+    the vocabulary count (document ids are non-negative). The model join
+    then keys on bigram exactly as before, but the joined side carries
+    one row per DISTINCT (doc, bigram) — repetitive corpora (the ones a
+    repetition filter targets) compress hardest. Partials are persisted
+    for the model/vocab/score fan-out (three consumers, one kernel run)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids: list[int] = []
+            bgs: list[str] = []
+            cs: list[int] = []
+            batch_vocab: set[str] = set()
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                toks = _py_tokens(text)
+                batch_vocab.update(toks)
+                if len(toks) < 2:
+                    continue
+                counts: dict[str, int] = {}
+                for a, b in zip(toks, toks[1:]):
+                    bg = f"{a} {b}"
+                    counts[bg] = counts.get(bg, 0) + 1
+                for bg, c in counts.items():
+                    ids.append(int(doc_id))
+                    bgs.append(bg)
+                    cs.append(c)
+            for term in batch_vocab:
+                ids.append(-1)
+                bgs.append(term)
+                cs.append(0)
+            yield pd.DataFrame({id_col: ids, "bg": bgs, "c": cs})
+
+    parts = (
+        df.select(id_col, text_col)
+        .mapInPandas(run, schema=f"{id_col} bigint, bg string, c bigint")
+        .persist()
+    )
+    doc_bg = parts.filter(F.col(id_col) >= 0)
+    vocab = parts.filter(F.col(id_col) == -1).agg(
+        F.count_distinct("bg").cast("double").alias("__v")
+    )
+    bg_counts = doc_bg.groupBy("bg").agg(F.sum("c").alias("cbg"))
+    hist_counts = (
+        bg_counts.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("head"))
+        .agg(F.sum("cbg").alias("chead"))
+    )
+    model = (
+        bg_counts.withColumn("head", F.substring_index(F.col("bg"), " ", 1))
+        .join(hist_counts, "head")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("cbg").cast("double") + 1.0)
+                    / (F.col("chead").cast("double") + F.col("__v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        doc_bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("logp_micro") * F.col("c")).alias("sum_logp_micro"),
         )
     )
 
