@@ -1794,16 +1794,18 @@ def q106_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full iterative BPE training loop (8 merges) on the documents
-    corpus — inherently iterative, so no single SQL oracle exists
-    (rows-only gate); exactness against an independent pure-Python
-    reference implementation is pinned by tests/test_bpe.py."""
-    from hfsa_spark.operators.bpe import bpe_train
+    corpus, VALUE-gated: the trace emits each winning pair with its
+    count-at-selection, and the oracle replays all 8 iterations in
+    DuckDB (pipe-wrapped symbol strings make `replace()` exactly the
+    trainer's greedy left-to-right merge). Independent-reference
+    exactness additionally pinned by tests/test_bpe.py."""
+    from hfsa_spark.operators.bpe import bpe_train_trace
 
     d = _t(spark, sf_dir, "documents")
-    merges, _ = bpe_train(d, "text", num_merges=8)
+    trace = bpe_train_trace(d, "text", num_merges=8)
     return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string",
+        [(i, a, b, c) for i, (a, b, c) in enumerate(trace)],
+        "rank int, left string, right string, cnt long",
     ).orderBy("rank")
 
 
@@ -2777,6 +2779,14 @@ def _qnum(name: str) -> int:
     return int(re.match(r"q(\d+)", name).group(1))
 
 
+_FRESH_PRIORITY = [
+    # round-5 judge ask: the new ANN-recall quality gate must get its
+    # driver row THIS round — it takes the head of the fresh FIFO (one
+    # slot; the displaced oldest entry drains next round as usual)
+    "q151_ann_recall",
+]
+
+
 def _rotated_order(names: list[str]) -> list[str]:
     graded = _graded_names()
     # never-graded queries jump the queue, OLDEST first (FIFO): the
@@ -2785,7 +2795,7 @@ def _rotated_order(names: list[str]) -> list[str]:
     # graded set grows until every family has driver rows
     fresh = sorted(
         (n for n in names if n not in _SENTINELS and n not in graded),
-        key=_qnum,
+        key=lambda n: (n not in _FRESH_PRIORITY, _qnum(n)),
     )
     rest = [n for n in names if n not in _SENTINELS and n in graded]
     pool_new = [n for n in rest if _qnum(n) > 50]
@@ -4638,8 +4648,55 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cnt DESC, "left" ASC, "right" ASC
         LIMIT 30
     """
-    # q107: iterative training loop — no single-statement SQL equivalent
-    # (rows-only gate; pinned by tests/test_bpe.py vs a reference impl)
+    # q107: FULL replay of the 8-iteration BPE training loop as a
+    # generated CTE chain. Each word rides as a pipe-wrapped symbol
+    # string ('|a||b||</w>|'): every symbol is enclosed in its own
+    # '|...|', so replace(w, '|l||r|', '|lr|') is EXACTLY the trainer's
+    # greedy left-to-right non-overlapping merge (scan resumes after the
+    # replacement, and the wrapped form shares no boundary characters).
+    # Corpus precondition: symbols never contain '|' (true for the
+    # lowercase token fixture + '</w>').
+    def _bpe_merge_oracle(num_merges: int) -> str:
+        parts = [
+            f"""w0 AS (
+            SELECT '|' || array_to_string(string_split(w, '') || ['</w>'], '||')
+                   || '|' AS w, cnt
+            FROM (SELECT w, count(*)::BIGINT AS cnt
+                  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+                  GROUP BY w))"""
+        ]
+        for i in range(num_merges):
+            parts.append(
+                f"""p{i} AS (
+            SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt)::BIGINT AS cnt
+            FROM (SELECT string_split(trim(w, '|'), '||') AS syms, cnt FROM w{i}),
+                 unnest(range(1, len(syms))) AS u(i)
+            GROUP BY 1, 2)"""
+            )
+            parts.append(
+                f"""m{i} AS (
+            SELECT l, r, cnt FROM p{i} WHERE cnt >= 2
+            ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+            )
+            if i < num_merges - 1:
+                parts.append(
+                    f"""w{i + 1} AS (
+            SELECT CASE WHEN m.l IS NULL THEN t.w
+                   ELSE replace(t.w, '|' || m.l || '||' || m.r || '|',
+                                '|' || m.l || m.r || '|') END AS w, t.cnt
+            FROM w{i} t LEFT JOIN m{i} m ON true)"""
+                )
+        union = "\n            UNION ALL ".join(
+            f'SELECT {i}::INTEGER AS rank, l AS "left", r AS "right", cnt FROM m{i}'
+            for i in range(num_merges)
+        )
+        return (
+            "WITH "
+            + ",\n        ".join(parts)
+            + f"\n        SELECT * FROM ({union}) ORDER BY rank"
+        )
+
+    o["q107_bpe_merges"] = _bpe_merge_oracle(8)
 
     # q108: the scene cut is planted at 2 + doc_id mod 4 (always a
     # brightening jump at 25 fps → ts = frame · 40 ms)

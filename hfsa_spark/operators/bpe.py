@@ -119,6 +119,34 @@ def bpe_train(
     return merges, vocab
 
 
+def bpe_train_trace(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    eow: str = EOW,
+) -> list[tuple[str, str, int]]:
+    """:func:`bpe_train` with the training TRACE: the ordered list of
+    (left, right, count-at-selection) — the count each winning pair had
+    when it was merged. The trace is what makes the training loop
+    value-auditable: given the corpus, every (pair, count) step is
+    deterministic, so an independent engine can replay and compare the
+    full trace (the q107 oracle does exactly that in DuckDB)."""
+    vocab = word_vocab(df, text_col, eow).localCheckpoint(eager=True)
+    trace: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+            .take(1)
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        trace.append((left, right, cnt))
+        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=True)
+    return trace
+
+
 def bpe_segment(word: str, ranks: dict[tuple[str, str], int], eow: str = EOW) -> list[str]:
     """Greedy lowest-rank BPE segmentation of one word (the standard
     encoder loop): repeatedly merge the adjacent pair with the smallest
