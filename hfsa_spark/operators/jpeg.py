@@ -1,11 +1,14 @@
 """Dependency-free baseline JPEG codec (ITU-T T.81, public spec).
 
-``decode_jpeg``: baseline sequential 8-bit JPEGs — DQT/DHT/SOF0/SOS/DRI
-marker parse, Huffman entropy decode (byte-stuffing + restart markers),
-dequant + zigzag, matrix-form 8x8 IDCT (numpy), chroma box upsampling for
-subsampled scans, JFIF full-range YCbCr→RGB. Progressive (SOF2),
-arithmetic-coded, hierarchical, and 12-bit variants raise
-NotImplementedError; malformed payloads return None.
+``decode_jpeg``: baseline/extended sequential (8- and 12-bit) and
+progressive (SOF0/SOF1/SOF2) Huffman JPEGs — DQT (8- and 16-bit
+entries)/DHT/SOS/DRI marker parse, Huffman entropy decode (byte-stuffing
++ restart markers), dequant + zigzag, matrix-form 8x8 IDCT (numpy),
+chroma box upsampling for subsampled scans, JFIF full-range YCbCr→RGB;
+12-bit samples downscale to their high 8 bits (the 16-bit-PNG
+convention). Arithmetic-coded and hierarchical processes raise
+NotImplementedError (permanent non-goals, COVERAGE.md); malformed
+payloads return None.
 
 ``encode_jpeg``: the round-trip partner — 4:4:4 (or grayscale) baseline
 encoder with the Annex K example quant (quality-scaled, IJG curve) and
@@ -384,13 +387,19 @@ def decode_jpeg(data: bytes):
             )
         if marker in (0xC0, 0xC1, 0xC2):
             precision, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
-            if precision != 8:
-                raise NotImplementedError("12-bit JPEG not implemented (8-bit only)")
+            # T.81: baseline (C0) is 8-bit only; extended sequential (C1)
+            # and progressive (C2) also allow 12-bit samples
+            if not (precision == 8 or (precision == 12 and marker in (0xC1, 0xC2))):
+                raise NotImplementedError(
+                    f"JPEG sample precision {precision} not implemented"
+                    " (8-bit, or 12-bit extended/progressive)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2,
+                     "precision": precision}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
@@ -410,13 +419,19 @@ def decode_jpeg(data: bytes):
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables not implemented")
+                if pq not in (0, 1):
+                    return None
                 tbl = np.zeros(64)
+                # pq=0: 8-bit entries; pq=1: 16-bit big-endian entries
+                # (the precision 12-bit streams typically use)
                 for i in range(64):
-                    tbl[ZIGZAG[i]] = body[p + 1 + i]
+                    tbl[ZIGZAG[i]] = (
+                        struct.unpack_from(">H", body, p + 1 + 2 * i)[0]
+                        if pq
+                        else body[p + 1 + i]
+                    )
                 qt[tq] = tbl.reshape(8, 8)
-                p += 65
+                p += 129 if pq else 65
         elif marker == 0xC4:
             p = 0
             while p < len(body):
@@ -463,6 +478,11 @@ def decode_jpeg(data: bytes):
 
     comps = frame["comps"]
     w, h, hmax, vmax = frame["w"], frame["h"], frame["hmax"], frame["vmax"]
+    # level shift / clamp scale with sample precision (T.81 A.3.1): the
+    # 12-bit range is 0..4095 centered on 2048; output downscales to the
+    # high 8 bits (same convention as the 16-bit PNG path)
+    prec = frame.get("precision", 8)
+    half, full = float(1 << (prec - 1)), float((1 << prec) - 1)
     m = _dct_matrix()
     planes = []
     for c in comps:
@@ -472,7 +492,7 @@ def decode_jpeg(data: bytes):
         nat = np.zeros_like(c["coef"], dtype=np.float64)
         nat[:, :, ZIGZAG] = c["coef"]
         blocks = nat.reshape(c["bh"], c["bw"], 8, 8) * qt[c["tq"]]
-        px = np.einsum("ij,xyjk,kl->xyil", m.T, blocks, m) + 128.0
+        px = np.einsum("ij,xyjk,kl->xyil", m.T, blocks, m) + half
         p = px.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         if c["h"] < hmax or c["v"] < vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
@@ -483,15 +503,18 @@ def decode_jpeg(data: bytes):
         y, cb, cr = planes
         out = np.stack(
             [
-                y + 1.402 * (cr - 128.0),
-                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                y + 1.772 * (cb - 128.0),
+                y + 1.402 * (cr - half),
+                y - 0.344136 * (cb - half) - 0.714136 * (cr - half),
+                y + 1.772 * (cb - half),
             ],
             axis=2,
         )
     else:
         return None
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    clipped = np.clip(np.round(out), 0, full).astype(np.int64)
+    if prec > 8:
+        clipped >>= prec - 8
+    return clipped.astype(np.uint8)
 
 
 class _BitWriter:
@@ -927,6 +950,131 @@ def encode_jpeg(
     for i in range(nch):
         td, ta = hts[i]
         sos += bytes([i + 1, (td << 4) | ta])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# 12-bit Huffman tables: the Annex K examples only cover 8-bit magnitude
+# categories, so the 12-bit encoder ships flat canonical tables that
+# cover the full T.81 12-bit alphabet — DC SSSS 0..15 (16 codes at 5
+# bits) and AC rs for runs 0..15 × sizes 1..14 plus EOB/ZRL (226 codes
+# at 8 bits; Kraft < 1, all-ones code unassigned). Wasteful but always
+# valid; they ride in the file's DHT segments.
+DC12 = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+AC12 = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | sz for r in range(16) for sz in range(1, 15)],
+)
+
+
+def encode_jpeg12(arr, quality: int = 90) -> bytes:
+    """HxWx{1,3} uint16 array (samples 0..4095) → 12-bit EXTENDED
+    SEQUENTIAL JPEG bytes (SOF1): the high-dynamic-range variant medical
+    and scientific imagery uses. Same DCT/Huffman machinery as
+    :func:`encode_jpeg` with the 12-bit parameters — level shift 2048,
+    quant tables written as 16-bit DQT entries (pq=1), and the
+    full-alphabet 12-bit Huffman tables above — so the round trip
+    exercises the decoder's precision-12 and 16-bit-DQT paths. 4:4:4 /
+    grayscale, no restart markers. decode(encode12(x)) returns uint8
+    (the decoder's high-8-bits convention)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.min() < 0 or a.max() > 4095:
+        raise ValueError("encode_jpeg12 expects samples in 0..4095")
+    h, w, nch = a.shape
+    if nch == 3:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0,
+        ]
+        qts = [0, 1, 1]
+    elif nch == 1:
+        planes = [a[:, :, 0]]
+        qts = [0]
+    else:
+        raise ValueError("encode_jpeg12 expects HxWx1 or HxWx3")
+
+    # Annex K tables quality-scaled then ×16 so quantization error stays
+    # proportionally the same as the 8-bit encoder's (samples are 16×);
+    # entries can exceed 255 → written as pq=1 (16-bit) DQT
+    q0 = _quality_scale(QT_LUMA, quality) * 16
+    q1 = _quality_scale(QT_CHROMA, quality) * 16
+    qtabs = [q0.reshape(8, 8), q1.reshape(8, 8)]
+    m = _dct_matrix()
+    enc_dc = _canonical_codes(*DC12)[1]
+    enc_ac = _canonical_codes(*AC12)[1]
+
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+
+    def encode_block(block, ci: int) -> None:
+        coef = m @ (block - 2048.0) @ m.T
+        qc = np.round(coef / qtabs[qts[ci]]).astype(np.int64)
+        zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s = _category(diff)
+        code, ln = enc_dc[s]
+        writer.write(code, ln)
+        if s:
+            writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = enc_ac[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc_ac[0x00]
+            writer.write(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, plane in enumerate(planes):
+                encode_block(_get_block(plane, my * 8, mx * 8), ci)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, q0), (1, q1))[: (2 if nch == 3 else 1)]:
+        zz16 = b"".join(
+            struct.pack(">H", int(q[ZIGZAG[i]])) for i in range(64)
+        )
+        out += seg(0xDB, bytes([0x10 | tq]) + zz16)
+    sof = struct.pack(">BHHB", 12, h, w, nch)
+    for i in range(nch):
+        sof += bytes([i + 1, 0x11, qts[i]])
+    out += seg(0xC1, sof)
+    for tclass, (bits, vals) in ((0x00, DC12), (0x10, AC12)):
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    sos = bytes([nch])
+    for i in range(nch):
+        sos += bytes([i + 1, 0x00])
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += writer.out

@@ -188,9 +188,11 @@ def parse_wav(data: bytes, return_samples: bool = False) -> dict | None:
 
 def decode_bmp(data: bytes):
     """Full raster decode of an UNCOMPRESSED (BI_RGB) BMP → HxWxC uint8
-    numpy array (top-down row order, channels RGB or grayscale). Returns
-    None for non-BMP or compressed payloads. Public BITMAPFILEHEADER /
-    BITMAPINFOHEADER layout; pure numpy."""
+    numpy array (top-down row order, channels RGB or grayscale): 24/32-bit
+    truecolor plus ALL the indexed depths — 8-bit and the sub-byte 1/4-bit
+    packings (MSB-first within each byte, rows padded to 4-byte
+    boundaries). Returns None for non-BMP or compressed payloads. Public
+    BITMAPFILEHEADER / BITMAPINFOHEADER layout; pure numpy."""
     import numpy as np
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -201,23 +203,32 @@ def decode_bmp(data: bytes):
         return None
     w, h = struct.unpack_from("<ii", data, 18)
     bpp, compression = struct.unpack_from("<HI", data, 28)
-    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32) or w <= 0 or h == 0:
         return None
     top_down = h < 0
     h = abs(h)
-    row_bytes = (w * (bpp // 8) + 3) & ~3  # rows pad to 4-byte boundary
+    row_bytes = ((w * bpp + 31) // 32) * 4  # rows pad to 4-byte boundary
     need = pix_off + row_bytes * h
     if len(data) < need:
         return None
     raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
-    raster = raster.reshape(h, row_bytes)[:, : w * (bpp // 8)]
-    if bpp == 8:
-        # 8-bpp pixels are INDICES into the mandatory RGBQUAD palette that
-        # follows BITMAPINFOHEADER — treating them as literal luma is only
-        # right for the identity grayscale ramp. Map through the palette;
-        # collapse back to 1 channel when the palette is pure grayscale.
+    raster = raster.reshape(h, row_bytes)
+    if bpp <= 8:
+        # indexed pixels are INDICES into the mandatory RGBQUAD palette
+        # that follows BITMAPINFOHEADER — treating them as literal luma is
+        # only right for the identity grayscale ramp. Unpack sub-byte
+        # packings (MSB-first), map through the palette; collapse back to
+        # 1 channel when the palette is pure grayscale.
+        if bpp == 8:
+            idx = raster[:, :w]
+        elif bpp == 4:
+            nibbles = np.stack([raster >> 4, raster & 0x0F], axis=2).reshape(h, -1)
+            idx = nibbles[:, :w]
+        else:  # 1-bit
+            bits = np.unpackbits(raster, axis=1)
+            idx = bits[:, :w]
         (clr_used,) = struct.unpack_from("<I", data, 46)
-        n_colors = clr_used or 256
+        n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if pal_off + 4 * n_colors > len(data):
             return None
@@ -225,9 +236,9 @@ def decode_bmp(data: bytes):
             data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
         ).reshape(n_colors, 4)
         palette = quads[:, 2::-1]  # BGRX -> RGB
-        if raster.max(initial=0) >= n_colors:
+        if idx.max(initial=0) >= n_colors:
             return None
-        mapped = palette[raster.reshape(h, w)]
+        mapped = palette[idx]
         if (palette[:, 0] == palette[:, 1]).all() and (
             palette[:, 1] == palette[:, 2]
         ).all():
@@ -235,7 +246,7 @@ def decode_bmp(data: bytes):
         else:
             arr = mapped
     else:
-        arr = raster.reshape(h, w, bpp // 8)[:, :, 2::-1]  # BGR(A) -> RGB
+        arr = raster[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)[:, :, 2::-1]
     if not top_down:
         arr = arr[::-1]
     return np.ascontiguousarray(arr)
