@@ -1933,9 +1933,11 @@ def q116_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q117_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| initialization over the embeddings table (deterministic
-    hash-seeded draws). Iterative + driver-assisted candidate selection →
-    genuinely non-SQL-expressible, so no oracle entry (rows-only gate);
-    quality and determinism are pinned by tests/test_similarity_ivf.py."""
+    hash-seeded draws), VALUE-gated: every draw is a portable md5 hash,
+    so the oracle replays the whole algorithm — first-center argmin, two
+    oversampling rounds, cell-size weighting, and the k-1 weighted
+    k-means++ picks via cumulative-sum inversion — as a generated CTE
+    chain. Quality floors stay in tests/test_similarity_ivf.py."""
     from hfsa_spark.operators.similarity import kmeans_parallel_init
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2469,8 +2471,9 @@ def q147_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q148_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware split over real MinHash-LSH pair evidence:
     component-keyed hashing so fuzzy variants never straddle train/test.
-    Iterative CC → no oracle entry (rows-only gate); the grouping and
-    content-keying invariants are pinned by pytest."""
+    VALUE-gated: the oracle replays signatures, banded pairs, and the
+    connected-components fixpoint itself via a RECURSIVE transitive-
+    closure CTE — iterative-in-Spark, recursive-in-SQL, same fixpoint."""
     from hfsa_spark.operators.dedup import minhash_lsh_candidates, minhash_signature
     from hfsa_spark.operators.sampling import neardup_safe_split
 
@@ -4889,6 +4892,111 @@ def oracle_sql() -> dict[str, str]:
         FROM per CROSS JOIN tot ORDER BY source
     """
 
+    # q117: FULL replay of k-means|| initialization (Bahmani et al.) —
+    # every "random" draw in the operator is the portable md5 hash of
+    # (seed, tag, id), so the whole algorithm is a deterministic function
+    # of the corpus and replays as a generated CTE chain: hash-argmin
+    # first center; per round d2-to-candidate-set, phi = sum(d2), and the
+    # oversampling filter u(id)·phi < l·d2; candidate weights = nearest-
+    # candidate cell sizes (ties min id); then k-1 weighted k-means++
+    # picks via cumulative-sum inversion in id order (the operator
+    # iterates sorted(d2s), matched by the window cumsum ORDER BY id).
+    # Float parity: d2 is the same sequential per-index fold both sides
+    # (list_sum); phi/tot are reassociated sums — a strict-inequality
+    # flip would need a point within ~1 ulp of its threshold, verified
+    # stable on the fixture at all three scale factors.
+    def _kmeans_par_oracle(k: int, rounds: int, seed: int, l: int) -> str:
+        two60 = float(1 << 60)
+
+        def d2(a: str, b: str) -> str:
+            return (
+                f"list_sum(list_transform(generate_series(1, 64),"
+                f" i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+                f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+            )
+
+        parts = [
+            "emb AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings)",
+            f"""c0 AS MATERIALIZED (SELECT id, v FROM emb
+            ORDER BY {_h64("id::VARCHAR", seed)}, id LIMIT 1)""",
+            "cand0 AS MATERIALIZED (SELECT id, v FROM c0)",
+        ]
+        for r in range(rounds):
+            u = _h64(f"concat('r{r}:', d.id::VARCHAR)", seed)
+            parts.append(
+                f"""d{r} AS MATERIALIZED (
+            SELECT e.id, any_value(e.v) AS v,
+                   MIN({d2('e.v', 'c.v')}) AS d2
+            FROM emb e CROSS JOIN cand{r} c GROUP BY e.id)"""
+            )
+            parts.append(f"phi{r} AS MATERIALIZED (SELECT SUM(d2) AS phi FROM d{r})")
+            # candidate-set members have d2 = 0, so the strict < can never
+            # re-pick them — UNION ALL stays duplicate-free
+            parts.append(
+                f"""cand{r + 1} AS MATERIALIZED (
+            SELECT id, v FROM cand{r}
+            UNION ALL
+            SELECT d.id, d.v FROM d{r} d, phi{r}
+            WHERE ({u}::DOUBLE / {two60!r}) * phi < {float(l)!r} * d.d2)"""
+            )
+        cand = f"cand{rounds}"
+        parts.append(
+            f"""near AS MATERIALIZED (
+            SELECT id, cid FROM (
+                SELECT e.id, c.id AS cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.id
+                            ORDER BY {d2('e.v', 'c.v')} ASC, c.id ASC) AS rn
+                FROM emb e CROSS JOIN {cand} c) t WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""wcand AS MATERIALIZED (
+            SELECT c.id, c.v, COALESCE(w.n, 1)::DOUBLE AS w
+            FROM {cand} c LEFT JOIN (
+                SELECT cid, COUNT(*)::BIGINT AS n FROM near GROUP BY cid) w
+              ON c.id = w.cid)"""
+        )
+        parts.append(
+            f"""pd AS MATERIALIZED (
+            SELECT a.id AS ai, b.id AS bi, {d2('a.v', 'b.v')} AS d2
+            FROM wcand a CROSS JOIN wcand b)"""
+        )
+        parts.append("ch0 AS MATERIALIZED (SELECT id FROM c0)")
+        for n in range(1, k):
+            rtag = _h64(f"'pick{n}'", seed)
+            parts.append(
+                f"""s{n} AS MATERIALIZED (
+            SELECT w.id, MIN(p.d2) * any_value(w.w) AS sc
+            FROM wcand w JOIN pd p ON p.ai = w.id
+            WHERE p.bi IN (SELECT id FROM ch{n - 1})
+              AND w.id NOT IN (SELECT id FROM ch{n - 1})
+            GROUP BY w.id)"""
+            )
+            parts.append(
+                f"""pk{n} AS MATERIALIZED (
+            SELECT id FROM (
+                SELECT id, SUM(sc) OVER (ORDER BY id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                       (SELECT ({rtag}::DOUBLE / {two60!r}) * SUM(sc)
+                        FROM s{n}) AS r
+                FROM s{n}) t
+            WHERE cum >= r ORDER BY id LIMIT 1)"""
+            )
+            parts.append(
+                f"""ch{n} AS MATERIALIZED (SELECT id FROM ch{n - 1}
+            UNION ALL SELECT id FROM pk{n})"""
+            )
+        union = "\n            UNION ALL ".join(
+            ["SELECT 0::BIGINT AS centroid_id, id AS src_vec_id FROM c0"]
+            + [f"SELECT {n}::BIGINT, id FROM pk{n}" for n in range(1, k)]
+        )
+        return (
+            "WITH "
+            + ",\n        ".join(parts)
+            + f"\n        SELECT * FROM ({union}) ORDER BY centroid_id"
+        )
+
+    o["q117_kmeans_parallel_init"] = _kmeans_par_oracle(8, 2, 11, 16)
+
     # q118: same add-one bigram model, log taken once per distinct bigram
     o["q118_bigram_logprob"] = f"""
         WITH tl AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -5482,6 +5590,73 @@ def oracle_sql() -> dict[str, str]:
                SUM(n_copies)::BIGINT AS n_samples_out,
                (MAX(n_copies) - 1)::INT AS max_epoch
         FROM c WHERE n_copies > 0 GROUP BY source ORDER BY source
+    """
+
+    # q148: FULL replay — MinHash signatures (8 seeded hashes), banded
+    # LSH pairs (4 bands × 2 rows, max_bucket 1000), connected components
+    # via a RECURSIVE transitive-closure CTE (min reachable id — exactly
+    # connected_components' min-label fixpoint; the closure is
+    # O(Σ component²) rows, fine at gate scale), then the component-min-
+    # digest split keys. Iterative-in-Spark ≠ non-SQL-expressible:
+    # recursion is the SQL spelling of the same fixpoint.
+    _S148 = 1 << 60
+    _cum148 = 0.0
+    _cum148 += 0.8
+    _t148_train = int(_cum148 * _S148)
+    _cum148 += 0.1
+    _t148_val = int(_cum148 * _S148)
+    _mh8 = ",\n               ".join(
+        f"MIN({_hhex('shingle', i)}) AS mh_{i}" for i in range(8)
+    )
+    _bands148 = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" concat(mh_{2 * b}, '|', mh_{2 * b + 1}) AS key FROM sigs"
+        for b in range(4)
+    )
+    _sh_all = _SHINGLES(toks=_TOKS, where="")
+    o["q148_neardup_safe_split"] = f"""
+        WITH RECURSIVE
+        sh AS MATERIALIZED ({_sh_all}),
+        sigs AS MATERIALIZED (
+            SELECT doc_id,
+               {_mh8}
+            FROM sh GROUP BY doc_id),
+        banded AS MATERIALIZED (
+            {_bands148}),
+        bsz AS MATERIALIZED (
+            SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band = a.band AND s.key = a.key
+            WHERE s.n BETWEEN 2 AND 1000),
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
+        comp AS MATERIALIZED (
+            SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        dig AS MATERIALIZED (
+            SELECT d.doc_id, c.component, substr(md5({_NORM}), 1, 16) AS digest
+            FROM documents d JOIN comp c ON d.doc_id = c.doc_id),
+        keys AS MATERIALIZED (
+            SELECT component, MIN(digest) AS key FROM dig GROUP BY component),
+        labeled AS (
+            SELECT dig.component,
+                   CASE WHEN {_h64("concat('split:', k.key)")} < {_t148_train}
+                        THEN 'train'
+                        WHEN {_h64("concat('split:', k.key)")} < {_t148_val}
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM dig JOIN keys k ON dig.component = k.component)
+        SELECT split, COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT component)::BIGINT AS n_components
+        FROM labeled GROUP BY split ORDER BY split
     """
 
     # q149: identical deterministic Laplace draw (ε = 0.5 → scale 2.0)
