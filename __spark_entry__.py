@@ -2551,6 +2551,26 @@ def q151_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (hashed bucket unigram LM ratio, target =
+    English docs): one rounded log per bucket, exact integer sums per
+    doc — the oracle rebuilds the identical two bucket models."""
+    from hfsa_spark.operators.text import dsir_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_scores(d, d.filter(F.col("lang") == "en")).orderBy("doc_id")
+
+
+def q153_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over the embeddings table: stride-seeded clusters,
+    in-cluster cosine ≥ 0.95 drops everything but the min id — the
+    oracle replays the assignment argmax and the pairwise test."""
+    from hfsa_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.95).orderBy("id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2967,6 +2987,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_dp_counts": q149_dp_counts,
         "q150_token_shards": q150_token_shards,
         "q151_ann_recall": q151_ann_recall,
+        "q152_dsir_scores": q152_dsir_scores,
+        "q153_semantic_dedup": q153_semantic_dedup,
     }
 
 
@@ -5740,6 +5762,58 @@ def oracle_sql() -> dict[str, str]:
                (COALESCE(h.h, 0) * 100000)::BIGINT AS recall_at_10_micro
         FROM q LEFT JOIN hit h ON q.query_id = h.query_id
         ORDER BY q.query_id
+    """
+
+    # q152: identical hashed-bucket unigram models (one rounded log per
+    # bucket of the exact integer ratio), integer sums per doc
+    o["q152_dsir_scores"] = f"""
+        WITH src AS MATERIALIZED (
+            SELECT doc_id, ({_h64('tok', 13)} % 256) AS b
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+        tgt AS MATERIALIZED (
+            SELECT ({_h64('tok', 13)} % 256) AS b
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+                  WHERE lang = 'en')),
+        tot AS (SELECT (SELECT COUNT(*) FROM src)::DOUBLE AS ns,
+                       (SELECT COUNT(*) FROM tgt)::DOUBLE AS nt),
+        cs AS (SELECT b, COUNT(*)::BIGINT AS cs FROM src GROUP BY b),
+        ct AS (SELECT b, COUNT(*)::BIGINT AS ct FROM tgt GROUP BY b),
+        model AS MATERIALIZED (
+            SELECT COALESCE(cs.b, ct.b) AS b,
+                   ROUND(ln(((COALESCE(ct, 0)::DOUBLE + 1.0) * (ns + 256.0))
+                          / ((COALESCE(cs, 0)::DOUBLE + 1.0) * (nt + 256.0)))
+                         * 1e6)::BIGINT AS lr
+            FROM cs FULL JOIN ct ON cs.b = ct.b, tot),
+        scored AS (
+            SELECT s.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   SUM(m.lr)::BIGINT AS logw
+            FROM src s JOIN model m ON s.b = m.b GROUP BY s.doc_id)
+        SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens,
+               COALESCE(logw, 0)::BIGINT AS logw_micro
+        FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+        ORDER BY d.doc_id
+    """
+
+    # q153: same stride centroids + argmax assignment as q39; in-cluster
+    # pairwise cosine >= 0.95 drops everything but the min id
+    o["q153_semantic_dedup"] = f"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id % 25 = 0),
+        asg AS MATERIALIZED (
+            SELECT vec_id AS id, embedding AS v, cid AS cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos('e.embedding', 'c.cv')} DESC,
+                                     c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+        drops AS (
+            SELECT DISTINCT a.id
+            FROM asg a JOIN asg b
+              ON a.cluster = b.cluster AND a.id > b.id
+            WHERE {_cos('a.v', 'b.v')} >= 0.95)
+        SELECT asg.id, asg.cluster, (drops.id IS NULL) AS keep
+        FROM asg LEFT JOIN drops ON asg.id = drops.id
+        ORDER BY asg.id
     """
 
     return o

@@ -1805,6 +1805,71 @@ def kmeans_parallel_init(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style SEMANTIC deduplication (Abbas et al., arXiv
+    2303.09540 — public method): cluster the embedding space coarsely,
+    then inside each cluster drop every vector that has a LOWER-id
+    neighbor with cosine ≥ ``threshold`` — textual near-dup filters miss
+    paraphrases; this catches "same meaning, different words".
+
+    Deterministic end-to-end: the default centroids are the stride
+    sample (``id % centroid_stride == 0``, same convention as
+    :func:`ivf_topk`), assignment tie-breaks to the min centroid id, and
+    the keeper is always the cluster-local minimum id of each ≥-threshold
+    neighborhood — so the output carries an exact SQL oracle. Pass
+    learned centroids (:func:`kmeans_iterate`) in production.
+
+    Returns (id, cluster, keep) — one row per corpus vector.
+
+    Scale: assignment is the map-only literal-expression argmax (no
+    corpus shuffle); the pairwise test runs INSIDE clusters only — one
+    shuffle on cluster id, candidate pairs bounded by Σ cluster², which
+    is the whole point of clustering first (the global pairwise matrix
+    never exists). Skewed clusters are AQE skew-join territory; at web
+    scale cap cluster size upstream via finer centroids.
+    """
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("id"), F.col("list_id").alias("cluster")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(vec_col).alias("n")
+    )
+    both = assigned.join(vecs, "id")
+    a = both.select(
+        F.col("id").alias("id_a"), F.col("cluster"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = both.select(
+        F.col("id").alias("id_b"), F.col("cluster"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .filter(dot("va", "vb") / (F.col("na") * F.col("nb")) >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            (~F.coalesce(F.col("__drop"), F.lit(False))).alias("keep"),
+        )
+    )
+
+
 def maxsim_topk(
     chunks: DataFrame,
     queries: DataFrame,

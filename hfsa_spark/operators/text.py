@@ -756,6 +756,96 @@ def char_entropy_profile(
     )
 
 
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int = 13,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23 — public
+    method): score every document by how much more likely its hashed
+    bag-of-words is under a TARGET distribution (e.g. high-quality or
+    in-domain text) than under the source corpus,
+
+        logw(doc) = Σ_tok  ln P̂_t(b(tok)) − ln P̂_s(b(tok))
+
+    with b(tok) a portable-hash bucket and P̂ the add-one-smoothed bucket
+    unigram models. Downstream, resampling ∝ exp(logw) tilts the corpus
+    toward the target domain — the cheap famous alternative to training
+    a quality classifier.
+
+    Integer-exact convention (engine-portable): ONE log per bucket of
+    the exact integer ratio ((ct+1)(ns+V)) / ((cs+1)(nt+V)), rounded to
+    micro-nats; per-doc scores are then exact integer sums. Output
+    (id, n_tokens, logw_micro) — one row per input doc, zeros for empty
+    docs.
+
+    Scale: two token explodes collapse into ≤ ``n_buckets`` model rows
+    (map-side combinable); the model is broadcast back onto the token
+    stream; nothing else shuffles beyond the per-doc groupBy.
+    """
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.plans import parallelize_compute
+
+    def bucketed(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        exploded = parallelize_compute(
+            frame.select(*([id_col] if with_id else []), text_col)
+        ).select(*cols, F.explode(tokens(text_col)).alias("__tok"))
+        return exploded.select(
+            *cols, (portable_hash64(F.col("__tok"), seed) % n_buckets).alias("b")
+        )
+
+    src_toks = bucketed(df, with_id=False)
+    tgt_toks = bucketed(target, with_id=False)
+    cs = src_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    ct = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    ns = src_toks.count()
+    nt = tgt_toks.count()
+    v = float(n_buckets)
+    model = (
+        cs.join(ct, "b", "full")
+        .select(
+            "b",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("ct").cast("double") + 1.0) * (float(ns) + v))
+                    / ((F.col("cs").cast("double") + 1.0) * (float(nt) + v))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    doc_toks = bucketed(df, with_id=True)
+    scored = (
+        doc_toks.join(F.broadcast(model), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("lr_micro", F.lit(0))).alias("logw_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logw_micro", F.lit(0)).cast("long").alias("logw_micro"),
+        )
+    )
+
+
 def char_entropy_profile_arrow(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
