@@ -2533,13 +2533,13 @@ def q151_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = exact_topk_arrow(emb, qs, k=10).select("query_id", "neighbor_id")
     hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
+        approx.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("h"))
     )
     qid = qs.select(F.col("vec_id").alias("query_id"))
     return (
-        qid.join(hits, "query_id", "left")
+        qid.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits_at_10"),

@@ -53,6 +53,9 @@ AUDIT = [
     ("q138_corpus_datasheet", "datasheet: one groupBy + tiny percentile agg", True),
     ("q140_rag_pipeline", "RAG: map-only chunk+embed, broadcast query cross", True),
     ("q142_corpus_diff", "corpus diff: digest-projected full outer join", False),
+    ("q151_ann_recall", "recall gate: broadcast probes, batch-local topk twins", False),
+    ("q152_dsir_scores", "DSIR: bucket-bounded model broadcast onto token stream", False),
+    ("q153_semantic_dedup", "SemDedup: map-only assignment, in-cluster equi join", False),
 ]
 
 
