@@ -1837,9 +1837,22 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col("id"), F.col("list_id").alias("cluster")
-    )
+    # same kernel switch as ivf_topk: small centroid sets ride as a
+    # literal expression (oracle-exact, codegen); large ones (the learned-
+    # centroid production regime) use the Arrow/BLAS matmul assignment
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    if len(cent_rows) <= 32:
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        ).select(F.col("id"), F.col("list_id").alias("cluster"))
+    else:
+        assigned = ivf_assign_arrow(
+            corpus,
+            [v for _, v, _ in cent_rows],
+            [cid for cid, _, _ in cent_rows],
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(F.col("id"), F.col("list_id").alias("cluster"))
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(vec_col).alias("n")
     )
