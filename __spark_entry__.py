@@ -2571,6 +2571,17 @@ def q153_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.95).orderBy("id")
 
 
+def q154_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes TRAINED on the cluster (closed-form counting — no
+    iteration) then resubstitution-classified: one rounded log per
+    (bucket, class), integer score sums, min-class tie-break. The oracle
+    rebuilds the identical model."""
+    from hfsa_spark.operators.text import nb_train_classify
+
+    d = _t(spark, sf_dir, "documents")
+    return nb_train_classify(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -2989,6 +3000,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_ann_recall": q151_ann_recall,
         "q152_dsir_scores": q152_dsir_scores,
         "q153_semantic_dedup": q153_semantic_dedup,
+        "q154_nb_classifier": q154_nb_classifier,
     }
 
 
@@ -5814,6 +5826,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT asg.id, asg.cluster, (drops.id IS NULL) AS keep
         FROM asg LEFT JOIN drops ON asg.id = drops.id
         ORDER BY asg.id
+    """
+
+    # q154: identical closed-form NB model — dense (bucket x class) grid
+    # so unseen pairs carry the smoothed ln(1/(tc+V)) mass; one rounded
+    # log per grid cell and per prior; min-class tie-break
+    o["q154_nb_classifier"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, lang AS c, ({_h64('tok', 17)} % 1024) AS b
+            FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)),
+        classes AS (SELECT lang AS c, COUNT(*)::BIGINT AS n_docs
+                    FROM documents GROUP BY lang),
+        n_total AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        priors AS (SELECT c, ROUND(ln(n_docs::DOUBLE / n) * 1e6)::BIGINT
+                          AS prior_micro
+                   FROM classes, n_total),
+        counts AS (SELECT c, b, COUNT(*)::BIGINT AS n FROM toks GROUP BY c, b),
+        tc AS (SELECT c, SUM(n)::BIGINT AS tc FROM counts GROUP BY c),
+        grid AS (SELECT b, c FROM (SELECT DISTINCT b FROM toks)
+                 CROSS JOIN (SELECT c FROM classes)),
+        model AS MATERIALIZED (
+            SELECT g.c, g.b,
+                   ROUND(ln((COALESCE(counts.n, 0)::DOUBLE + 1.0)
+                          / (tc.tc::DOUBLE + 1024.0)) * 1e6)::BIGINT AS ll
+            FROM grid g
+            LEFT JOIN counts ON counts.c = g.c AND counts.b = g.b
+            JOIN tc ON tc.c = g.c),
+        scores AS (
+            SELECT t.doc_id, m.c, SUM(m.ll)::BIGINT + any_value(p.prior_micro)
+                       AS score
+            FROM toks t JOIN model m ON t.b = m.b
+            JOIN priors p ON p.c = m.c
+            GROUP BY t.doc_id, m.c),
+        pred AS (SELECT doc_id, c AS predicted FROM (
+                     SELECT doc_id, c, ROW_NUMBER() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score DESC, c ASC) AS rn
+                     FROM scores) t WHERE rn = 1)
+        SELECT d.doc_id, d.lang AS label, p.predicted,
+               COALESCE(p.predicted = d.lang, false) AS match
+        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id
     """
 
     return o

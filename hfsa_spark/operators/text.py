@@ -846,6 +846,110 @@ def dsir_scores(
     )
 
 
+def nb_train_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_buckets: int = 1024,
+    seed: int = 17,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier ON the cluster and
+    classify with it — the fastText-style bag-of-words baseline (lang-ID,
+    topic routing, quality tiers) as ONE closed-form Spark job: training
+    is nothing but counting, so unlike gradient methods it needs no
+    iteration and carries an exact SQL oracle.
+
+    Model: prior ln P(c) and add-one-smoothed likelihoods
+    ln P(b|c) = ln ((count(b,c)+1) / (tokens_c + n_buckets)) over
+    portable-hash token buckets. Integer convention: ONE rounded
+    micro-nat log per (bucket, class) and per prior; per-doc class scores
+    are exact integer sums; argmax ties break to the lexicographically
+    smallest class. Output (id, label, predicted, match) — resubstitution
+    classification of the training set (deterministic; split upstream
+    for honest eval).
+
+    Scale: the model is ≤ n_buckets × |classes| rows built from one
+    map-combinable count (broadcast back); scoring explodes the token
+    stream by |classes| once, then one groupBy(doc, class) and a tiny
+    per-doc argmax window. Nothing shuffles proportional to text bytes.
+    """
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(id_col, text_col, label_col))
+    toks = base.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select(
+        id_col,
+        label_col,
+        (portable_hash64(F.col("__tok"), seed) % n_buckets).alias("b"),
+    )
+
+    classes = df.groupBy(F.col(label_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = df.count()
+    priors = classes.select(
+        "c",
+        F.round(F.log(F.col("n_docs").cast("double") / float(n_total)) * 1e6)
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    counts = toks.groupBy(F.col(label_col).alias("c"), "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tokens_per_class = counts.groupBy("c").agg(F.sum("n").alias("tc"))
+    # every observed bucket × every class — unseen (b, c) pairs still
+    # carry the smoothed ln(1/(tc+V)) mass, so the grid must be dense
+    grid = toks.select("b").distinct().crossJoin(classes.select("c"))
+    v = float(n_buckets)
+    model = (
+        grid.join(counts, ["c", "b"], "left")
+        .join(tokens_per_class, "c")
+        .select(
+            "c",
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
+                    / (F.col("tc").cast("double") + v)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("ll_micro"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(model), "b")
+        .groupBy(F.col(id_col), F.col("c"))
+        .agg(F.sum("ll_micro").alias("s"))
+        .join(F.broadcast(priors), "c")
+        .select(id_col, "c", (F.col("s") + F.col("prior_micro")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("c").asc())
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("c").alias("predicted"))
+    )
+    return (
+        df.select(id_col, F.col(label_col).alias("label"))
+        .join(pred, id_col, "left")
+        .select(
+            id_col,
+            "label",
+            "predicted",
+            F.coalesce(F.col("predicted") == F.col("label"), F.lit(False)).alias(
+                "match"
+            ),
+        )
+    )
+
+
 def char_entropy_profile_arrow(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

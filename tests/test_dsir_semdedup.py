@@ -54,3 +54,21 @@ def test_semantic_dedup_keeps_min_id_per_neighborhood(spark):
     # cos(26, c25) ≈ 0.89 > cos(26, c0) ≈ 0.45
     assert out[26]["cluster"] == 25
     assert out[1]["cluster"] == 0
+
+
+def test_nb_classifier_separable_corpus(spark):
+    from hfsa_spark.operators.text import nb_train_classify
+
+    # two classes with disjoint vocabularies -> resubstitution must be
+    # perfect; a doc with no tokens gets predicted = null, match = false
+    rows = [
+        (1, "apple banana apple", "fruit"),
+        (2, "banana cherry cherry", "fruit"),
+        (3, "bolt nut bolt washer", "tool"),
+        (4, "washer nut nut", "tool"),
+        (5, "", "tool"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_classify(df).collect()}
+    assert all(out[i]["match"] for i in (1, 2, 3, 4))
+    assert out[5]["predicted"] is None and out[5]["match"] is False
