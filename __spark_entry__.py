@@ -2582,6 +2582,19 @@ def q154_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_train_classify(d).orderBy("doc_id")
 
 
+def q155_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query (Lucene-form idf, k1=1.2 b=0.75): one
+    rounded micro component per (query, doc, term), exact integer score
+    sums, doc-id tie-break — the oracle rebuilds tf/df/dl and replays
+    the identical double expression."""
+    from hfsa_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = [(0, "table"), (0, "scan"), (1, "spark"), (1, "window"),
+          (2, "zzz_absent"), (2, "query")]
+    return bm25_topk(d, qs, k=10)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3001,6 +3014,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_dsir_scores": q152_dsir_scores,
         "q153_semantic_dedup": q153_semantic_dedup,
         "q154_nb_classifier": q154_nb_classifier,
+        "q155_bm25": q155_bm25,
     }
 
 
@@ -5867,6 +5881,43 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(p.predicted = d.lang, false) AS match
         FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id
+    """
+
+    # q155: identical Lucene-form BM25 — avgdl is the exact double
+    # total_tokens/N (integer sum), one rounded micro component per
+    # (query, doc, term), integer sums, doc-id tie-break
+    o["q155_bm25"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS MATERIALIZED (
+            SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+            FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                         (SELECT COUNT(*) FROM toks)::DOUBLE AS tt),
+        dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+        q(query_id, term) AS (VALUES (0, 'table'), (0, 'scan'), (1, 'spark'),
+                                     (1, 'window'), (2, 'zzz_absent'),
+                                     (2, 'query')),
+        comp AS (
+            SELECT q.query_id, tf.doc_id,
+                   ROUND((ln(1.0 + (s.n - dfreq.df::DOUBLE + 0.5)
+                                 / (dfreq.df::DOUBLE + 0.5))
+                          * ((tf.tf::DOUBLE * (1.2 + 1.0))
+                             / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl::DOUBLE / (s.tt / s.n)))))
+                         * 1e6)::BIGINT AS c_micro
+            FROM q JOIN dfreq ON q.term = dfreq.term
+            JOIN tf ON tf.term = q.term
+            JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+        scores AS (SELECT query_id, doc_id, SUM(c_micro)::BIGINT AS score_micro
+                   FROM comp GROUP BY query_id, doc_id)
+        SELECT query_id, rank, doc_id, score_micro FROM (
+            SELECT query_id, doc_id, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC)::INT AS rank
+            FROM scores) t
+        WHERE rank <= 10 ORDER BY query_id, rank
     """
 
     return o

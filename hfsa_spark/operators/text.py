@@ -950,6 +950,82 @@ def nb_train_classify(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones probabilistic
+    ranking, the Lucene-default scorer) — the sparse complement to the
+    embedding kNN stack: hard-negative mining, query-based corpus
+    filtering, and dedup-against-a-query-set all start here.
+
+    ``queries`` is a list of (query_id, term) rows (multi-term queries
+    repeat the id). Per (query, doc, term): the Lucene-form component
+    idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    idf = ln(1 + (N−df+0.5)/(df+0.5)), rounded ONCE to integer
+    micro-units — per-(query, doc) scores are then exact integer sums,
+    so the ranking is engine-portable (avgdl = Σdl/N is an exact double:
+    integer sum below 2⁵³). Ties break on doc id asc. Returns
+    (query_id, rank, doc_id, score_micro), rank ≤ k.
+
+    Scale: tf/df/dl are map-combinable counts over one token explode;
+    the query table broadcasts onto the postings (only matching terms'
+    postings ever materialize); top-k per query is a tiny window over
+    candidate docs. The corpus text shuffles ZERO bytes — only (id,
+    term, count) rows sized by distinct postings.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    spark = df.sparkSession
+    base = parallelize_compute(df.select(id_col, text_col))
+    toks = base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.count()
+    total_tokens = toks.count()
+    avgdl = float(total_tokens) / float(n_docs)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qdf = spark.createDataFrame(queries, "query_id long, term string")
+    idf = F.log(
+        1.0
+        + (float(n_docs) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd * (k1 + 1.0) / (
+        tfd + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    comp = (
+        F.broadcast(qdf)
+        .join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(idf * norm * 1e6).cast("long").alias("c_micro"),
+        )
+    )
+    scores = comp.groupBy("query_id", id_col).agg(
+        F.sum("c_micro").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
 def char_entropy_profile_arrow(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

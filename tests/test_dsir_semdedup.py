@@ -72,3 +72,25 @@ def test_nb_classifier_separable_corpus(spark):
     out = {r["doc_id"]: r for r in nb_train_classify(df).collect()}
     assert all(out[i]["match"] for i in (1, 2, 3, 4))
     assert out[5]["predicted"] is None and out[5]["match"] is False
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from hfsa_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "cat cat cat dog"),        # heavy 'cat'
+        (2, "cat dog dog dog"),        # one 'cat'
+        (3, "bird bird bird bird"),    # no match
+        (4, "cat"),                    # short doc: length norm boosts it
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, [(0, "cat")], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                     # non-matching doc absent
+    assert ids[0] in (1, 4)                 # tf-heavy or length-normalized win
+    assert ids.index(2) == len(ids) - 1     # weakest match ranks last
+    assert [r["rank"] for r in out] == list(range(1, len(ids) + 1))
+    # multi-term query sums components
+    out2 = bm25_topk(df, [(1, "cat"), (1, "dog")], k=10).collect()
+    got = {r["doc_id"]: r["score_micro"] for r in out2}
+    assert got[2] > 0 and 3 not in got
