@@ -1612,12 +1612,18 @@ def retrieval_eval(
     # in the corpus) competes against the full label_n rows and must not
     # lose the -1. A query whose label is absent keeps a row with
     # n_relevant = 0 (coalesce + greatest clamp).
-    corpus_ids = corpus.select(F.col(id_col).alias("query_id")).distinct().withColumn(
-        "in_corpus", F.lit(True)
+    # membership probe stays map-only over the corpus: broadcast the tiny
+    # query-id set INTO a corpus scan (inner BHJ builds the right side),
+    # then the distinct runs on ≤ |queries| rows — never a corpus shuffle
+    q_in = (
+        corpus.select(F.col(id_col).alias("query_id"))
+        .join(F.broadcast(q_side.select("query_id")), "query_id")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
     )
     n_rel = (
         q_side.join(label_counts, "query_label", "left")
-        .join(corpus_ids, "query_id", "left")
+        .join(F.broadcast(q_in), "query_id", "left")
         .select(
             "query_id",
             "query_label",
