@@ -799,12 +799,16 @@ def dsir_scores(
             *cols, (portable_hash64(F.col("__tok"), seed) % n_buckets).alias("b")
         )
 
-    src_toks = bucketed(df, with_id=False)
-    tgt_toks = bucketed(target, with_id=False)
-    cs = src_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    ct = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    ns = src_toks.count()
-    nt = tgt_toks.count()
+    cs = bucketed(df, with_id=False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cs")
+    ).persist()
+    ct = bucketed(target, with_id=False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    ).persist()
+    # totals fold out of the (≤ n_buckets row) aggregates — no second
+    # pass over the token streams
+    ns = cs.agg(F.sum("cs")).collect()[0][0] or 0
+    nt = ct.agg(F.sum("ct")).collect()[0][0] or 0
     v = float(n_buckets)
     model = (
         cs.join(ct, "b", "full")
@@ -984,10 +988,13 @@ def bm25_topk(
     spark = df.sparkSession
     base = parallelize_compute(df.select(id_col, text_col))
     toks = base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # ONE explode consumer: dl, df, and the token total all fold out of
+    # the (distinct-postings-sized) tf table, which is persisted for its
+    # three readers — the raw token stream is scanned exactly once
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n_docs = df.count()
-    total_tokens = toks.count()
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0] or 0
     avgdl = float(total_tokens) / float(n_docs)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
