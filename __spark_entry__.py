@@ -2595,6 +2595,70 @@ def q155_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, qs, k=10)
 
 
+def q156_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Levenshtein fuzzy dedup: every 50th doc plus an appended-
+    suffix variant (' xq', dist 3); length-band + lang blocking generates
+    candidates, exact levenshtein verifies. The oracle is the unblocked
+    quadratic ground truth — candidate generation must be lossless."""
+    from hfsa_spark.operators.dedup import edit_distance_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text", "lang")
+    variants = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq")).alias("text"),
+        F.col("lang"),
+    )
+    corpus = base.unionByName(variants)
+    pairs = edit_distance_neardup_pairs(
+        corpus, "doc_id", "text", max_dist=4, block_cols=["lang"]
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("len_a").cast("long").alias("len_a"),
+        F.col("len_b").cast("long").alias("len_b"),
+        F.col("dist").cast("long").alias("dist"),
+    ).orderBy("id_a", "id_b")
+
+
+def q157_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal over planted 3-line pages
+    (cookie banner on every 3rd doc, unique intro otherwise, a footer on
+    all): lines in >= 3 distinct docs drop, clean text rebuilds in order.
+    The oracle replays the same distinct-doc line counts in SQL."""
+    from hfsa_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    nl = "\n"
+    pages = d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("Cookie notice: we use cookies")
+            ).otherwise(F.concat(F.lit("Intro "), F.col("doc_id").cast("string"))),
+            F.lit(nl),
+            F.col("text"),
+            F.lit(nl),
+            F.lit("(c) 2024 Example Corp"),
+        ).alias("text"),
+    )
+    return line_dedup(pages, "doc_id", "text", min_docs=3).orderBy("doc_id")
+
+
+def q158_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity selection: per-lang head/middle/tail split of the
+    mean unigram-LM score, rank decomposed through the score histogram
+    (no whole-language sort). The oracle replays the pinned rank with a
+    plain per-lang row_number."""
+    from hfsa_spark.operators.text import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        d, "doc_id", "text", "lang", head_frac=0.3, tail_frac=0.3
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3015,6 +3079,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_semantic_dedup": q153_semantic_dedup,
         "q154_nb_classifier": q154_nb_classifier,
         "q155_bm25": q155_bm25,
+        "q156_edit_distance_neardup": q156_edit_distance_neardup,
+        "q157_line_dedup": q157_line_dedup,
+        "q158_perplexity_buckets": q158_perplexity_buckets,
     }
 
 
@@ -5918,6 +5985,96 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_micro DESC, doc_id ASC)::INT AS rank
             FROM scores) t
         WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+    # q156: the UNBLOCKED quadratic ground truth — same-lang pairs within
+    # levenshtein 4; candidate banding in the Spark path must be lossless
+    o["q156_edit_distance_neardup"] = """
+        WITH corpus AS MATERIALIZED (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' xq', lang
+            FROM documents WHERE doc_id % 50 = 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(a.text)::BIGINT AS len_a, len(b.text)::BIGINT AS len_b,
+               levenshtein(a.text, b.text)::BIGINT AS dist
+        FROM corpus a JOIN corpus b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(len(a.text) - len(b.text)) <= 4
+        WHERE levenshtein(a.text, b.text) <= 4
+        ORDER BY id_a, id_b
+    """
+
+    # q157: same distinct-doc line counts (trimmed match, original-text
+    # rebuild in position order)
+    o["q157_line_dedup"] = """
+        WITH pages AS MATERIALIZED (
+            SELECT doc_id,
+                   concat(CASE WHEN doc_id % 3 = 0
+                               THEN 'Cookie notice: we use cookies'
+                               ELSE 'Intro ' || doc_id::VARCHAR END,
+                          chr(10), text, chr(10),
+                          '(c) 2024 Example Corp') AS text
+            FROM documents WHERE doc_id % 20 = 0),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+        lines AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ls)),
+                          i -> {'pos': i, 'line': ls[i]}),
+                          recursive := true)
+            FROM l),
+        boiler AS (SELECT trim(line) AS k FROM lines
+                   GROUP BY trim(line) HAVING COUNT(DISTINCT doc_id) >= 3),
+        kept AS (SELECT doc_id, pos, line FROM lines
+                 WHERE trim(line) NOT IN (SELECT k FROM boiler)),
+        agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_lines
+                FROM pages)
+        SELECT t.doc_id, t.n_lines,
+               COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+               (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+    # q158: per-lang pinned rank (mean desc nulls-as-sentinel, doc_id asc)
+    # replayed with a plain row_number; head/tail cuts = floor(n * frac)
+    o["q158_perplexity_buckets"] = f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        total AS (SELECT SUM(cnt)::DOUBLE AS n FROM counts),
+        lp AS (SELECT term,
+                      round(ln(cnt::DOUBLE / n) * 1e6)::BIGINT AS logp_micro
+               FROM counts, total),
+        scored AS (
+            SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   SUM(lp.logp_micro)::BIGINT AS sum_lp
+            FROM tok t JOIN lp USING (term) GROUP BY t.doc_id),
+        docs AS (
+            SELECT d.doc_id, d.lang,
+                   COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   CASE WHEN s.n_tokens > 0 THEN
+                       FLOOR(s.sum_lp::DOUBLE / s.n_tokens::DOUBLE)::BIGINT
+                   END AS mean_lp_micro
+            FROM documents d LEFT JOIN scored s USING (doc_id)),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY COALESCE(mean_lp_micro, -1000000000000000000)
+                                DESC, doc_id ASC)::BIGINT AS grank,
+                   COUNT(*) OVER (PARTITION BY lang)::BIGINT AS n_lang
+            FROM docs)
+        SELECT doc_id, lang, n_tokens, mean_lp_micro, grank,
+               CASE WHEN grank <= FLOOR(n_lang * 0.3)
+                    THEN 'head'
+                    WHEN grank > n_lang - FLOOR(n_lang * 0.3)
+                    THEN 'tail'
+                    ELSE 'middle' END AS bucket
+        FROM r ORDER BY doc_id
     """
 
     return o

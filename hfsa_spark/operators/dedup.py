@@ -901,3 +901,145 @@ def chat_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+# ------------------------------------------------- edit-distance dedup --
+
+
+def edit_distance_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 4,
+    block_cols: list[str] | None = None,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs under exact Levenshtein distance <= ``max_dist``
+    via length-band blocking — the record-linkage / fuzzy-dedup primitive
+    for short texts (titles, questions, chat turns) where token-set
+    methods (MinHash) miss character-level edits.
+
+    Candidate generation uses the necessary condition
+    ``dist(a,b) <= d  =>  |len(a)-len(b)| <= d``: with band width
+    ``w = d+1`` every doc lands in length bands ``floor(len/w)`` and
+    ``floor(len/w)+1``, so any qualifying pair shares >= 1 band key and
+    candidates come from an equi self-join per (block, band) bucket — the
+    shared :func:`_bucket_pairs` generator, never an all-pairs cross join.
+    ``block_cols`` (e.g. ``["lang"]``) further partitions the candidate
+    space; buckets over ``max_bucket`` drop like LSH (length-concentrated
+    corpora would otherwise go O(n^2) — pair levenshtein is the expensive
+    verify, so the cap guards CPU, not just shuffle). Verification is the
+    exact JVM ``levenshtein`` (identical unit-cost semantics in DuckDB,
+    which is what makes the value oracle possible).
+
+    Returns (id_a, id_b, len_a, len_b, dist) with id_a < id_b.
+
+    Scale: each doc emits 2 band keys; the length prefilter runs before
+    the O(len^2) levenshtein so dropped candidates cost one integer
+    compare. Text joins back by id for the verify only — candidate ids,
+    not text, cross the bucket shuffle.
+    """
+    w = max_dist + 1
+    ln = F.length(F.col(text_col))
+    block_key = (
+        F.concat_ws("|", *[F.col(c).cast("string") for c in block_cols])
+        if block_cols
+        else F.lit("")
+    )
+    base = df.select(
+        F.col(id_col), F.col(text_col), ln.alias("_len"), block_key.alias("_blk")
+    )
+    band0 = F.floor(F.col("_len") / F.lit(w)).cast("long")
+    banded = base.select(
+        F.col(id_col),
+        F.explode(F.array(band0, band0 + 1)).alias("band"),
+        F.col("_blk").alias("key"),
+    )
+    cand = _bucket_pairs(banded, id_col, max_bucket)
+
+    ta = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.col("_len").alias("len_a"),
+    )
+    tb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.col("_len").alias("len_b"),
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "len_a", "len_b", "dist")
+    )
+
+
+# ------------------------------------------------------ line-level dedup --
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: any (trimmed)
+    line occurring in >= ``min_docs`` DISTINCT documents is corpus
+    boilerplate (cookie banners, nav menus, footers) and is dropped from
+    every document; the cleaned text is rebuilt in original line order.
+
+    Distinct-document counting (not raw occurrences) keeps a line that a
+    single page repeats internally — repetition inside one doc is a
+    quality signal (``repetition_profile``), not boilerplate.
+
+    Returns (id, n_lines, n_kept, n_removed, clean_text); a fully
+    boilerplate document keeps a row with ``clean_text = ''``.
+
+    Scale: line counts group on a fixed-width digest — the shuffle carries
+    (digest, doc-distinct partial) rows, never line text; the boilerplate
+    digest set (the Zipf head — tiny) broadcasts into a left_anti join, so
+    the per-line membership test is map-side; the rebuild regroups each
+    doc's surviving lines once, keyed on the doc id. When the boilerplate
+    set is known-small it could instead be inlined as a literal array for
+    a zero-shuffle expression rebuild — the join form is kept because it
+    has no driver-side collect and no size assumption.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    ).withColumn("digest", F.md5(F.trim(F.col("line"))))
+
+    boiler = (
+        lines.groupBy("digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("digest")
+    )
+    kept = lines.join(F.broadcast(boiler), "digest", "left_anti")
+
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        n_kept.alias("n_kept"),
+        (F.col("n_lines") - n_kept).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -461,6 +461,87 @@ def unigram_logprob_score(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    head_frac: float = 0.3,
+    tail_frac: float = 0.3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank each document within its
+    language by mean unigram-LM log-prob (:func:`unigram_logprob_score`)
+    and split the ranking into ``head`` (most fluent ``head_frac``),
+    ``tail`` (least fluent ``tail_frac``) and ``middle`` — the selection
+    CCNet/LLaMA-style pipelines use to keep head+middle and drop tail.
+
+    The per-lang rank is exact and fully pinned: (mean desc, id asc),
+    token-less documents rank last (sentinel key). ``head_k =
+    floor(n_lang * head_frac)`` — one IEEE multiply, identical across
+    engines.
+
+    Output: (id, lang, n_tokens, mean_lp_micro, grank, bucket).
+
+    Scale: a naive ``rank() OVER (PARTITION BY lang)`` sorts every doc of
+    a language in one task — the dominant-language partition IS the
+    corpus. Instead the rank decomposes through the score histogram:
+    distinct (lang, mean) counts (map-combinable, tiny) give each score
+    value its cumulative offset; docs then shuffle by (lang, mean) — the
+    tie group, not the language — for a row_number that only sorts ties.
+    Broadcast joins stitch the offsets back, so no task ever sorts more
+    than the largest tie group.
+    """
+    scores = unigram_logprob_score(df, id_col=id_col, text_col=text_col)
+    sentinel = -(10**18)
+    mean = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            F.col("sum_logp_micro").cast("double") / F.col("n_tokens").cast("double")
+        ).cast("long"),
+    )
+    sc = (
+        df.select(F.col(id_col), F.col(lang_col))
+        .join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            mean.alias("mean_lp_micro"),
+            F.coalesce(mean, F.lit(sentinel)).alias("_rk"),
+        )
+    )
+    hist = sc.groupBy(lang_col, "_rk").agg(F.count(F.lit(1)).alias("_cnt"))
+    wl = Window.partitionBy(lang_col).orderBy(F.desc("_rk"))
+    offsets = hist.select(
+        F.col(lang_col),
+        F.col("_rk"),
+        F.coalesce(
+            F.sum("_cnt").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("_before"),
+        F.sum("_cnt").over(Window.partitionBy(lang_col)).alias("_n_lang"),
+    )
+    wt = Window.partitionBy(lang_col, "_rk").orderBy(F.asc(id_col))
+    head_k = F.floor(F.col("_n_lang") * F.lit(head_frac))
+    tail_k = F.floor(F.col("_n_lang") * F.lit(tail_frac))
+    ranked = (
+        sc.join(F.broadcast(offsets), [lang_col, "_rk"])
+        .withColumn("grank", F.col("_before") + F.row_number().over(wt))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("n_tokens"),
+            F.col("mean_lp_micro"),
+            F.col("grank"),
+            F.when(F.col("grank") <= head_k, F.lit("head"))
+            .when(F.col("grank") > F.col("_n_lang") - tail_k, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+        )
+    )
+    return ranked
+
+
 def vocab_top_terms(
     df: DataFrame, text_col: str = "text", min_count: int = 10, k: int = 100
 ) -> DataFrame:

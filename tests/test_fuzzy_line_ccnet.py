@@ -1,0 +1,184 @@
+"""Round-5 additions: blocked-Levenshtein fuzzy dedup, C4-style line-level
+boilerplate removal, and CCNet perplexity bucketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hfsa_spark.operators.dedup import edit_distance_neardup_pairs, line_dedup
+from hfsa_spark.operators.text import perplexity_buckets
+
+
+# ------------------------------------------- edit_distance_neardup_pairs --
+
+
+def _ed_corpus(spark):
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the quick brown fax", "en"),  # dist 1 to id 1
+        (3, "the quick brown fox jumps", "en"),  # dist 6 to id 1 (> 4)
+        (4, "the quick brown fox", "de"),  # identical text, other lang block
+        (5, "completely different words", "en"),
+        (6, "xx", "en"),
+        (7, "xxyy", "en"),  # dist 2 to id 6
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_edit_distance_pairs_exact(spark):
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_neardup_pairs(
+            _ed_corpus(spark), "doc_id", "text", max_dist=4, block_cols=["lang"]
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (6, 7, 2)}
+
+
+def test_edit_distance_band_recall_matches_bruteforce(spark):
+    # candidate banding must be lossless: compare against the O(n^2) truth
+    import itertools
+
+    rows = [(i, "a" * (5 + i % 7) + "b" * (i % 3), "en") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    d = 3
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (ia, ib)
+        for (ia, ta, _), (ib, tb, _) in itertools.combinations(rows, 2)
+        if lev(ta, tb) <= d
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_neardup_pairs(
+            df, "doc_id", "text", max_dist=d
+        ).collect()
+    }
+    assert got == want
+
+
+def test_edit_distance_max_bucket_caps_degenerate_blocks(spark):
+    # 50 equal-length docs all land in one band bucket; cap drops it
+    rows = [(i, f"doc number {i:02d}", "en") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    capped = edit_distance_neardup_pairs(df, "doc_id", "text", 4, max_bucket=10)
+    assert capped.count() == 0
+
+
+# -------------------------------------------------------------- line_dedup --
+
+
+def _pages(spark):
+    nl = "\n"
+    rows = [
+        (1, f"BANNER{nl}unique one{nl}FOOTER"),
+        (2, f"BANNER{nl}unique two{nl}FOOTER"),
+        (3, f"intro{nl}unique three{nl}FOOTER"),
+        (4, f"BANNER{nl}BANNER{nl}solo"),  # internal repeat: one doc, 3 total
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_dedup_distinct_doc_counting(spark):
+    # BANNER: 3 distinct docs -> boilerplate; FOOTER: 3 -> boilerplate;
+    # a line repeated INSIDE one doc does not count extra docs
+    out = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in line_dedup(_pages(spark), min_docs=3).collect()
+    }
+    assert out[1] == (3, 1, "unique one")
+    assert out[2] == (3, 1, "unique two")
+    assert out[3] == (3, 2, "intro\nunique three")
+    assert out[4] == (3, 1, "solo")
+
+
+def test_line_dedup_fully_boilerplate_doc_keeps_row(spark):
+    rows = [(1, "X\nX"), (2, "X"), (3, "X")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_kept, r.clean_text) for r in line_dedup(df, min_docs=2).collect()}
+    assert out == {1: (0, ""), 2: (0, ""), 3: (0, "")}
+
+
+def test_line_dedup_trim_matching_preserves_original_lines(spark):
+    # counting trims, rebuild keeps the original spacing of kept lines
+    rows = [(1, " pad \nkeep me"), (2, "pad\nother")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.clean_text for r in line_dedup(df, min_docs=2).collect()}
+    assert out == {1: "keep me", 2: "other"}
+
+
+# ------------------------------------------------------ perplexity_buckets --
+
+
+def test_perplexity_buckets_rank_and_cuts(spark):
+    # 10 en docs: fluent docs repeat common tokens, tail docs are rare-heavy
+    rows = [(i, ("common " * 5 + f"rare{i} " * (i % 4)).strip(), "en") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(df, head_frac=0.3, tail_frac=0.3).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.grank)
+    n = 10
+    assert sorted(by_bucket["head"]) == [1, 2, 3]
+    assert sorted(by_bucket["tail"]) == [8, 9, 10]
+    assert len(by_bucket["middle"]) == n - 6
+    # grank is a permutation of 1..n
+    assert sorted(r.grank for r in out) == list(range(1, n + 1))
+
+
+def test_perplexity_buckets_matches_plain_rank_window(spark):
+    # histogram-decomposed rank == the naive per-lang rank window
+    from pyspark.sql import Window
+
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j) % 5}" for j in range(3 + i % 4)), l)
+        for i in range(40)
+        for l in (["en"] if i % 3 else ["de"])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = perplexity_buckets(df).select("doc_id", "grank").collect()
+    from hfsa_spark.operators.text import unigram_logprob_score
+
+    s = unigram_logprob_score(df)
+    naive = (
+        df.select("doc_id", "lang")
+        .join(s, "doc_id", "left")
+        .withColumn(
+            "_m",
+            F.coalesce(
+                F.floor(
+                    F.col("sum_logp_micro").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).cast("long"),
+                F.lit(-(10**18)),
+            ),
+        )
+        .withColumn(
+            "grank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("_m"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "grank")
+        .collect()
+    )
+    assert {(r.doc_id, r.grank) for r in got} == {(r.doc_id, r.grank) for r in naive}
+
+
+def test_perplexity_buckets_tokenless_doc_lands_in_tail(spark):
+    rows = [(1, "a a a", "en"), (2, "a b", "en"), (3, "   ", "en"), (4, "a", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: (r.bucket, r.mean_lp_micro) for r in perplexity_buckets(df).collect()}
+    assert out[3][1] is None
+    assert out[3][0] == "tail"
