@@ -56,6 +56,9 @@ AUDIT = [
     ("q151_ann_recall", "recall gate: broadcast probes, batch-local topk twins", False),
     ("q152_dsir_scores", "DSIR: bucket-bounded model broadcast onto token stream", False),
     ("q153_semantic_dedup", "SemDedup: map-only assignment, in-cluster equi join", False),
+    ("q156_edit_distance_neardup", "fuzzy dedup: length-band bucket join, levenshtein verify", False),
+    ("q157_line_dedup", "line dedup: digest counts, broadcast boiler set, one regroup", False),
+    ("q158_perplexity_buckets", "CCNet buckets: histogram rank, broadcast offsets", True),
 ]
 
 
