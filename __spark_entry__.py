@@ -2659,6 +2659,31 @@ def q158_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q159_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between the even- and odd-id corpus
+    halves: top-20 Jensen-Shannon contribution terms, nano-nat integer
+    contributions (one rounded transcendental per distinct term). The
+    oracle replays the identical double expression per term."""
+    from hfsa_spark.operators.text import corpus_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return corpus_divergence(a, b, "text", k=20)
+
+
+def q160_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badword filter: blocked-token occurrence counts per doc
+    against a broadcast blocklist, keep = ratio <= 2%. Clean docs never
+    shuffle; the oracle recounts blocked tokens in SQL."""
+    from hfsa_spark.operators.text import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_filter(
+        d, ["slow", "merge", "zzz_banned"], max_ratio_micro=20000
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3082,6 +3107,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_edit_distance_neardup": q156_edit_distance_neardup,
         "q157_line_dedup": q157_line_dedup,
         "q158_perplexity_buckets": q158_perplexity_buckets,
+        "q159_corpus_divergence": q159_corpus_divergence,
+        "q160_blocklist_filter": q160_blocklist_filter,
     }
 
 
@@ -6075,6 +6102,62 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'tail'
                     ELSE 'middle' END AS bucket
         FROM r ORDER BY doc_id
+    """
+
+    # q159: identical per-term JS contribution expression (guarded CASE so
+    # ln never sees 0), rounded once to nano-nats, top-20 by (contrib, term)
+    o["q159_corpus_divergence"] = f"""
+        WITH ta AS (SELECT unnest({_TOKS}) AS term FROM documents
+                    WHERE doc_id % 2 = 0),
+        tb AS (SELECT unnest({_TOKS}) AS term FROM documents
+               WHERE doc_id % 2 = 1),
+        ca AS (SELECT term, COUNT(*)::BIGINT AS cnt_a FROM ta GROUP BY term),
+        cb AS (SELECT term, COUNT(*)::BIGINT AS cnt_b FROM tb GROUP BY term),
+        na AS (SELECT SUM(cnt_a)::DOUBLE AS n_a FROM ca),
+        nb AS (SELECT SUM(cnt_b)::DOUBLE AS n_b FROM cb),
+        j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+                     COALESCE(ca.cnt_a, 0)::BIGINT AS cnt_a,
+                     COALESCE(cb.cnt_b, 0)::BIGINT AS cnt_b,
+                     n_a, n_b
+              FROM ca FULL OUTER JOIN cb ON ca.term = cb.term, na, nb),
+        c AS (SELECT term, cnt_a, cnt_b,
+                     ROUND((CASE WHEN cnt_a > 0 THEN
+                                0.5 * (cnt_a::DOUBLE / n_a)
+                                    * ln((cnt_a::DOUBLE / n_a)
+                                         / (((cnt_a::DOUBLE / n_a)
+                                             + (cnt_b::DOUBLE / n_b)) / 2.0))
+                            ELSE 0.0 END
+                          + CASE WHEN cnt_b > 0 THEN
+                                0.5 * (cnt_b::DOUBLE / n_b)
+                                    * ln((cnt_b::DOUBLE / n_b)
+                                         / (((cnt_a::DOUBLE / n_a)
+                                             + (cnt_b::DOUBLE / n_b)) / 2.0))
+                            ELSE 0.0 END) * 1e9)::BIGINT AS contrib_nano
+              FROM j)
+        SELECT term, cnt_a, cnt_b, contrib_nano FROM c
+        ORDER BY contrib_nano DESC, term ASC LIMIT 20
+    """
+
+    # q160: blocked-token occurrence recount; ratio floor-micro; keep rule
+    o["q160_blocklist_filter"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        hits AS (SELECT doc_id, COUNT(*)::BIGINT AS n_blocked FROM tok
+                 WHERE term IN ('slow', 'merge', 'zzz_banned')
+                 GROUP BY doc_id),
+        base AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+                 FROM documents)
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(h.n_blocked, 0)::BIGINT AS n_blocked,
+               CASE WHEN b.n_tokens > 0 THEN
+                   FLOOR(COALESCE(h.n_blocked, 0)::DOUBLE * 1000000.0
+                         / b.n_tokens::DOUBLE)::BIGINT
+               ELSE 0 END AS blocked_ratio_micro,
+               (CASE WHEN b.n_tokens > 0 THEN
+                   FLOOR(COALESCE(h.n_blocked, 0)::DOUBLE * 1000000.0
+                         / b.n_tokens::DOUBLE)::BIGINT
+               ELSE 0 END) <= 20000 AS keep
+        FROM base b LEFT JOIN hits h USING (doc_id)
+        ORDER BY b.doc_id
     """
 
     return o

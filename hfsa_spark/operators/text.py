@@ -1473,6 +1473,123 @@ def corpus_datasheet(
     )
 
 
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Distributional drift between two corpora (crawl snapshots, train vs
+    eval, pre/post-filter): per-term Jensen-Shannon divergence
+    contributions of the unigram distributions, top-``k`` drifting terms.
+
+    Per term t with probabilities ``pa = cnt_a/N_a`` and ``pb = cnt_b/N_b``
+    and mixture ``m = (pa+pb)/2``, the JS contribution
+    ``0.5*pa*ln(pa/m) + 0.5*pb*ln(pb/m)`` is >= 0 and sums to JSD(A,B)
+    (bounded by ln 2); a term absent from one side contributes its other
+    side's half-KL term only — no infinities, which is why JS (not KL) is
+    the right drift metric for vocabularies that don't fully overlap.
+
+    Each contribution is computed ONCE per distinct term and rounded to
+    nano-nats, so the top-k ordering and any downstream total are integer
+    sums — exact under any partitioning. Output:
+    (term, cnt_a, cnt_b, contrib_nano) ordered by (contrib desc, term).
+
+    Scale: both sides reduce to map-combinable (term, count) aggregates;
+    the vocabulary-sized full outer join carries one row per distinct
+    term; top-k is TakeOrdered — the corpora themselves are scanned once
+    each and never joined.
+    """
+    ca = (
+        df_a.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cb = (
+        df_b.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    na = ca.agg(F.sum("cnt_a").cast("double").alias("_na"))
+    nb = cb.agg(F.sum("cnt_b").cast("double").alias("_nb"))
+    joined = (
+        ca.join(cb, "term", "full_outer")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "term",
+            F.coalesce(F.col("cnt_a"), F.lit(0).cast("long")).alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0).cast("long")).alias("cnt_b"),
+            F.col("_na"),
+            F.col("_nb"),
+        )
+    )
+    pa = F.col("cnt_a").cast("double") / F.col("_na")
+    pb = F.col("cnt_b").cast("double") / F.col("_nb")
+    m = (pa + pb) / F.lit(2.0)
+    half = F.lit(0.5)
+    contrib = F.when(F.col("cnt_a") > 0, half * pa * F.log(pa / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cnt_b") > 0, half * pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            "term",
+            "cnt_a",
+            "cnt_b",
+            F.round(contrib * 1e9).cast("long").alias("contrib_nano"),
+        )
+        .orderBy(F.desc("contrib_nano"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ratio_micro: int = 0,
+) -> DataFrame:
+    """C4-style badword filtering: per-doc occurrence count of blocked
+    tokens and a keep flag (``blocked/tokens`` ratio, floor-micro, must be
+    <= ``max_ratio_micro`` — the default 0 is C4's any-hit-drops rule).
+
+    Output: (id, n_tokens, n_blocked, blocked_ratio_micro, keep).
+
+    Scale: the token stream joins a BROADCAST blocklist (tiny, static) and
+    the hit counts aggregate map-side, so the shuffle carries one row per
+    doc WITH hits; clean docs never shuffle — they fill in through the
+    left join against the map-only (id, n_tokens) projection. The join
+    form (not an ``array_contains`` lambda) keeps the hot path in
+    whole-stage codegen.
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame([(t,) for t in blocklist], ["term"])
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    hits = (
+        tok.join(F.broadcast(bl), "term")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+    )
+    base = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    n_blocked = F.coalesce(F.col("n_blocked"), F.lit(0).cast("long"))
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            n_blocked.cast("double") * 1000000.0 / F.col("n_tokens").cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        n_blocked.alias("n_blocked"),
+        ratio.alias("blocked_ratio_micro"),
+        (ratio <= F.lit(max_ratio_micro)).alias("keep"),
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

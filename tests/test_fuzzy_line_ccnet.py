@@ -182,3 +182,70 @@ def test_perplexity_buckets_tokenless_doc_lands_in_tail(spark):
     out = {r.doc_id: (r.bucket, r.mean_lp_micro) for r in perplexity_buckets(df).collect()}
     assert out[3][1] is None
     assert out[3][0] == "tail"
+
+
+# ------------------------------------------------------- corpus_divergence --
+
+
+def test_corpus_divergence_zero_on_identical_corpora(spark):
+    rows = [(i, "a b c d", "en") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from hfsa_spark.operators.text import corpus_divergence
+
+    out = corpus_divergence(df, df, k=10).collect()
+    assert all(r.contrib_nano == 0 for r in out)
+
+
+def test_corpus_divergence_disjoint_vocab_hits_ln2(spark):
+    from hfsa_spark.operators.text import corpus_divergence
+    import math
+
+    a = spark.createDataFrame([(1, "x x x x")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "y y y y")], ["doc_id", "text"])
+    out = corpus_divergence(a, b, k=10).collect()
+    total = sum(r.contrib_nano for r in out) / 1e9
+    assert abs(total - math.log(2.0)) < 1e-6
+    # symmetry
+    out_ba = corpus_divergence(b, a, k=10).collect()
+    assert sum(r.contrib_nano for r in out_ba) == sum(r.contrib_nano for r in out)
+
+
+def test_corpus_divergence_one_sided_term_no_nulls(spark):
+    from hfsa_spark.operators.text import corpus_divergence
+
+    a = spark.createDataFrame([(1, "shared only_a")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "shared shared")], ["doc_id", "text"])
+    out = {r.term: r for r in corpus_divergence(a, b, k=10).collect()}
+    assert out["only_a"].cnt_b == 0 and out["only_a"].contrib_nano > 0
+    assert out["shared"].contrib_nano is not None
+
+
+# -------------------------------------------------------- blocklist_filter --
+
+
+def test_blocklist_filter_counts_and_keep(spark):
+    from hfsa_spark.operators.text import blocklist_filter
+
+    rows = [
+        (1, "clean text here"),
+        (2, "bad bad word"),
+        (3, "one bad in a much longer stretch of acceptable text " + "pad " * 50),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_blocked, r.keep)
+        for r in blocklist_filter(df, ["bad"], max_ratio_micro=20000).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (2, False)  # 2/3 ratio way over 2%
+    assert out[3][0] == 1 and out[3][1] is True  # 1/54 < 2%
+    assert out[4] == (0, True)  # empty doc keeps (0 tokens, ratio 0)
+
+
+def test_blocklist_filter_default_any_hit_drops(spark):
+    from hfsa_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "a bad day"), (2, "fine day")], ["doc_id", "text"])
+    out = {r.doc_id: r.keep for r in blocklist_filter(df, ["bad"]).collect()}
+    assert out == {1: False, 2: True}
