@@ -1876,13 +1876,14 @@ def q111_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q112_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-linear quality-classifier inference (FineWeb-Edu pattern):
-    every document scored by a fixed md5-bucketed linear model in ONE
-    map-only codegen expression — no explode, no shuffle. The oracle
-    replays the identical integer model over an unnest."""
-    from hfsa_spark.operators.text import hashed_linear_score
+    map-only scoring with no shuffle — the PRODUCTION Arrow kernel
+    (memoized C-speed token hashing) is what the gate runs; the codegen
+    expression twin stays pinned by the pytest equivalence suite. The
+    oracle replays the identical integer model over an unnest."""
+    from hfsa_spark.operators.text import hashed_linear_score_arrow
 
     d = _t(spark, sf_dir, "documents")
-    return hashed_linear_score(d).orderBy("doc_id")
+    return hashed_linear_score_arrow(d).orderBy("doc_id")
 
 
 def q113_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1948,12 +1949,14 @@ def q117_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q118_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM scoring with add-one smoothing (micro-nat integers, same
-    convention as q87's unigram scorer) — the oracle rebuilds the same
-    bigram model from the same corpus."""
-    from hfsa_spark.operators.text import bigram_logprob_score
+    convention as q87's unigram scorer) — the gate runs the PRODUCTION
+    Arrow kernel (compressed per-doc bigram partials; expression twin
+    equivalence-pinned in pytest); the oracle rebuilds the same bigram
+    model from the same corpus."""
+    from hfsa_spark.operators.text import bigram_logprob_score_arrow
 
     d = _t(spark, sf_dir, "documents")
-    return bigram_logprob_score(d).orderBy("doc_id")
+    return bigram_logprob_score_arrow(d).orderBy("doc_id")
 
 
 def q119_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1978,8 +1981,10 @@ def q120_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q121_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over document tokens (width 256 « vocab, so
-    collisions are real) probed for a fixed term list; the oracle
-    rebuilds the identical counter matrix with the portable hash."""
+    collisions are real) probed for a fixed term list, matrix built by
+    the PRODUCTION Arrow kernel (expression twin equivalence-pinned in
+    pytest); the oracle rebuilds the identical counter matrix with the
+    portable hash."""
     from hfsa_spark.operators.sketches import count_min_estimate
 
     d = _t(spark, sf_dir, "documents")
@@ -1990,16 +1995,19 @@ def q121_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("tok")).filter(F.col("tok").isNotNull())
     probes = ["table", "spark", "window", "zzz_absent", "query"]
-    return count_min_estimate(toks, "tok", probes)
+    return count_min_estimate(toks, "tok", probes, kernel="arrow")
 
 
 def q122_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal in integer nano-bits (one rounded
-    transcendental per (doc, char), exact integer sums after)."""
-    from hfsa_spark.operators.text import char_entropy_profile
+    transcendental per (doc, char), exact integer sums after). The gate
+    runs the MAP-ONLY production Arrow kernel — zero shuffles vs the
+    expression twin's per-character explode (twin equivalence-pinned in
+    pytest)."""
+    from hfsa_spark.operators.text import char_entropy_profile_arrow
 
     d = _t(spark, sf_dir, "documents")
-    return char_entropy_profile(d).orderBy("doc_id")
+    return char_entropy_profile_arrow(d).orderBy("doc_id")
 
 
 def q123_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
