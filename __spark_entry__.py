@@ -2692,6 +2692,30 @@ def q160_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q161_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served BM25: build the inverted index (term-sharded sorted
+    postings + doclen + one-row stats), then answer q155's queries from
+    the index alone — pushed term filter, no corpus re-scan. Must rank
+    identically to the batch scorer, so it shares q155's oracle."""
+    import shutil
+    import tempfile
+
+    from hfsa_spark.sinks.inverted_index import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    qs = [(0, "table"), (0, "scan"), (1, "spark"), (1, "window"),
+          (2, "zzz_absent"), (2, "query")]
+    out = tempfile.mkdtemp(prefix="invidx_gate_")
+    try:
+        write_inverted_index(d, out)
+        return bm25_topk_indexed(spark, out, qs, k=10).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3117,6 +3141,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_perplexity_buckets": q158_perplexity_buckets,
         "q159_corpus_divergence": q159_corpus_divergence,
         "q160_blocklist_filter": q160_blocklist_filter,
+        "q161_bm25_indexed": q161_bm25_indexed,
     }
 
 
@@ -6167,5 +6192,8 @@ def oracle_sql() -> dict[str, str]:
         FROM base b LEFT JOIN hits h USING (doc_id)
         ORDER BY b.doc_id
     """
+
+    # q161: index-served BM25 must rank identically to the batch scorer
+    o["q161_bm25_indexed"] = o["q155_bm25"]
 
     return o

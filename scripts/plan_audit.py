@@ -42,10 +42,10 @@ AUDIT = [
     ("q102_bloom_dedup", "bloom prefilter: one-row broadcast, maybes-only anti join", True),
     ("q106_bpe_pair_counts", "BPE kernel: vocab-sized agg, map-side combine", False),
     ("q109_embedding_moments", "PCA moments: one Expand, integer map-combinable sums", False),
-    ("q112_classifier_scores", "classifier inference: ONE map-only codegen aggregate", False),
+    ("q112_classifier_scores", "classifier inference: map-only Arrow kernel, zero shuffles", False),
     ("q113_retrieval_eval", "retrieval eval: broadcast-of-topk label join", True),
     ("q115_ewma_anomaly", "EWMA: unrolled lags share one window (one shuffle)", False),
-    ("q118_bigram_logprob", "bigram LM: one explode feeds model and scoring", True),
+    ("q118_bigram_logprob", "bigram LM: Arrow compressed partials feed the model join", True),
     ("q121_count_min", "CM sketch: bounded matrix groupBy, broadcast probes", False),
     ("q124_image_neardup", "image pHash: banded equi join, popcount verify", False),
     ("q131_pagerank", "PageRank iter: rank⋈edges join + map-combinable groupBy", False),
