@@ -2716,6 +2716,27 @@ def q161_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q162_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span dedup over planted 5-sentence pages built
+    from a 40-sentence cycle (every 10th doc) — heavy cross-doc span
+    repetition by construction; first occurrence by (doc, pos) keeps.
+    The oracle replays the identical span windows and pinned ordering."""
+    from hfsa_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sent = lambda o: F.concat(
+        F.lit("sent "), ((F.col("doc_id") + F.lit(o)) % 40).cast("string")
+    )
+    pages = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.concat_ws(". ", sent(0), sent(1), sent(2), sent(3), sent(4)),
+                 F.lit(".")).alias("text"),
+    )
+    return span_dedup(pages, "doc_id", "text", span_sentences=3).orderBy(
+        "doc_id", "pos"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3142,6 +3163,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_corpus_divergence": q159_corpus_divergence,
         "q160_blocklist_filter": q160_blocklist_filter,
         "q161_bm25_indexed": q161_bm25_indexed,
+        "q162_span_dedup": q162_span_dedup,
     }
 
 
@@ -6195,5 +6217,35 @@ def oracle_sql() -> dict[str, str]:
 
     # q161: index-served BM25 must rank identically to the batch scorer
     o["q161_bm25_indexed"] = o["q155_bm25"]
+
+    # q162: identical span construction + pinned first-occurrence window
+    o["q162_span_dedup"] = """
+        WITH pages AS MATERIALIZED (
+            SELECT doc_id,
+                   concat('sent ', ((doc_id + 0) % 40)::VARCHAR, '. ',
+                          'sent ', ((doc_id + 1) % 40)::VARCHAR, '. ',
+                          'sent ', ((doc_id + 2) % 40)::VARCHAR, '. ',
+                          'sent ', ((doc_id + 3) % 40)::VARCHAR, '. ',
+                          'sent ', ((doc_id + 4) % 40)::VARCHAR, '.') AS text
+            FROM documents WHERE doc_id % 10 = 0),
+        s AS (SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split_regex(text, '[.!?]'), x -> trim(x)),
+                         x -> len(x) > 0) AS sents
+              FROM pages),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(0, len(sents) - 3),
+                          i -> {'pos': i,
+                                'span': array_to_string(sents[i+1:i+3], ' ')}),
+                          recursive := true)
+            FROM s WHERE len(sents) >= 3)
+        SELECT doc_id, pos,
+               substr(md5(span), 1, 16) AS span_digest,
+               COUNT(*) OVER (PARTITION BY md5(span))::BIGINT AS n_occurrences,
+               (ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                   ORDER BY doc_id ASC, pos ASC)) = 1 AS keep
+        FROM spans ORDER BY doc_id, pos
+    """
 
     return o

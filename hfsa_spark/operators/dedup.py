@@ -903,6 +903,65 @@ def chat_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- sentence-span dedup (C4) --
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_sentences: int = 3,
+) -> DataFrame:
+    """C4's span deduplication rule: every run of ``span_sentences``
+    consecutive sentences is a span; across the corpus only the FIRST
+    occurrence of each distinct span (by (doc, position)) is kept. Returns
+    the full per-span decision table
+    (id, pos, span_digest, n_occurrences, keep) — the keep=false rows are
+    exactly what C4 deletes from its pages.
+
+    Sentences split on ``[.!?]`` runs (trimmed, empties dropped) — the
+    honest regex-only segmentation, same dialect both engines.
+
+    Scale: spans explode to ~one row per sentence (windows overlap but
+    each starts at one sentence); the decision is one shuffle keyed on the
+    span digest (window: row_number + count over the digest partition) —
+    partition size is bounded by a span's duplication count, the quantity
+    this operator exists to find. Span text never shuffles; the digest
+    does.
+    """
+    from pyspark.sql import Window
+
+    k = span_sentences
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n = F.size(sents)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(sents, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.substring(F.md5(F.col("span")), 1, 16).alias("span_digest"),
+    )
+    w = Window.partitionBy("span_digest")
+    wo = w.orderBy(F.asc(id_col), F.asc("pos"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("span_digest"),
+        F.count(F.lit(1)).over(w).alias("n_occurrences"),
+        (F.row_number().over(wo) == 1).alias("keep"),
+    )
+
+
 # ------------------------------------------------- edit-distance dedup --
 
 

@@ -249,3 +249,34 @@ def test_blocklist_filter_default_any_hit_drops(spark):
     df = spark.createDataFrame([(1, "a bad day"), (2, "fine day")], ["doc_id", "text"])
     out = {r.doc_id: r.keep for r in blocklist_filter(df, ["bad"]).collect()}
     assert out == {1: False, 2: True}
+
+
+# ------------------------------------------------------------- span_dedup --
+
+
+def test_span_dedup_first_occurrence_keeps(spark):
+    from hfsa_spark.operators.dedup import span_dedup
+
+    rows = [
+        (1, "A. B. C. D."),          # spans: ABC(0), BCD(1)
+        (2, "B. C. D. E."),          # spans: BCD(0) dup of doc1 pos1, CDE(1)
+        (3, "X! Y? Z."),             # one span XYZ
+        (4, "short. only."),         # < 3 sentences -> no spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_id, r.pos): (r.keep, r.n_occurrences) for r in span_dedup(df).collect()}
+    assert out[(1, 0)] == (True, 1)
+    assert out[(1, 1)] == (True, 2)   # first BCD
+    assert out[(2, 0)] == (False, 2)  # duplicate BCD dropped
+    assert out[(2, 1)] == (True, 1)
+    assert out[(3, 0)] == (True, 1)
+    assert (4, 0) not in out
+
+
+def test_span_dedup_within_doc_duplicates(spark):
+    from hfsa_spark.operators.dedup import span_dedup
+
+    # the same span twice INSIDE one doc: first pos keeps
+    df = spark.createDataFrame([(7, "A. B. C. A. B. C.")], ["doc_id", "text"])
+    out = {(r.doc_id, r.pos): r.keep for r in span_dedup(df).collect()}
+    assert out[(7, 0)] is True and out[(7, 3)] is False
