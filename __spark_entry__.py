@@ -2737,6 +2737,19 @@ def q162_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_neardup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonical keeper (the shipped fuzzy-dedup form):
+    MinHash -> LSH -> connected components -> per-component
+    argmax(n_chars, -doc_id). Oracle replays the full chain with the
+    q148 recursive-closure fragments plus a keeper window."""
+    from hfsa_spark.operators.dedup import neardup_canonical_keeper
+
+    d = _t(spark, sf_dir, "documents")
+    return neardup_canonical_keeper(d, "doc_id", "text", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3164,6 +3177,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_blocklist_filter": q160_blocklist_filter,
         "q161_bm25_indexed": q161_bm25_indexed,
         "q162_span_dedup": q162_span_dedup,
+        "q163_neardup_keeper": q163_neardup_keeper,
     }
 
 
@@ -6246,6 +6260,47 @@ def oracle_sql() -> dict[str, str]:
                (ROW_NUMBER() OVER (PARTITION BY md5(span)
                                    ORDER BY doc_id ASC, pos ASC)) = 1 AS keep
         FROM spans ORDER BY doc_id, pos
+    """
+
+    # q163: q148's MinHash/LSH/recursive-closure fragments + keeper argmax
+    o["q163_neardup_keeper"] = f"""
+        WITH RECURSIVE
+        sh AS MATERIALIZED ({_sh_all}),
+        sigs AS MATERIALIZED (
+            SELECT doc_id,
+               {_mh8}
+            FROM sh GROUP BY doc_id),
+        banded AS MATERIALIZED (
+            {_bands148}),
+        bsz AS MATERIALIZED (
+            SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band = a.band AND s.key = a.key
+            WHERE s.n BETWEEN 2 AND 1000),
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
+        comp AS MATERIALIZED (
+            SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id),
+        rows_q AS MATERIALIZED (
+            SELECT d.doc_id, d.n_chars, c.group_id
+            FROM documents d JOIN comp c USING (doc_id)),
+        keep AS (
+            SELECT group_id, COUNT(*)::BIGINT AS group_size,
+                   first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS keeper_id
+            FROM rows_q GROUP BY group_id)
+        SELECT r.doc_id, r.group_id, k.group_size, k.keeper_id,
+               (r.doc_id = k.keeper_id) AS keep
+        FROM rows_q r JOIN keep k USING (group_id)
+        ORDER BY r.doc_id
     """
 
     return o

@@ -903,6 +903,54 @@ def chat_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def neardup_canonical_keeper(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The shipped form of fuzzy dedup: near-duplicate CLUSTERS (MinHash →
+    banded LSH pairs → connected components) each keep their single
+    highest-quality member — :func:`canonical_keeper`'s argmax applied to
+    near-dup groups instead of exact-digest groups.
+
+    Returns one row per doc: (id, group_id, group_size, keeper_id, keep),
+    with keeper = argmax(quality, −id) per component — a total,
+    deterministic order, so reruns and engines agree.
+
+    Scale: inherits each stage's posture — map-combined signatures, banded
+    bucket joins with the ``max_bucket`` cap, O(diameter) min-label rounds
+    with checkpointed invariants; the final argmax is one map-combinable
+    groupBy on the component id plus a component-sized join back. Text
+    never shuffles past the shingle explode.
+    """
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = minhash_lsh_candidates(sigs, id_col, num_hashes, bands, max_bucket)
+    comp = connected_components(df.select(id_col), pairs, id_col)
+    rows = df.select(F.col(id_col), F.col(quality_col)).join(comp, id_col)
+    keepers = (
+        rows.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg_id"))
+            ).alias("best"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("group_id", (-F.col("best.neg_id")).alias("keeper_id"), "group_size")
+    )
+    return rows.join(keepers, "group_id").select(
+        F.col(id_col),
+        F.col("group_id"),
+        F.col("group_size"),
+        F.col("keeper_id"),
+        (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------- sentence-span dedup (C4) --
 
 

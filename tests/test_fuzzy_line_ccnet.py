@@ -280,3 +280,37 @@ def test_span_dedup_within_doc_duplicates(spark):
     df = spark.createDataFrame([(7, "A. B. C. A. B. C.")], ["doc_id", "text"])
     out = {(r.doc_id, r.pos): r.keep for r in span_dedup(df).collect()}
     assert out[(7, 0)] is True and out[(7, 3)] is False
+
+
+# -------------------------------------------------- neardup_canonical_keeper --
+
+
+def test_neardup_keeper_picks_best_quality_per_cluster(spark):
+    from hfsa_spark.operators.dedup import neardup_canonical_keeper
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, 10),
+        (2, base + " iota", 50),           # near-dup of 1, higher quality
+        (3, base + " iota kappa", 30),     # chains to 2
+        (9, "совершенно другой текст без общих шинглов вовсе", 99),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    out = {r.doc_id: (r.group_id, r.keeper_id, r.keep, r.group_size)
+           for r in neardup_canonical_keeper(df).collect()}
+    # docs 1-3 form one component labeled by min id 1; keeper = max quality (id 2)
+    assert out[1] == (1, 2, False, 3)
+    assert out[2] == (1, 2, True, 3)
+    assert out[3] == (1, 2, False, 3)
+    assert out[9] == (9, 9, True, 1)
+
+
+def test_neardup_keeper_quality_tie_breaks_on_lower_id(spark):
+    from hfsa_spark.operators.dedup import neardup_canonical_keeper
+
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(5, base, 7), (6, base, 7)], ["doc_id", "text", "n_chars"]
+    )
+    out = {r.doc_id: r.keep for r in neardup_canonical_keeper(df).collect()}
+    assert out == {5: True, 6: False}
