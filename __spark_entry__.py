@@ -2618,8 +2618,11 @@ def q156_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
     )
     corpus = base.unionByName(variants)
+    # max_bucket effectively uncapped: the oracle is the UNCAPPED
+    # quadratic ground truth, so the gate must not silently drop buckets
     pairs = edit_distance_neardup_pairs(
-        corpus, "doc_id", "text", max_dist=4, block_cols=["lang"]
+        corpus, "doc_id", "text", max_dist=4, block_cols=["lang"],
+        max_bucket=10**9,
     )
     return pairs.select(
         "id_a",

@@ -1108,16 +1108,18 @@ def line_dedup(
 
     Scale: line counts group on a fixed-width digest — the shuffle carries
     (digest, doc-distinct partial) rows, never line text; the boilerplate
-    digest set (the Zipf head — tiny) broadcasts into a left_anti join, so
-    the per-line membership test is map-side; the rebuild regroups each
-    doc's surviving lines once, keyed on the doc id. When the boilerplate
-    set is known-small it could instead be inlined as a literal array for
-    a zero-shuffle expression rebuild — the join form is kept because it
-    has no driver-side collect and no size assumption.
+    set anti-joins UNHINTED — usually the Zipf head and AQE broadcasts it,
+    but on mirror-heavy corpora (most lines shared by >= min_docs pages)
+    it is O(distinct lines) and must be allowed to shuffle-join; the
+    rebuild regroups each doc's surviving lines once, keyed on the doc id.
+    ``sep`` is a literal separator (regex-escaped internally).
     """
+    import re as _re
+
+    sep_re = _re.escape(sep)  # F.split takes a regex; sep is a literal
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
     ).withColumn("digest", F.md5(F.trim(F.col("line"))))
 
     boiler = (
@@ -1126,7 +1128,7 @@ def line_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .select("digest")
     )
-    kept = lines.join(F.broadcast(boiler), "digest", "left_anti")
+    kept = lines.join(boiler, "digest", "left_anti")
 
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1140,7 +1142,7 @@ def line_dedup(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep_re, -1)).cast("long").alias("n_lines"),
     )
     n_kept = F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
     return totals.join(rebuilt, id_col, "left").select(

@@ -235,8 +235,9 @@ def count_min_estimate(
     is reusable: persist it once, answer any probe stream forever.
     ``kernel='arrow'`` swaps the matrix build for the Arrow kernel
     (:func:`_count_min_matrix_arrow`): one md5 per DISTINCT value per
-    batch instead of per row — same counters, equivalence-tested; the
-    gate keeps ``'expr'`` for oracle bit-exactness.
+    batch instead of per row — same counters, equivalence-tested. The
+    gate (q121) runs the Arrow kernel; the expression build stays pinned
+    by the pytest equivalence suite.
     """
     from hfsa_spark.functions.hashing import portable_hash64
 

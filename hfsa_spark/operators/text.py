@@ -485,11 +485,13 @@ def perplexity_buckets(
     Scale: a naive ``rank() OVER (PARTITION BY lang)`` sorts every doc of
     a language in one task — the dominant-language partition IS the
     corpus. Instead the rank decomposes through the score histogram:
-    distinct (lang, mean) counts (map-combinable, tiny) give each score
-    value its cumulative offset; docs then shuffle by (lang, mean) — the
-    tie group, not the language — for a row_number that only sorts ties.
-    Broadcast joins stitch the offsets back, so no task ever sorts more
-    than the largest tie group.
+    distinct (lang, mean) counts (map-combinable) give each score value
+    its cumulative offset; docs then shuffle by (lang, mean) — the tie
+    group, not the language — for a row_number that only sorts ties. The
+    offsets table (distinct-score histogram) joins back unhinted — AQE
+    broadcasts it when small; at extreme scale coarsen the score
+    quantization to bound the histogram. Null-language docs are a real
+    group (null-safe join), ranked like any other.
     """
     scores = unigram_logprob_score(df, id_col=id_col, text_col=text_col)
     sentinel = -(10**18)
@@ -524,8 +526,22 @@ def perplexity_buckets(
     wt = Window.partitionBy(lang_col, "_rk").orderBy(F.asc(id_col))
     head_k = F.floor(F.col("_n_lang") * F.lit(head_frac))
     tail_k = F.floor(F.col("_n_lang") * F.lit(tail_frac))
+    # null-SAFE on lang (a null language is a legitimate group — an equi
+    # join would silently drop those docs); no broadcast hint: the offsets
+    # cardinality is the distinct-score histogram, which AQE can judge —
+    # forcing broadcast would gamble the driver on it
+    off = offsets.select(
+        F.col(lang_col).alias("_lang_o"),
+        F.col("_rk").alias("_rk_o"),
+        "_before",
+        "_n_lang",
+    )
     ranked = (
-        sc.join(F.broadcast(offsets), [lang_col, "_rk"])
+        sc.join(
+            off,
+            F.col(lang_col).eqNullSafe(F.col("_lang_o"))
+            & (F.col("_rk") == F.col("_rk_o")),
+        )
         .withColumn("grank", F.col("_before") + F.row_number().over(wt))
         .select(
             F.col(id_col),
@@ -652,8 +668,8 @@ def hashed_linear_score_arrow(
     pays an interpreted md5 → conv → mod chain); this twin hashes each
     distinct token ONCE per executor (memoized dict, C-speed hashlib.md5)
     and scores occurrences by dictionary lookup. Same map-only posture —
-    no explode, no shuffle; the gate keeps the expression path for oracle
-    bit-exactness."""
+    no explode, no shuffle. This is what the gate runs (q112); the
+    expression twin stays pinned by the pytest equivalence suite."""
     import hashlib
 
     import pandas as pd
@@ -1126,8 +1142,8 @@ def char_entropy_profile_arrow(
     per-(doc,char) nano-bit term replays Spark's HALF_UP via
     ``floor(x·1e9 + 0.5)`` on the same float64 math.
 
-    The gate keeps the expression path for oracle bit-exactness; this is
-    the 100 TB production path."""
+    This is what the gate runs (q122) and the 100 TB production path; the
+    expression twin stays pinned by the pytest equivalence suite."""
     import math
     from collections import Counter
 
@@ -1564,7 +1580,7 @@ def blocklist_filter(
     whole-stage codegen.
     """
     spark = df.sparkSession
-    bl = spark.createDataFrame([(t,) for t in blocklist], ["term"])
+    bl = spark.createDataFrame([(t,) for t in blocklist], "term string")
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     hits = (
         tok.join(F.broadcast(bl), "term")

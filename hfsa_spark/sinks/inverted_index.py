@@ -92,7 +92,9 @@ def bm25_topk_indexed(
     stats = spark.read.parquet(index_dir + "/stats")
 
     terms = sorted({t for _, t in queries})
-    hit = postings.filter(F.col("term").isin(terms)).persist()
+    # no persist: a serving call must leave no cached blocks behind, and
+    # both consumers re-read only the PRUNED postings scan (cheap)
+    hit = postings.filter(F.col("term").isin(terms))
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     qdf = spark.createDataFrame(queries, "query_id long, term string")

@@ -314,3 +314,38 @@ def test_neardup_keeper_quality_tie_breaks_on_lower_id(spark):
     )
     out = {r.doc_id: r.keep for r in neardup_canonical_keeper(df).collect()}
     assert out == {5: True, 6: False}
+
+
+# ----------------------------------------------------- review-fix pins --
+
+
+def test_perplexity_buckets_null_lang_docs_survive(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    rows = [(1, "a a", "en"), (2, "a b", "en"), (3, "b b", None)]
+    df = spark.createDataFrame(rows, schema)
+    out = perplexity_buckets(df)
+    assert out.count() == 3
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3}
+
+
+def test_blocklist_filter_empty_list_keeps_everything(spark):
+    from hfsa_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "any text")], ["doc_id", "text"])
+    out = blocklist_filter(df, []).collect()
+    assert out[0].n_blocked == 0 and out[0].keep is True
+
+
+def test_line_dedup_metachar_separator_is_literal(spark):
+    rows = [(1, "keep|X"), (2, "X|other"), (3, "X|third")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_lines, r.clean_text) for r in line_dedup(df, min_docs=3, sep="|").collect()}
+    assert out[1] == (2, "keep")
+    assert out[2] == (2, "other")
+    assert out[3] == (2, "third")
