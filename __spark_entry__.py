@@ -2753,6 +2753,44 @@ def q163_neardup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance through a REAL Structured-Streaming
+    lifecycle: documents arrive as three micro-batches, foreachBatch
+    writes one idempotent index segment each, and q155's queries are then
+    served from the segmented index — which must rank EXACTLY like the
+    one-pass batch index and the from-scratch scorer (shared oracle)."""
+    import os
+    import tempfile
+
+    from hfsa_spark.sinks.inverted_index import bm25_topk_indexed
+    from hfsa_spark.streaming.index import streaming_index_maintenance
+
+    tmp = tempfile.mkdtemp(prefix="q164_")
+    src_dir = os.path.join(tmp, "arrivals")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    for k in range(3):
+        _stage_arrival_file(d.filter(F.col("doc_id") % 3 == k), src_dir, k)
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    idx = os.path.join(tmp, "index")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming_index_maintenance(
+            src, idx, checkpoint_path=os.path.join(tmp, "ck")
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    qs = [(0, "table"), (0, "scan"), (1, "spark"), (1, "window"),
+          (2, "zzz_absent"), (2, "query")]
+    return bm25_topk_indexed(spark, idx, qs, k=10).localCheckpoint()
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3181,6 +3219,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_bm25_indexed": q161_bm25_indexed,
         "q162_span_dedup": q162_span_dedup,
         "q163_neardup_keeper": q163_neardup_keeper,
+        "q164_streaming_index": q164_streaming_index,
     }
 
 
@@ -6232,8 +6271,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY b.doc_id
     """
 
-    # q161: index-served BM25 must rank identically to the batch scorer
+    # q161/q164: index-served BM25 (batch-built and stream-maintained)
+    # must rank identically to the from-scratch scorer
     o["q161_bm25_indexed"] = o["q155_bm25"]
+    o["q164_streaming_index"] = o["q155_bm25"]
 
     # q162: identical span construction + pinned first-occurrence window
     o["q162_span_dedup"] = """

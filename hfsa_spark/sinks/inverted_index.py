@@ -68,6 +68,48 @@ def write_inverted_index(
     tf.unpersist()
 
 
+def write_index_segment(
+    df: DataFrame,
+    index_dir: str,
+    segment: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 4,
+) -> None:
+    """One idempotent index SEGMENT — the Lucene-style incremental form:
+    batch ``segment``'s postings/doclen/stats land under ``seg=<segment>``
+    directories via a full overwrite of exactly those directories, so an
+    at-least-once replay of the batch rewrites the same segment and
+    nothing else (the ``ingest_batch`` idempotency pattern applied to
+    index maintenance).
+
+    Serving reads the UNION of segments (parquet partition discovery on
+    ``seg=``): df / N / avgdl stay exact as long as each document lands in
+    exactly one segment — upstream streaming dedup's guarantee. Compact
+    old segments periodically the same way corpus batches are.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    base = parallelize_compute(df.select(id_col, text_col))
+    toks = base.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    seg = f"/seg={segment}"
+    (
+        tf.repartition(n_shards, "term")
+        .sortWithinPartitions("term", "id")
+        .write.mode("overwrite")
+        .parquet(index_dir + "/postings" + seg)
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dl.write.mode("overwrite").parquet(index_dir + "/doclen" + seg)
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    tt = dl.agg(F.sum("dl").alias("total_tokens"))
+    n_docs.crossJoin(tt).write.mode("overwrite").parquet(index_dir + "/stats" + seg)
+    tf.unpersist()
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -89,7 +131,15 @@ def bm25_topk_indexed(
     """
     postings = spark.read.parquet(index_dir + "/postings")
     doclen = spark.read.parquet(index_dir + "/doclen")
-    stats = spark.read.parquet(index_dir + "/stats")
+    # one row per segment (one for a flat batch-built index): corpus-level
+    # N and token totals are the exact integer sums over segments
+    stats = (
+        spark.read.parquet(index_dir + "/stats")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+    )
 
     terms = sorted({t for _, t in queries})
     # no persist: a serving call must leave no cached blocks behind, and

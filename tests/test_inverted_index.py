@@ -70,3 +70,29 @@ def test_index_stats_are_exact(spark, corpus):
         assert dl == {1: 4, 2: 3, 3: 4, 4: 2, 5: 5}
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_segmented_index_matches_batch_and_replay_is_idempotent(spark, corpus):
+    from hfsa_spark.operators.text import bm25_topk
+    from hfsa_spark.sinks.inverted_index import (
+        bm25_topk_indexed,
+        write_index_segment,
+    )
+
+    want = [tuple(r) for r in bm25_topk(corpus, QS, k=3).collect()]
+    out = tempfile.mkdtemp(prefix="invidx_seg_")
+    try:
+        b0 = corpus.filter("doc_id % 2 = 0")
+        b1 = corpus.filter("doc_id % 2 = 1")
+        write_index_segment(b0, out, 0, n_shards=2)
+        write_index_segment(b1, out, 1, n_shards=2)
+        got = [tuple(r) for r in bm25_topk_indexed(spark, out, QS, k=3).collect()]
+        assert got == want
+        # at-least-once replay of segment 1 must leave the index unchanged
+        write_index_segment(b1, out, 1, n_shards=2)
+        again = [tuple(r) for r in bm25_topk_indexed(spark, out, QS, k=3).collect()]
+        assert again == want
+        stats = spark.read.parquet(out + "/stats")
+        assert stats.count() == 2  # one row per segment, not three
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
