@@ -2791,6 +2791,25 @@ def q164_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, idx, qs, k=10).localCheckpoint()
 
 
+def q165_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script mix profile over docs with planted Cyrillic / Han /
+    digit suffixes (doc_id mod 4) — map-only regexp counts; Java script
+    classes verified char-identical to the oracle's RE2 spellings."""
+    from hfsa_spark.operators.text import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" \u4f60\u597d\u4e16\u754c"))
+        .when(F.col("doc_id") % 4 == 3, F.lit(" 12345"))
+        .otherwise(F.lit(""))
+    )
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return script_profile(planted).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3220,6 +3239,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_span_dedup": q162_span_dedup,
         "q163_neardup_keeper": q163_neardup_keeper,
         "q164_streaming_index": q164_streaming_index,
+        "q165_script_profile": q165_script_profile,
     }
 
 
@@ -6345,6 +6365,51 @@ def oracle_sql() -> dict[str, str]:
                (r.doc_id = k.keeper_id) AS keep
         FROM rows_q r JOIN keep k USING (group_id)
         ORDER BY r.doc_id
+    """
+
+    # q165: RE2 script-class spellings of the same counts + identical
+    # dominant CASE chain and floor-micro ratio
+    o["q165_script_profile"] = """
+        WITH planted AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 4 = 1
+                                THEN ' \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+                                WHEN doc_id % 4 = 2 THEN ' \u4f60\u597d\u4e16\u754c'
+                                WHEN doc_id % 4 = 3 THEN ' 12345'
+                                ELSE '' END AS text
+            FROM documents),
+        c AS (SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S'))::BIGINT AS n_visible,
+                     len(regexp_extract_all(text, '\\p{Latin}'))::BIGINT AS n_latin,
+                     len(regexp_extract_all(text, '\\p{Cyrillic}'))::BIGINT AS n_cyrillic,
+                     len(regexp_extract_all(text, '\\p{Han}'))::BIGINT AS n_han,
+                     len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit
+              FROM planted)
+        SELECT doc_id, n_visible, n_latin, n_cyrillic, n_han, n_digit,
+               (n_visible - n_latin - n_cyrillic - n_han - n_digit)::BIGINT
+                   AS n_other,
+               CASE WHEN n_visible > 0 THEN
+                   FLOOR(n_latin::DOUBLE * 1000000.0 / n_visible::DOUBLE)::BIGINT
+               ELSE 0 END AS latin_ratio_micro,
+               CASE
+                 WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                      AND n_latin >= n_digit
+                      AND n_latin >= (n_visible - n_latin - n_cyrillic
+                                      - n_han - n_digit) THEN 'latin'
+                 WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_han
+                      AND n_cyrillic >= n_digit
+                      AND n_cyrillic >= (n_visible - n_latin - n_cyrillic
+                                         - n_han - n_digit) THEN 'cyrillic'
+                 WHEN n_han >= n_latin AND n_han >= n_cyrillic
+                      AND n_han >= n_digit
+                      AND n_han >= (n_visible - n_latin - n_cyrillic
+                                    - n_han - n_digit) THEN 'han'
+                 WHEN n_digit >= n_latin AND n_digit >= n_cyrillic
+                      AND n_digit >= n_han
+                      AND n_digit >= (n_visible - n_latin - n_cyrillic
+                                      - n_han - n_digit) THEN 'digit'
+                 ELSE 'other' END AS dominant
+        FROM c ORDER BY doc_id
     """
 
     return o

@@ -1489,6 +1489,60 @@ def corpus_datasheet(
     )
 
 
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-script mix per document — the multilingual-pipeline routing
+    signal (mixed-script text is a mojibake / spam / wrong-langid flag):
+    visible-char counts by script (Latin, Cyrillic, Han, digits, other)
+    plus a floor-micro Latin ratio and a deterministic dominant-script
+    label (max count, ties broken by the fixed order latin > cyrillic >
+    han > digit > other).
+
+    Java's ``\\p{IsLatin}`` and RE2's ``\\p{Latin}`` count identically
+    (verified) — the oracle runs the RE2 spelling.
+
+    Scale: map-only regexp counts, zero shuffles, zero UDFs.
+    """
+    t = F.col(text_col)
+    vis = F.regexp_count(t, F.lit(r"\S"))
+    lat = F.regexp_count(t, F.lit(r"\p{IsLatin}"))
+    cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}"))
+    han = F.regexp_count(t, F.lit(r"\p{IsHan}"))
+    dig = F.regexp_count(t, F.lit(r"[0-9]"))
+    other = vis - lat - cyr - han - dig
+    cols = [
+        ("latin", lat),
+        ("cyrillic", cyr),
+        ("han", han),
+        ("digit", dig),
+        ("other", other),
+    ]
+    dominant = F.lit("other")
+    for name, c in reversed(cols[:-1]):
+        later = [cc for nn, cc in cols if nn != name]
+        cond = None
+        for cc in later:
+            e = c >= cc
+            cond = e if cond is None else (cond & e)
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+    ratio = F.when(
+        vis > 0,
+        F.floor(lat.cast("double") * 1000000.0 / vis.cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        vis.cast("long").alias("n_visible"),
+        lat.cast("long").alias("n_latin"),
+        cyr.cast("long").alias("n_cyrillic"),
+        han.cast("long").alias("n_han"),
+        dig.cast("long").alias("n_digit"),
+        other.cast("long").alias("n_other"),
+        ratio.alias("latin_ratio_micro"),
+        dominant.alias("dominant"),
+    )
+
+
 def corpus_divergence(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -349,3 +349,27 @@ def test_line_dedup_metachar_separator_is_literal(spark):
     assert out[1] == (2, "keep")
     assert out[2] == (2, "other")
     assert out[3] == (2, "third")
+
+
+# ---------------------------------------------------------- script_profile --
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from hfsa_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир ok"),
+        (3, "你好世界"),
+        (4, "123 456"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert (out[1].n_latin, out[1].dominant) == (10, "latin")
+    assert (out[2].n_cyrillic, out[2].dominant) == (9, "cyrillic")
+    assert (out[3].n_han, out[3].dominant) == (4, "han")
+    assert (out[4].n_digit, out[4].dominant) == (6, "digit")
+    assert (out[5].n_visible, out[5].latin_ratio_micro) == (0, 0)
+    # ratio: 10 latin of 10 visible in doc 1
+    assert out[1].latin_ratio_micro == 1000000
