@@ -110,6 +110,37 @@ def write_index_segment(
     tf.unpersist()
 
 
+def compact_index(spark: SparkSession, src_dir: str, dst_dir: str, n_shards: int = 8) -> None:
+    """Merge a segmented index (many small ``seg=`` directories from
+    streaming maintenance) into one flat index at ``dst_dir`` — the
+    Lucene-merge step that keeps serving scans from degrading as segment
+    count grows. Postings re-shard/re-sort by term (restoring row-group
+    pruning across the whole corpus); doclen concatenates; stats collapse
+    to one exact-summed row. Write-to-new-dir keeps the operation
+    atomic-by-rename for the caller and the source index serveable
+    throughout.
+
+    tf re-aggregates per (id, term): a no-op when every doc lives in one
+    segment (the maintenance invariant), and the correct merge if a doc
+    was ever re-ingested across segments.
+    """
+    postings = spark.read.parquet(src_dir + "/postings").select("id", "term", "tf")
+    tf = postings.groupBy("id", "term").agg(F.sum("tf").alias("tf"))
+    (
+        tf.repartition(n_shards, "term")
+        .sortWithinPartitions("term", "id")
+        .write.mode("overwrite")
+        .parquet(dst_dir + "/postings")
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dl.write.mode("overwrite").parquet(dst_dir + "/doclen")
+    stats = spark.read.parquet(src_dir + "/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+    stats.write.mode("overwrite").parquet(dst_dir + "/stats")
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
