@@ -2810,6 +2810,35 @@ def q165_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(planted).orderBy("doc_id")
 
 
+def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-release funnel: input -> quality (score >= 0.6) ->
+    blocklist (ratio <= 2%) -> exact dedup (min-id keeper among prior
+    survivors), accounted in ONE conditional-sum aggregate. The oracle
+    replays every predicate and the survivor-scoped dedup window."""
+    from hfsa_spark.operators.dedup import normalize_text
+    from hfsa_spark.operators.features import pipeline_funnel
+    from hfsa_spark.operators.text import blocklist_filter, quality_score
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.withColumn("q_keep", quality_score("text") >= 0.6)
+    bl = blocklist_filter(d, ["slow", "merge", "zzz_banned"],
+                          max_ratio_micro=20000).select(
+        "doc_id", F.col("keep").alias("b_keep")
+    )
+    both = scored.join(bl, "doc_id").withColumn(
+        "digest", F.md5(normalize_text("text"))
+    )
+    surv = both.filter(F.col("q_keep") & F.col("b_keep"))
+    keepers = surv.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    aug = both.join(keepers, "digest", "left").withColumn(
+        "d_keep", F.coalesce(F.col("doc_id") == F.col("keep_id"), F.lit(False))
+    )
+    return pipeline_funnel(
+        aug, [("quality", "q_keep"), ("blocklist", "b_keep"), ("dedup", "d_keep")]
+    ).orderBy("stage_no")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3240,6 +3269,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_neardup_keeper": q163_neardup_keeper,
         "q164_streaming_index": q164_streaming_index,
         "q165_script_profile": q165_script_profile,
+        "q166_pipeline_funnel": q166_pipeline_funnel,
     }
 
 
@@ -6410,6 +6440,49 @@ def oracle_sql() -> dict[str, str]:
                                       - n_han - n_digit) THEN 'digit'
                  ELSE 'other' END AS dominant
         FROM c ORDER BY doc_id
+    """
+
+    # q166: replay each predicate; dedup keeper window scoped to the
+    # quality+blocklist survivors; same cumulative-AND accounting
+    o["q166_pipeline_funnel"] = f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        feats AS (
+            SELECT doc_id, text, toks,
+                   (0.4 * LEAST(len(toks)::DOUBLE / 100.0, 1.0)
+                  + 0.3 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                               / GREATEST(len(text), 1)::DOUBLE)
+                  + 0.3 * LEAST(GREATEST((list_sum(list_transform(toks, t -> len(t)::DOUBLE))
+                                          / GREATEST(len(toks)::DOUBLE, 1.0) - 2.0) / 8.0,
+                                0.0), 1.0)) >= 0.6 AS q_keep,
+                   len(list_filter(toks,
+                       t -> t IN ('slow', 'merge', 'zzz_banned')))::BIGINT AS n_blocked,
+                   len(toks)::BIGINT AS n_tokens,
+                   md5({_NORM}) AS digest
+            FROM base),
+        flags AS (
+            SELECT doc_id, q_keep, digest,
+                   (CASE WHEN n_tokens > 0 THEN
+                        FLOOR(n_blocked::DOUBLE * 1000000.0 / n_tokens::DOUBLE)::BIGINT
+                    ELSE 0 END) <= 20000 AS b_keep
+            FROM feats),
+        keepers AS (
+            SELECT digest, MIN(doc_id) AS keep_id FROM flags
+            WHERE q_keep AND b_keep GROUP BY digest),
+        aug AS (
+            SELECT f.*, COALESCE(f.doc_id = k.keep_id, false) AS d_keep
+            FROM flags f LEFT JOIN keepers k USING (digest)),
+        c AS (SELECT COUNT(*)::BIGINT AS n_0,
+                     COUNT(*) FILTER (WHERE q_keep)::BIGINT AS n_1,
+                     COUNT(*) FILTER (WHERE q_keep AND b_keep)::BIGINT AS n_2,
+                     COUNT(*) FILTER (WHERE q_keep AND b_keep AND d_keep)::BIGINT AS n_3
+              FROM aug)
+        SELECT 0::BIGINT AS stage_no, 'input' AS stage, n_0 AS n_out,
+               0::BIGINT AS n_dropped FROM c
+        UNION ALL SELECT 1, 'quality', n_1, n_0 - n_1 FROM c
+        UNION ALL SELECT 2, 'blocklist', n_2, n_1 - n_2 FROM c
+        UNION ALL SELECT 3, 'dedup', n_3, n_2 - n_3 FROM c
+        ORDER BY stage_no
     """
 
     return o

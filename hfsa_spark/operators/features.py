@@ -176,3 +176,52 @@ def quarantine_invalid(
     valid = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
     bad = tagged.filter(F.size("failed_rules") > 0)
     return valid, bad
+
+
+def pipeline_funnel(
+    df: DataFrame, stages: list[tuple[str, Column | str]]
+) -> DataFrame:
+    """Stage-by-stage survivor accounting for a cleaning pipeline — the
+    funnel report every corpus release publishes ("N in, X after quality,
+    Y after blocklist, Z after dedup"). ``stages`` is an ORDERED list of
+    (name, keep-predicate); stage i's survivors are the rows passing ALL
+    predicates 1..i, so the numbers reproduce running the filters
+    sequentially without materializing any intermediate corpus.
+
+    Output: (stage_no, stage, n_out, n_dropped) — one row per stage plus
+    the leading 'input' row; n_dropped is vs the previous stage.
+
+    Scale: ONE map-combinable aggregate over one scan — each stage is a
+    conditional sum, so the cost is independent of stage count and no
+    intermediate dataset is written. Predicates that need global context
+    (a dedup keep flag, a percentile cut) are computed by the caller as
+    boolean columns first; this operator only accounts.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_0")]
+    acc = F.lit(True)
+    for i, (_, c) in enumerate(stages, 1):
+        col = F.col(c) if isinstance(c, str) else c
+        acc = acc & col
+        aggs.append(
+            F.sum(F.when(acc, 1).otherwise(0)).cast("long").alias(f"n_{i}")
+        )
+    one = df.agg(*aggs)
+    names = ["input"] + [n for n, _ in stages]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_no"),
+                F.lit(names[i]).alias("stage"),
+                F.col(f"n_{i}").alias("n_out"),
+                (
+                    (F.col(f"n_{i - 1}") - F.col(f"n_{i}"))
+                    if i > 0
+                    else F.lit(0).cast("long")
+                ).alias("n_dropped"),
+            )
+            for i in range(len(names))
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.stage_no", "r.stage", "r.n_out", "r.n_dropped"
+    )

@@ -373,3 +373,32 @@ def test_script_profile_counts_and_dominant(spark):
     assert (out[5].n_visible, out[5].latin_ratio_micro) == (0, 0)
     # ratio: 10 latin of 10 visible in doc 1
     assert out[1].latin_ratio_micro == 1000000
+
+
+# --------------------------------------------------------- pipeline_funnel --
+
+
+def test_pipeline_funnel_cumulative_accounting(spark):
+    from hfsa_spark.operators.features import pipeline_funnel
+
+    rows = [
+        (1, True, True),
+        (2, True, False),
+        (3, False, True),   # fails stage 1 -> never reaches stage 2
+        (4, True, True),
+    ]
+    df = spark.createDataFrame(rows, ["id", "p1", "p2"])
+    out = {r.stage_no: (r.stage, r.n_out, r.n_dropped)
+           for r in pipeline_funnel(df, [("a", "p1"), ("b", "p2")]).collect()}
+    assert out[0] == ("input", 4, 0)
+    assert out[1] == ("a", 3, 1)
+    assert out[2] == ("b", 2, 1)
+
+
+def test_pipeline_funnel_single_aggregate_plan(spark):
+    from hfsa_spark.operators.features import pipeline_funnel
+
+    df = spark.createDataFrame([(1, True)], ["id", "p"])
+    plan = pipeline_funnel(df, [("only", "p")])._jdf.queryExecution().toString()
+    # one scan, no join, no extra shuffle beyond the single-row aggregate
+    assert "Join" not in plan
