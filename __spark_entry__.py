@@ -2839,6 +2839,39 @@ def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage_no")
 
 
+def q167_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation QA over rendered chats (two templates, a System
+    prefix on every 5th doc, a broken double-User turn on every 7th):
+    turn counts per canonical role, opening role, alternation flag,
+    per-side content chars. The oracle replays the marker regex and the
+    index-aligned role/length zip."""
+    from hfsa_spark.operators.text import chat_turn_stats
+
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("User: hi User: "), F.col("text"),
+                     F.lit(" Assistant: ok")),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("User: "), F.col("text"), F.lit(" Assistant: ok")),
+        )
+        .otherwise(
+            F.concat(F.lit("<|user|> "), F.col("text"),
+                     F.lit(" <|assistant|> ok ok"))
+        )
+    )
+    rendered = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("System: be nice "), body))
+        .otherwise(body).alias("text"),
+    )
+    return chat_turn_stats(rendered).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3270,6 +3303,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_streaming_index": q164_streaming_index,
         "q165_script_profile": q165_script_profile,
         "q166_pipeline_funnel": q166_pipeline_funnel,
+        "q167_chat_turn_stats": q167_chat_turn_stats,
     }
 
 
@@ -6483,6 +6517,58 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'blocklist', n_2, n_1 - n_2 FROM c
         UNION ALL SELECT 3, 'dedup', n_3, n_2 - n_3 FROM c
         ORDER BY stage_no
+    """
+
+    # q167: same marker alternation, canonical-role map, index-aligned
+    # role/length zip; trailing empties preserved by both split dialects
+    o["q167_chat_turn_stats"] = """
+        WITH conv AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'System: be nice ' || body
+                        ELSE body END AS text
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0
+                              THEN 'User: hi User: ' || text || ' Assistant: ok'
+                              WHEN doc_id % 2 = 0
+                              THEN 'User: ' || text || ' Assistant: ok'
+                              ELSE '<|user|> ' || text || ' <|assistant|> ok ok'
+                         END AS body
+                  FROM documents)),
+        p AS (SELECT doc_id,
+                     regexp_extract_all(text, '(?i)\\b(?:user|assistant|system|human|ai)\\s*:|<\\|[a-z_]+\\|>') AS raw,
+                     string_split_regex(text, '(?i)\\b(?:user|assistant|system|human|ai)\\s*:|<\\|[a-z_]+\\|>') AS parts
+              FROM conv),
+        c AS (SELECT doc_id,
+                     list_transform(raw, m ->
+                         CASE WHEN regexp_extract(lower(m), '[a-z_]+')
+                                   IN ('human', 'user') THEN 'user'
+                              WHEN regexp_extract(lower(m), '[a-z_]+')
+                                   IN ('ai', 'assistant') THEN 'assistant'
+                              ELSE regexp_extract(lower(m), '[a-z_]+')
+                         END) AS roles,
+                     list_transform(parts[2:], x -> len(trim(x))::BIGINT) AS lens
+              FROM p)
+        SELECT doc_id,
+               len(roles)::BIGINT AS n_turns,
+               len(list_filter(roles, r -> r = 'user'))::BIGINT AS n_user,
+               len(list_filter(roles, r -> r = 'assistant'))::BIGINT
+                   AS n_assistant,
+               len(list_filter(roles, r -> r = 'system'))::BIGINT AS n_system,
+               CASE WHEN len(roles) > 0 THEN roles[1] ELSE 'none' END
+                   AS first_role,
+               CASE WHEN len(roles) >= 2 THEN
+                   len(list_filter(generate_series(1, len(roles) - 1),
+                                   i -> roles[i] = roles[i + 1])) = 0
+               ELSE true END AS alternation_ok,
+               COALESCE(list_sum(list_transform(
+                   generate_series(1, len(roles)),
+                   i -> CASE WHEN roles[i] = 'user' THEN lens[i]
+                             ELSE 0 END)), 0)::BIGINT AS user_chars,
+               COALESCE(list_sum(list_transform(
+                   generate_series(1, len(roles)),
+                   i -> CASE WHEN roles[i] = 'assistant' THEN lens[i]
+                             ELSE 0 END)), 0)::BIGINT AS assistant_chars
+        FROM c ORDER BY doc_id
     """
 
     return o

@@ -1758,3 +1758,79 @@ def bigram_pmi(
         .orderBy(F.desc("cbg"), F.asc("bg"))
         .limit(k)
     )
+
+
+def chat_turn_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SFT/chat-corpus QA: parse role markers (``User:`` / ``Assistant:`` /
+    ``System:`` / ``Human:`` / ``AI:`` and the ``<|role|>`` special-token
+    family — the same Java∩RE2 alternation as ``normalize_chat_text``)
+    into an ordered turn sequence and report the structural facts an SFT
+    pipeline filters on: turn counts per canonical role (human→user,
+    ai→assistant), the opening role, whether adjacent turns alternate
+    (no role speaking twice in a row — the classic broken-template flag),
+    and total content chars per side.
+
+    Output: (id, n_turns, n_user, n_assistant, n_system, first_role,
+    alternation_ok, user_chars, assistant_chars); a marker-free document
+    reports n_turns = 0, first_role 'none', alternation_ok true.
+
+    Scale: map-only higher-order expressions over each row's marker/
+    content arrays — zero shuffles, zero UDFs.
+    """
+    marker_re = r"(?i)\b(?:user|assistant|system|human|ai)\s*:|<\|[a-z_]+\|>"
+    t = F.col(text_col)
+    raw = F.regexp_extract_all(t, F.lit(marker_re), F.lit(0))
+    canon = F.transform(
+        raw,
+        lambda m: F.when(
+            F.regexp_extract(F.lower(m), r"[a-z_]+", 0).isin("human", "user"),
+            F.lit("user"),
+        )
+        .when(
+            F.regexp_extract(F.lower(m), r"[a-z_]+", 0).isin("ai", "assistant"),
+            F.lit("assistant"),
+        )
+        .otherwise(F.regexp_extract(F.lower(m), r"[a-z_]+", 0)),
+    )
+    parts = F.split(t, marker_re)
+    # parts[0] is any pre-marker preamble; content i aligns with marker i
+    contents = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    lens = F.transform(contents, lambda c: F.length(F.trim(c)).cast("long"))
+    n = F.size(canon)
+
+    def side_chars(role: str):
+        return F.aggregate(
+            F.zip_with(
+                canon,
+                lens,
+                lambda r, l: F.when(r == role, l).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def side_count(role: str):
+        return F.size(F.filter(canon, lambda r: r == role)).cast("long")
+
+    alternation = F.when(
+        n >= 2,
+        F.forall(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at(canon, i) != F.element_at(canon, i + 1),
+        ),
+    ).otherwise(F.lit(True))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_turns"),
+        side_count("user").alias("n_user"),
+        side_count("assistant").alias("n_assistant"),
+        side_count("system").alias("n_system"),
+        F.when(n > 0, F.element_at(canon, 1)).otherwise(F.lit("none")).alias(
+            "first_role"
+        ),
+        alternation.alias("alternation_ok"),
+        side_chars("user").alias("user_chars"),
+        side_chars("assistant").alias("assistant_chars"),
+    )

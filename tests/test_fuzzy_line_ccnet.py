@@ -402,3 +402,29 @@ def test_pipeline_funnel_single_aggregate_plan(spark):
     plan = pipeline_funnel(df, [("only", "p")])._jdf.queryExecution().toString()
     # one scan, no join, no extra shuffle beyond the single-row aggregate
     assert "Join" not in plan
+
+
+# --------------------------------------------------------- chat_turn_stats --
+
+
+def test_chat_turn_stats_parses_roles_and_alternation(spark):
+    from hfsa_spark.operators.text import chat_turn_stats
+
+    rows = [
+        (1, "User: hi there Assistant: hello!"),
+        (2, "<|system|> be nice <|user|> q <|assistant|> a"),
+        (3, "User: a User: b Assistant: c"),
+        (4, "no markers at all"),
+        (5, "Human: x AI: y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in chat_turn_stats(df).collect()}
+    assert (out[1].n_turns, out[1].n_user, out[1].n_assistant) == (2, 1, 1)
+    assert out[1].alternation_ok is True and out[1].first_role == "user"
+    assert (out[2].n_system, out[2].first_role) == (1, "system")
+    assert out[3].alternation_ok is False  # User speaks twice in a row
+    assert (out[4].n_turns, out[4].first_role, out[4].alternation_ok) == (
+        0, "none", True)
+    # Human/AI canonicalize to user/assistant
+    assert (out[5].n_user, out[5].n_assistant) == (1, 1)
+    assert (out[1].user_chars, out[1].assistant_chars) == (8, 6)
