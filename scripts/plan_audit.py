@@ -58,7 +58,11 @@ AUDIT = [
     ("q153_semantic_dedup", "SemDedup: map-only assignment, in-cluster equi join", False),
     ("q156_edit_distance_neardup", "fuzzy dedup: length-band bucket join, levenshtein verify", False),
     ("q157_line_dedup", "line dedup: digest counts, broadcast boiler set, one regroup", False),
-    ("q158_perplexity_buckets", "CCNet buckets: histogram rank, broadcast offsets", True),
+    ("q158_perplexity_buckets", "CCNet buckets: histogram rank, unhinted offsets join", True),
+    # q161/q164 localCheckpoint before returning, so their gate plans are
+    # vacuous here — the serve plan's pushed In(term) filter is asserted in
+    # tests/test_inverted_index.py::test_index_scan_pushes_term_filter
+    ("q166_pipeline_funnel", "funnel: ONE conditional-sum aggregate, no joins in the accounting pass", True),
 ]
 
 
