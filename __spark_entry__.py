@@ -2872,6 +2872,18 @@ def q167_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat_turn_stats(rendered).orderBy("doc_id")
 
 
+def q168_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on the (lang, source) quasi-identifier pair at
+    k=5: per-equivalence-class sizes with violation flags — the
+    structured-metadata complement of the q123 PII text scan."""
+    from hfsa_spark.operators.features import k_anonymity_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return k_anonymity_audit(d, ["lang", "source"], k=5).orderBy(
+        "lang", "source"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3304,6 +3316,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_script_profile": q165_script_profile,
         "q166_pipeline_funnel": q166_pipeline_funnel,
         "q167_chat_turn_stats": q167_chat_turn_stats,
+        "q168_k_anonymity": q168_k_anonymity,
     }
 
 
@@ -6569,6 +6582,13 @@ def oracle_sql() -> dict[str, str]:
                    i -> CASE WHEN roles[i] = 'assistant' THEN lens[i]
                              ELSE 0 END)), 0)::BIGINT AS assistant_chars
         FROM c ORDER BY doc_id
+    """
+
+    # q168: plain equivalence-class counts + threshold flag
+    o["q168_k_anonymity"] = """
+        SELECT lang, source, COUNT(*)::BIGINT AS class_size,
+               COUNT(*) < 5 AS violates
+        FROM documents GROUP BY lang, source ORDER BY lang, source
     """
 
     return o

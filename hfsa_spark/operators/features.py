@@ -225,3 +225,27 @@ def pipeline_funnel(
     return one.select(F.explode(rows).alias("r")).select(
         "r.stage_no", "r.stage", "r.n_out", "r.n_dropped"
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy release gate: group rows by the quasi-identifier
+    combination and flag equivalence classes smaller than ``k`` — the
+    k-anonymity criterion (a class of size < k re-identifies its members
+    by the joinable quasi columns alone). The structured complement of
+    the regex PII scan: that finds identifiers IN the text, this finds
+    identifying METADATA combinations.
+
+    Output: one row per equivalence class (quasi_cols..., class_size,
+    violates) — violating classes are exactly what must be suppressed or
+    generalized before release.
+
+    Scale: one map-combinable groupBy on the quasi columns; output
+    cardinality is the distinct-combination count, not the row count.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("violates", F.col("class_size") < k)
+    )

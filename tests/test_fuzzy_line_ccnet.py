@@ -428,3 +428,18 @@ def test_chat_turn_stats_parses_roles_and_alternation(spark):
     # Human/AI canonicalize to user/assistant
     assert (out[5].n_user, out[5].n_assistant) == (1, 1)
     assert (out[1].user_chars, out[1].assistant_chars) == (8, 6)
+
+
+# -------------------------------------------------------- k_anonymity_audit --
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from hfsa_spark.operators.features import k_anonymity_audit
+
+    rows = [("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"), ("de", "a")]
+    df = spark.createDataFrame(rows, ["lang", "source"])
+    out = {(r.lang, r.source): (r.class_size, r.violates)
+           for r in k_anonymity_audit(df, ["lang", "source"], k=3).collect()}
+    assert out[("en", "a")] == (3, False)
+    assert out[("en", "b")] == (1, True)
+    assert out[("de", "a")] == (1, True)
