@@ -2884,6 +2884,17 @@ def q168_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over corpus-prefix deciles:
+    cumulative docs/tokens/vocab per bucket via per-term first-position
+    aggregation (no per-prefix rescans). The oracle replays the same
+    row_number positions and first-occurrence bucketing."""
+    from hfsa_spark.operators.text import vocabulary_growth
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_growth(d).orderBy("bucket")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3317,6 +3328,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_pipeline_funnel": q166_pipeline_funnel,
         "q167_chat_turn_stats": q167_chat_turn_stats,
         "q168_k_anonymity": q168_k_anonymity,
+        "q169_vocab_growth": q169_vocab_growth,
     }
 
 
@@ -6589,6 +6601,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, source, COUNT(*)::BIGINT AS class_size,
                COUNT(*) < 5 AS violates
         FROM documents GROUP BY lang, source ORDER BY lang, source
+    """
+
+    # q169: same positions (row_number by doc_id), same ceil bucketing,
+    # per-term min-position vocabulary accounting, cumulative sums
+    o["q169_vocab_growth"] = f"""
+        WITH pos AS MATERIALIZED (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+                   (SELECT COUNT(*) FROM documents) AS n
+            FROM documents),
+        per_doc AS (
+            SELECT CEIL(p.r * 10.0 / p.n)::BIGINT AS b,
+                   len({_TOKS})::BIGINT AS nt
+            FROM documents JOIN pos p USING (doc_id)),
+        doc_agg AS (
+            SELECT b, COUNT(*)::BIGINT AS docs_in, SUM(nt)::BIGINT AS toks_in
+            FROM per_doc GROUP BY b),
+        firsts AS (
+            SELECT CEIL(MIN(p.r) * 10.0 / ANY_VALUE(p.n))::BIGINT AS b
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t
+            JOIN pos p USING (doc_id)
+            GROUP BY term),
+        new_terms AS (
+            SELECT b, COUNT(*)::BIGINT AS new_terms FROM firsts GROUP BY b),
+        grid AS (SELECT unnest(generate_series(1, 10)) AS b)
+        SELECT g.b AS bucket,
+               SUM(COALESCE(d.docs_in, 0)) OVER (ORDER BY g.b)::BIGINT AS n_docs,
+               SUM(COALESCE(d.toks_in, 0)) OVER (ORDER BY g.b)::BIGINT AS n_tokens,
+               SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY g.b)::BIGINT AS vocab
+        FROM grid g LEFT JOIN doc_agg d ON g.b = d.b
+        LEFT JOIN new_terms nt ON g.b = nt.b
+        ORDER BY bucket
     """
 
     return o

@@ -1834,3 +1834,68 @@ def chat_turn_stats(
         side_chars("user").alias("user_chars"),
         side_chars("assistant").alias("assistant_chars"),
     )
+
+
+def vocabulary_growth(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", buckets: int = 10
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-vocabulary size after
+    each corpus-prefix decile (docs ordered by id) — the release stat that
+    sizes tokenizer vocabularies and detects template-heavy corpora
+    (vocabulary that stops growing = duplicated boilerplate).
+
+    The curve needs no per-prefix rescan: a term enters the vocabulary at
+    its FIRST containing doc, so vocab(prefix) = count of terms whose
+    min-position <= the prefix boundary — one explode + one min-aggregate,
+    then a cumulative sum over ``buckets`` rows.
+
+    Output: (bucket, n_docs, n_tokens, vocab), bucket 1..``buckets``,
+    all cumulative.
+
+    Scale: the position rank is a row_number over the id order — exact
+    here; at extreme scale swap the boundary computation for GK-quantile
+    thresholds on the id (the min-position aggregate and bucket cumsum
+    are unaffected). Term min-positions are map-combinable; the final
+    cumsum runs over ``buckets`` rows.
+    """
+    from hfsa_spark.plans import parallelize_compute
+
+    w = Window.orderBy(F.asc(id_col))
+    pos = df.select(F.col(id_col)).withColumn("_r", F.row_number().over(w))
+    n_docs_total = df.count()
+    bucket_of = F.ceil(F.col("_r") * buckets / F.lit(n_docs_total)).cast("long")
+
+    base = parallelize_compute(df.select(id_col, text_col)).join(pos, id_col)
+    per_doc = base.select(
+        F.col("_r"), bucket_of.alias("_b"), token_count(text_col).cast("long").alias("_nt")
+    )
+    doc_agg = per_doc.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("_nt").alias("toks_in"),
+    )
+    firsts = (
+        base.select(F.col("_r"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.min("_r").alias("first_r"))
+        .select(F.ceil(F.col("first_r") * buckets / F.lit(n_docs_total)).cast("long").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    grid = df.sparkSession.range(1, buckets + 1).select(F.col("id").alias("_b"))
+    per_bucket = (
+        grid.join(doc_agg, "_b", "left")
+        .join(firsts, "_b", "left")
+        .select(
+            "_b",
+            F.coalesce(F.col("docs_in"), F.lit(0).cast("long")).alias("docs_in"),
+            F.coalesce(F.col("toks_in"), F.lit(0).cast("long")).alias("toks_in"),
+            F.coalesce(F.col("new_terms"), F.lit(0).cast("long")).alias("new_terms"),
+        )
+    )
+    wc = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("_b").alias("bucket"),
+        F.sum("docs_in").over(wc).alias("n_docs"),
+        F.sum("toks_in").over(wc).alias("n_tokens"),
+        F.sum("new_terms").over(wc).alias("vocab"),
+    )

@@ -443,3 +443,23 @@ def test_k_anonymity_flags_small_classes(spark):
     assert out[("en", "a")] == (3, False)
     assert out[("en", "b")] == (1, True)
     assert out[("de", "a")] == (1, True)
+
+
+# -------------------------------------------------------- vocabulary_growth --
+
+
+def test_vocabulary_growth_monotone_and_final_totals(spark):
+    from hfsa_spark.operators.text import vocabulary_growth
+
+    rows = [(i, f"common w{i % 3} only{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(vocabulary_growth(df, buckets=5).collect(), key=lambda r: r.bucket)
+    # cumulative columns are monotone non-decreasing
+    for a, b in zip(out, out[1:]):
+        assert a.n_docs <= b.n_docs and a.vocab <= b.vocab and a.n_tokens <= b.n_tokens
+    last = out[-1]
+    assert last.n_docs == 10 and last.n_tokens == 30
+    # vocabulary: 'common', w0..w2, only0..only9 = 14 distinct terms
+    assert last.vocab == 14
+    # first bucket (2 docs): common, w0, w1, only0, only1
+    assert out[0].vocab == 5
