@@ -2895,6 +2895,19 @@ def q169_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary_growth(d).orderBy("bucket")
 
 
+def q170_order_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle audit: consume docs in portable-hash order
+    and count adjacent same-source pairs per source — a correlated order
+    would spike adj_same far above the 1/20 collision share. The oracle
+    replays the identical hash order and lead comparison."""
+    from hfsa_spark.operators.sampling import order_mixing_audit
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "shuffle_key", F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    )
+    return order_mixing_audit(d, "shuffle_key", "source").orderBy("label")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3329,6 +3342,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_chat_turn_stats": q167_chat_turn_stats,
         "q168_k_anonymity": q168_k_anonymity,
         "q169_vocab_growth": q169_vocab_growth,
+        "q170_order_mixing": q170_order_mixing,
     }
 
 
@@ -6632,6 +6646,21 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g LEFT JOIN doc_agg d ON g.b = d.b
         LEFT JOIN new_terms nt ON g.b = nt.b
         ORDER BY bucket
+    """
+
+    # q170: identical md5 order + lead() comparison, floor-micro shares
+    o["q170_order_mixing"] = """
+        WITH ordered AS (
+            SELECT source AS label,
+                   LEAD(source) OVER (
+                       ORDER BY md5('ord:' || doc_id::VARCHAR)) AS nxt,
+                   (SELECT COUNT(*) FROM documents) AS tot
+            FROM documents)
+        SELECT label, COUNT(*)::BIGINT AS n,
+               COUNT(*) FILTER (WHERE nxt = label)::BIGINT AS adj_same,
+               FLOOR(COUNT(*)::DOUBLE * 1000000.0
+                     / ANY_VALUE(tot)::DOUBLE)::BIGINT AS share_micro
+        FROM ordered GROUP BY label ORDER BY label
     """
 
     return o

@@ -501,3 +501,50 @@ def neardup_safe_split(
         .withColumn("split", split_column("__key", w, salt=salt))
         .drop("__digest", "__key")
     )
+
+
+def order_mixing_audit(
+    df: DataFrame, order_col: str, label_col: str
+) -> DataFrame:
+    """Shuffle-quality audit for a materialized training order: for rows
+    consumed in ``order_col`` sequence, count adjacent pairs whose labels
+    match (per label) — under a good shuffle the overall adjacent-same
+    rate approaches the collision probability of the label distribution
+    (Σ pᵢ²); a correlated order (un-shuffled concatenated sources — the
+    classic dataloader bug) shows up as runs, i.e. adjacent-same counts
+    far above label-share expectation.
+
+    Output: (label, n, adj_same, share_micro) — adj_same counts the pairs
+    (row, next row) where both carry this label; compare
+    Σ adj_same / (N−1) against Σ share². All integers/floor-micro.
+
+    Scale: the audit is of a GLOBAL order, so the lag window is inherently
+    a total sort — run it on the materialized manifest (already ordered,
+    sort is a no-op read) or on a contiguous sample; the aggregation
+    itself is map-combinable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(order_col))
+    lagged = df.select(
+        F.col(label_col).alias("label"),
+        F.lead(label_col, 1).over(w).alias("_next"),
+    )
+    tot = df.count()
+    return (
+        lagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("_next") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("adj_same"),
+        )
+        .select(
+            "label",
+            "n",
+            "adj_same",
+            F.floor(F.col("n").cast("double") * 1000000.0 / F.lit(float(tot)))
+            .cast("long")
+            .alias("share_micro"),
+        )
+    )

@@ -463,3 +463,25 @@ def test_vocabulary_growth_monotone_and_final_totals(spark):
     assert last.vocab == 14
     # first bucket (2 docs): common, w0, w1, only0, only1
     assert out[0].vocab == 5
+
+
+# ------------------------------------------------------- order_mixing_audit --
+
+
+def test_order_mixing_detects_unshuffled_runs(spark):
+    from hfsa_spark.operators.sampling import order_mixing_audit
+
+    # un-shuffled: sources concatenated -> nearly every adjacent pair same
+    rows = [(i, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["pos", "src"])
+    bad = {r.label: r.adj_same for r in order_mixing_audit(df, "pos", "src").collect()}
+    assert bad["a"] == 49 and bad["b"] == 49
+    # hash-shuffled: adjacency collapses toward the ~50% collision share
+    from pyspark.sql import functions as F2
+
+    shuffled = df.withColumn("k", F2.md5(F2.col("pos").cast("string")))
+    mixed = {r.label: r.adj_same for r in order_mixing_audit(shuffled, "k", "src").collect()}
+    assert mixed["a"] + mixed["b"] < 70  # far below the 98 of the run order
+    # conservation: per-label n sums to the corpus
+    out = order_mixing_audit(df, "pos", "src").collect()
+    assert sum(r.n for r in out) == 100
