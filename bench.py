@@ -202,6 +202,7 @@ def main() -> None:
     # driver/ad-hoc run never dirties the tree; the committed round record
     # BENCH_LOCAL.json is written only under an explicit --record flag.
     # Partial (`bench.py qNN ...`) runs must not clobber either artifact.
+    out_name = None
     if not only:
         record = os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1" or "--record" in sys.argv
         out_name = "BENCH_LOCAL.json" if record else "BENCH_RUN.json"
@@ -220,9 +221,14 @@ def main() -> None:
         for k, v in timings.items()
     }
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # tail-window guard: the driver parses the LAST ~2000 stdout chars,
+        # so past ~170 queries the per-query dict no longer fits — drop it
+        # from the printed line (the full-name detail is in the JSON file)
+        compact.pop("queries", None)
+        compact["queries_in"] = out_name
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
-    if len(line) > 1900:  # tail-window guard: drop per-query detail last
-        sys.stderr.write(f"bench line {len(line)} chars exceeds tail window\n")
 
 
 if __name__ == "__main__":

