@@ -2908,6 +2908,30 @@ def q170_order_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_mixing_audit(d, "shuffle_key", "source").orderBy("label")
 
 
+def q171_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style data selection: score odd-id docs under the even-id
+    corpus's add-one unigram LM — per-doc exact integer log-prob sums
+    and OOV counts; the oracle rebuilds the identical smoothed model."""
+    from hfsa_spark.operators.text import lm_cross_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    return lm_cross_entropy(train, ev).orderBy("doc_id")
+
+
+def q172_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length binning (quartiles of n_chars per lang) via
+    the histogram-rank decomposition — equal values always share a bin;
+    the oracle replays the same distinct-value cumulative window."""
+    from hfsa_spark.operators.features import quantile_bin
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_bin(d, "n_chars", n_bins=4, by="lang").select(
+        "doc_id", "lang", "n_chars", "bin"
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3343,6 +3367,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_k_anonymity": q168_k_anonymity,
         "q169_vocab_growth": q169_vocab_growth,
         "q170_order_mixing": q170_order_mixing,
+        "q171_lm_cross_entropy": q171_lm_cross_entropy,
+        "q172_quantile_bin": q172_quantile_bin,
     }
 
 
@@ -6661,6 +6687,47 @@ def oracle_sql() -> dict[str, str]:
                FLOOR(COUNT(*)::DOUBLE * 1000000.0
                      / ANY_VALUE(tot)::DOUBLE)::BIGINT AS share_micro
         FROM ordered GROUP BY label ORDER BY label
+    """
+
+    # q171: identical add-one model (train side), left-join scoring with
+    # the uniform OOV floor, integer sums
+    o["q171_lm_cross_entropy"] = f"""
+        WITH tr AS (SELECT unnest({_TOKS}) AS term FROM documents
+                    WHERE doc_id % 2 = 0),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM tr GROUP BY term),
+        stats AS (SELECT SUM(cnt)::DOUBLE AS n, COUNT(*)::DOUBLE AS v
+                  FROM counts),
+        model AS (SELECT term,
+                         round(ln((cnt::DOUBLE + 1.0) / (n + v)) * 1e6)::BIGINT
+                             AS logp_micro
+                  FROM counts, stats),
+        ev AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+               WHERE doc_id % 2 = 1),
+        scored AS (
+            SELECT ev.doc_id,
+                   m.logp_micro IS NULL AS oov,
+                   COALESCE(m.logp_micro,
+                            round(ln(1.0 / (s.n + s.v)) * 1e6)::BIGINT) AS lp
+            FROM ev LEFT JOIN model m USING (term), stats s)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               COUNT(*) FILTER (WHERE oov)::BIGINT AS n_oov,
+               SUM(lp)::BIGINT AS sum_logp_micro
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q172: same distinct-value cumulative window and ceil bin rule
+    o["q172_quantile_bin"] = """
+        WITH hist AS (SELECT lang, n_chars, COUNT(*) AS c
+                      FROM documents GROUP BY lang, n_chars),
+        b AS (SELECT lang, n_chars,
+                     CEIL(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+                                       ROWS UNBOUNDED PRECEDING)::DOUBLE
+                          * 4 / SUM(c) OVER (PARTITION BY lang)::DOUBLE
+                         )::BIGINT AS bin
+              FROM hist)
+        SELECT d.doc_id, d.lang, d.n_chars::BIGINT AS n_chars, b.bin
+        FROM documents d JOIN b USING (lang, n_chars)
+        ORDER BY d.doc_id
     """
 
     return o

@@ -249,3 +249,48 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .withColumn("violates", F.col("class_size") < k)
     )
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4,
+    by: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row its ``n_bins``-ile
+    of ``value_col`` (optionally within ``by`` groups) — the feature-
+    binning step tabular/curriculum pipelines run before mixing (bin by
+    difficulty, length, quality). Bin b covers ranks (b−1)·n/k < r ≤ b·n/k
+    with rank ties broken by the value itself then arbitrary-free:
+    ranks come from the exact (value, count) histogram, so equal values
+    ALWAYS share a bin boundary decision deterministically — the bin of a
+    row depends only on (group, value), never on row order.
+
+    Output: input columns + (bin,) with bin in 1..n_bins.
+
+    Scale: the same histogram-rank decomposition as
+    ``perplexity_buckets`` — a map-combinable (group, value) count, a
+    distinct-value cumulative window, and a broadcast-friendly join back;
+    no whole-group sort. All rows with one value get the bin of that
+    value's LAST member (ceil of its max rank), keeping equal values in
+    one bin.
+    """
+    gcols = [by] if by else []
+    hist = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*gcols)
+    binned = hist.select(
+        *gcols,
+        value_col,
+        F.ceil(
+            F.sum("_cnt").over(w).cast("double")
+            * n_bins
+            / F.sum("_cnt").over(wg).cast("double")
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return df.join(binned, gcols + [value_col])

@@ -1923,3 +1923,68 @@ def vocabulary_growth(
         F.sum("toks_in").over(wc).alias("n_tokens"),
         F.sum("new_terms").over(wc).alias("vocab"),
     )
+
+
+def lm_cross_entropy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional held-out scoring: per-eval-doc cross-entropy under the
+    TRAIN corpus's add-one-smoothed unigram LM — the KenLM-style data
+    selection signal ("score the crawl under a clean-corpus LM, keep the
+    fluent head"). The directional complement of the symmetric
+    :func:`corpus_divergence`.
+
+    Smoothed probability p(t) = (cnt_train(t) + 1) / (N_train + V_train),
+    V = train vocabulary size, so eval-only (OOV) tokens get the uniform
+    add-one mass instead of −inf. Per-term micro-nat logs are rounded
+    ONCE, per-doc sums are exact integers (the q87 convention); mean CE
+    micro = −sum/n_tokens re-derivable downstream.
+
+    Output: (id, n_tokens, n_oov, sum_logp_micro).
+
+    Scale: the model is a map-combinable (term, count) aggregate; scoring
+    joins eval tokens LEFT against the model keyed on the term (OOV rows
+    keep the smoothed floor) — frequent-term skew is AQE's skew-join
+    case; nothing driver-side.
+    """
+    counts = (
+        train_df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    model = counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log((F.col("cnt").cast("double") + 1.0) / (F.col("_n") + F.col("_v")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("logp_micro"),
+    )
+    ev = eval_df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    scored = (
+        ev.join(model, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("logp_micro").isNull().alias("_oov"),
+            F.coalesce(
+                F.col("logp_micro"),
+                F.round(F.log(F.lit(1.0) / (F.col("_n") + F.col("_v"))) * 1e6).cast(
+                    "long"
+                ),
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_oov"), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.sum("_lp").alias("sum_logp_micro"),
+    )

@@ -485,3 +485,48 @@ def test_order_mixing_detects_unshuffled_runs(spark):
     # conservation: per-label n sums to the corpus
     out = order_mixing_audit(df, "pos", "src").collect()
     assert sum(r.n for r in out) == 100
+
+
+# ------------------------------------------------ lm_cross_entropy / binning --
+
+
+def test_lm_cross_entropy_oov_floor_and_counts(spark):
+    import math
+
+    from hfsa_spark.operators.text import lm_cross_entropy
+
+    tr = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(10, "a zz")], ["doc_id", "text"])
+    r = lm_cross_entropy(tr, ev).collect()[0]
+    assert (r.n_tokens, r.n_oov) == (2, 1)
+    # model: n=3 tokens, v=2 vocab; p(a)=(2+1)/5, p(zz)=1/5
+    want = round(math.log(3 / 5) * 1e6) + round(math.log(1 / 5) * 1e6)
+    assert r.sum_logp_micro == want
+
+
+def test_lm_cross_entropy_train_head_scores_higher(spark):
+    # eval docs made of train vocabulary must outscore OOV-heavy docs
+    from hfsa_spark.operators.text import lm_cross_entropy
+
+    tr = spark.createDataFrame([(i, "common words here") for i in range(5)],
+                               ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "common words"), (101, "xx yy")], ["doc_id", "text"])
+    out = {r.doc_id: r.sum_logp_micro / r.n_tokens for r in lm_cross_entropy(tr, ev).collect()}
+    assert out[100] > out[101]
+
+
+def test_quantile_bin_equal_values_share_bins_and_sizes_balance(spark):
+    from hfsa_spark.operators.features import quantile_bin
+
+    df = spark.createDataFrame([(i, float(i % 6)) for i in range(60)], ["id", "v"])
+    out = quantile_bin(df, "v", n_bins=3).collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r.v, set()).add(r.bin)
+    # every distinct value maps to exactly one bin
+    assert all(len(bins) == 1 for bins in by_v.values())
+    from collections import Counter
+
+    sizes = Counter(r.bin for r in out)
+    assert sizes == {1: 20, 2: 20, 3: 20}
