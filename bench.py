@@ -221,7 +221,7 @@ def main() -> None:
         for k, v in timings.items()
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1900 and out_name:
         # tail-window guard: the driver parses the LAST ~2000 stdout chars,
         # so past ~170 queries the per-query dict no longer fits — drop it
         # from the printed line (the full-name detail is in the JSON file)

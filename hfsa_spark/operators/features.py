@@ -203,7 +203,11 @@ def pipeline_funnel(
         col = F.col(c) if isinstance(c, str) else c
         acc = acc & col
         aggs.append(
-            F.sum(F.when(acc, 1).otherwise(0)).cast("long").alias(f"n_{i}")
+            # coalesce: sum over ZERO rows is NULL — an empty corpus must
+            # report 0-row stages, matching the oracle's COUNT FILTER
+            F.coalesce(F.sum(F.when(acc, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"n_{i}")
         )
     one = df.agg(*aggs)
     names = ["input"] + [n for n, _ in stages]
@@ -282,9 +286,9 @@ def quantile_bin(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wg = Window.partitionBy(*gcols)
+    keys = gcols + [value_col]
     binned = hist.select(
-        *gcols,
-        value_col,
+        *[F.col(c).alias(f"_k_{c}") for c in keys],
         F.ceil(
             F.sum("_cnt").over(w).cast("double")
             * n_bins
@@ -293,4 +297,10 @@ def quantile_bin(
         .cast("long")
         .alias("bin"),
     )
-    return df.join(binned, gcols + [value_col])
+    # null-SAFE keys: a NULL value (or group) is a legitimate histogram
+    # entry — an equi join would silently drop those rows from the output
+    cond = None
+    for c in keys:
+        e = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(binned, cond).drop(*[f"_k_{c}" for c in keys])

@@ -530,7 +530,8 @@ def order_mixing_audit(
         F.col(label_col).alias("label"),
         F.lead(label_col, 1).over(w).alias("_next"),
     )
-    tot = df.count()
+    # total from a broadcast one-row aggregate — no eager driver-side count
+    tot = df.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
     return (
         lagged.groupBy("label")
         .agg(
@@ -539,11 +540,12 @@ def order_mixing_audit(
                 F.when(F.col("_next") == F.col("label"), 1).otherwise(0)
             ).cast("long").alias("adj_same"),
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "label",
             "n",
             "adj_same",
-            F.floor(F.col("n").cast("double") * 1000000.0 / F.lit(float(tot)))
+            F.floor(F.col("n").cast("double") * 1000000.0 / F.col("_tot"))
             .cast("long")
             .alias("share_micro"),
         )

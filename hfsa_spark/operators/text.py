@@ -1798,21 +1798,6 @@ def chat_turn_stats(
     # parts[0] is any pre-marker preamble; content i aligns with marker i
     contents = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
     lens = F.transform(contents, lambda c: F.length(F.trim(c)).cast("long"))
-    n = F.size(canon)
-
-    def side_chars(role: str):
-        return F.aggregate(
-            F.zip_with(
-                canon,
-                lens,
-                lambda r, l: F.when(r == role, l).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def side_count(role: str):
-        return F.size(F.filter(canon, lambda r: r == role)).cast("long")
 
     # materialize the parsed arrays ONCE: seven downstream aggregates would
     # otherwise each re-run the regex transforms (measured 2.4 s -> the
@@ -1886,8 +1871,10 @@ def vocabulary_growth(
 
     w = Window.orderBy(F.asc(id_col))
     pos = df.select(F.col(id_col)).withColumn("_r", F.row_number().over(w))
-    n_docs_total = df.count()
-    bucket_of = F.ceil(F.col("_r") * buckets / F.lit(n_docs_total)).cast("long")
+    # total from a broadcast one-row aggregate — no eager driver-side count
+    tot = pos.agg(F.count(F.lit(1)).alias("_n"))
+    pos = pos.crossJoin(F.broadcast(tot))
+    bucket_of = F.ceil(F.col("_r") * buckets / F.col("_n")).cast("long")
 
     base = parallelize_compute(df.select(id_col, text_col)).join(pos, id_col)
     per_doc = base.select(
@@ -1898,10 +1885,12 @@ def vocabulary_growth(
         F.sum("_nt").alias("toks_in"),
     )
     firsts = (
-        base.select(F.col("_r"), F.explode(tokens(text_col)).alias("term"))
+        base.select(
+            F.col("_r"), F.col("_n"), F.explode(tokens(text_col)).alias("term")
+        )
         .groupBy("term")
-        .agg(F.min("_r").alias("first_r"))
-        .select(F.ceil(F.col("first_r") * buckets / F.lit(n_docs_total)).cast("long").alias("_b"))
+        .agg(F.min("_r").alias("first_r"), F.min("_n").alias("_n"))
+        .select(F.ceil(F.col("first_r") * buckets / F.col("_n")).cast("long").alias("_b"))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("new_terms"))
     )

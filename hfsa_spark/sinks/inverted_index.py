@@ -46,26 +46,7 @@ def write_inverted_index(
     ``hash(term)`` so every shard file is term-sorted and a serving scan
     prunes both files (shard hash) and row groups (sorted min/max).
     """
-    from hfsa_spark.plans import parallelize_compute
-
-    base = parallelize_compute(df.select(id_col, text_col))
-    toks = base.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-
-    (
-        tf.repartition(n_shards, "term")
-        .sortWithinPartitions("term", "id")
-        .write.mode("overwrite")
-        .parquet(out_dir + "/postings")
-    )
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    dl.write.mode("overwrite").parquet(out_dir + "/doclen")
-    # exact integers for N and avgdl — computed distributed, written as a
-    # one-row table (no driver-side value leaves the plan)
-    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    tt = dl.agg(F.sum("dl").alias("total_tokens"))
-    n_docs.crossJoin(tt).write.mode("overwrite").parquet(out_dir + "/stats")
-    tf.unpersist()
+    _write_index_relations(df, out_dir, "", id_col, text_col, n_shards)
 
 
 def write_index_segment(
@@ -88,6 +69,22 @@ def write_index_segment(
     exactly one segment — upstream streaming dedup's guarantee. Compact
     old segments periodically the same way corpus batches are.
     """
+    _write_index_relations(
+        df, index_dir, f"/seg={segment}", id_col, text_col, n_shards
+    )
+
+
+def _write_index_relations(
+    df: DataFrame,
+    index_dir: str,
+    suffix: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+) -> None:
+    """Shared writer for the three index relations (flat index = empty
+    ``suffix``; streaming segment = ``/seg=N``) — one body, so layout
+    changes cannot diverge between the batch and streaming paths."""
     from hfsa_spark.plans import parallelize_compute
 
     base = parallelize_compute(df.select(id_col, text_col))
@@ -95,18 +92,21 @@ def write_index_segment(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    seg = f"/seg={segment}"
     (
         tf.repartition(n_shards, "term")
         .sortWithinPartitions("term", "id")
         .write.mode("overwrite")
-        .parquet(index_dir + "/postings" + seg)
+        .parquet(index_dir + "/postings" + suffix)
     )
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    dl.write.mode("overwrite").parquet(index_dir + "/doclen" + seg)
+    dl.write.mode("overwrite").parquet(index_dir + "/doclen" + suffix)
+    # exact integers for N and avgdl — computed distributed, written as a
+    # one-row table (no driver-side value leaves the plan)
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     tt = dl.agg(F.sum("dl").alias("total_tokens"))
-    n_docs.crossJoin(tt).write.mode("overwrite").parquet(index_dir + "/stats" + seg)
+    n_docs.crossJoin(tt).write.mode("overwrite").parquet(
+        index_dir + "/stats" + suffix
+    )
     tf.unpersist()
 
 
@@ -120,9 +120,11 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str, n_shards: int
     atomic-by-rename for the caller and the source index serveable
     throughout.
 
-    tf re-aggregates per (id, term): a no-op when every doc lives in one
-    segment (the maintenance invariant), and the correct merge if a doc
-    was ever re-ingested across segments.
+    Assumes the maintenance invariant (each document in exactly ONE
+    segment — guaranteed upstream by streaming dedup): stats sum across
+    segments and tf re-aggregates per (id, term), so a VIOLATED invariant
+    surfaces as inflated counts rather than being silently repaired — run
+    the dedup upstream, same precondition the serving path documents.
     """
     postings = spark.read.parquet(src_dir + "/postings").select("id", "term", "tf")
     tf = postings.groupBy("id", "term").agg(F.sum("tf").alias("tf"))

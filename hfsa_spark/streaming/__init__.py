@@ -14,6 +14,7 @@ from hfsa_spark.streaming.snapshots import (
 from hfsa_spark.streaming.stateful import stateful_sessionize
 from hfsa_spark.streaming.joins import stream_stream_interval_join
 from hfsa_spark.streaming.ingest import ingest_batch, streaming_ingest_dedup
+from hfsa_spark.streaming.index import streaming_index_maintenance
 
 __all__ = [
     "read_snapshot_stream",
@@ -24,4 +25,5 @@ __all__ = [
     "stream_stream_interval_join",
     "ingest_batch",
     "streaming_ingest_dedup",
+    "streaming_index_maintenance",
 ]

@@ -39,10 +39,6 @@ def synthesize_corpus(spark: SparkSession, n: int) -> DataFrame:
     """(doc_id, text): W pseudo-random words per doc from a 30k vocab —
     Zipf-free but collision-rich enough for real postings lists; fully
     distributed (one codegen'd expression over spark.range)."""
-    word = F.concat(
-        F.lit("w"),
-        ((F.col("id") * 31 + F.col("i") * 2654435761) % VOCAB).cast("string"),
-    )
     return (
         spark.range(n)
         .select(

@@ -530,3 +530,40 @@ def test_quantile_bin_equal_values_share_bins_and_sizes_balance(spark):
 
     sizes = Counter(r.bin for r in out)
     assert sizes == {1: 20, 2: 20, 3: 20}
+
+
+# -------------------------------------------------- review-fix pins (r5b-2) --
+
+
+def test_quantile_bin_null_values_survive(spark):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from hfsa_spark.operators.features import quantile_bin
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("v", DoubleType()),
+    ])
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, None), (4, 2.0)], schema)
+    out = quantile_bin(df, "v", n_bins=2)
+    assert out.count() == 4
+    assert {r.id for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_pipeline_funnel_empty_input_reports_zeroes(spark):
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from hfsa_spark.operators.features import pipeline_funnel
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("p", BooleanType()),
+    ])
+    df = spark.createDataFrame([], schema)
+    out = {r.stage_no: (r.n_out, r.n_dropped)
+           for r in pipeline_funnel(df, [("only", "p")]).collect()}
+    assert out == {0: (0, 0), 1: (0, 0)}
+
+
+def test_streaming_index_maintenance_exported(spark):
+    from hfsa_spark.streaming import streaming_index_maintenance  # noqa: F401
