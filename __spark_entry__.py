@@ -2932,6 +2932,61 @@ def q172_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q173_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain cap (RefinedWeb-style web curation): docs get
+    deterministic URLs, the registered domain is parsed out, and each
+    domain keeps at most 3 docs chosen by a content-free hash rank. The
+    oracle replays the same host regex, hash order, and row_number."""
+    from hfsa_spark.operators.sampling import domain_cap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("."), F.col("source"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return domain_cap(d, "url", cap=3).select(
+        "doc_id", "domain", "domain_rank", "keep"
+    ).orderBy("doc_id")
+
+
+def q174_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit over (lang, 100-char length bucket)
+    equivalence classes with source as the sensitive attribute — flags
+    classes that are too small (k<5) or too homogeneous (l<3)."""
+    from hfsa_spark.operators.features import l_diversity_audit
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return l_diversity_audit(
+        d, ["lang", "len_bucket"], "source", l=3, k=5
+    ).orderBy("lang", "len_bucket")
+
+
+def q175_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins for a synthetic perfectly-calibrated classifier:
+    conf ~ U(0,1e6) from one hash, label ~ Bernoulli(conf) from an
+    independent hash — per-bin size / confidence mass / positives / gap,
+    all exact integers the oracle replays bit-for-bit."""
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.operators.features import calibration_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (portable_hash64(F.col("doc_id").cast("string"), seed=11) % 1000001)
+        .alias("conf_micro"),
+    ).withColumn(
+        "label",
+        (portable_hash64(F.col("doc_id").cast("string"), seed=12) % 1000000)
+        < F.col("conf_micro"),
+    )
+    return calibration_bins(d, "conf_micro", "label", n_bins=10).orderBy("bin")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3369,6 +3424,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_order_mixing": q170_order_mixing,
         "q171_lm_cross_entropy": q171_lm_cross_entropy,
         "q172_quantile_bin": q172_quantile_bin,
+        "q173_domain_caps": q173_domain_caps,
+        "q174_l_diversity": q174_l_diversity,
+        "q175_ece_calibration": q175_ece_calibration,
     }
 
 
@@ -6728,6 +6786,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars::BIGINT AS n_chars, b.bin
         FROM documents d JOIN b USING (lang, n_chars)
         ORDER BY d.doc_id
+    """
+
+    # q173: same synthesized URLs, host/domain regexes, hash rank, cap
+    o["q173_domain_caps"] = f"""
+        WITH u AS (SELECT doc_id,
+                          concat('https://sub', doc_id % 3, '.', source,
+                                 doc_id % 7, '.org/page/', doc_id) AS url
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     regexp_extract(regexp_extract(url, '^[^:]+://([^/]+)', 1),
+                                    '([^.]+\\.[^.]+)$', 1) AS domain
+              FROM u),
+        r AS (SELECT doc_id, domain,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY domain
+                         ORDER BY {_h64("doc_id::VARCHAR", 97)}, doc_id
+                     )::BIGINT AS domain_rank
+              FROM h)
+        SELECT doc_id, domain, domain_rank, domain_rank <= 3 AS keep
+        FROM r ORDER BY doc_id
+    """
+
+    # q174: same (lang, floor(n_chars/100)) classes, count + count distinct
+    o["q174_l_diversity"] = """
+        SELECT lang, FLOOR(n_chars / 100)::BIGINT AS len_bucket,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT source) AS n_sensitive,
+               COUNT(*) < 5 AS violates_k,
+               COUNT(DISTINCT source) < 3 AS violates_l
+        FROM documents
+        GROUP BY lang, len_bucket
+        ORDER BY lang, len_bucket
+    """
+
+    # q175: identical hash-derived conf/label, equal-width bins, integer gap
+    o["q175_ece_calibration"] = f"""
+        WITH s AS (SELECT doc_id,
+                          {_h64("doc_id::VARCHAR", 11)} % 1000001 AS conf_micro,
+                          ({_h64("doc_id::VARCHAR", 12)} % 1000000) <
+                              ({_h64("doc_id::VARCHAR", 11)} % 1000001) AS label
+                   FROM documents),
+        b AS (SELECT LEAST(conf_micro * 10 // 1000000, 9)::BIGINT AS bin,
+                     conf_micro, label::BIGINT AS y
+              FROM s)
+        SELECT bin, COUNT(*) AS n, SUM(conf_micro)::BIGINT AS sum_conf_micro,
+               SUM(y)::BIGINT AS n_pos,
+               (ABS(SUM(y) * 1000000 - SUM(conf_micro)) // COUNT(*))::BIGINT
+                   AS gap_micro
+        FROM b GROUP BY bin ORDER BY bin
     """
 
     return o

@@ -1152,3 +1152,94 @@ def line_dedup(
         (F.col("n_lines") - n_kept).alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+# ------------------------------------------- prefix-filtered setsim join --
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT-threshold set-similarity self-join with prefix filtering
+    (the PPJoin/AllPairs family): find every document pair whose distinct
+    word-``shingle_n``-gram sets have Jaccard ≥ num/den — no hashing, no
+    false negatives, unlike the probabilistic MinHash-LSH path. Elements
+    are globally ordered rarest-first (document frequency asc, element
+    asc); a pair at threshold t MUST share an element inside each side's
+    first ``|S| − ⌈t·|S|⌉ + 1`` elements, so only those prefix elements
+    generate candidates. All threshold math is integer (num·x vs den·y),
+    so the oracle replays it bit-for-bit with no float ceil hazards.
+
+    Output: (id_a, id_b, n_a, n_b, inter, jaccard_micro) for pairs with
+    den·inter ≥ num·(n_a + n_b − inter), id_a < id_b.
+
+    Scale: candidate volume is Σ over PREFIX elements of bucket², and
+    rarest-first ordering makes prefix buckets the smallest ones — the
+    standard reason PPJoin survives web-scale corpora where the naive
+    element join explodes on stopwords. A size filter (num·max ≤ den·min)
+    prunes before verification; verification touches only candidate
+    pairs × one side's elements. Everything is equi-joins and
+    map-combinable counts; nothing driver-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
+    )
+    freq = toks.groupBy("_el").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_el")
+    pos = toks.join(freq, "_el").select(
+        "_id",
+        "_el",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    # prefix length = n - ceil(t*n) + 1, exact integer ceil
+    ceil_tn = F.expr(
+        f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
+    )
+    prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, F.col("a._el") == F.col("b._el"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            threshold_num * F.greatest(F.col("a._n"), F.col("b._n"))
+            <= threshold_den * F.least(F.col("a._n"), F.col("b._n"))
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), "_el")
+    tb = toks.select(F.col("_id").alias("id_b"), "_el")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_el"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.filter(
+        threshold_den * F.col("inter")
+        >= threshold_num * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "inter",
+        F.floor(
+            F.col("inter") * 1000000.0
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .cast("long")
+        .alias("jaccard_micro"),
+    )

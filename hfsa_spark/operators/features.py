@@ -304,3 +304,78 @@ def quantile_bin(
         e = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
         cond = e if cond is None else (cond & e)
     return df.join(binned, cond).drop(*[f"_k_{c}" for c in keys])
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Distinct-l-diversity release gate on top of k-anonymity: an
+    equivalence class (one quasi-identifier combination) that is large
+    enough (≥ k) can STILL leak its members' sensitive attribute if the
+    class is homogeneous — l-diversity additionally requires ≥ ``l``
+    distinct sensitive values per class. Flags both failure modes.
+
+    Output: one row per class (quasi_cols..., class_size, n_sensitive,
+    violates_k, violates_l).
+
+    Scale: one groupBy on the quasi columns with a count-distinct on the
+    sensitive column (partial-aggregated map-side); output cardinality is
+    the class count, not the row count.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .withColumn("violates_k", F.col("class_size") < k)
+        .withColumn("violates_l", F.col("n_sensitive") < l)
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    conf_micro_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / expected-calibration-error bins for a binary
+    classifier: confidence (micro units, 0..1e6) is cut into ``n_bins``
+    equal-width bins; each bin reports its size, total confidence, and
+    total positives. ECE = Σ |sum_pos − sum_conf_micro/1e6| / N falls out
+    of the integer columns downstream — the per-bin gap between claimed
+    confidence and realized accuracy is the quality-classifier health
+    check run before trusting its scores for filtering.
+
+    Output: (bin, n, sum_conf_micro, n_pos, gap_micro) — gap_micro =
+    |n_pos·1e6 − sum_conf_micro| / n, an exact integer per bin.
+
+    Scale: a single map-combinable groupBy on the bin id; n_bins rows out.
+    """
+    b = F.least(
+        F.floor(F.col(conf_micro_col) * n_bins / 1000000).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            F.col(conf_micro_col).alias("_c"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("sum_conf_micro"),
+            F.sum("_y").alias("n_pos"),
+        )
+        .withColumn(
+            "gap_micro",
+            F.abs(F.col("n_pos") * 1000000 - F.col("sum_conf_micro"))
+            / F.col("n"),
+        )
+        .withColumn("gap_micro", F.floor(F.col("gap_micro")).cast("long"))
+    )

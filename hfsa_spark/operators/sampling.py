@@ -550,3 +550,37 @@ def order_mixing_audit(
             .alias("share_micro"),
         )
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain document cap — the web-curation step that
+    stops a handful of boilerplate-heavy hosts from dominating a crawl
+    (the RefinedWeb / C4 "limit pages per domain" rule). The host is
+    parsed from the URL, the registered domain is its last two labels
+    (``a.b.example.com → example.com``), and within each domain the
+    ``cap`` survivors are chosen by a deterministic content-free hash of
+    the id — so the kept set depends only on the data, never on
+    partitioning or arrival order.
+
+    Output: input columns + (domain, domain_rank, keep).
+
+    Scale: one shuffle on the registered domain; rank is a per-domain
+    window (top-``cap`` selection). Mega-domains are exactly the rows the
+    operator exists to cut, and AQE skew-split handles their sort; the
+    hash ranking is map-side, no secondary lookup table.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    w = Window.partitionBy("domain").orderBy(
+        portable_hash64(F.col(id_col).cast("string"), seed=97), F.col(id_col)
+    )
+    return (
+        df.withColumn("domain", dom)
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .withColumn("keep", F.col("domain_rank") <= cap)
+    )

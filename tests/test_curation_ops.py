@@ -1,0 +1,106 @@
+"""Round-5c curation/privacy/eval operators: domain_cap, l_diversity_audit,
+calibration_bins, and their gate-level invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- domain_cap --
+def test_domain_cap_keeps_at_most_cap_per_domain(spark):
+    from hfsa_spark.operators.sampling import domain_cap
+
+    rows = [
+        (i, f"https://sub{i % 2}.host{i % 3}.example{i % 3}.com/p/{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_cap(df, "url", cap=4).collect()
+    assert len(out) == 30
+    per_dom = {}
+    for r in out:
+        assert r.domain.startswith("example")
+        assert r.domain.endswith(".com")
+        if r.keep:
+            per_dom[r.domain] = per_dom.get(r.domain, 0) + 1
+    assert per_dom and all(v <= 4 for v in per_dom.values())
+
+
+def test_domain_cap_is_partition_invariant(spark):
+    from hfsa_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"https://www.only{i % 2}.org/{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    a = {(r.doc_id, r.domain_rank) for r in domain_cap(df, cap=3).collect()}
+    b = {
+        (r.doc_id, r.domain_rank)
+        for r in domain_cap(df.repartition(7), cap=3).collect()
+    }
+    assert a == b
+
+
+# ----------------------------------------------------- l_diversity_audit --
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from hfsa_spark.operators.features import l_diversity_audit
+
+    rows = (
+        # class A: big and diverse -> no violation
+        [("a", f"s{i % 4}") for i in range(8)]
+        # class B: big but homogeneous -> violates_l only
+        + [("b", "s0") for _ in range(8)]
+        # class C: small and diverse-ish -> violates_k (and l at l=3)
+        + [("c", "s0"), ("c", "s1")]
+    )
+    df = spark.createDataFrame(rows, ["qi", "sens"])
+    got = {
+        r.qi: (r.class_size, r.n_sensitive, r.violates_k, r.violates_l)
+        for r in l_diversity_audit(df, ["qi"], "sens", l=3, k=5).collect()
+    }
+    assert got["a"] == (8, 4, False, False)
+    assert got["b"] == (8, 1, False, True)
+    assert got["c"] == (2, 2, True, True)
+
+
+# ------------------------------------------------------- calibration_bins --
+def test_calibration_bins_exact_integers(spark):
+    from hfsa_spark.operators.features import calibration_bins
+
+    rows = [
+        (50_000, 0),  # bin 0
+        (150_000, 1),  # bin 1
+        (150_000, 0),  # bin 1
+        (1_000_000, 1),  # conf == 1e6 clamps into the last bin
+    ]
+    df = spark.createDataFrame(rows, ["conf_micro", "label"])
+    got = {r.bin: r for r in calibration_bins(df, "conf_micro", "label").collect()}
+    assert set(got) == {0, 1, 9}
+    assert (got[0].n, got[0].n_pos, got[0].gap_micro) == (1, 0, 50_000)
+    # bin 1: |1*1e6 - 300000| / 2 = 350000
+    assert (got[1].n, got[1].sum_conf_micro, got[1].gap_micro) == (2, 300_000, 350_000)
+    assert (got[9].n, got[9].n_pos, got[9].gap_micro) == (1, 1, 0)
+
+
+def test_calibrated_source_has_small_gaps(spark):
+    """Bernoulli(conf) labels from an independent hash: every bin's gap
+    should be far below the 500k worst case (same construction as q175)."""
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.operators.features import calibration_bins
+
+    df = (
+        spark.range(2000)
+        .select(
+            (portable_hash64(F.col("id").cast("string"), seed=11) % 1000001)
+            .alias("conf_micro"),
+            F.col("id"),
+        )
+        .withColumn(
+            "label",
+            (portable_hash64(F.col("id").cast("string"), seed=12) % 1000000)
+            < F.col("conf_micro"),
+        )
+    )
+    out = calibration_bins(df, "conf_micro", "label").collect()
+    assert len(out) == 10
+    assert all(r.gap_micro < 120_000 for r in out)
+    # total mass conserved
+    assert sum(r.n for r in out) == 2000
