@@ -2987,6 +2987,20 @@ def q175_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(d, "conf_micro", "label", n_bins=10).orderBy("bin")
 
 
+def q176_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold set-similarity self-join (PPJoin-style prefix
+    filtering) at Jaccard ≥ 1/2 over distinct word-3-gram shingle sets —
+    the no-false-negative complement of the MinHash-LSH pair finder. The
+    oracle replays the rarest-first ordering, prefix rule, size filter,
+    and integer threshold check."""
+    from hfsa_spark.operators.dedup import setsim_join
+
+    d = _t(spark, sf_dir, "documents")
+    return setsim_join(
+        d, threshold_num=1, threshold_den=2, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3427,6 +3441,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_domain_caps": q173_domain_caps,
         "q174_l_diversity": q174_l_diversity,
         "q175_ece_calibration": q175_ece_calibration,
+        "q176_setsim_join": q176_setsim_join,
     }
 
 
@@ -6835,6 +6850,41 @@ def oracle_sql() -> dict[str, str]:
                (ABS(SUM(y) * 1000000 - SUM(conf_micro)) // COUNT(*))::BIGINT
                    AS gap_micro
         FROM b GROUP BY bin ORDER BY bin
+    """
+
+    # q176: same rarest-first prefix filter, size filter, and integer
+    # Jaccard threshold over the shared word-3-gram shingle fragment
+    _sh = _SHINGLES(toks=_TOKS, where="")
+    o["q176_setsim_join"] = f"""
+        WITH toks AS MATERIALIZED ({_sh}),
+        freq AS MATERIALIZED (
+            SELECT shingle, COUNT(*) AS df FROM toks GROUP BY shingle),
+        pos AS MATERIALIZED (
+            SELECT t.doc_id, t.shingle,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.df, t.shingle) AS pos,
+                   COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+            FROM toks t JOIN freq f USING (shingle)),
+        prefix AS MATERIALIZED (
+            SELECT * FROM pos WHERE pos <= n - ((1 * n + 1) // 2) + 1),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.n AS n_a, b.n AS n_b
+            FROM prefix a JOIN prefix b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            WHERE 1 * GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+        i AS MATERIALIZED (
+            SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+               inter::BIGINT AS inter,
+               ((inter * 1000000) // (n_a + n_b - inter))::BIGINT
+                   AS jaccard_micro
+        FROM i WHERE 2 * inter >= 1 * (n_a + n_b - inter)
+        ORDER BY id_a, id_b
     """
 
     return o

@@ -24,7 +24,7 @@ operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hfsa_spark.functions.hashing import portable_hash64, portable_hash_hex
@@ -1236,10 +1236,7 @@ def setsim_join(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         "inter",
-        F.floor(
-            F.col("inter") * 1000000.0
-            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        )
+        F.expr("(inter * 1000000) div (n_a + n_b - inter)")
         .cast("long")
         .alias("jaccard_micro"),
     )

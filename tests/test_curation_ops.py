@@ -104,3 +104,61 @@ def test_calibrated_source_has_small_gaps(spark):
     assert all(r.gap_micro < 120_000 for r in out)
     # total mass conserved
     assert sum(r.n for r in out) == 2000
+
+
+# ------------------------------------------------------------ setsim_join --
+def _brute_pairs(rows, num, den, n=3):
+    """All-pairs exact Jaccard over distinct word n-gram shingle sets."""
+    import itertools
+
+    def sh(t):
+        w = [x for x in t.lower().split() if x]
+        if len(w) >= n:
+            return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+        return {" ".join(w)}
+
+    sets = {i: sh(t) for i, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - inter
+        if den * inter >= num * union:
+            out[(a, b)] = (len(sets[a]), len(sets[b]), inter)
+    return out
+
+
+def test_setsim_join_matches_bruteforce(spark):
+    from hfsa_spark.operators.dedup import setsim_join
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    rows = [
+        (1, base),
+        (2, base + " today"),                      # near-identical -> pair
+        (3, base.replace("quick", "slow")),        # close -> pair at 1/2
+        (4, "completely different words here now past every threshold gate"),
+        (5, "tiny doc"),                           # < n tokens fallback path
+        (6, "tiny doc"),                           # identical tiny -> pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.inter)
+        for r in setsim_join(df, threshold_num=1, threshold_den=2).collect()
+    }
+    assert got == _brute_pairs(rows, 1, 2)
+    assert (1, 2) in got and (5, 6) in got and all(4 not in p for p in got)
+
+
+def test_setsim_join_partition_invariant_and_threshold_exact(spark):
+    from hfsa_spark.operators.dedup import setsim_join
+
+    rows = [(i, f"w{i % 4} common common2 common3 shared tail x{i % 2}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {(r.id_a, r.id_b, r.jaccard_micro)
+         for r in setsim_join(df, threshold_num=4, threshold_den=5).collect()}
+    b = {(r.id_a, r.id_b, r.jaccard_micro)
+         for r in setsim_join(df.repartition(5), threshold_num=4,
+                              threshold_den=5).collect()}
+    assert a == b
+    assert a == {k + (1000000 * v[2] // (v[0] + v[1] - v[2]),)
+                 for k, v in _brute_pairs(rows, 4, 5).items()}
