@@ -3001,6 +3001,38 @@ def q176_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q177_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob membership-inference scores: odd-id docs scored under
+    the even-id corpus's add-one unigram LM, keeping the lowest 20% of
+    token log-probs per doc — the pretraining-data detection signal. The
+    oracle rebuilds the identical model and replays the histogram-rank
+    lowest-m selection."""
+    from hfsa_spark.operators.text import min_k_prob
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    return min_k_prob(train, ev, k_num=1, k_den=5).orderBy("doc_id")
+
+
+def q178_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting step: odd-id docs scored under a
+    reference LM (trained on even ids) and a weak proxy LM (trained on
+    ids % 8 == 0); per-source excess loss drives an exponentiated
+    multiplicative weight update. The oracle rebuilds both models and
+    replays the integer losses and the single per-domain exp."""
+    from hfsa_spark.operators.sampling import doremi_weights
+    from hfsa_spark.operators.text import lm_cross_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    ref = lm_cross_entropy(d.filter(F.col("doc_id") % 2 == 0), ev).join(
+        d.select("doc_id", F.col("source").alias("domain")), "doc_id"
+    )
+    proxy = lm_cross_entropy(d.filter(F.col("doc_id") % 8 == 0), ev)
+    return doremi_weights(ref, proxy).orderBy("domain")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3442,6 +3474,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_l_diversity": q174_l_diversity,
         "q175_ece_calibration": q175_ece_calibration,
         "q176_setsim_join": q176_setsim_join,
+        "q177_min_k_prob": q177_min_k_prob,
+        "q178_doremi_weights": q178_doremi_weights,
     }
 
 
@@ -6885,6 +6919,97 @@ def oracle_sql() -> dict[str, str]:
                    AS jaccard_micro
         FROM i WHERE 2 * inter >= 1 * (n_a + n_b - inter)
         ORDER BY id_a, id_b
+    """
+
+    # q177: q171's model/scoring CTEs verbatim, then the same
+    # histogram-rank lowest-m selection (full groups + boundary partial)
+    o["q177_min_k_prob"] = f"""
+        WITH tr AS (SELECT unnest({_TOKS}) AS term FROM documents
+                    WHERE doc_id % 2 = 0),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM tr GROUP BY term),
+        stats AS (SELECT SUM(cnt)::DOUBLE AS n, COUNT(*)::DOUBLE AS v
+                  FROM counts),
+        ev AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+               WHERE doc_id % 2 = 1),
+        model AS (SELECT term,
+                         round(ln((cnt::DOUBLE + 1.0) / (n + v)) * 1e6)::BIGINT
+                             AS logp_micro
+                  FROM counts, stats),
+        scored AS (
+            SELECT ev.doc_id,
+                   COALESCE(m.logp_micro,
+                            round(ln(1.0 / (s.n + s.v)) * 1e6)::BIGINT) AS lp
+            FROM ev LEFT JOIN model m USING (term), stats s),
+        hist AS (SELECT doc_id, lp, COUNT(*) AS c
+                 FROM scored GROUP BY doc_id, lp),
+        cum AS (SELECT doc_id, lp, c,
+                       SUM(c) OVER (PARTITION BY doc_id ORDER BY lp
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER (PARTITION BY doc_id) AS n
+                FROM hist),
+        mm AS (SELECT *, (1 * n + 5 - 1) // 5 AS m FROM cum)
+        SELECT doc_id, MAX(n)::BIGINT AS n_tokens, MAX(m)::BIGINT AS m,
+               SUM(GREATEST(0, LEAST(c, m - (cum - c))) * lp)::BIGINT
+                   AS sum_mink_micro
+        FROM mm GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q178: both add-one models rebuilt, integer per-domain losses, one
+    # exp per domain on an integer input, integer-sum normalization
+    o["q178_doremi_weights"] = f"""
+        WITH ev AS MATERIALIZED (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            WHERE doc_id % 2 = 1),
+        c_ref AS MATERIALIZED (
+            SELECT term, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents
+                  WHERE doc_id % 2 = 0) GROUP BY term),
+        s_ref AS (SELECT SUM(cnt)::DOUBLE AS n, COUNT(*)::DOUBLE AS v
+                  FROM c_ref),
+        m_ref AS (SELECT term,
+                         round(ln((cnt::DOUBLE + 1.0) / (n + v)) * 1e6)::BIGINT
+                             AS lp
+                  FROM c_ref, s_ref),
+        c_px AS MATERIALIZED (
+            SELECT term, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents
+                  WHERE doc_id % 8 = 0) GROUP BY term),
+        s_px AS (SELECT SUM(cnt)::DOUBLE AS n, COUNT(*)::DOUBLE AS v
+                 FROM c_px),
+        m_px AS (SELECT term,
+                        round(ln((cnt::DOUBLE + 1.0) / (n + v)) * 1e6)::BIGINT
+                            AS lp
+                 FROM c_px, s_px),
+        dr AS MATERIALIZED (
+            SELECT ev.doc_id, COUNT(*) AS n, SUM(COALESCE(m.lp,
+                       round(ln(1.0 / (s.n + s.v)) * 1e6)::BIGINT)) AS s
+            FROM ev LEFT JOIN m_ref m USING (term), s_ref s
+            GROUP BY ev.doc_id),
+        dp AS MATERIALIZED (
+            SELECT ev.doc_id, SUM(COALESCE(m.lp,
+                       round(ln(1.0 / (s.n + s.v)) * 1e6)::BIGINT)) AS s
+            FROM ev LEFT JOIN m_px m USING (term), s_px s
+            GROUP BY ev.doc_id),
+        dom AS MATERIALIZED (
+            SELECT d.source AS domain, COUNT(*) AS n_docs,
+                   SUM(dr.n)::BIGINT AS n_tokens,
+                   (-SUM(dr.s))::BIGINT AS rn, (-SUM(dp.s))::BIGINT AS pn
+            FROM dr JOIN dp USING (doc_id) JOIN documents d USING (doc_id)
+            GROUP BY d.source),
+        lx AS (SELECT domain, n_docs, n_tokens,
+                      (rn // n_tokens)::BIGINT AS ref_loss_micro,
+                      (pn // n_tokens)::BIGINT AS proxy_loss_micro,
+                      GREATEST(0, pn // n_tokens - rn // n_tokens)::BIGINT
+                          AS excess_micro
+               FROM dom),
+        wx AS (SELECT *,
+                      round(exp((excess_micro * 1000000)::DOUBLE / 1e12)
+                            * 1e6)::BIGINT AS w
+               FROM lx)
+        SELECT domain, n_docs, n_tokens, ref_loss_micro, proxy_loss_micro,
+               excess_micro,
+               ((w * 1000000) // SUM(w) OVER ())::BIGINT AS weight_micro
+        FROM wx ORDER BY domain
     """
 
     return o

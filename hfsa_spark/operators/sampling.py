@@ -584,3 +584,87 @@ def domain_cap(
         .withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .withColumn("keep", F.col("domain_rank") <= cap)
     )
+
+
+def doremi_weights(
+    ref_df: DataFrame,
+    proxy_df: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    eta_micro: int = 1000000,
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient step of domain mixture
+    reweighting (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures"):
+    per-domain EXCESS loss — how much worse a weak proxy model does than
+    the reference model on the same held-out docs — drives a
+    multiplicative weight update, upweighting the domains where more is
+    left to learn. Inputs are two per-doc score frames shaped like
+    :func:`hfsa_spark.operators.text.lm_cross_entropy` output (id,
+    n_tokens, sum_logp_micro), ref_df additionally carrying the domain.
+
+    All arithmetic before the single exp() per domain is exact integers
+    (losses in micro-nats per token via integer division, clamped excess,
+    integer eta product), so the one transcendental has a bit-identical
+    input in any engine and the rounded weights replay exactly; the
+    normalization denominator is an INTEGER sum, immune to float
+    summation order.
+
+    Output: (domain, n_docs, n_tokens, ref_loss_micro, proxy_loss_micro,
+    excess_micro, weight_micro) with weight_micro summing to ≤ 1e6.
+
+    Scale: one equi-join on the doc id, one map-combinable groupBy on the
+    domain, and a broadcast one-row total — domain cardinality rows out.
+    """
+    r = ref_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(domain_col).alias("domain"),
+        F.col("n_tokens").alias("_n"),
+        F.col("sum_logp_micro").alias("_r"),
+    )
+    p = proxy_df.select(
+        F.col(id_col).alias("_id"), F.col("sum_logp_micro").alias("_p")
+    )
+    dom = (
+        r.join(p, "_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+            (-F.sum("_r")).cast("long").alias("_rn"),
+            (-F.sum("_p")).cast("long").alias("_pn"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.expr("_rn div n_tokens").cast("long").alias("ref_loss_micro"),
+            F.expr("_pn div n_tokens").cast("long").alias("proxy_loss_micro"),
+        )
+        .withColumn(
+            "excess_micro",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("proxy_loss_micro") - F.col("ref_loss_micro"),
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.round(
+                F.exp(
+                    (F.col("excess_micro") * F.lit(eta_micro)).cast("double")
+                    / 1e12
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    tot = dom.agg(F.sum("_w").alias("_tot"))
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        "ref_loss_micro",
+        "proxy_loss_micro",
+        "excess_micro",
+        F.expr("(_w * 1000000) div _tot").cast("long").alias("weight_micro"),
+    )

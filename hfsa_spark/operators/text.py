@@ -1939,6 +1939,26 @@ def lm_cross_entropy(
     keep the smoothed floor) — frequent-term skew is AQE's skew-join
     case; nothing driver-side.
     """
+    scored = _lm_token_logprobs(train_df, eval_df, id_col, text_col)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_oov"), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.sum("_lp").alias("sum_logp_micro"),
+    )
+
+
+def _lm_token_logprobs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared scoring core of :func:`lm_cross_entropy` /
+    :func:`min_k_prob`: one row per eval-token occurrence with the
+    add-one-smoothed train-LM log-prob in exact micro-nats.
+    Columns: (id_col, _oov, _lp). Per-term micro-nat logs are rounded
+    ONCE (one transcendental per distinct term), so downstream integer
+    sums replay bit-for-bit in any engine."""
     counts = (
         train_df.select(F.explode(tokens(text_col)).alias("term"))
         .groupBy("term")
@@ -1958,7 +1978,7 @@ def lm_cross_entropy(
         .alias("logp_micro"),
     )
     ev = eval_df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    scored = (
+    return (
         ev.join(model, "term", "left")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1972,8 +1992,57 @@ def lm_cross_entropy(
             ).alias("_lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("_oov"), 1).otherwise(0)).cast("long").alias("n_oov"),
-        F.sum("_lp").alias("sum_logp_micro"),
+
+
+def min_k_prob(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_num: int = 1,
+    k_den: int = 5,
+) -> DataFrame:
+    """Min-K% prob membership signal (Shi et al. 2024, "Detecting
+    Pretraining Data from Large Language Models"): per eval doc, the sum
+    of the LOWEST ⌈k·n⌉ token log-probs under the train LM — members of
+    the train corpus lack surprising low-probability outlier tokens, so
+    a high (less negative) min-k mass flags likely contamination /
+    memorization. Uses the same add-one unigram LM and once-rounded
+    micro-nat convention as :func:`lm_cross_entropy`.
+
+    Output: (id, n_tokens, m, sum_mink_micro) with m = ⌈k_num·n/k_den⌉;
+    the mean falls out downstream — only exact integers cross the gate.
+
+    Scale: the lowest-m selection is the histogram-rank decomposition
+    (per-doc DISTINCT-log-prob counts + one cumulative window), never a
+    per-doc full sort — a 1M-token document costs its distinct-term
+    count, not 1M window rows. Model build and scoring join are the
+    lm_cross_entropy plan (map-combinable counts, broadcast stats,
+    skew-tolerant term join).
+    """
+    scored = _lm_token_logprobs(train_df, eval_df, id_col, text_col)
+    hist = scored.groupBy(id_col, "_lp").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.asc("_lp"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(id_col)
+    cum = hist.select(
+        F.col(id_col),
+        "_lp",
+        "_c",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    ).withColumn(
+        "_m", F.expr(f"({k_num} * _n + {k_den} - 1) div {k_den}")
+    )
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_c"), F.col("_m") - (F.col("_cum") - F.col("_c"))),
+    )
+    return cum.groupBy(id_col).agg(
+        F.max("_n").cast("long").alias("n_tokens"),
+        F.max("_m").cast("long").alias("m"),
+        F.sum(take * F.col("_lp")).cast("long").alias("sum_mink_micro"),
     )

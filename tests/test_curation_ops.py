@@ -162,3 +162,78 @@ def test_setsim_join_partition_invariant_and_threshold_exact(spark):
     assert a == b
     assert a == {k + (1000000 * v[2] // (v[0] + v[1] - v[2]),)
                  for k, v in _brute_pairs(rows, 4, 5).items()}
+
+
+# ------------------------------------------------------------- min_k_prob --
+def test_min_k_prob_selects_lowest_tokens(spark):
+    from hfsa_spark.operators.text import lm_cross_entropy, min_k_prob
+
+    train = spark.createDataFrame(
+        [(0, "a a a a b b c d")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        # 10 tokens: frequent 'a' (high logp) + rare/oov tail
+        [(1, "a a a a a b c d zz yy")], ["doc_id", "text"]
+    )
+    full = lm_cross_entropy(train, ev).collect()[0]
+    mk = min_k_prob(train, ev, k_num=1, k_den=5).collect()[0]
+    assert mk.n_tokens == 10 and mk.m == 2
+    # the two lowest must be the two OOV tokens (uniform add-one floor)
+    assert full.n_oov == 2
+    # OOV logp = ln(1/(N+V)) with N=8, V=4 -> both tokens identical
+    import math
+
+    oov = round(math.log(1.0 / 12.0) * 1e6)
+    assert mk.sum_mink_micro == 2 * oov
+    # and the min-k mass is strictly worse (lower) than the doc average
+    assert mk.sum_mink_micro / mk.m < full.sum_logp_micro / full.n_tokens
+
+
+def test_min_k_prob_member_scores_higher_than_nonmember(spark):
+    """A doc drawn from the train distribution has a higher (less
+    negative) min-k mass per token than an off-distribution doc."""
+    from hfsa_spark.operators.text import min_k_prob
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta gamma delta"),
+         (101, "qq ww ee rr tt uu ii oo")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in min_k_prob(train, ev).collect()}
+    assert (got[100].sum_mink_micro / got[100].m
+            > got[101].sum_mink_micro / got[101].m)
+
+
+# --------------------------------------------------------- doremi_weights --
+def test_doremi_upweights_high_excess_domain(spark):
+    from pyspark.sql import functions as F
+    from hfsa_spark.operators.sampling import doremi_weights
+
+    # ref scores == proxy scores for domain A (excess 0); proxy much
+    # worse for domain B -> B must get the larger weight
+    ref = spark.createDataFrame(
+        [(1, "A", 10, -10_000_000), (2, "A", 10, -12_000_000),
+         (3, "B", 10, -10_000_000), (4, "B", 10, -12_000_000)],
+        ["doc_id", "domain", "n_tokens", "sum_logp_micro"],
+    )
+    proxy = spark.createDataFrame(
+        [(1, 10, -10_000_000), (2, 10, -12_000_000),
+         (3, 10, -30_000_000), (4, 10, -34_000_000)],
+        ["doc_id", "n_tokens", "sum_logp_micro"],
+    ).select("doc_id", "n_tokens", "sum_logp_micro")
+    got = {r.domain: r for r in doremi_weights(ref, proxy).collect()}
+    assert got["A"].excess_micro == 0
+    assert got["B"].excess_micro == (3_200_000 - 1_100_000)
+    assert got["B"].weight_micro > got["A"].weight_micro
+    # weights normalize (integer floor loses at most n_domains micro)
+    tot = sum(r.weight_micro for r in got.values())
+    assert 1_000_000 - 2 <= tot <= 1_000_000
+    import math
+
+    expected_ratio = math.exp(2.1)
+    assert abs(got["B"].weight_micro / got["A"].weight_micro
+               - expected_ratio) < 0.01 * expected_ratio
