@@ -3033,6 +3033,53 @@ def q178_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_weights(ref, proxy).orderBy("domain")
 
 
+def q179_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep over a hash-synthesized scored
+    corpus (101 distinct score levels, Bernoulli(score) labels): one row
+    per distinct threshold with exact integer confusion counts. The
+    oracle replays the same histogram + descending cumulative window."""
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.operators.features import pr_curve
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((portable_hash64(F.col("doc_id").cast("string"), seed=11) % 101)
+         * 10000).alias("score_micro"),
+    ).withColumn(
+        "label",
+        (portable_hash64(F.col("doc_id").cast("string"), seed=12) % 1000000)
+        < F.col("score_micro"),
+    )
+    return pr_curve(d, "score_micro", "label").orderBy(
+        F.desc("threshold_micro")
+    )
+
+
+def q180_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption scan: docs get deterministic mojibake
+    injections (UTF-8-as-Latin-1 pairs, CP1252 punctuation triples,
+    replacement chars, a C1 control) on id-mod schedules; per-doc
+    artifact counters + flag. The oracle replays the same injection and
+    regexp counts."""
+    from hfsa_spark.operators.text import mojibake_audit
+
+    moji = ("caf\u00c3\u00a9 na\u00c3\u00afve"
+            " \u00e2\u20ac\u2122q\u00e2\u20ac\u009d")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + moji)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ��")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return mojibake_audit(d).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3476,6 +3523,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_setsim_join": q176_setsim_join,
         "q177_min_k_prob": q177_min_k_prob,
         "q178_doremi_weights": q178_doremi_weights,
+        "q179_pr_curve": q179_pr_curve,
+        "q180_mojibake_audit": q180_mojibake_audit,
     }
 
 
@@ -7010,6 +7059,56 @@ def oracle_sql() -> dict[str, str]:
                excess_micro,
                ((w * 1000000) // SUM(w) OVER ())::BIGINT AS weight_micro
         FROM wx ORDER BY domain
+    """
+
+    # q179: same hash scores/labels, histogram + desc cumulative window
+    o["q179_pr_curve"] = f"""
+        WITH s AS (SELECT ({_h64("doc_id::VARCHAR", 11)} % 101) * 10000 AS sc,
+                          (({_h64("doc_id::VARCHAR", 12)} % 1000000) <
+                           ({_h64("doc_id::VARCHAR", 11)} % 101) * 10000)
+                              AS y
+                   FROM documents),
+        hist AS (SELECT sc AS threshold_micro, COUNT(*) AS n,
+                        SUM(y::BIGINT) AS pos
+                 FROM s GROUP BY sc),
+        c AS (SELECT threshold_micro,
+                     SUM(n) OVER (ORDER BY threshold_micro DESC
+                                  ROWS UNBOUNDED PRECEDING) AS np,
+                     SUM(pos) OVER (ORDER BY threshold_micro DESC
+                                    ROWS UNBOUNDED PRECEDING) AS tp,
+                     SUM(pos) OVER () AS tot
+              FROM hist)
+        SELECT threshold_micro::BIGINT AS threshold_micro,
+               np::BIGINT AS n_pred_pos, tp::BIGINT AS tp,
+               ((tp * 1000000) // np)::BIGINT AS precision_micro,
+               ((tp * 1000000) // tot)::BIGINT AS recall_micro
+        FROM c ORDER BY threshold_micro DESC
+    """
+
+    # q180: same mojibake injection schedule and regexp artifact counts
+    o["q180_mojibake_audit"] = """
+        WITH t AS (SELECT doc_id,
+                          concat(text,
+                                 CASE WHEN doc_id % 7 = 0
+                                      THEN concat(' cafÃ© naÃ¯ve â€™qâ€', chr(157))
+                                      ELSE '' END,
+                                 CASE WHEN doc_id % 11 = 0
+                                      THEN ' ��' ELSE '' END) AS text
+                   FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[ÃÂ][\\x{80}-\\x{bf}]'))::BIGINT AS n_latin1_pairs,
+               len(regexp_extract_all(text, 'â€.'))::BIGINT
+                   AS n_punct_triples,
+               len(regexp_extract_all(text, '�'))::BIGINT AS n_replacement,
+               len(regexp_extract_all(text,
+                   '[\\x{80}-\\x{9f}]'))::BIGINT AS n_c1_controls,
+               (len(regexp_extract_all(text, '[ÃÂ][\\x{80}-\\x{bf}]'))
+                + len(regexp_extract_all(text, 'â€.'))
+                + len(regexp_extract_all(text, '�'))
+                + len(regexp_extract_all(text, '[\\x{80}-\\x{9f}]'))) > 0
+                   AS mojibake
+        FROM t ORDER BY doc_id
     """
 
     return o

@@ -379,3 +379,50 @@ def calibration_bins(
         )
         .withColumn("gap_micro", F.floor(F.col("gap_micro")).cast("long"))
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_micro_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Full precision/recall threshold sweep for a binary classifier:
+    one output row per DISTINCT score value t with the confusion counts
+    of the rule "predict positive iff score ≥ t" — the curve read before
+    picking a quality-filter threshold (choose the highest-recall point
+    that still meets the precision floor). Ratios are exact integer
+    micro units.
+
+    Output: (threshold_micro, n_pred_pos, tp, precision_micro,
+    recall_micro) ordered by descending threshold downstream.
+
+    Scale: the histogram-rank decomposition again — a map-combinable
+    (score → count, positives) aggregate and ONE cumulative window over
+    the distinct scores (not the rows), so a billion-row score column
+    costs its distinct-value count in the window stage.
+    """
+    hist = df.groupBy(F.col(score_micro_col).alias("threshold_micro")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+    )
+    w = (
+        Window.orderBy(F.desc("threshold_micro"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy()
+    return hist.select(
+        "threshold_micro",
+        F.sum("_n").over(w).cast("long").alias("n_pred_pos"),
+        F.sum("_pos").over(w).cast("long").alias("tp"),
+        F.sum("_pos").over(wg).cast("long").alias("_tot_pos"),
+    ).select(
+        "threshold_micro",
+        "n_pred_pos",
+        "tp",
+        F.expr("(tp * 1000000) div n_pred_pos").cast("long").alias(
+            "precision_micro"
+        ),
+        F.expr("(tp * 1000000) div _tot_pos").cast("long").alias(
+            "recall_micro"
+        ),
+    )

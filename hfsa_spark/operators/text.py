@@ -2046,3 +2046,50 @@ def min_k_prob(
         F.max("_m").cast("long").alias("m"),
         F.sum(take * F.col("_lp")).cast("long").alias("sum_mink_micro"),
     )
+
+
+def mojibake_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-corruption audit (the ftfy problem class): count the
+    telltale artifacts of UTF-8 text decoded as Latin-1/CP1252 --
+    '\u00c3'/'\u00c2'-led pairs ("\u00c3\u00a9" for "\u00e9"),
+    '\u00e2\u20ac'-led punctuation triples ("\u00e2\u20ac\u2122"
+    for a curly apostrophe), the U+FFFD replacement character, and stray
+    C1 control characters -- plus a keep flag. Mojibake survives
+    lowercasing, dedup, and tokenization, so the scan belongs BEFORE
+    those stages; flagged docs need RE-DECODING, not dropping, or the
+    filter silently biases against non-English text.
+
+    Output: (id, n_latin1_pairs, n_punct_triples, n_replacement,
+    n_c1_controls, mojibake) -- mojibake true iff any counter > 0.
+
+    Scale: pure map-side regexp counts inside whole-stage codegen; no
+    shuffle, no UDF, no Python.
+    """
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit("[\u00c3\u00c2][\u0080-\u00bf]"))
+        .cast("long")
+        .alias("n_latin1_pairs"),
+        F.regexp_count(t, F.lit("\u00e2\u20ac."))
+        .cast("long")
+        .alias("n_punct_triples"),
+        F.regexp_count(t, F.lit("\ufffd")).cast("long").alias("n_replacement"),
+        F.regexp_count(t, F.lit("[\u0080-\u009f]"))
+        .cast("long")
+        .alias("n_c1_controls"),
+    )
+    return out.withColumn(
+        "mojibake",
+        (
+            F.col("n_latin1_pairs")
+            + F.col("n_punct_triples")
+            + F.col("n_replacement")
+            + F.col("n_c1_controls")
+        )
+        > 0,
+    )

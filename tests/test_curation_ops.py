@@ -237,3 +237,65 @@ def test_doremi_upweights_high_excess_domain(spark):
     expected_ratio = math.exp(2.1)
     assert abs(got["B"].weight_micro / got["A"].weight_micro
                - expected_ratio) < 0.01 * expected_ratio
+
+
+# ---------------------------------------------------------------- pr_curve --
+def test_pr_curve_exact_counts(spark):
+    from hfsa_spark.operators.features import pr_curve
+
+    rows = [
+        (900_000, 1), (900_000, 1), (900_000, 0),
+        (500_000, 1), (500_000, 0),
+        (100_000, 0),
+    ]
+    df = spark.createDataFrame(rows, ["score_micro", "label"])
+    got = {r.threshold_micro: r for r in pr_curve(df, "score_micro", "label").collect()}
+    assert set(got) == {900_000, 500_000, 100_000}
+    # t=900k: pred 3, tp 2 -> P=2/3, R=2/3
+    assert (got[900_000].n_pred_pos, got[900_000].tp) == (3, 2)
+    assert got[900_000].precision_micro == 2 * 1000000 // 3
+    assert got[900_000].recall_micro == 2 * 1000000 // 3
+    # t=500k: pred 5, tp 3 -> P=3/5, R=1
+    assert (got[500_000].n_pred_pos, got[500_000].tp) == (5, 3)
+    assert got[500_000].recall_micro == 1000000
+    # t=100k: everything predicted positive
+    assert (got[100_000].n_pred_pos, got[100_000].tp) == (6, 3)
+    assert got[100_000].precision_micro == 500000
+
+
+def test_pr_curve_recall_monotone_in_threshold(spark):
+    from pyspark.sql import functions as F
+    from hfsa_spark.functions.hashing import portable_hash64
+    from hfsa_spark.operators.features import pr_curve
+
+    df = spark.range(500).select(
+        ((portable_hash64(F.col("id").cast("string"), seed=1) % 50) * 20000)
+        .alias("s"),
+        (portable_hash64(F.col("id").cast("string"), seed=2) % 2 == 0)
+        .alias("y"),
+    )
+    out = pr_curve(df, "s", "y").orderBy(F.desc("threshold_micro")).collect()
+    rec = [r.recall_micro for r in out]
+    npred = [r.n_pred_pos for r in out]
+    assert rec == sorted(rec) and npred == sorted(npred)
+    assert rec[-1] == 1000000
+
+
+# ---------------------------------------------------------- mojibake_audit --
+def test_mojibake_audit_counts_each_artifact(spark):
+    from hfsa_spark.operators.text import mojibake_audit
+
+    rows = [
+        (1, "clean ascii text only"),
+        (2, "caf\u00c3\u00a9 na\u00c3\u00afve"),          # 2 latin-1 pairs
+        (3, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153q"),  # 2 triples (+1 C1)
+        (4, "bad \ufffd\ufffd bytes"),                       # 2 replacements
+        (5, "ctrl\u009dchar"),                                # 1 C1 control
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in mojibake_audit(df).collect()}
+    assert not got[1].mojibake
+    assert (got[2].n_latin1_pairs, got[2].mojibake) == (2, True)
+    assert got[3].n_punct_triples == 2
+    assert got[4].n_replacement == 2
+    assert (got[5].n_c1_controls, got[5].mojibake) == (1, True)
