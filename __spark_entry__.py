@@ -3080,6 +3080,28 @@ def q180_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_audit(d).orderBy("doc_id")
 
 
+def q181_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingestion gate: the id%3==0 docs form the persisted LSH
+    band index; the remaining docs arrive as a new batch and get
+    index_dup / batch_dup / keep flags. The oracle rebuilds the same
+    8-minhash 4-band keys and replays both screens."""
+    from hfsa_spark.operators.dedup import (
+        band_keys,
+        incremental_neardup,
+        minhash_signature,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = band_keys(
+        minhash_signature(d.filter(F.col("doc_id") % 3 == 0), "doc_id", "text"),
+        "doc_id",
+    )
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    return incremental_neardup(batch, idx).select(
+        "doc_id", "index_dup", "batch_dup", "keep"
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3525,6 +3547,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_doremi_weights": q178_doremi_weights,
         "q179_pr_curve": q179_pr_curve,
         "q180_mojibake_audit": q180_mojibake_audit,
+        "q181_incremental_neardup": q181_incremental_neardup,
     }
 
 
@@ -7109,6 +7132,40 @@ def oracle_sql() -> dict[str, str]:
                 + len(regexp_extract_all(text, '[\\x{80}-\\x{9f}]'))) > 0
                    AS mojibake
         FROM t ORDER BY doc_id
+    """
+
+    # q181: shared minhash/band fragments; index = id%3==0 docs' bands,
+    # batch screened by (band,key) equi-semi, then keep-lowest-id rule
+    o["q181_incremental_neardup"] = f"""
+        WITH sh AS MATERIALIZED ({_sh_all}),
+        sigs AS MATERIALIZED (
+            SELECT doc_id,
+               {_mh8}
+            FROM sh GROUP BY doc_id),
+        banded AS MATERIALIZED (
+            {_bands148}),
+        idx AS MATERIALIZED (
+            SELECT DISTINCT band, key FROM banded WHERE doc_id % 3 = 0),
+        nb AS MATERIALIZED (
+            SELECT * FROM banded WHERE doc_id % 3 <> 0),
+        hit AS MATERIALIZED (
+            SELECT DISTINCT nb.doc_id FROM nb JOIN idx USING (band, key)),
+        surv AS MATERIALIZED (
+            SELECT * FROM nb
+            WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        bmin AS MATERIALIZED (
+            SELECT band, key, MIN(doc_id) AS m
+            FROM surv GROUP BY band, key),
+        bdup AS MATERIALIZED (
+            SELECT DISTINCT s.doc_id
+            FROM surv s JOIN bmin b ON s.band = b.band AND s.key = b.key
+            WHERE b.m < s.doc_id)
+        SELECT d.doc_id,
+               d.doc_id IN (SELECT doc_id FROM hit) AS index_dup,
+               d.doc_id IN (SELECT doc_id FROM bdup) AS batch_dup,
+               (d.doc_id NOT IN (SELECT doc_id FROM hit)
+                AND d.doc_id NOT IN (SELECT doc_id FROM bdup)) AS keep
+        FROM documents d WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
     """
 
     return o

@@ -161,6 +161,20 @@ def minhash_lsh_candidates(
     ``max_bucket`` are dropped (degenerate boilerplate; at web scale these
     would otherwise produce O(n²) pairs).
     """
+    banded = band_keys(signatures, id_col, num_hashes, bands)
+    return _bucket_pairs(banded, id_col, max_bucket)
+
+
+def band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) rows from a minhash signature frame — key is the
+    '|'-joined minhashes of the band. This IS the persistable LSH index
+    shape: store it per accepted corpus and equi-join new batches on
+    (band, key) (:func:`incremental_neardup`)."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
@@ -175,11 +189,9 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    return signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-
-    return _bucket_pairs(banded, id_col, max_bucket)
 
 
 def _bucket_pairs(banded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
@@ -1239,4 +1251,62 @@ def setsim_join(
         F.expr("(inter * 1000000) div (n_a + n_b - inter)")
         .cast("long")
         .alias("jaccard_micro"),
+    )
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup ingestion gate — the MinHash-LSH twin of
+    :func:`incremental_dedup`: a NEW batch is screened against the
+    PERSISTED band index of everything already accepted (``index_df``,
+    (band, key) rows shaped like :func:`band_keys` output), then
+    deduplicated within the batch. A new doc is an ``index_dup`` if any
+    of its band keys collides with the index; among the remainder a doc
+    is a ``batch_dup`` if it shares a band bucket with a smaller-id
+    survivor (the deterministic keep-lowest-id rule). ``keep`` docs are
+    exactly those whose :func:`band_keys` rows should be appended to the
+    index for the next batch.
+
+    Output: new_df columns + (index_dup, batch_dup, keep).
+
+    Scale: both screens are equi-joins keyed on (band, key) — the index
+    is never broadcast and never scanned per-doc; a billions-row index
+    co-partitions with the batch on the band key. The within-batch rule
+    is one map-combinable min per bucket, not a pairwise explosion, so a
+    degenerate boilerplate bucket costs O(bucket), not O(bucket²).
+    """
+    nb = band_keys(
+        minhash_signature(new_df, id_col, text_col, num_hashes),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    hit = (
+        nb.join(index_df.select("band", "key"), ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_ix", F.lit(True))
+    )
+    surv = nb.join(hit.select(id_col), id_col, "left_anti")
+    bmin = surv.groupBy("band", "key").agg(F.min(id_col).alias("_min"))
+    bdup = (
+        surv.join(bmin, ["band", "key"])
+        .filter(F.col("_min") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+        .withColumn("_bd", F.lit(True))
+    )
+    return (
+        new_df.join(hit, id_col, "left")
+        .join(bdup, id_col, "left")
+        .withColumn("index_dup", F.coalesce(F.col("_ix"), F.lit(False)))
+        .withColumn("batch_dup", F.coalesce(F.col("_bd"), F.lit(False)))
+        .withColumn("keep", ~F.col("index_dup") & ~F.col("batch_dup"))
+        .drop("_ix", "_bd")
     )

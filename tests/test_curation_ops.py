@@ -299,3 +299,43 @@ def test_mojibake_audit_counts_each_artifact(spark):
     assert got[3].n_punct_triples == 2
     assert got[4].n_replacement == 2
     assert (got[5].n_c1_controls, got[5].mojibake) == (1, True)
+
+
+# --------------------------------------------------- incremental_neardup --
+def test_incremental_neardup_flags(spark):
+    from hfsa_spark.operators.dedup import (
+        band_keys,
+        incremental_neardup,
+        minhash_signature,
+    )
+
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx_docs = spark.createDataFrame([(0, corpus_text)], ["doc_id", "text"])
+    idx = band_keys(minhash_signature(idx_docs, "doc_id", "text"), "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, corpus_text),                     # identical -> index_dup
+            (11, "totally new words appear here today fresh content stream"),
+            (12, "totally new words appear here today fresh content stream"),
+            # 12 duplicates 11 within the batch -> batch_dup
+            (13, "another unique document with its own tokens entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in incremental_neardup(batch, idx).collect()}
+    assert got[10].index_dup and not got[10].keep
+    assert got[11].keep and not got[11].index_dup and not got[11].batch_dup
+    assert got[12].batch_dup and not got[12].index_dup and not got[12].keep
+    assert got[13].keep
+
+
+def test_incremental_neardup_empty_index_keeps_first_copy(spark):
+    from hfsa_spark.operators.dedup import incremental_neardup
+
+    empty_idx = spark.createDataFrame([], "band int, key string")
+    batch = spark.createDataFrame(
+        [(1, "same text here ok now"), (2, "same text here ok now")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in incremental_neardup(batch, empty_idx).collect()}
+    assert got[1].keep and got[2].batch_dup and not got[2].keep
