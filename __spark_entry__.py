@@ -3102,6 +3102,42 @@ def q181_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q182_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded fill-in-the-middle transform at 50% FIM rate: PSM
+    re-serialization with deterministic cut points. The oracle replays
+    the same hashes, cuts, and substring concatenation byte-for-byte."""
+    from hfsa_spark.operators.packing import fim_transform
+
+    d = _t(spark, sf_dir, "documents")
+    return fim_transform(d).orderBy("doc_id")
+
+
+def q183_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate stripping at a 3/5 in-domain frequency
+    threshold: every doc carries a unique body line + a universal footer
+    (boiler, 100% of the domain) + a promo line on even ids (~50%, kept).
+    The oracle replays the per-domain distinct-doc line counts."""
+    from hfsa_spark.operators.dedup import domain_boilerplate_strip
+
+    nl = "\n"
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("Body "), F.col("doc_id").cast("string"), F.lit(nl),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("Promo "), F.col("source"), F.lit(nl)),
+            ).otherwise(F.lit("")),
+            F.lit("Footer "), F.col("source"),
+        ).alias("text"),
+    )
+    return domain_boilerplate_strip(
+        pages, "source", frac_num=3, frac_den=5
+    ).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3548,6 +3584,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_pr_curve": q179_pr_curve,
         "q180_mojibake_audit": q180_mojibake_audit,
         "q181_incremental_neardup": q181_incremental_neardup,
+        "q182_fim_transform": q182_fim_transform,
+        "q183_domain_boilerplate": q183_domain_boilerplate,
     }
 
 
@@ -7166,6 +7204,70 @@ def oracle_sql() -> dict[str, str]:
                (d.doc_id NOT IN (SELECT doc_id FROM hit)
                 AND d.doc_id NOT IN (SELECT doc_id FROM bdup)) AS keep
         FROM documents d WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
+    """
+
+    # q182: same hash cut points and PSM substring concatenation
+    o["q182_fim_transform"] = f"""
+        WITH c AS (SELECT doc_id, text, LENGTH(text) AS n,
+                          {_h64("text", 301)} % (LENGTH(text) + 1) AS h1,
+                          {_h64("text", 302)} % (LENGTH(text) + 1) AS h2,
+                          ({_h64("doc_id::VARCHAR", 303)} % 2) < 1 AS applied
+                   FROM documents),
+        k AS (SELECT doc_id, text, n, applied,
+                     LEAST(h1, h2) AS lo, GREATEST(h1, h2) AS hi
+              FROM c)
+        SELECT doc_id, applied AS fim_applied,
+               CASE WHEN applied THEN lo END::BIGINT AS cut_lo,
+               CASE WHEN applied THEN hi END::BIGINT AS cut_hi,
+               CASE WHEN applied THEN
+                    concat('<|fim_pre|>', substr(text, 1, lo),
+                           '<|fim_suf|>', substr(text, hi + 1, n - hi),
+                           '<|fim_mid|>', substr(text, lo + 1, hi - lo))
+                    ELSE text END AS out_text
+        FROM k ORDER BY doc_id
+    """
+
+    # q183: same synthesized pages; per-domain distinct-doc line counts,
+    # integer fraction test, ordered string_agg rebuild
+    o["q183_domain_boilerplate"] = """
+        WITH pg AS MATERIALIZED (
+            SELECT doc_id, source,
+                   concat('Body ', doc_id::VARCHAR, chr(10),
+                          CASE WHEN doc_id % 2 = 0
+                               THEN concat('Promo ', source, chr(10))
+                               ELSE '' END,
+                          'Footer ', source) AS text
+            FROM documents),
+        l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+              FROM pg),
+        lines AS MATERIALIZED (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(ls)),
+                          i -> {'pos': i, 'line': ls[i]}),
+                          recursive := true)
+            FROM l),
+        dn AS (SELECT source, COUNT(*) AS dnn FROM pg GROUP BY source),
+        boiler AS (SELECT lines.source, trim(line) AS k
+                   FROM lines JOIN dn USING (source)
+                   GROUP BY lines.source, trim(line), dn.dnn
+                   HAVING COUNT(DISTINCT doc_id) >= 2
+                      AND 5 * COUNT(DISTINCT doc_id) >= 3 * dn.dnn),
+        kept AS (SELECT doc_id, pos, line
+                 FROM lines ANTI JOIN boiler
+                      ON lines.source = boiler.source
+                     AND trim(lines.line) = boiler.k),
+        agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, source AS domain,
+                       len(string_split(text, chr(10)))::BIGINT AS n_lines
+                FROM pg)
+        SELECT t.doc_id, t.domain, t.n_lines,
+               COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+               (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
     """
 
     return o

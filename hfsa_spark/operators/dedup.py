@@ -1310,3 +1310,79 @@ def incremental_neardup(
         .withColumn("keep", ~F.col("index_dup") & ~F.col("batch_dup"))
         .drop("_ix", "_bd")
     )
+
+
+def domain_boilerplate_strip(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac_num: int = 1,
+    frac_den: int = 2,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style PER-DOMAIN boilerplate removal: a line is
+    boilerplate for a domain when it appears in ≥ num/den of THAT
+    domain's documents (and ≥ ``min_docs`` absolutely) — nav menus and
+    footers repeat within a site, not across the whole corpus, which is
+    why the corpus-global :func:`line_dedup` misses them at realistic
+    thresholds while a global threshold low enough to catch them would
+    strip legitimate cross-site phrases. The fraction test is exact
+    integer arithmetic (den·cnt ≥ num·domain_docs).
+
+    Returns (id, domain, n_lines, n_kept, n_removed, clean_text).
+
+    Scale: line counts group on (domain, digest) — shuffle carries
+    digests, never line text; domain doc totals are a domain-cardinality
+    aggregate joined back on the domain key; the boilerplate anti-join is
+    per-domain so one mega-site's nav bar never collides with another
+    domain's shuffle partitions.
+    """
+    import re as _re
+
+    sep_re = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("_dom"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
+    ).withColumn("digest", F.md5(F.trim(F.col("line"))))
+
+    dom_docs = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_dn")
+    )
+    boiler = (
+        lines.groupBy("_dom", "digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("_cnt"))
+        .join(dom_docs, "_dom")
+        .filter(
+            (F.col("_cnt") >= min_docs)
+            & (frac_den * F.col("_cnt") >= frac_num * F.col("_dn"))
+        )
+        .select("_dom", "digest")
+    )
+    kept = lines.join(boiler, ["_dom", "digest"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.size(F.split(F.col(text_col), sep_re, -1)).cast("long").alias("n_lines"),
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("domain"),
+        F.col("n_lines"),
+        n_kept.alias("n_kept"),
+        (F.col("n_lines") - n_kept).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

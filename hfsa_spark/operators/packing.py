@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hfsa_spark.functions.hashing import portable_hash64
+
 
 def pack_sequences(
     df: DataFrame,
@@ -192,4 +194,55 @@ def token_budget_shards(
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return toks.withColumn(
         "shard_id", F.floor(cum_before / tokens_per_shard).cast("int")
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate_num: int = 1,
+    fim_rate_den: int = 2,
+    pre_tok: str = "<|fim_pre|>",
+    suf_tok: str = "<|fim_suf|>",
+    mid_tok: str = "<|fim_mid|>",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): for a
+    deterministic ``fim_rate`` fraction of docs, two content-free hash
+    cut points split the text into prefix/middle/suffix and the doc is
+    re-serialized in PSM order — PRE prefix SUF suffix MID middle — so
+    the model learns infilling; the rest pass through unchanged. Being
+    hash-seeded, the SAME doc always gets the SAME cuts: re-runs and
+    retries produce identical training bytes (the reproducibility
+    requirement for checkpoint-resumable data pipelines).
+
+    Output: (id, fim_applied, cut_lo, cut_hi, out_text).
+
+    Scale: pure map-side expressions (two hashes, three substrings, one
+    concat) in whole-stage codegen; no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    h1 = portable_hash64(t, seed=301) % (n + 1)
+    h2 = portable_hash64(t, seed=302) % (n + 1)
+    lo = F.least(h1, h2)
+    hi = F.greatest(h1, h2)
+    applied = (
+        portable_hash64(F.col(id_col).cast("string"), seed=303) % fim_rate_den
+    ) < fim_rate_num
+    psm = F.concat(
+        F.lit(pre_tok),
+        t.substr(F.lit(1), lo),
+        F.lit(suf_tok),
+        t.substr(hi + 1, n - hi),
+        F.lit(mid_tok),
+        t.substr(lo + 1, hi - lo),
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied, lo).otherwise(F.lit(None)).cast("long").alias("cut_lo"),
+        F.when(applied, hi).otherwise(F.lit(None)).cast("long").alias("cut_hi"),
+        F.when(applied, psm).otherwise(t).alias("out_text"),
     )

@@ -339,3 +339,77 @@ def test_incremental_neardup_empty_index_keeps_first_copy(spark):
     )
     got = {r.doc_id: r for r in incremental_neardup(batch, empty_idx).collect()}
     assert got[1].keep and got[2].batch_dup and not got[2].keep
+
+
+# ----------------------------------------------------------- fim_transform --
+def test_fim_transform_reassembles_exactly(spark):
+    from hfsa_spark.operators.packing import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some content to split") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    src = {r.doc_id: r.text for r in df.collect()}
+    out = fim_transform(df).collect()
+    applied = [r for r in out if r.fim_applied]
+    passthru = [r for r in out if not r.fim_applied]
+    assert applied and passthru  # 50% rate hits both at n=40
+    for r in passthru:
+        assert r.out_text == src[r.doc_id]
+        assert r.cut_lo is None and r.cut_hi is None
+    for r in applied:
+        t = src[r.doc_id]
+        assert 0 <= r.cut_lo <= r.cut_hi <= len(t)
+        pre, rest = r.out_text.split("<|fim_suf|>")
+        suf, mid = rest.split("<|fim_mid|>")
+        assert pre == "<|fim_pre|>" + t[: r.cut_lo]
+        assert suf == t[r.cut_hi :]
+        assert mid == t[r.cut_lo : r.cut_hi]
+
+
+def test_fim_transform_deterministic(spark):
+    from hfsa_spark.operators.packing import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, f"text body {i} repeated run") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    a = sorted((r.doc_id, r.out_text) for r in fim_transform(df).collect())
+    b = sorted(
+        (r.doc_id, r.out_text)
+        for r in fim_transform(df.repartition(6)).collect()
+    )
+    assert a == b
+
+
+# ------------------------------------------------ domain_boilerplate_strip --
+def test_domain_boilerplate_is_per_domain(spark):
+    from hfsa_spark.operators.dedup import domain_boilerplate_strip
+
+    nl = "\n"
+    rows = []
+    # domain A: footer on all 4 docs (75%+ -> boiler), body unique
+    for i in range(4):
+        rows.append((i, "A", f"body a{i}{nl}shared footer"))
+    # domain B: SAME footer text but only 1 of 4 docs -> NOT boiler in B
+    rows.append((10, "B", f"body b0{nl}shared footer"))
+    for i in range(11, 14):
+        rows.append((i, "B", f"body b{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r.doc_id: r for r in domain_boilerplate_strip(
+        df, "source", frac_num=3, frac_den=5).collect()}
+    for i in range(4):
+        assert got[i].n_removed == 1 and got[i].clean_text == f"body a{i}"
+    assert got[10].n_removed == 0 and "shared footer" in got[10].clean_text
+
+
+def test_domain_boilerplate_fully_stripped_doc_survives(spark):
+    from hfsa_spark.operators.dedup import domain_boilerplate_strip
+
+    df = spark.createDataFrame(
+        [(1, "X", "only line"), (2, "X", "only line"), (3, "X", "only line")],
+        ["doc_id", "source", "text"],
+    )
+    got = domain_boilerplate_strip(df, "source", frac_num=1, frac_den=2).collect()
+    assert len(got) == 3
+    assert all(r.clean_text == "" and r.n_kept == 0 for r in got)
