@@ -3138,6 +3138,29 @@ def q183_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q184_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed set-containment self-join at 3/4 over word-3-gram shingle
+    sets — quote/subset detection with contained-side prefix filtering.
+    The oracle replays the ordering, prefix, size bound, and integer
+    containment threshold."""
+    from hfsa_spark.operators.dedup import containment_join
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_join(
+        d, threshold_num=3, threshold_den=4, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+def q185_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope over the top-128 terms: once-rounded
+    milli-nat logs, exact integer OLS moments, negated floor-safe slope.
+    The oracle replays the rank window and the same integer algebra."""
+    from hfsa_spark.operators.text import zipf_slope
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_slope(d).orderBy("lang")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3586,6 +3609,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_incremental_neardup": q181_incremental_neardup,
         "q182_fim_transform": q182_fim_transform,
         "q183_domain_boilerplate": q183_domain_boilerplate,
+        "q184_containment_join": q184_containment_join,
+        "q185_zipf_slope": q185_zipf_slope,
     }
 
 
@@ -7268,6 +7293,68 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(a.clean_text, '') AS clean_text
         FROM tot t LEFT JOIN agg a USING (doc_id)
         ORDER BY t.doc_id
+    """
+
+    # q184: contained-side prefix filter over the shared shingle fragment,
+    # size bound, integer containment threshold
+    o["q184_containment_join"] = f"""
+        WITH toks AS MATERIALIZED ({_sh_all}),
+        freq AS MATERIALIZED (
+            SELECT shingle, COUNT(*) AS df FROM toks GROUP BY shingle),
+        pos AS MATERIALIZED (
+            SELECT t.doc_id, t.shingle,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.df, t.shingle) AS pos,
+                   COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+            FROM toks t JOIN freq f USING (shingle)),
+        prefix AS MATERIALIZED (
+            SELECT doc_id AS id_a, shingle, n AS n_a FROM pos
+            WHERE pos <= n - ((3 * n + 3) // 4) + 1),
+        sizes AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS id_b, n AS n_b FROM pos),
+        cand AS MATERIALIZED (
+            SELECT c.id_a, c.id_b, c.n_a, s.n_b
+            FROM (SELECT DISTINCT p.id_a, b.doc_id AS id_b, p.n_a
+                  FROM prefix p JOIN toks b USING (shingle)
+                  WHERE p.id_a <> b.doc_id) c
+            JOIN sizes s USING (id_b)
+            WHERE 4 * s.n_b >= 3 * c.n_a),
+        i AS MATERIALIZED (
+            SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+               inter::BIGINT AS inter,
+               ((inter * 1000000) // n_a)::BIGINT AS containment_micro
+        FROM i WHERE 4 * inter >= 3 * n_a
+        ORDER BY id_a, id_b
+    """
+
+    # q185: same rank window, milli-nat logs, integer OLS moments
+    o["q185_zipf_slope"] = f"""
+        WITH c AS (SELECT lang, term, COUNT(*) AS cnt
+                   FROM (SELECT lang, unnest({_TOKS}) AS term
+                         FROM documents)
+                   GROUP BY lang, term),
+        r AS (SELECT lang, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY cnt DESC, term ASC) AS rank
+              FROM c),
+        xy AS (SELECT lang,
+                      round(ln(rank::DOUBLE) * 1000)::BIGINT AS x,
+                      round(ln(cnt::DOUBLE) * 1000)::BIGINT AS y
+               FROM r WHERE rank <= 128),
+        m AS (SELECT lang, COUNT(*)::BIGINT AS n,
+                     SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                     SUM(x * y)::BIGINT AS sxy,
+                     SUM(x * x)::BIGINT AS sxx
+              FROM xy GROUP BY lang)
+        SELECT lang, n AS n_terms,
+               ((sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+                   AS neg_slope_micro
+        FROM m ORDER BY lang
     """
 
     return o

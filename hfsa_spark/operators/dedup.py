@@ -1386,3 +1386,80 @@ def domain_boilerplate_strip(
         (F.col("n_lines") - n_kept).alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """DIRECTED set-containment self-join: find (a, b) pairs where at
+    least num/den of doc a's distinct word-``shingle_n``-gram set also
+    appears in doc b — the quote/subset detector (a press release inside
+    a news article, a README pasted into a repo dump) that symmetric
+    Jaccard (:func:`setsim_join`) misses whenever the container is much
+    larger than the contained doc. Prefix filtering applies on the
+    CONTAINED side only: a's first ``|A| − ⌈t·|A|⌉ + 1`` rarest elements
+    must intersect B, so candidates come from joining a's prefix against
+    the full posting lists; the ``den·|B| ≥ num·|A|`` size bound prunes
+    impossible containers before verification. Integer threshold math
+    throughout.
+
+    Output: (id_a, id_b, n_a, n_b, inter, containment_micro) for
+    directed pairs with den·inter ≥ num·n_a, id_a ≠ id_b.
+
+    Scale: candidate volume = Σ over a-prefix elements of posting-list
+    length; rarest-first ordering keeps those lists the short tail of
+    the element-frequency distribution, and verification touches only
+    candidates × the contained side's elements.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
+    )
+    freq = toks.groupBy("_el").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_el")
+    pos = toks.join(freq, "_el").select(
+        "_id",
+        "_el",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    ceil_tn = F.expr(
+        f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
+    )
+    prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
+        F.col("_id").alias("id_a"), "_el", F.col("_n").alias("n_a")
+    )
+    sizes = pos.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")).distinct()
+    full_b = toks.select(F.col("_id").alias("id_b"), "_el")
+    cand = (
+        prefix.join(full_b, "_el")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "n_a")
+        .distinct()
+        .join(sizes, "id_b")
+        .filter(threshold_den * F.col("n_b") >= threshold_num * F.col("n_a"))
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), "_el")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(full_b, ["id_b", "_el"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.filter(
+        threshold_den * F.col("inter") >= threshold_num * F.col("n_a")
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "inter",
+        F.expr("(inter * 1000000) div n_a").cast("long").alias(
+            "containment_micro"
+        ),
+    )

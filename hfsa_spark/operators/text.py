@@ -2093,3 +2093,63 @@ def mojibake_audit(
         )
         > 0,
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+    top_k: int = 128,
+) -> DataFrame:
+    """Zipf-law fit per corpus slice: OLS slope of ln(frequency) against
+    ln(rank) over the ``top_k`` most frequent terms — natural language
+    sits near −1; a flat slope flags templated/boilerplate-heavy slices
+    and a cliff flags near-duplicate floods. The companion of the
+    Heaps-law vocabulary-growth curve (:func:`vocabulary_growth`).
+
+    Log values are rounded ONCE to milli-nats (one transcendental per
+    (rank, count) pair — both integers, so inputs are bit-identical in
+    any engine); all OLS moments are exact int64 sums, and the slope is
+    emitted NEGATED (num = Sx·Sy − n·Sxy > 0 for decreasing data) so the
+    final integer division is floor==trunc-safe. With top_k ≤ 128 and
+    milli-nat logs every intermediate fits int64 with headroom.
+
+    Output: (by, n_terms, neg_slope_micro) — slope ≈ −neg_slope_micro/1e6.
+
+    Scale: term counts are one map-combinable groupBy; the rank window
+    runs over each slice's VOCABULARY (already aggregated), not the
+    corpus; moments are a per-slice aggregate of ≤ top_k rows.
+    """
+    counts = (
+        df.select(F.col(by), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(by, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(by),
+            F.round(F.log(F.col("rank").cast("double")) * 1000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")) * 1000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = ranked.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col(by),
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr("((sx * sy - n * sxy) * 1000000) div (n * sxx - sx * sx)")
+        .cast("long")
+        .alias("neg_slope_micro"),
+    )

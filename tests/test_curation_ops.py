@@ -413,3 +413,77 @@ def test_domain_boilerplate_fully_stripped_doc_survives(spark):
     got = domain_boilerplate_strip(df, "source", frac_num=1, frac_den=2).collect()
     assert len(got) == 3
     assert all(r.clean_text == "" and r.n_kept == 0 for r in got)
+
+
+# --------------------------------------------------------- containment_join --
+def test_containment_join_finds_quotes_not_jaccard_pairs(spark):
+    from hfsa_spark.operators.dedup import containment_join, setsim_join
+
+    quoted = "alpha bravo charlie delta echo foxtrot"
+    container = (
+        quoted
+        + " golf hotel india juliet kilo lima mike november oscar papa"
+        + " quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    )
+    df = spark.createDataFrame(
+        [(1, quoted), (2, container), (3, "different thing entirely here now")],
+        ["doc_id", "text"],
+    )
+    cj = {(r.id_a, r.id_b): r for r in containment_join(
+        df, threshold_num=9, threshold_den=10).collect()}
+    # 1 is fully contained in 2 (directed), but NOT vice versa
+    assert (1, 2) in cj and cj[(1, 2)].containment_micro == 1000000
+    assert (2, 1) not in cj
+    # symmetric Jaccard at the same bar misses the pair
+    sj = setsim_join(df, threshold_num=9, threshold_den=10).collect()
+    assert not [r for r in sj if {r.id_a, r.id_b} == {1, 2}]
+
+
+def test_containment_join_matches_bruteforce(spark):
+    import itertools
+
+    from hfsa_spark.operators.dedup import containment_join
+
+    rows = [(i, f"w{i % 3} w{(i + 1) % 3} shared common tail words here x{i % 2}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sh(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    want = set()
+    for a, b in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if 4 * inter >= 3 * len(sets[a]):
+            want.add((a, b))
+    got = {(r.id_a, r.id_b) for r in containment_join(
+        df, threshold_num=3, threshold_den=4).collect()}
+    assert got == want
+
+
+# -------------------------------------------------------------- zipf_slope --
+def test_zipf_slope_near_minus_one_on_zipfian_counts(spark):
+    from pyspark.sql import functions as F
+    from hfsa_spark.operators.text import zipf_slope
+
+    # build a corpus where term tK appears ~N/K times -> slope ~ -1
+    words = []
+    N = 1200
+    for k in range(1, 40):
+        words += [f"t{k:02d}"] * (N // k)
+    df = spark.createDataFrame([(0, "z", " ".join(words))],
+                               ["doc_id", "lang", "text"])
+    r = zipf_slope(df, by="lang", top_k=39).collect()[0]
+    assert r.n_terms == 39
+    assert 0.9 < r.neg_slope_micro / 1e6 < 1.1
+
+
+def test_zipf_slope_flat_on_uniform_counts(spark):
+    from hfsa_spark.operators.text import zipf_slope
+
+    words = (" ".join(f"u{k}" for k in range(50)) + " ") * 4
+    df = spark.createDataFrame([(0, "z", words)], ["doc_id", "lang", "text"])
+    r = zipf_slope(df, by="lang", top_k=50).collect()[0]
+    assert abs(r.neg_slope_micro) < 20_000  # ~0 slope
