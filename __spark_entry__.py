@@ -3161,6 +3161,39 @@ def q185_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(d).orderBy("lang")
 
 
+def q186_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, k=10) between the IVF ranking and the
+    brute-force ground truth from q151 — the top-weighted quality metric
+    the flat recall@10 can't see. Weights are shared literal constants;
+    per-query RBO is an exact integer sum. Queries with zero overlap
+    still emit a row."""
+    from hfsa_spark.operators.similarity import (
+        exact_topk_arrow,
+        ivf_topk,
+        rbo_overlap,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 97 == 3)
+    approx = ivf_topk(emb, qs, k=10, n_probe=2, centroid_stride=25)
+    exact = exact_topk_arrow(emb, qs, k=10)
+    r = rbo_overlap(approx, exact, k=10, p=0.9)
+    qid = qs.select(F.col("vec_id").alias("query_id"))
+    return (
+        qid.join(F.broadcast(r), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.coalesce(F.col("rbo_micro"), F.lit(0)).cast("long").alias(
+                "rbo_micro"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3611,6 +3644,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_domain_boilerplate": q183_domain_boilerplate,
         "q184_containment_join": q184_containment_join,
         "q185_zipf_slope": q185_zipf_slope,
+        "q186_rbo_overlap": q186_rbo_overlap,
     }
 
 
@@ -7355,6 +7389,57 @@ def oracle_sql() -> dict[str, str]:
                ((sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx))::BIGINT
                    AS neg_slope_micro
         FROM m ORDER BY lang
+    """
+
+    # q186: q151's two rankings with ranks kept; overlap items weighted
+    # by the SHARED literal tail-weight constants at greatest(rank)
+    from hfsa_spark.operators.similarity import rbo_weights_micro
+
+    _wm = rbo_weights_micro(10, 0.9)
+    _wcase = "CASE GREATEST(i.rank, b.rank) " + " ".join(
+        f"WHEN {m} THEN {_wm[m - 1]}" for m in range(1, 11)
+    ) + " END"
+    o["q186_rbo_overlap"] = f"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id % 25 = 0),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id % 97 = 3),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c),
+        lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        probe AS (
+            SELECT query_id, qv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_cos('qv', 'cv')} DESC, cid ASC) AS rn
+            FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, qv, cid FROM probe WHERE rn <= 2),
+        ivf AS (SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, l.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                        ORDER BY {_cos('l.embedding', 'p.qv')} DESC,
+                                 l.vec_id ASC) AS rank
+            FROM lists l JOIN probes p ON l.cid = p.cid
+            WHERE l.vec_id <> p.query_id) t WHERE rank <= 10),
+        bf AS (SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                                 e.vec_id ASC) AS rank
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id) t WHERE rank <= 10),
+        ov AS (SELECT i.query_id, COUNT(*)::BIGINT AS n_overlap,
+                      SUM({_wcase})::BIGINT AS rbo_micro
+               FROM ivf i JOIN bf b
+                 ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+               GROUP BY i.query_id)
+        SELECT q.query_id,
+               COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
+               COALESCE(ov.rbo_micro, 0)::BIGINT AS rbo_micro
+        FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+        ORDER BY q.query_id
     """
 
     return o

@@ -1943,3 +1943,62 @@ def maxsim_topk(
         .select("query_id", F.col("grp").alias("group"), "maxsim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------------------ rank-biased overlap --
+
+
+def rbo_weights_micro(k: int = 10, p: float = 0.9) -> list[int]:
+    """Truncated-RBO tail weights W(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d in
+    micro units (Webber et al. 2010, eq. 4 truncated at depth k): an
+    overlapping item first seen at joint depth m contributes W(m). The
+    constants are computed ONCE here and inlined as literals on both the
+    Spark and oracle sides, so no engine ever evaluates the powers."""
+    coefs = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [round(sum(coefs[m - 1 :]) * 1e6) for m in range(1, k + 1)]
+
+
+def rbo_overlap(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings per query — the
+    top-weighted similarity metric that distinguishes "right items,
+    right order at the top" from mere set recall: an approximate index
+    that finds all 10 true neighbors but inverts ranks 1–3 keeps
+    recall@10 = 1 while RBO drops. Each item present in BOTH rankings
+    contributes the tail weight W(max(rank_a, rank_b)) — the closed-form
+    regrouping of Σ_d (1−p)p^{d−1}·X_d/d, X_d = overlap at depth d.
+
+    Output: (query, n_overlap, rbo_micro); identical rankings score
+    Σ W(d) ≈ 1e6·(1 − p^k·(…)) — the truncated-RBO maximum, NOT 1e6.
+
+    Scale: one equi-join of two (query, item) frames already bounded at
+    k rows per query, a greatest() and a k-entry literal lookup — the
+    metric adds nothing to the cost of producing the rankings.
+    """
+    wm = rbo_weights_micro(k, p)
+    weights = F.array(*[F.lit(x).cast("long") for x in wm])
+    a = a_df.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_i"),
+        F.col(rank_col).alias("_ra"),
+    )
+    b = b_df.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_i"),
+        F.col(rank_col).alias("_rb"),
+    )
+    joined = a.join(b, ["_q", "_i"]).select(
+        "_q",
+        F.element_at(weights, F.greatest("_ra", "_rb").cast("int")).alias("_w"),
+    )
+    return joined.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum("_w").cast("long").alias("rbo_micro"),
+    )

@@ -487,3 +487,46 @@ def test_zipf_slope_flat_on_uniform_counts(spark):
     df = spark.createDataFrame([(0, "z", words)], ["doc_id", "lang", "text"])
     r = zipf_slope(df, by="lang", top_k=50).collect()[0]
     assert abs(r.neg_slope_micro) < 20_000  # ~0 slope
+
+
+# ------------------------------------------------------------- rbo_overlap --
+def test_rbo_weights_sum_to_truncated_max(spark):
+    from hfsa_spark.operators.similarity import rbo_weights_micro
+
+    w = rbo_weights_micro(10, 0.9)
+    # W(1) = full truncated mass; monotone decreasing tails
+    assert w == sorted(w, reverse=True)
+    assert 0 < w[-1] < w[0] < 1_000_000
+
+
+def test_rbo_identical_vs_inverted_rankings(spark):
+    from hfsa_spark.operators.similarity import rbo_overlap, rbo_weights_micro
+
+    w = rbo_weights_micro(10, 0.9)
+    ident = [("q1", f"n{r}", r) for r in range(1, 11)]
+    a = spark.createDataFrame(ident, ["query_id", "neighbor_id", "rank"])
+    same = rbo_overlap(a, a).collect()[0]
+    assert same.n_overlap == 10
+    assert same.rbo_micro == sum(w)  # the truncated-RBO maximum
+    # same SET, fully inverted order -> same recall, strictly lower RBO
+    inv = [("q1", f"n{r}", 11 - r) for r in range(1, 11)]
+    b = spark.createDataFrame(inv, ["query_id", "neighbor_id", "rank"])
+    worse = rbo_overlap(a, b).collect()[0]
+    assert worse.n_overlap == 10
+    assert worse.rbo_micro < same.rbo_micro
+    # inverted contribution: item at (r, 11-r) weighs W(max(r, 11-r))
+    assert worse.rbo_micro == sum(w[max(r, 11 - r) - 1] for r in range(1, 11))
+
+
+def test_rbo_disjoint_rankings_zero(spark):
+    from hfsa_spark.operators.similarity import rbo_overlap
+
+    a = spark.createDataFrame(
+        [("q1", f"a{r}", r) for r in range(1, 11)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [("q1", f"b{r}", r) for r in range(1, 11)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    assert rbo_overlap(a, b).count() == 0  # no overlap -> no row
