@@ -3194,6 +3194,44 @@ def q186_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema profile over a synthesized heterogeneous props column
+    (int/string/null 'a', arrays, nested objects, doubles, bools): per
+    (key, type) counts + coverage. The oracle replays the same JSON
+    strings with DuckDB's json_type mapped to the same labels."""
+    from hfsa_spark.operators.features import json_schema_profile
+
+    e = _t(spark, sf_dir, "events")
+    j = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"a": '),
+                F.get_json_object("props", "$.k"),
+                F.lit(', "arr": [1, 2], "obj": {"x": 1}}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"a": "'),
+                F.col("event_type"),
+                F.lit('", "num": 2.5, "flag": true}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"a": null, "c": '),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    return json_schema_profile(e.select(j.alias("props"))).orderBy(
+        "key", "vtype"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3645,6 +3683,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_containment_join": q184_containment_join,
         "q185_zipf_slope": q185_zipf_slope,
         "q186_rbo_overlap": q186_rbo_overlap,
+        "q187_json_schema": q187_json_schema,
     }
 
 
@@ -7440,6 +7479,48 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(ov.rbo_micro, 0)::BIGINT AS rbo_micro
         FROM q LEFT JOIN ov ON q.query_id = ov.query_id
         ORDER BY q.query_id
+    """
+
+    # q187: same synthesized JSON; DuckDB json_type mapped to the shared
+    # engine-neutral labels; integer coverage vs the broadcast total
+    o["q187_json_schema"] = """
+        WITH src AS MATERIALIZED (
+            SELECT CASE
+                WHEN event_id % 3 = 0 THEN
+                    concat('{"a": ', props->>'k',
+                           ', "arr": [1, 2], "obj": {"x": 1}}')
+                WHEN event_id % 3 = 1 THEN
+                    concat('{"a": "', event_type,
+                           '", "num": 2.5, "flag": true}')
+                ELSE concat('{"a": null, "c": ',
+                            FLOOR(value * 100)::BIGINT, '}')
+            END AS props
+            FROM events),
+        keyed AS (SELECT props, unnest(json_keys(props::JSON)) AS key
+                  FROM src),
+        typed AS (SELECT key,
+                         -- dynamic-path json_type yields SQL NULL for a
+                         -- JSON null value (keys exist, so no-path is
+                         -- impossible here) -> coalesce to the literal
+                         CASE COALESCE(json_type(props::JSON,
+                                                 concat('$.', key)), 'NULL')
+                             WHEN 'UBIGINT' THEN 'int'
+                             WHEN 'BIGINT' THEN 'int'
+                             WHEN 'DOUBLE' THEN 'double'
+                             WHEN 'VARCHAR' THEN 'string'
+                             WHEN 'BOOLEAN' THEN 'bool'
+                             WHEN 'ARRAY' THEN 'array'
+                             WHEN 'OBJECT' THEN 'object'
+                             WHEN 'NULL' THEN 'null'
+                             ELSE 'other'
+                         END AS vtype
+                  FROM keyed),
+        tot AS (SELECT COUNT(*) AS t FROM src)
+        SELECT key, vtype, COUNT(*)::BIGINT AS n,
+               ((COUNT(*) * 1000000) // tot.t)::BIGINT AS pct_micro
+        FROM typed, tot
+        GROUP BY key, vtype, tot.t
+        ORDER BY key, vtype
     """
 
     return o

@@ -426,3 +426,56 @@ def pr_curve(
             "recall_micro"
         ),
     )
+
+
+def json_schema_profile(
+    df: DataFrame,
+    json_col: str = "props",
+) -> DataFrame:
+    """Schema inference over a semi-structured JSON column: one row per
+    (top-level key, value type) with its occurrence count and coverage —
+    the profile run before promoting a JSON blob column to real typed
+    columns (which keys exist, how consistently, and whether a key is
+    type-stable or a mixed bag). Types are normalized to engine-neutral
+    labels (int/double/string/bool/array/object/null).
+
+    Output: (key, vtype, n, pct_micro) — pct is coverage of ALL rows, so
+    a key absent from half the rows shows Σ over its types ≈ 500000.
+
+    Scale: explode(json_object_keys) is map-side; the variant parse +
+    type introspection stays JVM-side (no Python); one map-combinable
+    groupBy on (key, type) whose output is schema-sized, not row-sized;
+    the row total rides in as a broadcast one-row aggregate.
+
+    Keys are substituted into a '$.key' variant path, so top-level keys
+    containing path metacharacters ('.', '[', quotes) are not supported.
+    """
+    keyed = df.select(
+        F.col(json_col).alias("_j"),
+        F.explode(F.json_object_keys(json_col)).alias("key"),
+    )
+    t = F.expr("schema_of_variant(variant_get(parse_json(_j), concat('$.', key)))")
+    typed = keyed.select(
+        "key",
+        F.when(t == "BIGINT", "int")
+        .when((t == "DOUBLE") | t.startswith("DECIMAL"), "double")
+        .when(t == "STRING", "string")
+        .when(t == "BOOLEAN", "bool")
+        .when(t.startswith("ARRAY"), "array")
+        .when(t.startswith("OBJECT"), "object")
+        .when(t == "VOID", "null")
+        .otherwise("other")
+        .alias("vtype"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        typed.groupBy("key", "vtype")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "vtype",
+            "n",
+            F.expr("(n * 1000000) div _tot").cast("long").alias("pct_micro"),
+        )
+    )

@@ -530,3 +530,27 @@ def test_rbo_disjoint_rankings_zero(spark):
         ["query_id", "neighbor_id", "rank"],
     )
     assert rbo_overlap(a, b).count() == 0  # no overlap -> no row
+
+
+# ------------------------------------------------------ json_schema_profile --
+def test_json_schema_profile_types_and_coverage(spark):
+    from hfsa_spark.operators.features import json_schema_profile
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": "mixed", "c": [1, 2]}',),
+        ('{"a": 2.5, "d": {"x": 1}, "e": true, "f": null}',),
+        ('{}',),
+    ]
+    df = spark.createDataFrame(rows, ["props"])
+    got = {(r.key, r.vtype): (r.n, r.pct_micro)
+           for r in json_schema_profile(df).collect()}
+    assert got[("a", "int")] == (1, 250000)
+    assert got[("a", "string")] == (1, 250000)
+    assert got[("a", "double")] == (1, 250000)
+    assert got[("c", "array")][0] == 1
+    assert got[("d", "object")][0] == 1
+    assert got[("e", "bool")][0] == 1
+    assert got[("f", "null")][0] == 1
+    # 'a' appears in 3 of 4 rows -> summed coverage 750000
+    assert sum(v[1] for k, v in got.items() if k[0] == "a") == 750000
