@@ -3232,6 +3232,28 @@ def q187_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q188_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over planted markup (q136's closed-form
+    targets, varied anchor phrases): per-target inlink counts + top-3
+    anchor terms. The oracle replays extraction, term counts, and the
+    deterministic rank window."""
+    from hfsa_spark.operators.text import anchor_text_profile
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit('<a href="doc'), ((did * 7 + 1) % 500).cast("string"),
+        F.lit('">alpha beta</a><a href="doc'),
+        ((did * 13 + 2) % 500).cast("string"),
+        F.lit('">beta gamma w'), (did % 5).cast("string"),
+        F.lit("</a>"),
+    )
+    return anchor_text_profile(d.withColumn("text", planted)).orderBy(
+        "target", "term_rank"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3684,6 +3706,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_zipf_slope": q185_zipf_slope,
         "q186_rbo_overlap": q186_rbo_overlap,
         "q187_json_schema": q187_json_schema,
+        "q188_anchor_text": q188_anchor_text,
     }
 
 
@@ -7521,6 +7544,50 @@ def oracle_sql() -> dict[str, str]:
         FROM typed, tot
         GROUP BY key, vtype, tot.t
         ORDER BY key, vtype
+    """
+
+    # q188: same planted markup; two-group regexp extraction zipped by
+    # position, term counts, and the identical (cnt desc, term asc) rank
+    o["q188_anchor_text"] = """
+        WITH planted AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   concat(text,
+                          '<a href="doc', (doc_id * 7 + 1) % 500,
+                          '">alpha beta</a><a href="doc',
+                          (doc_id * 13 + 2) % 500,
+                          '">beta gamma w', doc_id % 5, '</a>') AS text
+            FROM documents),
+        l AS (SELECT src,
+                     regexp_extract_all(text,
+                         '<a href="([^"]*)">([^<]*)</a>', 1) AS hs,
+                     regexp_extract_all(text,
+                         '<a href="([^"]*)">([^<]*)</a>', 2) AS ts
+              FROM planted),
+        pairs AS MATERIALIZED (
+            SELECT src,
+                   unnest(list_transform(generate_series(1, len(hs)),
+                          i -> {'target': hs[i], 'anchor': ts[i]}),
+                          recursive := true)
+            FROM l),
+        inl AS (SELECT target, COUNT(*)::BIGINT AS n_inlinks,
+                       COUNT(DISTINCT src)::BIGINT AS n_srcs
+                FROM pairs GROUP BY target),
+        terms AS (SELECT target, unnest(list_filter(string_split_regex(
+                             lower(trim(anchor)), '\\s+'),
+                             t -> len(t) > 0)) AS term
+                  FROM pairs),
+        tc AS (SELECT target, term, COUNT(*)::BIGINT AS term_cnt
+               FROM terms GROUP BY target, term),
+        top AS (SELECT target, term, term_cnt,
+                       ROW_NUMBER() OVER (PARTITION BY target
+                            ORDER BY term_cnt DESC, term ASC)::BIGINT
+                           AS term_rank
+                FROM tc)
+        SELECT t.target, i.n_inlinks, i.n_srcs, t.term, t.term_cnt,
+               t.term_rank
+        FROM top t JOIN inl i USING (target)
+        WHERE t.term_rank <= 3
+        ORDER BY t.target, t.term_rank
     """
 
     return o

@@ -2153,3 +2153,55 @@ def zipf_slope(
         .cast("long")
         .alias("neg_slope_micro"),
     )
+
+
+def anchor_text_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Anchor-text aggregation — the classic web-IR signal: what OTHER
+    pages' link text says a target page is about (it powers target
+    descriptions, query expansion, and anchor-based quality scores).
+    Extracts ``<a href="T">anchor</a>`` pairs, then per target reports
+    inlink counts and the ``top_k`` anchor terms (count desc, term asc).
+
+    Output: (target, n_inlinks, n_srcs, term, term_cnt, term_rank).
+
+    Scale: one regexp map + explode (rows = links); term counts are a
+    map-combinable (target, term) groupBy; the rank window runs over
+    each target's anchor VOCABULARY, not its inlinks, so a million-inlink
+    hub costs its distinct-term count in the window stage.
+    """
+    pat = '<a href="([^"]*)">([^<]*)</a>'
+    step1 = df.select(
+        F.col(id_col).alias("src"),
+        F.expr(f"regexp_extract_all({text_col}, '{pat}', 1)").alias("_hs"),
+        F.expr(f"regexp_extract_all({text_col}, '{pat}', 2)").alias("_ts"),
+    )
+    pairs = step1.select(
+        "src", F.posexplode("_hs").alias("pos", "target"), "_ts"
+    ).select(
+        "src",
+        "target",
+        F.element_at("_ts", F.col("pos") + 1).alias("anchor"),
+    )
+    inlinks = pairs.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.count_distinct("src").cast("long").alias("n_srcs"),
+    )
+    terms = (
+        pairs.select("target", F.explode(tokens("anchor")).alias("term"))
+        .groupBy("target", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_cnt"))
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.desc("term_cnt"), F.asc("term")
+    )
+    top = terms.withColumn(
+        "term_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("term_rank") <= top_k)
+    return top.join(inlinks, "target").select(
+        "target", "n_inlinks", "n_srcs", "term", "term_cnt", "term_rank"
+    )

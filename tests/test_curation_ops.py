@@ -554,3 +554,25 @@ def test_json_schema_profile_types_and_coverage(spark):
     assert got[("f", "null")][0] == 1
     # 'a' appears in 3 of 4 rows -> summed coverage 750000
     assert sum(v[1] for k, v in got.items() if k[0] == "a") == 750000
+
+
+# ------------------------------------------------------- anchor_text_profile --
+def test_anchor_text_profile_aggregates_inlink_anchors(spark):
+    from hfsa_spark.operators.text import anchor_text_profile
+
+    rows = [
+        (1, 'x <a href="t1">great search engine</a> y'),
+        (2, '<a href="t1">search engine</a><a href="t2">small blog</a>'),
+        (3, '<a href="t1">engine of search</a>'),
+        (4, "no links at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = anchor_text_profile(df, top_k=2).collect()
+    t1 = {r.term: r for r in got if r.target == "t1"}
+    assert all(r.n_inlinks == 3 and r.n_srcs == 3 for r in t1.values())
+    # 'engine' and 'search' each appear 3x; tie breaks term asc
+    assert set(t1) == {"engine", "search"}
+    assert t1["engine"].term_rank == 1 and t1["search"].term_rank == 2
+    t2 = [r for r in got if r.target == "t2"]
+    assert len(t2) == 2 and all(r.n_inlinks == 1 for r in t2)
+    assert not [r for r in got if r.target not in ("t1", "t2")]
