@@ -3254,6 +3254,61 @@ def q188_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021): per-document boolean
+    per rule + overall keep, every ratio threshold evaluated by integer
+    cross-multiplication so the oracle reproduces the booleans exactly."""
+    from hfsa_spark.operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(d).orderBy("doc_id")
+
+
+def q190_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dedup over synthesized raw URLs
+    (case-mixed hosts, default ports, fragments, utm params, trailing
+    slashes — 500 docs fan out to deterministic variants). The oracle
+    replays the same RE2-safe canonicalization algebra."""
+    from hfsa_spark.operators.text import url_dedup_profile
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = (did % 100).cast("string")
+    scheme = F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = (
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    hostcase = F.when(did % 3 == 0, F.lit("EXAMPLE.com")).otherwise(
+        F.lit("example.com")
+    )
+    tail = (
+        F.when(did % 5 == 0, F.lit("/"))
+        .when(did % 5 == 1, F.lit("?utm_source=x"))
+        .when(did % 5 == 2, F.lit("#frag"))
+        .when(did % 5 == 3, F.lit("?utm_medium=y&q=1"))
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(
+        scheme, F.lit("://"), hostcase, port, F.lit("/p/"), base, tail
+    )
+    return url_dedup_profile(d.withColumn("url", raw)).orderBy(
+        "canonical_url"
+    )
+
+
+def q191_interdoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document 5-gram repetition fraction per document — the
+    boilerplate signal exact/near-dup passes miss. Hash-keyed explode +
+    two bounded-width shuffles; the oracle replays distinct 5-gram
+    shingles and the >=2-doc share in SQL."""
+    from hfsa_spark.operators.dedup import interdoc_shingle_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return interdoc_shingle_repetition(d, shingle_n=5).orderBy("doc_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3707,6 +3762,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_rbo_overlap": q186_rbo_overlap,
         "q187_json_schema": q187_json_schema,
         "q188_anchor_text": q188_anchor_text,
+        "q189_gopher_rules": q189_gopher_rules,
+        "q190_url_dedup": q190_url_dedup,
+        "q191_interdoc_repetition": q191_interdoc_repetition,
     }
 
 
@@ -7588,6 +7646,147 @@ def oracle_sql() -> dict[str, str]:
         FROM top t JOIN inl i USING (target)
         WHERE t.term_rank <= 3
         ORDER BY t.target, t.term_rank
+    """
+
+    # q189: same Gopher rule algebra — integer cross-multiplied ratio
+    # thresholds reproduce the booleans exactly
+    o["q189_gopher_rules"] = f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   list_filter(string_split(text, chr(10)),
+                               l -> len(trim(l)) > 0) AS lines
+            FROM documents),
+        m AS (SELECT doc_id,
+                     len(toks)::BIGINT AS n_words,
+                     GREATEST(len(toks), 1)::BIGINT AS nw,
+                     COALESCE(list_sum(list_transform(toks, t -> len(t))),
+                              0)::BIGINT AS n_word_chars,
+                     (len(text) - len(replace(text, '#', ''))
+                      + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT
+                         AS n_symbols,
+                     GREATEST(len(lines), 1)::BIGINT AS n_lines,
+                     len(list_filter(lines,
+                         l -> regexp_matches(trim(l), '^[-*•]')))::BIGINT
+                         AS n_bullet,
+                     len(list_filter(lines,
+                         l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))::BIGINT
+                         AS n_ellipsis,
+                     len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-z]')))::BIGINT
+                         AS n_alpha_words,
+                     len(list_filter(['the','be','to','of','and','that',
+                                      'have','with'],
+                         s -> list_contains(toks, s)))::BIGINT
+                         AS n_stop_hits
+              FROM base)
+        SELECT doc_id, n_words,
+               (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+               (3 * nw <= n_word_chars AND n_word_chars <= 10 * nw)
+                   AS r_mean_wlen,
+               (10 * n_symbols <= nw) AS r_symbol,
+               (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+               (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
+               (5 * n_alpha_words >= 4 * nw) AS r_alpha,
+               (n_stop_hits >= 2) AS r_stopwords,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (3 * nw <= n_word_chars AND n_word_chars <= 10 * nw)
+                AND (10 * n_symbols <= nw)
+                AND (10 * n_bullet <= 9 * n_lines)
+                AND (10 * n_ellipsis <= 3 * n_lines)
+                AND (5 * n_alpha_words >= 4 * nw)
+                AND (n_stop_hits >= 2)) AS keep
+        FROM m
+        ORDER BY doc_id
+    """
+
+    # q190: same raw-URL synthesis and the same RE2-safe canonicalization
+    # algebra (fragment, scheme/host case, default ports, utm strip,
+    # trailing slash)
+    o["q190_url_dedup"] = """
+        WITH raw AS MATERIALIZED (
+            SELECT doc_id,
+                   concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                               ELSE 'https' END,
+                          '://',
+                          CASE WHEN doc_id % 3 = 0 THEN 'EXAMPLE.com'
+                               ELSE 'example.com' END,
+                          CASE WHEN doc_id % 4 = 0 THEN ':80'
+                               WHEN doc_id % 4 = 1 THEN ':443'
+                               ELSE '' END,
+                          '/p/', doc_id % 100,
+                          CASE WHEN doc_id % 5 = 0 THEN '/'
+                               WHEN doc_id % 5 = 1 THEN '?utm_source=x'
+                               WHEN doc_id % 5 = 2 THEN '#frag'
+                               WHEN doc_id % 5 = 3 THEN '?utm_medium=y&q=1'
+                               ELSE '' END) AS url
+            FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                   regexp_replace(url, '#.*$', '') AS u
+            FROM raw),
+        split_ AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1))
+                       AS hostport,
+                   regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+            FROM parts),
+        canon AS (
+            SELECT doc_id, url,
+                   concat(scheme, '://',
+                          CASE WHEN scheme = 'http'
+                                   THEN regexp_replace(hostport, ':80$', '')
+                               WHEN scheme = 'https'
+                                   THEN regexp_replace(hostport, ':443$', '')
+                               ELSE hostport END,
+                          CASE WHEN len(regexp_extract(rest, '^([^?]*)', 1)) > 1
+                               THEN regexp_replace(
+                                   regexp_extract(rest, '^([^?]*)', 1),
+                                   '/$', '')
+                               ELSE regexp_extract(rest, '^([^?]*)', 1) END,
+                          CASE WHEN len(list_filter(string_split(
+                                   regexp_extract(rest, '\\?(.*)$', 1), '&'),
+                                   p -> len(p) > 0 AND
+                                        NOT regexp_matches(p, '^utm_'))) > 0
+                               THEN concat('?', array_to_string(list_filter(
+                                   string_split(regexp_extract(
+                                       rest, '\\?(.*)$', 1), '&'),
+                                   p -> len(p) > 0 AND
+                                        NOT regexp_matches(p, '^utm_')), '&'))
+                               ELSE '' END) AS canonical_url
+            FROM split_)
+        SELECT canonical_url, COUNT(*)::BIGINT AS n_variants,
+               COUNT(DISTINCT url)::BIGINT AS n_spellings,
+               MIN(doc_id)::BIGINT AS keeper_id
+        FROM canon
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+    """
+
+    # q191: distinct word 5-gram shingles, >=2-doc share per document
+    o["q191_interdoc_repetition"] = f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 5 THEN
+                    list_transform(generate_series(1, len(toks) - 4),
+                        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2],
+                                    ' ', toks[i+3], ' ', toks[i+4]))
+                ELSE [array_to_string(toks, ' ')] END)) AS s
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+        c AS MATERIALIZED (
+            SELECT s, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY s)
+        SELECT sh.doc_id,
+               COUNT(*)::BIGINT AS n_shingles,
+               SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_shared,
+               ((SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*))::BIGINT AS shared_micro
+        FROM sh JOIN c USING (s)
+        GROUP BY sh.doc_id
+        ORDER BY sh.doc_id
     """
 
     return o

@@ -1463,3 +1463,53 @@ def containment_join(
             "containment_micro"
         ),
     )
+
+
+def interdoc_shingle_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Inter-document n-gram repetition: for each document, the fraction
+    of its DISTINCT word ``shingle_n``-grams that also occur in at least
+    one OTHER document. Complements the intra-document repetition profile
+    (``text.repetition_profile``): a doc can be internally clean yet be
+    assembled from corpus-common boilerplate — this is the signal that
+    catches it (used in C4/RefinedWeb-style curation to drop template
+    pages that exact- and near-dup passes miss).
+
+    Output: (id, n_shingles, n_shared, shared_micro) where shared_micro =
+    floor(1e6 * n_shared / n_shingles); single-token/short docs (one
+    degenerate shingle) still emit a row.
+
+    Scale: explode is O(total distinct shingles); the per-shingle doc
+    count is a map-combinable groupBy on the shingle hash (8-byte key,
+    never the shingle string); the join back to docs is on the same
+    hash — two shuffles total, both on bounded-width keys.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
+    ).select("_id", portable_hash64(F.col("_sh")).alias("_h"))
+    counts = sh.groupBy("_h").agg(
+        F.count_distinct("_id").cast("long").alias("_ndocs")
+    )
+    per_doc = (
+        sh.join(counts, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_ndocs") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_shared",
+        F.expr("(n_shared * 1000000) div n_shingles")
+        .cast("long")
+        .alias("shared_micro"),
+    )

@@ -2205,3 +2205,137 @@ def anchor_text_profile(
     return top.join(inlinks, "target").select(
         "target", "n_inlinks", "n_srcs", "term", "term_cnt", "term_rank"
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    public heuristics): each rule is an independent boolean column so a
+    pipeline can report WHICH rule rejected a document, not just that one
+    did. All ratio thresholds are evaluated by integer cross-
+    multiplication (``10 * symbols <= n_words`` instead of a float
+    divide), so the booleans are exact and oracle-portable.
+
+    Rules (doc passes when ALL hold):
+      r_wordcount    50 <= n_words <= 100_000
+      r_mean_wlen    3 <= mean word length <= 10   (3n <= chars <= 10n)
+      r_symbol       symbol-to-word ratio <= 0.1   ('#' runs + '...')
+      r_bullet       <= 90% of lines start with a bullet (- * •)
+      r_ellipsis     <= 30% of lines end with '...'
+      r_alpha        >= 80% of words contain an alphabetic char
+      r_stopwords    >= 2 distinct hits from the 8-word English stop list
+
+    Scale: single map-only expression pass — no shuffle, no UDF; runs at
+    scan speed under whole-stage codegen.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    n_word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    n_symbols = (
+        (F.length(c) - F.length(F.translate(c, "#", "")))
+        + F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.', 0)"))
+    ).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike("^[-*•]"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike("\\.\\.\\.$"))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    gopher_stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in gopher_stops]))
+    ).cast("long")
+
+    nw = F.greatest(n_words, F.lit(1))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("r_wordcount"),
+        ((3 * nw <= n_word_chars) & (n_word_chars <= 10 * nw)).alias(
+            "r_mean_wlen"
+        ),
+        (10 * n_symbols <= nw).alias("r_symbol"),
+        (10 * n_bullet <= 9 * n_lines).alias("r_bullet"),
+        (10 * n_ellipsis <= 3 * n_lines).alias("r_ellipsis"),
+        (5 * n_alpha_words >= 4 * nw).alias("r_alpha"),
+        (n_stop_hits >= 2).alias("r_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("r_wordcount")
+        & F.col("r_mean_wlen")
+        & F.col("r_symbol")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stopwords"),
+    )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for URL-keyed dedup (public normalization rules:
+    RFC 3986 §6 + the de-facto tracker-param strip):
+
+      1. drop the ``#fragment``
+      2. lowercase scheme and host (path stays case-sensitive)
+      3. drop default ports (``:80`` for http, ``:443`` for https)
+      4. drop ``utm_*`` query parameters; drop ``?`` if none survive
+      5. strip a trailing ``/`` from a non-root path
+
+    Pure RE2-safe regexp algebra (no lookahead, no backrefs) so the exact
+    same patterns run in the DuckDB oracle. Map-only, codegen'd.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike("^utm_"),
+    )
+    path = F.when(
+        F.length(path) > 1, F.regexp_replace(path, "/$", "")
+    ).otherwise(path)
+    q_str = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, q_str)
+
+
+def url_dedup_profile(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed dedup profile: canonicalize, then per canonical URL count
+    raw variants and distinct raw spellings, and pick the keeper document
+    (min id — arrival-stable). One map pass + one groupBy on the canonical
+    key; at 100 TB the groupBy shuffles only (url, id) pairs."""
+    canon = df.select(
+        F.col(id_col), F.col(url_col), canonicalize_url(url_col).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.count_distinct(url_col).cast("long").alias("n_spellings"),
+        F.min(id_col).cast("long").alias("keeper_id"),
+    )
