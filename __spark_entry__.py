@@ -2765,30 +2765,39 @@ def q164_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfsa_spark.sinks.inverted_index import bm25_topk_indexed
     from hfsa_spark.streaming.index import streaming_index_maintenance
 
-    tmp = tempfile.mkdtemp(prefix="q164_")
-    src_dir = os.path.join(tmp, "arrivals")
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    for k in range(3):
-        _stage_arrival_file(d.filter(F.col("doc_id") % 3 == k), src_dir, k)
+    import shutil
 
-    src = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    idx = os.path.join(tmp, "index")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    tmp = tempfile.mkdtemp(prefix="q164_")
     try:
-        q = streaming_index_maintenance(
-            src, idx, checkpoint_path=os.path.join(tmp, "ck")
+        src_dir = os.path.join(tmp, "arrivals")
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for k in range(3):
+            _stage_arrival_file(
+                d.filter(F.col("doc_id") % 3 == k), src_dir, k
+            )
+
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-        q.awaitTermination(600)
+        idx = os.path.join(tmp, "index")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = streaming_index_maintenance(
+                src, idx, checkpoint_path=os.path.join(tmp, "ck")
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        qs = [(0, "table"), (0, "scan"), (1, "spark"), (1, "window"),
+              (2, "zzz_absent"), (2, "query")]
+        # localCheckpoint materializes the result, so the staged parquet
+        # + checkpoint dirs can be removed before returning
+        return bm25_topk_indexed(spark, idx, qs, k=10).localCheckpoint()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    qs = [(0, "table"), (0, "scan"), (1, "spark"), (1, "window"),
-          (2, "zzz_absent"), (2, "query")]
-    return bm25_topk_indexed(spark, idx, qs, k=10).localCheckpoint()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q165_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2989,15 +2998,19 @@ def q175_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q176_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold set-similarity self-join (PPJoin-style prefix
-    filtering) at Jaccard ≥ 1/2 over distinct word-3-gram shingle sets —
-    the no-false-negative complement of the MinHash-LSH pair finder. The
-    oracle replays the rarest-first ordering, prefix rule, size filter,
-    and integer threshold check."""
+    filtering) at Jaccard ≥ 4/5 over distinct word-3-gram shingle sets —
+    the no-false-negative complement of the MinHash-LSH pair finder, at
+    the production near-dup threshold where the prefix filter keeps ~20%
+    of each doc's shingles (τ=1/2 — prefix ≈ half of every doc, the
+    algorithm's worst regime — stays pinned by the brute-force-parity
+    pytest in tests/test_curation_ops.py). The oracle replays the
+    rarest-first ordering, prefix rule, size filter, and integer
+    threshold check."""
     from hfsa_spark.operators.dedup import setsim_join
 
     d = _t(spark, sf_dir, "documents")
     return setsim_join(
-        d, threshold_num=1, threshold_den=2, shingle_n=3
+        d, threshold_num=4, threshold_den=5, shingle_n=3
     ).orderBy("id_a", "id_b")
 
 
@@ -3139,15 +3152,16 @@ def q183_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q184_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed set-containment self-join at 3/4 over word-3-gram shingle
-    sets — quote/subset detection with contained-side prefix filtering.
-    The oracle replays the ordering, prefix, size bound, and integer
-    containment threshold."""
+    """Directed set-containment self-join at 9/10 over word-3-gram
+    shingle sets — quote/subset detection with contained-side prefix
+    filtering at the production threshold (low-τ regimes stay pinned by
+    the brute-force pytest). The oracle replays the ordering, prefix,
+    size bound, and integer containment threshold."""
     from hfsa_spark.operators.dedup import containment_join
 
     d = _t(spark, sf_dir, "documents")
     return containment_join(
-        d, threshold_num=3, threshold_den=4, shingle_n=3
+        d, threshold_num=9, threshold_den=10, shingle_n=3
     ).orderBy("id_a", "id_b")
 
 
@@ -3290,8 +3304,12 @@ def q190_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(did % 5 == 3, F.lit("?utm_medium=y&q=1"))
         .otherwise(F.lit(""))
     )
-    raw = F.concat(
-        scheme, F.lit("://"), hostcase, port, F.lit("/p/"), base, tail
+    raw = F.when(
+        did % 7 == 0, F.concat(F.lit("/relative/p/"), base)
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), hostcase, port, F.lit("/p/"), base, tail
+        )
     )
     return url_dedup_profile(d.withColumn("url", raw)).orderBy(
         "canonical_url"
@@ -7189,13 +7207,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY t.doc_id) AS n
             FROM toks t JOIN freq f USING (shingle)),
         prefix AS MATERIALIZED (
-            SELECT * FROM pos WHERE pos <= n - ((1 * n + 1) // 2) + 1),
+            SELECT * FROM pos WHERE pos <= n - ((4 * n + 4) // 5) + 1),
         cand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                             a.n AS n_a, b.n AS n_b
             FROM prefix a JOIN prefix b
                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            WHERE 1 * GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+            WHERE 4 * GREATEST(a.n, b.n) <= 5 * LEAST(a.n, b.n)),
         i AS MATERIALIZED (
             SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS inter
             FROM cand c
@@ -7206,7 +7224,7 @@ def oracle_sql() -> dict[str, str]:
                inter::BIGINT AS inter,
                ((inter * 1000000) // (n_a + n_b - inter))::BIGINT
                    AS jaccard_micro
-        FROM i WHERE 2 * inter >= 1 * (n_a + n_b - inter)
+        FROM i WHERE 5 * inter >= 4 * (n_a + n_b - inter)
         ORDER BY id_a, id_b
     """
 
@@ -7463,7 +7481,7 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN freq f USING (shingle)),
         prefix AS MATERIALIZED (
             SELECT doc_id AS id_a, shingle, n AS n_a FROM pos
-            WHERE pos <= n - ((3 * n + 3) // 4) + 1),
+            WHERE pos <= n - ((9 * n + 9) // 10) + 1),
         sizes AS MATERIALIZED (
             SELECT DISTINCT doc_id AS id_b, n AS n_b FROM pos),
         cand AS MATERIALIZED (
@@ -7472,7 +7490,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM prefix p JOIN toks b USING (shingle)
                   WHERE p.id_a <> b.doc_id) c
             JOIN sizes s USING (id_b)
-            WHERE 4 * s.n_b >= 3 * c.n_a),
+            WHERE 10 * s.n_b >= 9 * c.n_a),
         i AS MATERIALIZED (
             SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS inter
             FROM cand c
@@ -7482,7 +7500,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
                inter::BIGINT AS inter,
                ((inter * 1000000) // n_a)::BIGINT AS containment_micro
-        FROM i WHERE 4 * inter >= 3 * n_a
+        FROM i WHERE 10 * inter >= 9 * n_a
         ORDER BY id_a, id_b
     """
 
@@ -7705,6 +7723,9 @@ def oracle_sql() -> dict[str, str]:
     o["q190_url_dedup"] = """
         WITH raw AS MATERIALIZED (
             SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN concat('/relative/p/', doc_id % 100)
+                        ELSE
                    concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
                                ELSE 'https' END,
                           '://',
@@ -7718,7 +7739,7 @@ def oracle_sql() -> dict[str, str]:
                                WHEN doc_id % 5 = 1 THEN '?utm_source=x'
                                WHEN doc_id % 5 = 2 THEN '#frag'
                                WHEN doc_id % 5 = 3 THEN '?utm_medium=y&q=1'
-                               ELSE '' END) AS url
+                               ELSE '' END) END AS url
             FROM documents),
         parts AS (
             SELECT doc_id, url,
@@ -7736,6 +7757,9 @@ def oracle_sql() -> dict[str, str]:
             FROM parts),
         canon AS (
             SELECT doc_id, url,
+                   CASE WHEN NOT regexp_matches(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://') THEN url
+                   ELSE
                    concat(scheme, '://',
                           CASE WHEN scheme = 'http'
                                    THEN regexp_replace(hostport, ':80$', '')
@@ -7756,7 +7780,7 @@ def oracle_sql() -> dict[str, str]:
                                        rest, '\\?(.*)$', 1), '&'),
                                    p -> len(p) > 0 AND
                                         NOT regexp_matches(p, '^utm_')), '&'))
-                               ELSE '' END) AS canonical_url
+                               ELSE '' END) END AS canonical_url
             FROM split_)
         SELECT canonical_url, COUNT(*)::BIGINT AS n_variants,
                COUNT(DISTINCT url)::BIGINT AS n_spellings,

@@ -1169,6 +1169,64 @@ def line_dedup(
 # ------------------------------------------- prefix-filtered setsim join --
 
 
+def _ranked_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PPJoin front end: (toks, pos) where toks = exploded
+    distinct shingles per doc and pos adds the rarest-first rank
+    (document frequency asc, element asc) and per-doc set size."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
+    )
+    freq = toks.groupBy("_el").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_el")
+    pos = toks.join(freq, "_el").select(
+        "_id",
+        "_el",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    return toks, pos
+
+
+def _setsim_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate stage of :func:`setsim_join` (exposed so the τ scale
+    probe measures the REAL candidate volume, not a re-derivation):
+    returns (toks, cand) with cand = distinct (id_a, id_b, n_a, n_b)
+    surviving the prefix filter and the integer size bound."""
+    toks, pos = _ranked_shingles(df, id_col, text_col, shingle_n)
+    # prefix length = n - ceil(t*n) + 1, exact integer ceil
+    ceil_tn = F.expr(
+        f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
+    )
+    prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, F.col("a._el") == F.col("b._el"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            threshold_num * F.greatest(F.col("a._n"), F.col("b._n"))
+            <= threshold_den * F.least(F.col("a._n"), F.col("b._n"))
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .distinct()
+    )
+    return toks, cand
+
+
 def setsim_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1198,38 +1256,8 @@ def setsim_join(
     pairs × one side's elements. Everything is equi-joins and
     map-combinable counts; nothing driver-side.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
-    )
-    freq = toks.groupBy("_el").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("_id").orderBy("_df", "_el")
-    pos = toks.join(freq, "_el").select(
-        "_id",
-        "_el",
-        F.row_number().over(w).alias("_pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
-    )
-    # prefix length = n - ceil(t*n) + 1, exact integer ceil
-    ceil_tn = F.expr(
-        f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
-    )
-    prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, F.col("a._el") == F.col("b._el"))
-        .filter(F.col("a._id") < F.col("b._id"))
-        .filter(
-            threshold_num * F.greatest(F.col("a._n"), F.col("b._n"))
-            <= threshold_den * F.least(F.col("a._n"), F.col("b._n"))
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._n").alias("n_a"),
-            F.col("b._n").alias("n_b"),
-        )
-        .distinct()
+    toks, cand = _setsim_candidates(
+        df, id_col, text_col, threshold_num, threshold_den, shingle_n
     )
     ta = toks.select(F.col("_id").alias("id_a"), "_el")
     tb = toks.select(F.col("_id").alias("id_b"), "_el")
@@ -1388,6 +1416,40 @@ def domain_boilerplate_strip(
     )
 
 
+def _containment_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate stage of :func:`containment_join` (exposed for the τ
+    scale probe): returns (toks, cand) with cand = distinct directed
+    (id_a, id_b, n_a, n_b) surviving the contained-side prefix filter
+    and the den·|B| ≥ num·|A| size bound."""
+    toks, pos = _ranked_shingles(df, id_col, text_col, shingle_n)
+    ceil_tn = F.expr(
+        f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
+    )
+    prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
+        F.col("_id").alias("id_a"), "_el", F.col("_n").alias("n_a")
+    )
+    sizes = pos.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
+    ).distinct()
+    full_b = toks.select(F.col("_id").alias("id_b"), "_el")
+    cand = (
+        prefix.join(full_b, "_el")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "n_a")
+        .distinct()
+        .join(sizes, "id_b")
+        .filter(threshold_den * F.col("n_b") >= threshold_num * F.col("n_a"))
+    )
+    return toks, cand
+
+
 def containment_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1416,34 +1478,10 @@ def containment_join(
     the element-frequency distribution, and verification touches only
     candidates × the contained side's elements.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
+    toks, cand = _containment_candidates(
+        df, id_col, text_col, threshold_num, threshold_den, shingle_n
     )
-    freq = toks.groupBy("_el").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("_id").orderBy("_df", "_el")
-    pos = toks.join(freq, "_el").select(
-        "_id",
-        "_el",
-        F.row_number().over(w).alias("_pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
-    )
-    ceil_tn = F.expr(
-        f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
-    )
-    prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
-        F.col("_id").alias("id_a"), "_el", F.col("_n").alias("n_a")
-    )
-    sizes = pos.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")).distinct()
     full_b = toks.select(F.col("_id").alias("id_b"), "_el")
-    cand = (
-        prefix.join(full_b, "_el")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "n_a")
-        .distinct()
-        .join(sizes, "id_b")
-        .filter(threshold_den * F.col("n_b") >= threshold_num * F.col("n_a"))
-    )
     ta = toks.select(F.col("_id").alias("id_a"), "_el")
     inter = (
         cand.join(ta, "id_a")

@@ -170,10 +170,15 @@ def _count_min_matrix_arrow(
     from collections.abc import Iterator
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # bounded recomputation cache: clear past the cap so executor
+        # Python memory stays flat at web-scale cardinalities
         cache: dict[str, list[int]] = {}
+        cache_cap = 1 << 20
         for batch in batches:
             if not len(batch):
                 continue
+            if len(cache) > cache_cap:
+                cache.clear()
             rows: list[int] = []
             buckets: list[int] = []
             cnts: list[int] = []

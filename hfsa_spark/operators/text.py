@@ -678,10 +678,16 @@ def hashed_linear_score_arrow(
     pre = f"{seed}:".encode()
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # memo is a pure recomputation cache — bound it so Python worker
+        # memory stays flat on web-scale vocabularies (entries are cheap
+        # to rebuild; a full clear keeps the hot head of each batch)
         cache: dict[str, int] = {}
+        cache_cap = 1 << 20
         for batch in batches:
             if not len(batch):
                 continue
+            if len(cache) > cache_cap:
+                cache.clear()
             n_tok, logits = [], []
             for text in batch[text_col]:
                 if text is None:
@@ -927,6 +933,12 @@ def dsir_scores(
             .alias("lr_micro"),
         )
     )
+    # model is ≤ n_buckets rows: materialize it eagerly to cut lineage,
+    # then release the cached token aggregates so repeated calls in a
+    # long-lived session don't accumulate storage blocks
+    model = model.localCheckpoint(eager=True)
+    cs.unpersist()
+    ct.unpersist()
     doc_toks = bucketed(df, with_id=True)
     scored = (
         doc_toks.join(F.broadcast(model), "b", "left")
@@ -1119,6 +1131,10 @@ def bm25_topk(
     scores = comp.groupBy("query_id", id_col).agg(
         F.sum("c_micro").alias("score_micro")
     )
+    # scores is bounded by (query, matching-doc) pairs: materialize it and
+    # release the cached postings so the cache doesn't outlive the call
+    scores = scores.localCheckpoint(eager=True)
+    tf.unpersist()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     )
@@ -1193,8 +1209,9 @@ def bigram_logprob_score_arrow(
     integer output (equivalence-tested). One Arrow pass tokenizes each
     batch and emits COMPRESSED partials instead of the expression path's
     two raw explodes: per-doc bigram counts ``(id, bg, c)`` (repeats
-    collapse) plus each batch's distinct unigrams tagged ``id = -1`` for
-    the vocabulary count (document ids are non-negative). The model join
+    collapse) plus each batch's distinct unigrams tagged with an explicit
+    ``is_vocab`` flag (no sentinel id — negative document ids are safe;
+    vocab rows carry id = 0 and are filtered by flag). The model join
     then keys on bigram exactly as before, but the joined side carries
     one row per DISTINCT (doc, bigram) — repetitive corpora (the ones a
     repetition filter targets) compress hardest. Partials are persisted
@@ -1209,6 +1226,7 @@ def bigram_logprob_score_arrow(
             ids: list[int] = []
             bgs: list[str] = []
             cs: list[int] = []
+            vflags: list[bool] = []
             batch_vocab: set[str] = set()
             for doc_id, text in zip(batch[id_col], batch[text_col]):
                 toks = _py_tokens(text)
@@ -1223,19 +1241,26 @@ def bigram_logprob_score_arrow(
                     ids.append(int(doc_id))
                     bgs.append(bg)
                     cs.append(c)
+                    vflags.append(False)
             for term in batch_vocab:
-                ids.append(-1)
+                ids.append(0)
                 bgs.append(term)
                 cs.append(0)
-            yield pd.DataFrame({id_col: ids, "bg": bgs, "c": cs})
+                vflags.append(True)
+            yield pd.DataFrame(
+                {id_col: ids, "bg": bgs, "c": cs, "is_vocab": vflags}
+            )
 
     parts = (
         df.select(id_col, text_col)
-        .mapInPandas(run, schema=f"{id_col} bigint, bg string, c bigint")
+        .mapInPandas(
+            run,
+            schema=f"{id_col} bigint, bg string, c bigint, is_vocab boolean",
+        )
         .persist()
     )
-    doc_bg = parts.filter(F.col(id_col) >= 0)
-    vocab = parts.filter(F.col(id_col) == -1).agg(
+    doc_bg = parts.filter(~F.col("is_vocab")).drop("is_vocab")
+    vocab = parts.filter(F.col("is_vocab")).agg(
         F.count_distinct("bg").cast("double").alias("__v")
     )
     bg_counts = doc_bg.groupBy("bg").agg(F.sum("c").alias("cbg"))
@@ -1260,7 +1285,7 @@ def bigram_logprob_score_arrow(
             .alias("logp_micro"),
         )
     )
-    return (
+    out = (
         doc_bg.join(model, "bg")
         .groupBy(id_col)
         .agg(
@@ -1268,6 +1293,11 @@ def bigram_logprob_score_arrow(
             F.sum(F.col("logp_micro") * F.col("c")).alias("sum_logp_micro"),
         )
     )
+    # one row per scored doc: materialize, then release the cached
+    # partials (three consumers have all run by now)
+    out = out.localCheckpoint(eager=True)
+    parts.unpersist()
+    return out
 
 
 DEFAULT_PII_PATTERNS: dict[str, str] = {
@@ -2296,10 +2326,17 @@ def canonicalize_url(url: Column | str) -> Column:
       4. drop ``utm_*`` query parameters; drop ``?`` if none survive
       5. strip a trailing ``/`` from a non-root path
 
+    URLs without a parseable ``scheme://`` (relative, malformed, bare
+    host) pass through unchanged: all the extracts would return '' and
+    collapse unrelated URLs onto the single key ``'://'``, silently
+    merging distinct documents. The guard is the same RE2-safe predicate
+    in Spark and the DuckDB oracle.
+
     Pure RE2-safe regexp algebra (no lookahead, no backrefs) so the exact
     same patterns run in the DuckDB oracle. Map-only, codegen'd.
     """
-    u = F.col(url) if isinstance(url, str) else url
+    raw = F.col(url) if isinstance(url, str) else url
+    u = raw
     u = F.regexp_replace(u, "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
@@ -2321,7 +2358,10 @@ def canonicalize_url(url: Column | str) -> Column:
     q_str = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, q_str)
+    return F.when(
+        raw.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        F.concat(scheme, F.lit("://"), host, path, q_str),
+    ).otherwise(raw)
 
 
 def url_dedup_profile(

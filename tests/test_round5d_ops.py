@@ -58,6 +58,11 @@ def test_canonicalize_url_rules(spark):
         ),
         ("http://example.com/", "http://example.com/"),  # root slash kept
         ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # no parseable scheme:// — pass through unchanged, never collapse
+        # unrelated URLs onto '://...'
+        ("/relative/path?utm_source=x", "/relative/path?utm_source=x"),
+        ("example.com/bare-host", "example.com/bare-host"),
+        ("not a url at all", "not a url at all"),
     ]
     df = spark.createDataFrame(cases, ["url", "expected"])
     out = df.select("expected", canonicalize_url("url").alias("got")).collect()
