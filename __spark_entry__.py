@@ -3327,6 +3327,68 @@ def q191_interdoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interdoc_shingle_repetition(d, shingle_n=5).orderBy("doc_id")
 
 
+def q192_sharded_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curriculum_order's 100 TB path: per-SOURCE ntile + intra-bin
+    shuffle (parallel windows, no single-task global sort), global
+    positions rebuilt as per-(bin, source) offsets + within-rank. The
+    oracle replays the partitioned windows and the offset algebra; the
+    single-shard equivalence to the global form (q125) is pytest-pinned
+    in tests/test_sharded_manifest_ops.py."""
+    from hfsa_spark.operators.sampling import curriculum_order
+    from hfsa_spark.operators.text import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(d).select(
+        "doc_id",
+        F.floor(
+            F.col("sum_logp_micro").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).cast("long").alias("score"),
+    ).join(_t(spark, sf_dir, "documents").select("doc_id", "source"),
+           "doc_id")
+    return curriculum_order(
+        scored, n_bins=10, shard_col="source"
+    ).orderBy("position")
+
+
+def q193_sharded_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_budget_shards' 100 TB path: per-SOURCE running sums
+    (parallel windows), group-local shard sequences offset into a global
+    contiguous id space by a broadcast inequality join over the tiny
+    per-group summary — groups never share a shard. Summarized per shard;
+    the oracle replays the partitioned cumsum and the offset algebra."""
+    from hfsa_spark.operators.packing import token_budget_shards
+
+    d = _t(spark, sf_dir, "documents")
+    m = token_budget_shards(d, tokens_per_shard=4096, shard_col="source")
+    return (
+        m.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("source").alias("source"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def q194_sharded_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_mixing_audit's 100 TB path: the portable-hash consumption
+    order is split into 16 CONTIGUOUS blocks by the hash's first hex
+    digit and the lead window parallelizes per block — only the 15
+    cross-boundary pairs drop. The oracle replays the partitioned lead
+    exactly."""
+    from hfsa_spark.operators.sampling import order_mixing_audit
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))),
+    ).withColumn("block", F.substring("shuffle_key", 1, 1))
+    return order_mixing_audit(
+        d, "shuffle_key", "source", shard_col="block"
+    ).orderBy("label")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3783,6 +3845,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_gopher_rules": q189_gopher_rules,
         "q190_url_dedup": q190_url_dedup,
         "q191_interdoc_repetition": q191_interdoc_repetition,
+        "q192_sharded_curriculum": q192_sharded_curriculum,
+        "q193_sharded_token_shards": q193_sharded_token_shards,
+        "q194_sharded_order_audit": q194_sharded_order_audit,
     }
 
 
@@ -7811,6 +7876,91 @@ def oracle_sql() -> dict[str, str]:
         FROM sh JOIN c USING (s)
         GROUP BY sh.doc_id
         ORDER BY sh.doc_id
+    """
+
+    # q192: sharded curriculum — per-source ntile + intra-bin shuffle,
+    # global position = per-(bin, source) offset + within-rank
+    o["q192_sharded_curriculum"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        total AS (SELECT SUM(cnt)::DOUBLE AS n FROM counts),
+        lp AS (SELECT term,
+                      round(ln(cnt::DOUBLE / n) * 1e6)::BIGINT AS logp_micro
+               FROM counts, total),
+        scored AS (
+            SELECT t.doc_id,
+                   FLOOR(SUM(lp.logp_micro)::DOUBLE / COUNT(*)::DOUBLE)::BIGINT
+                       AS score
+            FROM tok t JOIN lp USING (term) GROUP BY t.doc_id),
+        binned AS (
+            SELECT s.doc_id, s.score, d.source,
+                   ntile(10) OVER (PARTITION BY d.source
+                                   ORDER BY s.score DESC,
+                                            s.doc_id ASC)::INT AS bin,
+                   {_h64("s.doc_id::VARCHAR", 17)} AS shuffle_key
+            FROM scored s JOIN documents d USING (doc_id)),
+        within AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY bin, source
+                                         ORDER BY shuffle_key ASC,
+                                                  doc_id ASC) AS w
+            FROM binned),
+        cnt AS (SELECT bin, source, COUNT(*) AS c
+                FROM binned GROUP BY bin, source),
+        off AS (
+            SELECT a.bin, a.source,
+                   COALESCE(SUM(b.c), 0) AS o
+            FROM cnt a LEFT JOIN cnt b
+                 ON (b.bin < a.bin)
+                 OR (b.bin = a.bin AND b.source < a.source)
+            GROUP BY a.bin, a.source)
+        SELECT w.doc_id, w.score, w.source, w.bin, w.shuffle_key,
+               (off.o + w.w)::INT AS position
+        FROM within w JOIN off USING (bin, source)
+        ORDER BY position
+    """
+
+    # q193: sharded token shards — per-source cumsum, group-local shard
+    # sequences offset by lexicographically-earlier groups' shard counts
+    o["q193_sharded_token_shards"] = f"""
+        WITH t AS (SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tokens
+                   FROM documents),
+        m AS (SELECT doc_id, source, n_tokens,
+                     FLOOR(COALESCE(SUM(n_tokens) OVER (
+                               PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)::DOUBLE
+                           / 4096)::INT AS local_id
+              FROM t),
+        per_g AS (SELECT source, MAX(local_id) + 1 AS nsh
+                  FROM m GROUP BY source),
+        off AS (SELECT a.source, COALESCE(SUM(b.nsh), 0) AS o
+                FROM per_g a LEFT JOIN per_g b ON b.source < a.source
+                GROUP BY a.source),
+        g AS (SELECT m.doc_id, m.n_tokens,
+                     (off.o + m.local_id)::INT AS shard_id, m.source
+              FROM m JOIN off USING (source))
+        SELECT shard_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS n_tokens,
+               MIN(source) AS source
+        FROM g GROUP BY shard_id ORDER BY shard_id
+    """
+
+    # q194: sharded order audit — lead partitioned by the hash's first
+    # hex digit (16 contiguous blocks of the consumption order)
+    o["q194_sharded_order_audit"] = """
+        WITH ordered AS (
+            SELECT source AS label,
+                   LEAD(source) OVER (
+                       PARTITION BY substr(md5('ord:' || doc_id::VARCHAR),
+                                           1, 1)
+                       ORDER BY md5('ord:' || doc_id::VARCHAR)) AS nxt,
+                   (SELECT COUNT(*) FROM documents) AS tot
+            FROM documents)
+        SELECT label, COUNT(*)::BIGINT AS n,
+               COUNT(*) FILTER (WHERE nxt = label)::BIGINT AS adj_same,
+               FLOOR(COUNT(*)::DOUBLE * 1000000.0
+                     / ANY_VALUE(tot)::DOUBLE)::BIGINT AS share_micro
+        FROM ordered GROUP BY label ORDER BY label
     """
 
     return o

@@ -167,6 +167,7 @@ def token_budget_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_per_shard: int = 4096,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to export shards so each shard carries roughly
     ``tokens_per_shard`` tokens — the manifest step before a sharded
@@ -181,19 +182,62 @@ def token_budget_shards(
     ``sinks.jsonl.write_jsonl_shards``-style writers partitioned by
     ``shard_id``.
 
-    Scale note: the running sum is a single total-order window — fine
-    for manifests up to ~10⁸ docs; beyond that run it per top-level
-    shard key (e.g. source) and offset shard ids per group.
+    Scale: with ``shard_col=None`` the running sum is a single
+    total-order window — fine for manifests up to ~10⁸ docs. Beyond
+    that pass ``shard_col`` (e.g. source): the running sum then
+    partitions by the group key (parallel windows), each group packs
+    its own 0-based shard sequence, and global shard ids are the
+    group's shard count offset by all lexicographically-earlier
+    groups — offsets via a broadcast inequality self-join over the tiny
+    per-group summary, never a global window. Groups never share a
+    shard (the group boundary is also a shard boundary); with a
+    single-valued group key the output is IDENTICAL to the global form
+    (pytest-pinned).
     """
     from hfsa_spark.operators.text import token_count
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    if shard_col is None:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        toks = df.select(
+            F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+        )
+        cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return toks.withColumn(
+            "shard_id", F.floor(cum_before / tokens_per_shard).cast("int")
+        )
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     toks = df.select(
-        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+        F.col(shard_col),
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return toks.withColumn(
-        "shard_id", F.floor(cum_before / tokens_per_shard).cast("int")
+    local = toks.withColumn(
+        "_local", F.floor(cum_before / tokens_per_shard).cast("int")
+    )
+    # per-group shard counts (tiny: one row per group) → global offsets
+    # by broadcast inequality self-join, no single-partition window
+    per_g = local.groupBy(shard_col).agg(
+        (F.max("_local") + 1).alias("_nsh")
+    )
+    prior = per_g.select(
+        F.col(shard_col).alias("_pg"), F.col("_nsh").alias("_pn")
+    )
+    off = (
+        per_g.join(F.broadcast(prior), F.col("_pg") < F.col(shard_col), "left")
+        .groupBy(shard_col)
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off"))
+    )
+    return local.join(F.broadcast(off), shard_col).select(
+        id_col,
+        "n_tokens",
+        (F.col("_off") + F.col("_local")).cast("int").alias("shard_id"),
+        shard_col,
     )
 
 

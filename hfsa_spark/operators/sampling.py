@@ -353,6 +353,7 @@ def curriculum_order(
     score_col: str = "score",
     n_bins: int = 10,
     seed: int = 17,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Curriculum ordering: bin documents into ``n_bins`` difficulty
     quantiles (ntile over ``score_col`` DESCENDING — high score = easy =
@@ -364,25 +365,80 @@ def curriculum_order(
     tiebreaks, and the shuffle key is the portable md5 hash — the
     curriculum is byte-identical across engines and reruns.
 
-    Scale note: the two windows are global total orders — fine for
-    curriculum *manifests* (row = document, not token). At extreme doc
-    counts run it per shard (partitionBy a shard key) and concatenate
-    shards round-robin, which preserves the easy→hard shape.
+    Scale: with ``shard_col=None`` the two windows are global total
+    orders — fine for curriculum *manifests* (row = document, not token)
+    up to ~10⁸ rows. At extreme doc counts pass ``shard_col``: ntile and
+    the intra-bin shuffle then partition by the shard key (parallel
+    windows, no single-task sort), and the global position is
+    reconstructed as a per-(bin, shard) offset + the within-partition
+    row_number. Offsets come from the tiny (n_bins × n_shards) count
+    table via a broadcast inequality self-join — no global window
+    anywhere on this path. The curriculum concatenates shards within
+    each bin (bin asc, shard asc, shuffled inside), preserving the
+    easy→hard shape; with a single-valued shard key the output is
+    IDENTICAL to the global form (pytest-pinned).
     """
     from hfsa_spark.functions.hashing import portable_hash64
 
-    wb = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     shuffle_key = portable_hash64(F.col(id_col).cast("string"), seed)
+    if shard_col is None:
+        wb = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        out = scored.select(
+            F.col(id_col),
+            F.col(score_col),
+            F.ntile(n_bins).over(wb).alias("bin"),
+            shuffle_key.alias("shuffle_key"),
+        )
+        wp = Window.orderBy(
+            F.col("bin").asc(), F.col("shuffle_key").asc(), F.col(id_col).asc()
+        )
+        return out.withColumn("position", F.row_number().over(wp))
+
+    wb = Window.partitionBy(shard_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
     out = scored.select(
         F.col(id_col),
         F.col(score_col),
+        F.col(shard_col),
         F.ntile(n_bins).over(wb).alias("bin"),
         shuffle_key.alias("shuffle_key"),
     )
-    wp = Window.orderBy(
-        F.col("bin").asc(), F.col("shuffle_key").asc(), F.col(id_col).asc()
+    within = F.row_number().over(
+        Window.partitionBy("bin", shard_col).orderBy(
+            F.col("shuffle_key").asc(), F.col(id_col).asc()
+        )
     )
-    return out.withColumn("position", F.row_number().over(wp))
+    out = out.withColumn("_within", within)
+    # (bin, shard) counts: n_bins × n_shards rows — offsets by broadcast
+    # inequality self-join (no window, so no single-partition sort)
+    cnt = out.groupBy("bin", shard_col).agg(F.count(F.lit(1)).alias("_c"))
+    prior = cnt.select(
+        F.col("bin").alias("_pb"),
+        F.col(shard_col).alias("_ps"),
+        F.col("_c").alias("_pc"),
+    )
+    off = (
+        cnt.join(
+            F.broadcast(prior),
+            (F.col("_pb") < F.col("bin"))
+            | ((F.col("_pb") == F.col("bin")) & (F.col("_ps") < F.col(shard_col))),
+            "left",
+        )
+        .groupBy("bin", shard_col)
+        .agg(F.coalesce(F.sum("_pc"), F.lit(0)).alias("_off"))
+    )
+    return (
+        out.join(F.broadcast(off), ["bin", shard_col])
+        .select(
+            id_col,
+            score_col,
+            shard_col,
+            "bin",
+            "shuffle_key",
+            (F.col("_off") + F.col("_within")).cast("int").alias("position"),
+        )
+    )
 
 
 def leakage_safe_split(
@@ -504,7 +560,8 @@ def neardup_safe_split(
 
 
 def order_mixing_audit(
-    df: DataFrame, order_col: str, label_col: str
+    df: DataFrame, order_col: str, label_col: str,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Shuffle-quality audit for a materialized training order: for rows
     consumed in ``order_col`` sequence, count adjacent pairs whose labels
@@ -518,14 +575,23 @@ def order_mixing_audit(
     (row, next row) where both carry this label; compare
     Σ adj_same / (N−1) against Σ share². All integers/floor-micro.
 
-    Scale: the audit is of a GLOBAL order, so the lag window is inherently
-    a total sort — run it on the materialized manifest (already ordered,
-    sort is a no-op read) or on a contiguous sample; the aggregation
-    itself is map-combinable.
+    Scale: the audit is of a GLOBAL order, so with ``shard_col=None``
+    the lag window is inherently a total sort — run it on the
+    materialized manifest (already ordered, sort is a no-op read) or on
+    a contiguous sample. At extreme manifest sizes pass ``shard_col``
+    where the shard key partitions the order into CONTIGUOUS ranges
+    (e.g. the export shard id): the lead window then parallelizes per
+    shard and only the n_shards − 1 cross-boundary pairs are dropped —
+    a vanishing undercount the caller accepts explicitly by supplying
+    the key. With a single-valued shard key the output is IDENTICAL to
+    the global form (pytest-pinned).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.asc(order_col))
+    if shard_col is None:
+        w = Window.orderBy(F.asc(order_col))
+    else:
+        w = Window.partitionBy(shard_col).orderBy(F.asc(order_col))
     lagged = df.select(
         F.col(label_col).alias("label"),
         F.lead(label_col, 1).over(w).alias("_next"),
