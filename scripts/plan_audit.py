@@ -63,6 +63,34 @@ AUDIT = [
     # vacuous here — the serve plan's pushed In(term) filter is asserted in
     # tests/test_inverted_index.py::test_index_scan_pushes_term_filter
     ("q166_pipeline_funnel", "funnel: ONE conditional-sum aggregate, no joins in the accounting pass", True),
+    ("q167_chat_turn_stats", "chat QA: map-only regexp split + per-doc aggregate", False),
+    ("q168_k_anonymity", "k-anonymity: quasi-id groupBy + broadcast class sizes", True),
+    ("q169_vocab_growth", "Heaps curve: first-occurrence argmin, bucket rollup", True),
+    ("q170_order_mixing", "order audit: documented global lead window (manifest-read path)", True),
+    ("q171_lm_cross_entropy", "cross-entropy: train-model broadcast onto held-out tokens", True),
+    ("q172_quantile_bin", "quantile bins: histogram-rank decomposition, no global sort", True),
+    ("q173_domain_caps", "domain caps: one domain groupBy, hash-rank keep", False),
+    ("q174_l_diversity", "l-diversity: distinct-sensitive-value rollup per class", False),
+    ("q175_ece_calibration", "ECE: fixed-width bin groupBy, broadcast one-row total", True),
+    ("q176_setsim_join", "PPJoin: prefix-bucket equi join, size prune, no cartesian", False),
+    ("q177_min_k_prob", "Min-K%: model broadcast, histogram-rank lowest-m, no per-doc sort", True),
+    ("q178_doremi_weights", "DoReMi: two model broadcasts, domain-bounded aggregates", True),
+    ("q179_pr_curve", "PR curve: threshold rollup from ONE score groupBy", True),
+    ("q180_mojibake_audit", "mojibake: map-only regexp counters, zero joins", False),
+    ("q181_incremental_neardup", "incremental near-dup: (band,key) equi join vs persisted index, index never broadcast", False),
+    ("q182_fim_transform", "FIM: pure map-side hash cuts + substrings, zero shuffles", False),
+    ("q183_domain_boilerplate", "domain boilerplate: per-domain line-hash counts, bounded-key shuffles", False),
+    ("q184_containment_join", "containment: contained-side prefix vs postings equi join, size prune", False),
+    ("q185_zipf_slope", "Zipf: top-k rank window AFTER term-count collapse (lang-bounded)", False),
+    ("q186_rbo_overlap", "RBO: two topk sides equi-joined on (query,doc), literal weights", False),
+    ("q187_json_schema", "JSON profile: map-only schema_of_json-style extraction + path rollup", True),
+    ("q188_anchor_text", "anchor text: regexp_extract_all explode, (target,term) groupBy", False),
+    ("q189_gopher_rules", "Gopher rules: map-only integer ratio predicates, zero shuffles", False),
+    ("q190_url_dedup", "URL dedup: map-only canonicalization + one canonical-key groupBy", False),
+    ("q191_interdoc_repetition", "inter-doc repetition: 5-gram explode -> two 8-byte-hash-keyed shuffles", False),
+    ("q192_sharded_curriculum", "sharded curriculum: partitioned windows, broadcast offset join, no global sort", True),
+    ("q193_sharded_token_shards", "sharded token shards: per-group cumsum, broadcast offsets", True),
+    ("q194_sharded_order_audit", "sharded order audit: hash-block-partitioned lead window", True),
 ]
 
 

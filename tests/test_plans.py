@@ -223,3 +223,49 @@ def test_observe_quality(spark):
     assert got["n_rows"] == 3
     assert got["n_empty"] == 1
     assert got["n_chars"] == 5 + 3 + 7
+
+
+def test_exact_join_family_plans(spark):
+    """q176/q184/q191 family plan contract: every join is an equi join
+    (no CartesianProduct, no BroadcastNestedLoopJoin), candidates pass a
+    distinct (HashAggregate on the pair keys) before verification, and
+    interdoc repetition shuffles key on the 8-byte shingle hash."""
+    from hfsa_spark.operators.dedup import (
+        containment_join,
+        interdoc_shingle_repetition,
+        setsim_join,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    setsim = setsim_join(docs, threshold_num=4, threshold_den=5)
+    contain = containment_join(docs, threshold_num=9, threshold_den=10)
+    rep = interdoc_shingle_repetition(docs, shingle_n=5)
+
+    for q in (setsim, contain, rep):
+        plan = explain_str(q, "extended")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # candidate dedup before verify: the optimized plans aggregate on the
+    # candidate pair keys (the .distinct()) below the intersection count
+    for q in (setsim, contain):
+        plan = explain_str(q, "formatted")
+        assert plan.count("HashAggregate") >= 2
+        # join strategies present are hash/sort-merge equi joins only
+        import re
+        strategies = set(
+            re.findall(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"
+                       r"|BroadcastNestedLoopJoin|CartesianProduct)", plan)
+        )
+        assert strategies and strategies <= {
+            "BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"
+        }, strategies
+
+    # q191: both repartition-for-aggregate shuffles key on the 8-byte
+    # hash column (named sh/h in the operator), not the raw shingle text
+    plan = explain_str(rep, "formatted")
+    import re
+    partkeys = re.findall(r"hashpartitioning\(([^,]+),", plan)
+    assert partkeys, plan[:1500]
+    for k in partkeys:
+        assert "_h#" in k or "_id#" in k, partkeys
