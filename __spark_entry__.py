@@ -3389,6 +3389,34 @@ def q194_sharded_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def q195_snapshot_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fsimage-series growth gate (SURVEY.md §1.3 'sequence of fsimages'):
+    three growing namespace snapshots (snapshot k holds docs with
+    doc_id % 3 < k — the cumulative-growth shape of successive HDFS
+    images) flow through the REAL snapshot_delta_report operator
+    (streaming/snapshots.py:44): per-(snapshot, user) files/bytes plus
+    the delta vs the user's previous snapshot from one lag window over
+    the already-reduced aggregate. The binary load_fsimage_series path
+    (extract/fsimage.py:886) is pytest-covered; this gate closes the
+    growth/delta semantics against the value oracle."""
+    from functools import reduce
+
+    from hfsa_spark.streaming.snapshots import snapshot_delta_report
+
+    d = _t(spark, sf_dir, "documents")
+    frames = [
+        d.filter(F.col("doc_id") % 3 < ts).select(
+            F.lit(ts).cast("long").alias("snapshot_ts"),
+            F.lit("FILE").alias("type"),
+            F.col("source").alias("user"),
+            F.col("n_chars").cast("long").alias("file_size"),
+        )
+        for ts in (1, 2, 3)
+    ]
+    series = reduce(DataFrame.unionByName, frames)
+    return snapshot_delta_report(series).orderBy("snapshot_ts", "user")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3848,6 +3876,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_sharded_curriculum": q192_sharded_curriculum,
         "q193_sharded_token_shards": q193_sharded_token_shards,
         "q194_sharded_order_audit": q194_sharded_order_audit,
+        "q195_snapshot_growth": q195_snapshot_growth,
     }
 
 
@@ -7961,6 +7990,26 @@ def oracle_sql() -> dict[str, str]:
                FLOOR(COUNT(*)::DOUBLE * 1000000.0
                      / ANY_VALUE(tot)::DOUBLE)::BIGINT AS share_micro
         FROM ordered GROUP BY label ORDER BY label
+    """
+
+    # q195: snapshot-series growth/delta — per-(snapshot, user) rollup
+    # plus lag deltas over the reduced aggregate
+    o["q195_snapshot_growth"] = """
+        WITH s AS (
+            SELECT ts.ts::BIGINT AS snapshot_ts, d.source AS "user",
+                   COUNT(*)::BIGINT AS n_files,
+                   SUM(d.n_chars)::BIGINT AS sum_size
+            FROM documents d
+            JOIN (VALUES (1), (2), (3)) ts(ts) ON d.doc_id % 3 < ts.ts
+            GROUP BY 1, 2)
+        SELECT snapshot_ts, "user", n_files, sum_size,
+               (n_files - COALESCE(LAG(n_files) OVER (
+                   PARTITION BY "user" ORDER BY snapshot_ts), 0))::BIGINT
+                   AS d_files,
+               (sum_size - COALESCE(LAG(sum_size) OVER (
+                   PARTITION BY "user" ORDER BY snapshot_ts), 0))::BIGINT
+                   AS d_size
+        FROM s ORDER BY snapshot_ts, "user"
     """
 
     return o

@@ -195,6 +195,39 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
     }
+    # Per-query anchors: BASELINE_PERQ.json freezes each query's first
+    # committed min-of-N time at its introduction round (BASELINE.md's r1
+    # suite anchor predates most queries, so "2x of baseline" is otherwise
+    # only enforceable suite-wide). Any query >2x its own anchor +0.4s
+    # noise grace is flagged in the result. --update-anchors appends
+    # anchors for queries that don't have one yet (never overwrites).
+    anchors_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_PERQ.json"
+    )
+    if abs(_sf_of(sf_dir) - 0.1) < 1e-9:
+        try:
+            with open(anchors_path) as fh:
+                anchors = json.load(fh)
+        except OSError:
+            anchors = {}
+        regressions = {
+            k: {"sec": round(v, 3), "anchor": anchors[k]}
+            for k, v in timings.items()
+            if k in anchors and v > 2.0 * anchors[k] + 0.4
+        }
+        result["perq_regressions"] = regressions
+        if "--update-anchors" in sys.argv:
+            fresh = {
+                k: round(v, 4)
+                for k, v in timings.items()
+                if k not in anchors and k != "extract_210k"
+            }
+            if fresh:
+                anchors.update(fresh)
+                with open(anchors_path, "w") as fh:
+                    json.dump(dict(sorted(anchors.items())), fh, indent=1)
+                print(f"# anchored {len(fresh)} new queries", file=sys.stderr)
+
     # Durable full-name record (the driver's stdout capture keeps only the
     # last 2000 chars; both BENCH_r01 and BENCH_r02 ended up parsed:null
     # because the full-name queries dict alone exceeds that window).
