@@ -3417,6 +3417,63 @@ def q195_snapshot_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta_report(series).orderBy("snapshot_ts", "user")
 
 
+def q196_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inode-level diff between two namespace snapshots (added / deleted /
+    modified / unchanged) — the what-changed complement to q195's
+    how-much rollup. old = docs with doc_id%3<2; new = docs with
+    doc_id%7!=3 and sizes bumped +7 on doc_id%5==0. Digest-projected
+    full outer join (streaming/snapshots.py::snapshot_inode_diff); the
+    oracle replays the same FOJ and CASE."""
+    from hfsa_spark.streaming.snapshots import snapshot_inode_diff
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("/c/doc_"), F.col("doc_id")).alias("full_path"),
+        F.col("n_chars").cast("long").alias("file_size"),
+        "doc_id",
+    )
+    old = base.filter(F.col("doc_id") % 3 < 2).drop("doc_id")
+    new = (
+        base.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "full_path",
+            (
+                F.col("file_size")
+                + F.when(F.col("doc_id") % 5 == 0, F.lit(7)).otherwise(F.lit(0))
+            ).alias("file_size"),
+        )
+    )
+    return snapshot_inode_diff(old, new).orderBy("status", "path")
+
+
+def q197_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility audit: chars/bytes/word-pieces per
+    whitespace token, all integer-exact (counts + div-micro ratios). The
+    oracle replays the token, BPE-ish piece, and octet counts."""
+    from hfsa_spark.operators.text import tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(d, group_col="lang").orderBy("lang")
+
+
+def q198_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the even-id (reference)
+    and odd-id (current) corpus halves over the n_chars distribution —
+    add-one-smoothed fixed-width histograms, one rounded micro-nat log
+    ratio per bin, exact integer contributions. The oracle replays the
+    binning, smoothing, and log convention bit-for-bit."""
+    from hfsa_spark.operators.features import quality_drift_psi
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("score")
+    )
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    return quality_drift_psi(
+        ref, cur, score_col="score", n_bins=10, lo=0, hi=600
+    ).orderBy("bin")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3877,6 +3934,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_sharded_token_shards": q193_sharded_token_shards,
         "q194_sharded_order_audit": q194_sharded_order_audit,
         "q195_snapshot_growth": q195_snapshot_growth,
+        "q196_snapshot_diff": q196_snapshot_diff,
+        "q197_tokenizer_fertility": q197_tokenizer_fertility,
+        "q198_quality_drift_psi": q198_quality_drift_psi,
     }
 
 
@@ -8010,6 +8070,86 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY "user" ORDER BY snapshot_ts), 0))::BIGINT
                    AS d_size
         FROM s ORDER BY snapshot_ts, "user"
+    """
+
+    # q196: snapshot inode diff — same FOJ + CASE as the operator
+    o["q196_snapshot_diff"] = """
+        WITH old AS (
+            SELECT concat('/c/doc_', doc_id) AS path,
+                   n_chars::BIGINT AS old_size
+            FROM documents WHERE doc_id % 3 < 2),
+        new AS (
+            SELECT concat('/c/doc_', doc_id) AS path,
+                   (n_chars + CASE WHEN doc_id % 5 = 0 THEN 7
+                                   ELSE 0 END)::BIGINT AS new_size
+            FROM documents WHERE doc_id % 7 != 3)
+        SELECT CASE WHEN old_size IS NULL THEN 'added'
+                    WHEN new_size IS NULL THEN 'deleted'
+                    WHEN old_size != new_size THEN 'modified'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(old.path, new.path) AS path, old_size, new_size
+        FROM old FULL OUTER JOIN new USING (path)
+        ORDER BY status, path
+    """
+
+    # q197: tokenizer fertility — token/piece/char/byte counts per lang,
+    # div-micro ratios (Spark div == DuckDB //)
+    o["q197_tokenizer_fertility"] = f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len({_TOKS})::BIGINT AS t,
+                   (list_sum(list_transform({_TOKS},
+                        w -> 1 + CAST(FLOOR((GREATEST(len(w), 4) - 4) / 4.0)
+                                      AS BIGINT)))
+                    + len(list_filter(string_split_regex(text,
+                          '[\\sA-Za-z]+'), x -> len(x) > 0)))::BIGINT AS p,
+                   len(text)::BIGINT AS c,
+                   octet_length(encode(text))::BIGINT AS b
+            FROM documents),
+        agg AS (
+            SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(t)::BIGINT AS n_tokens,
+                   SUM(p)::BIGINT AS n_pieces, SUM(c)::BIGINT AS n_chars,
+                   SUM(b)::BIGINT AS n_bytes
+            FROM per_doc GROUP BY lang)
+        SELECT lang, n_docs, n_tokens, n_pieces, n_chars, n_bytes,
+               (CASE WHEN n_tokens > 0 THEN (n_chars * 1000000) // n_tokens
+                     ELSE 0 END)::BIGINT AS chars_per_token_micro,
+               (CASE WHEN n_tokens > 0 THEN (n_bytes * 1000000) // n_tokens
+                     ELSE 0 END)::BIGINT AS bytes_per_token_micro,
+               (CASE WHEN n_tokens > 0 THEN (n_pieces * 1000000) // n_tokens
+                     ELSE 0 END)::BIGINT AS pieces_per_token_micro
+        FROM agg ORDER BY lang
+    """
+
+    # q198: PSI drift — fixed-width bins on n_chars in [0, 600), 10 bins,
+    # add-one smoothing, one rounded micro-nat log per bin
+    o["q198_quality_drift_psi"] = """
+        WITH r AS (SELECT ((n_chars - 0) // 60) AS rawbin FROM documents
+                   WHERE doc_id % 2 = 0),
+        c AS (SELECT ((n_chars - 0) // 60) AS rawbin FROM documents
+              WHERE doc_id % 2 = 1),
+        rh AS (SELECT LEAST(GREATEST(rawbin, 0), 9) AS bin,
+                      COUNT(*)::BIGINT AS ref_n FROM r GROUP BY 1),
+        ch AS (SELECT LEAST(GREATEST(rawbin, 0), 9) AS bin,
+                      COUNT(*)::BIGINT AS cur_n FROM c GROUP BY 1),
+        bins AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin),
+        j AS (SELECT bin, COALESCE(ref_n, 0) AS ref_n,
+                     COALESCE(cur_n, 0) AS cur_n
+              FROM bins LEFT JOIN rh USING (bin) LEFT JOIN ch USING (bin)),
+        tot AS (SELECT SUM(ref_n)::BIGINT AS ta, SUM(cur_n)::BIGINT AS tb
+                FROM j)
+        SELECT bin, ref_n, cur_n,
+               (((ref_n + 1) * 1000000) // (ta + 10))::BIGINT AS p_micro,
+               (((cur_n + 1) * 1000000) // (tb + 10))::BIGINT AS q_micro,
+               round(ln(((ref_n + 1) * (tb + 10))::DOUBLE
+                        / ((cur_n + 1) * (ta + 10))::DOUBLE) * 1e6)::BIGINT
+                   AS lr_micro,
+               ((((ref_n + 1) * 1000000) // (ta + 10))
+                - (((cur_n + 1) * 1000000) // (tb + 10)))
+               * round(ln(((ref_n + 1) * (tb + 10))::DOUBLE
+                          / ((cur_n + 1) * (ta + 10))::DOUBLE) * 1e6)::BIGINT
+                   AS psi_contrib
+        FROM j, tot ORDER BY bin
     """
 
     return o

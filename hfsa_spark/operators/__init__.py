@@ -25,7 +25,11 @@ from hfsa_spark.operators.dedup import (
 )
 from hfsa_spark.operators.asof import asof_join
 from hfsa_spark.operators.events import funnel_stage_counts, resample_ffill
-from hfsa_spark.operators.features import percentile_filter, zscore_standardize
+from hfsa_spark.operators.features import (
+    percentile_filter,
+    quality_drift_psi,
+    zscore_standardize,
+)
 from hfsa_spark.operators.graph import (
     canonical_edges,
     degree_distribution,
@@ -75,6 +79,7 @@ from hfsa_spark.operators.similarity import (
 )
 from hfsa_spark.operators.text import (
     benchmark_contamination,
+    tokenizer_fertility,
     chunk_documents,
     next_token_stats,
     regex_redact,
@@ -103,6 +108,7 @@ __all__ = [
     "funnel_stage_counts",
     "resample_ffill",
     "percentile_filter",
+    "quality_drift_psi",
     "zscore_standardize",
     "canonical_edges",
     "degree_distribution",
@@ -150,6 +156,7 @@ __all__ = [
     "next_token_stats",
     "repetition_profile",
     "benchmark_contamination",
+    "tokenizer_fertility",
     "tfidf_top_terms",
     "vocab_top_terms",
     "regex_redact",

@@ -479,3 +479,84 @@ def json_schema_profile(
             F.expr("(n * 1000000) div _tot").cast("long").alias("pct_micro"),
         )
     )
+
+
+def quality_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str = "score",
+    n_bins: int = 10,
+    lo: int = 0,
+    hi: int = 1000000,
+) -> DataFrame:
+    """Population-stability-index drift audit between a reference corpus
+    slice and a current one — the monitoring gate that catches a quality
+    (or classifier-score) distribution shifting between crawl batches
+    before the shifted data trains a model. Scores are integers in
+    [lo, hi) (micro-scaled upstream); both sides histogram into the same
+    ``n_bins`` fixed-width bins and each bin contributes
+    ``(p − q) · ln(p/q)`` with add-one smoothing on the counts.
+
+    Integer convention (oracle-exact): per bin ONE rounded micro-nat log
+    ratio ``lr = round(ln((ca+1)·(tb+nb) / ((cb+1)·(ta+nb))) · 1e6)`` and
+    micro shares ``p = (ca+1)·1e6 div (ta+nb)``; the contribution
+    ``(p − q) · lr`` is an exact int64 product (µ² units). Σ over bins =
+    PSI in micro²-nats; the conventional alert floors are 0.1 (stable) /
+    0.25 (shifted) → 1e11 / 2.5e11 in these units.
+
+    Output: (bin, ref_n, cur_n, p_micro, q_micro, lr_micro, psi_contrib)
+    — one row per bin (empty bins included via the smoothing).
+
+    Scale: each side is ONE map-combinable histogram groupBy collapsing
+    to ≤ n_bins rows; everything after runs on 2·n_bins rows. Totals
+    fold out of the histograms — no second pass, nothing driver-side.
+    """
+    width = (hi - lo + n_bins - 1) // n_bins
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.expr(f"(({score_col} - {lo}) div {width})").cast("long"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    ha, hb = hist(ref, "ref_n"), hist(cur, "cur_n")
+    bins = ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    j = (
+        bins.join(ha, "bin", "left")
+        .join(hb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    # totals from the (≤ n_bins row) histograms via one-row broadcast
+    tot = j.agg(
+        F.sum("ref_n").alias("ta"), F.sum("cur_n").alias("tb")
+    )
+    nb = F.lit(n_bins).cast("long")
+    withp = j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.expr(f"((ref_n + 1) * 1000000) div (ta + {n_bins})").alias("p_micro"),
+        F.expr(f"((cur_n + 1) * 1000000) div (tb + {n_bins})").alias("q_micro"),
+        F.round(
+            F.log(
+                ((F.col("ref_n") + 1) * (F.col("tb") + nb)).cast("double")
+                / ((F.col("cur_n") + 1) * (F.col("ta") + nb)).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return withp.withColumn(
+        "psi_contrib", (F.col("p_micro") - F.col("q_micro")) * F.col("lr_micro")
+    )

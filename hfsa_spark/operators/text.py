@@ -2379,3 +2379,58 @@ def url_dedup_profile(
         F.count_distinct(url_col).cast("long").alias("n_spellings"),
         F.min(id_col).cast("long").alias("keeper_id"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility audit per group (typically language): how many
+    characters and UTF-8 bytes one token "costs" — THE sanity gate before
+    committing a tokenizer to a multilingual corpus (fertility spikes on a
+    language mean its documents consume context windows, inflate training
+    cost, and under-train per byte; cf. the fertility tables in the BLOOM
+    and XLM-R papers). Uses the whitespace tokenizer and the BPE-ish
+    word-piece proxy side by side, so the ratio between them exposes
+    scripts the word-piece rule fragments hardest.
+
+    Output per group: (group, n_docs, n_tokens, n_pieces, n_chars,
+    n_bytes, chars_per_token_micro, bytes_per_token_micro,
+    pieces_per_token_micro) — all counts exact integers, the three ratios
+    floor-scaled to micro so the DuckDB oracle reproduces them bit-exact.
+
+    Scale: pure map expressions + ONE map-combinable groupBy on the
+    group key; group cardinality ≈ #languages, so the shuffle is bytes.
+    """
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        token_count(text_col).cast("long").alias("t"),
+        bpe_ish_token_count(text_col).alias("p"),
+        F.length(text_col).cast("long").alias("c"),
+        F.octet_length(text_col).cast("long").alias("b"),
+    )
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("p").alias("n_pieces"),
+        F.sum("c").alias("n_chars"),
+        F.sum("b").alias("n_bytes"),
+    )
+    def _micro(num, den):
+        # integer `div` keeps the whole ratio in exact int64 arithmetic
+        # (the repo-wide oracle convention; Spark div == DuckDB //)
+        return F.when(
+            F.col(den) > 0, F.expr(f"({num} * 1000000) div {den}")
+        ).otherwise(F.lit(0)).cast("long")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "n_pieces",
+        "n_chars",
+        "n_bytes",
+        _micro("n_chars", "n_tokens").alias("chars_per_token_micro"),
+        _micro("n_bytes", "n_tokens").alias("bytes_per_token_micro"),
+        _micro("n_pieces", "n_tokens").alias("pieces_per_token_micro"),
+    )

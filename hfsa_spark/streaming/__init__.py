@@ -8,6 +8,8 @@ successive fsimage extracts (or an events stream) processed incrementally.
 from hfsa_spark.streaming.snapshots import (
     read_snapshot_stream,
     snapshot_growth_report,
+    snapshot_delta_report,
+    snapshot_inode_diff,
     windowed_event_counts,
     sessionize_events,
 )
@@ -19,6 +21,8 @@ from hfsa_spark.streaming.index import streaming_index_maintenance
 __all__ = [
     "read_snapshot_stream",
     "snapshot_growth_report",
+    "snapshot_delta_report",
+    "snapshot_inode_diff",
     "windowed_event_counts",
     "sessionize_events",
     "stateful_sessionize",

@@ -61,6 +61,40 @@ def snapshot_delta_report(snapshots: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_inode_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "full_path",
+    size_col: str = "file_size",
+) -> DataFrame:
+    """Inode-level diff between two namespace snapshots — the
+    what-changed complement of :func:`snapshot_delta_report`'s how-much
+    rollup (reference story: successive fsimages,
+    ``FSImageLoader``-style namespaces): every path is classified
+    ``added`` / ``deleted`` / ``modified`` (size changed) /
+    ``unchanged``. Returns (status, path, old_size, new_size).
+
+    Scale: both sides are projected to (key, size) BEFORE the full outer
+    join — the join shuffles two narrow columns keyed on the path, never
+    the full inode rows; at 100 TB namespaces this is the same
+    digest-projected-FOJ shape as operators/dedup.py::corpus_diff.
+    """
+    a = old.select(
+        F.col(key_col).alias("path"), F.col(size_col).alias("old_size")
+    )
+    b = new.select(
+        F.col(key_col).alias("path"), F.col(size_col).alias("new_size")
+    )
+    joined = a.join(b, "path", "full")
+    status = (
+        F.when(F.col("old_size").isNull(), F.lit("added"))
+        .when(F.col("new_size").isNull(), F.lit("deleted"))
+        .when(F.col("old_size") != F.col("new_size"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(status.alias("status"), "path", "old_size", "new_size")
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

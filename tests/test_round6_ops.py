@@ -1,0 +1,94 @@
+"""Round-6 operators: snapshot inode diff, tokenizer fertility,
+quality-drift PSI."""
+
+from pyspark.sql import functions as F
+
+
+def test_snapshot_inode_diff_statuses(spark):
+    from hfsa_spark.streaming.snapshots import snapshot_inode_diff
+
+    old = spark.createDataFrame(
+        [("/a", 10), ("/b", 20), ("/c", 30)], ["full_path", "file_size"]
+    )
+    new = spark.createDataFrame(
+        [("/a", 10), ("/b", 25), ("/d", 40)], ["full_path", "file_size"]
+    )
+    got = {r.path: (r.status, r.old_size, r.new_size)
+           for r in snapshot_inode_diff(old, new).collect()}
+    assert got == {
+        "/a": ("unchanged", 10, 10),
+        "/b": ("modified", 20, 25),
+        "/c": ("deleted", 30, None),
+        "/d": ("added", None, 40),
+    }
+
+
+def test_tokenizer_fertility_integer_ratios(spark):
+    from hfsa_spark.operators.text import tokenizer_fertility
+
+    # 'aa bb' = 2 tokens, 5 chars; 'ccc' = 1 token 3 chars; one 2-byte char
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en"), (2, "ccc", "en"), (3, "é", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en.n_docs, en.n_tokens, en.n_chars, en.n_bytes) == (2, 3, 8, 8)
+    assert en.chars_per_token_micro == 8 * 1000000 // 3
+    fr = out["fr"]
+    assert (fr.n_tokens, fr.n_chars, fr.n_bytes) == (1, 1, 2)
+    assert fr.bytes_per_token_micro == 2_000_000
+
+
+def test_tokenizer_fertility_empty_group_zero_ratio(spark):
+    from hfsa_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame([(1, "   ", "zz")], ["doc_id", "text", "lang"])
+    r = tokenizer_fertility(df).collect()[0]
+    assert r.n_tokens == 0 and r.chars_per_token_micro == 0
+
+
+def test_quality_drift_psi_identical_halves_zero(spark):
+    from hfsa_spark.operators.features import quality_drift_psi
+
+    df = spark.createDataFrame(
+        [(i, (i * 53) % 1000) for i in range(200)], ["doc_id", "score"]
+    )
+    out = quality_drift_psi(df, df, n_bins=10, lo=0, hi=1000).collect()
+    assert len(out) == 10
+    assert all(r.psi_contrib == 0 and r.lr_micro == 0 for r in out)
+
+
+def test_quality_drift_psi_detects_shift(spark):
+    from hfsa_spark.operators.features import quality_drift_psi
+
+    ref = spark.createDataFrame(
+        [(i, i % 500) for i in range(500)], ["doc_id", "score"]
+    )
+    cur = spark.createDataFrame(  # shifted up by 500
+        [(i, 500 + (i % 500)) for i in range(500)], ["doc_id", "score"]
+    )
+    out = quality_drift_psi(ref, cur, n_bins=10, lo=0, hi=1000).collect()
+    total = sum(r.psi_contrib for r in out)
+    # complete disjoint shift: PSI far above the 0.25 alert (2.5e11 mu^2)
+    assert total > 2_500_000_000_00
+    # contributions positive where ref mass sits, negative where cur sits
+    by_bin = {r.bin: r for r in out}
+    assert by_bin[0].psi_contrib > 0 and by_bin[9].psi_contrib > 0
+
+
+def test_quality_drift_psi_partition_invariant(spark):
+    from hfsa_spark.operators.features import quality_drift_psi
+
+    ref = spark.createDataFrame(
+        [(i, (i * 31) % 600) for i in range(300)], ["doc_id", "score"]
+    )
+    cur = spark.createDataFrame(
+        [(i, (i * 17) % 600) for i in range(300)], ["doc_id", "score"]
+    )
+    a = {(r.bin, r.psi_contrib)
+         for r in quality_drift_psi(ref, cur, lo=0, hi=600).collect()}
+    b = {(r.bin, r.psi_contrib)
+         for r in quality_drift_psi(
+             ref.repartition(7), cur.repartition(5), lo=0, hi=600).collect()}
+    assert a == b
