@@ -1174,8 +1174,12 @@ def _ranked_shingles(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared PPJoin front end: (toks, pos) where toks = exploded
     distinct shingles per doc and pos adds the rarest-first rank
-    (document frequency asc, element asc) and per-doc set size."""
-    toks = df.select(
+    (document frequency asc, element asc) and per-doc set size.
+    parallelize_compute fans a single-row-group input out to the
+    cluster before the shingle expression work (no-op on real scans)."""
+    from hfsa_spark.plans import parallelize_compute
+
+    toks = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
     )
@@ -1256,16 +1260,39 @@ def setsim_join(
     pairs × one side's elements. Everything is equi-joins and
     map-combinable counts; nothing driver-side.
     """
-    toks, cand = _setsim_candidates(
+    _, cand = _setsim_candidates(
         df, id_col, text_col, threshold_num, threshold_den, shingle_n
     )
-    ta = toks.select(F.col("_id").alias("id_a"), "_el")
-    tb = toks.select(F.col("_id").alias("id_b"), "_el")
+    # verification: join each candidate pair with the two PRE-BUILT
+    # shingle arrays and intersect in one codegen'd array op — shuffles
+    # one array row per (pair, side) instead of |S_a| narrow string rows
+    # per pair (the r5 explode-join shape cost ~1.6x more at sf0.1)
+    from hfsa_spark.plans import parallelize_compute
+
+    sets = parallelize_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(text_col, shingle_n).alias("_set"),
+    )
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "_el"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(
+            sets.select(
+                F.col("_sid").alias("id_a"), F.col("_set").alias("_set_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_sid").alias("id_b"), F.col("_set").alias("_set_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("inter"),
+        )
     )
     return inter.filter(
         threshold_den * F.col("inter")
@@ -1478,16 +1505,37 @@ def containment_join(
     the element-frequency distribution, and verification touches only
     candidates × the contained side's elements.
     """
-    toks, cand = _containment_candidates(
+    _, cand = _containment_candidates(
         df, id_col, text_col, threshold_num, threshold_den, shingle_n
     )
-    full_b = toks.select(F.col("_id").alias("id_b"), "_el")
-    ta = toks.select(F.col("_id").alias("id_a"), "_el")
+    # array-intersect verification (see setsim_join): one array row per
+    # (pair, side) instead of |S_a| narrow rows per candidate pair
+    from hfsa_spark.plans import parallelize_compute
+
+    sets = parallelize_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(text_col, shingle_n).alias("_set"),
+    )
     inter = (
-        cand.join(ta, "id_a")
-        .join(full_b, ["id_b", "_el"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(
+            sets.select(
+                F.col("_sid").alias("id_a"), F.col("_set").alias("_set_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_sid").alias("id_b"), F.col("_set").alias("_set_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("inter"),
+        )
     )
     return inter.filter(
         threshold_den * F.col("inter") >= threshold_num * F.col("n_a")
@@ -1526,7 +1574,9 @@ def interdoc_shingle_repetition(
     never the shingle string); the join back to docs is on the same
     hash — two shuffles total, both on bounded-width keys.
     """
-    sh = df.select(
+    from hfsa_spark.plans import parallelize_compute
+
+    sh = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
     ).select("_id", portable_hash64(F.col("_sh")).alias("_h"))
