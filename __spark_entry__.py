@@ -3446,14 +3446,15 @@ def q196_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_inode_diff(old, new).orderBy("status", "path")
 
 
-def q197_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language tokenizer-fertility audit: chars/bytes/word-pieces per
-    whitespace token, all integer-exact (counts + div-micro ratios). The
-    oracle replays the token, BPE-ish piece, and octet counts."""
-    from hfsa_spark.operators.text import tokenizer_fertility
+def q197_byte_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BYTE-level tokenizer-fertility audit (the UTF-8-cost
+    companion to q144): chars/bytes/word-pieces per whitespace token, all
+    integer-exact (counts + div-micro ratios). The oracle replays the
+    token, BPE-ish piece, and octet counts."""
+    from hfsa_spark.operators.text import tokenizer_byte_fertility
 
     d = _t(spark, sf_dir, "documents")
-    return tokenizer_fertility(d, group_col="lang").orderBy("lang")
+    return tokenizer_byte_fertility(d, group_col="lang").orderBy("lang")
 
 
 def q198_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3935,7 +3936,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_sharded_order_audit": q194_sharded_order_audit,
         "q195_snapshot_growth": q195_snapshot_growth,
         "q196_snapshot_diff": q196_snapshot_diff,
-        "q197_tokenizer_fertility": q197_tokenizer_fertility,
+        "q197_byte_fertility": q197_byte_fertility,
         "q198_quality_drift_psi": q198_quality_drift_psi,
     }
 
@@ -8094,7 +8095,7 @@ def oracle_sql() -> dict[str, str]:
 
     # q197: tokenizer fertility — token/piece/char/byte counts per lang,
     # div-micro ratios (Spark div == DuckDB //)
-    o["q197_tokenizer_fertility"] = f"""
+    o["q197_byte_fertility"] = f"""
         WITH per_doc AS (
             SELECT lang,
                    len({_TOKS})::BIGINT AS t,

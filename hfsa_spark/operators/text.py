@@ -2381,13 +2381,15 @@ def url_dedup_profile(
     )
 
 
-def tokenizer_fertility(
+def tokenizer_byte_fertility(
     df: DataFrame,
     group_col: str = "lang",
     text_col: str = "text",
 ) -> DataFrame:
-    """Tokenizer-fertility audit per group (typically language): how many
-    characters and UTF-8 bytes one token "costs" — THE sanity gate before
+    """Byte-level tokenizer-fertility audit per group (typically
+    language) — the UTF-8-cost companion to :func:`tokenizer_fertility`
+    (which has no byte dimension): how many characters and UTF-8 bytes
+    one token "costs" — THE sanity gate before
     committing a tokenizer to a multilingual corpus (fertility spikes on a
     language mean its documents consume context windows, inflate training
     cost, and under-train per byte; cf. the fertility tables in the BLOOM

@@ -23,15 +23,15 @@ def test_snapshot_inode_diff_statuses(spark):
     }
 
 
-def test_tokenizer_fertility_integer_ratios(spark):
-    from hfsa_spark.operators.text import tokenizer_fertility
+def test_tokenizer_byte_fertility_integer_ratios(spark):
+    from hfsa_spark.operators.text import tokenizer_byte_fertility
 
     # 'aa bb' = 2 tokens, 5 chars; 'ccc' = 1 token 3 chars; one 2-byte char
     df = spark.createDataFrame(
         [(1, "aa bb", "en"), (2, "ccc", "en"), (3, "é", "fr")],
         ["doc_id", "text", "lang"],
     )
-    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    out = {r.lang: r for r in tokenizer_byte_fertility(df).collect()}
     en = out["en"]
     assert (en.n_docs, en.n_tokens, en.n_chars, en.n_bytes) == (2, 3, 8, 8)
     assert en.chars_per_token_micro == 8 * 1000000 // 3
@@ -40,11 +40,11 @@ def test_tokenizer_fertility_integer_ratios(spark):
     assert fr.bytes_per_token_micro == 2_000_000
 
 
-def test_tokenizer_fertility_empty_group_zero_ratio(spark):
-    from hfsa_spark.operators.text import tokenizer_fertility
+def test_tokenizer_byte_fertility_empty_group_zero_ratio(spark):
+    from hfsa_spark.operators.text import tokenizer_byte_fertility
 
     df = spark.createDataFrame([(1, "   ", "zz")], ["doc_id", "text", "lang"])
-    r = tokenizer_fertility(df).collect()[0]
+    r = tokenizer_byte_fertility(df).collect()[0]
     assert r.n_tokens == 0 and r.chars_per_token_micro == 0
 
 
