@@ -8004,7 +8004,7 @@ def oracle_sql() -> dict[str, str]:
                  OR (b.bin = a.bin AND b.source < a.source)
             GROUP BY a.bin, a.source)
         SELECT w.doc_id, w.score, w.source, w.bin, w.shuffle_key,
-               (off.o + w.w)::INT AS position
+               (off.o + w.w)::BIGINT AS position
         FROM within w JOIN off USING (bin, source)
         ORDER BY position
     """
@@ -8027,7 +8027,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_g a LEFT JOIN per_g b ON b.source < a.source
                 GROUP BY a.source),
         g AS (SELECT m.doc_id, m.n_tokens,
-                     (off.o + m.local_id)::INT AS shard_id, m.source
+                     (off.o + m.local_id)::BIGINT AS shard_id, m.source
               FROM m JOIN off USING (source))
         SELECT shard_id, COUNT(*)::BIGINT AS n_docs,
                SUM(n_tokens)::BIGINT AS n_tokens,

@@ -208,7 +208,9 @@ def main() -> None:
         try:
             with open(anchors_path) as fh:
                 anchors = json.load(fh)
-        except OSError:
+        except (OSError, ValueError):
+            # a missing or corrupted anchor file must never lose the
+            # just-finished timed run
             anchors = {}
         regressions = {
             k: {"sec": round(v, 3), "anchor": anchors[k]}

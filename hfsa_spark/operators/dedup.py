@@ -1194,6 +1194,48 @@ def _ranked_shingles(
     return toks, pos
 
 
+def _verify_pairs(
+    cand: "DataFrame",
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+) -> "DataFrame":
+    """Shared exact verification back end for the PPJoin family: join the
+    candidate pairs to the two PRE-BUILT shingle arrays and intersect in
+    one codegen'd array op — shuffles one array row per (pair, side)
+    instead of |S_a| narrow string rows per pair (the r5 explode-join
+    shape cost ~1.6x more at sf0.1). Returns
+    (id_a, id_b, n_a, n_b, inter)."""
+    from hfsa_spark.plans import parallelize_compute
+
+    sets = parallelize_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(text_col, shingle_n).alias("_set"),
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("_sid").alias("id_a"), F.col("_set").alias("_set_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_sid").alias("id_b"), F.col("_set").alias("_set_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("inter"),
+        )
+    )
+
+
 def _setsim_candidates(
     df: DataFrame,
     id_col: str,
@@ -1263,37 +1305,7 @@ def setsim_join(
     _, cand = _setsim_candidates(
         df, id_col, text_col, threshold_num, threshold_den, shingle_n
     )
-    # verification: join each candidate pair with the two PRE-BUILT
-    # shingle arrays and intersect in one codegen'd array op — shuffles
-    # one array row per (pair, side) instead of |S_a| narrow string rows
-    # per pair (the r5 explode-join shape cost ~1.6x more at sf0.1)
-    from hfsa_spark.plans import parallelize_compute
-
-    sets = parallelize_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_sid"),
-        word_shingles(text_col, shingle_n).alias("_set"),
-    )
-    inter = (
-        cand.join(
-            sets.select(
-                F.col("_sid").alias("id_a"), F.col("_set").alias("_set_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col("_sid").alias("id_b"), F.col("_set").alias("_set_b")
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect("_set_a", "_set_b")).alias("inter"),
-        )
-    )
+    inter = _verify_pairs(cand, df, id_col, text_col, shingle_n)
     return inter.filter(
         threshold_den * F.col("inter")
         >= threshold_num * (F.col("n_a") + F.col("n_b") - F.col("inter"))
@@ -1508,35 +1520,7 @@ def containment_join(
     _, cand = _containment_candidates(
         df, id_col, text_col, threshold_num, threshold_den, shingle_n
     )
-    # array-intersect verification (see setsim_join): one array row per
-    # (pair, side) instead of |S_a| narrow rows per candidate pair
-    from hfsa_spark.plans import parallelize_compute
-
-    sets = parallelize_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_sid"),
-        word_shingles(text_col, shingle_n).alias("_set"),
-    )
-    inter = (
-        cand.join(
-            sets.select(
-                F.col("_sid").alias("id_a"), F.col("_set").alias("_set_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col("_sid").alias("id_b"), F.col("_set").alias("_set_b")
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect("_set_a", "_set_b")).alias("inter"),
-        )
-    )
+    inter = _verify_pairs(cand, df, id_col, text_col, shingle_n)
     return inter.filter(
         threshold_den * F.col("inter") >= threshold_num * F.col("n_a")
     ).select(

@@ -521,8 +521,14 @@ def quality_drift_psi(
             ),
             F.lit(n_bins - 1),
         )
-        return df.select(b.alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).cast("long").alias(name)
+        # NULL scores are EXCLUDED, not binned: F.greatest skips nulls, so
+        # without the filter a NULL score would silently land in bin 0 and
+        # fabricate (or mask) drift there
+        return (
+            df.filter(F.col(score_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
         )
 
     ha, hb = hist(ref, "ref_n"), hist(cur, "cur_n")

@@ -228,16 +228,28 @@ def token_budget_shards(
     prior = per_g.select(
         F.col(shard_col).alias("_pg"), F.col("_nsh").alias("_pn")
     )
+    # NULL group keys are real groups (ordered LAST) and the join-back is
+    # null-safe — documents with a missing group value are never dropped
+    g_before = (F.col("_pg") < F.col(shard_col)) | (
+        F.col("_pg").isNotNull() & F.col(shard_col).isNull()
+    )
     off = (
-        per_g.join(F.broadcast(prior), F.col("_pg") < F.col(shard_col), "left")
+        per_g.join(F.broadcast(prior), g_before, "left")
         .groupBy(shard_col)
         .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off"))
     )
-    return local.join(F.broadcast(off), shard_col).select(
-        id_col,
-        "n_tokens",
-        (F.col("_off") + F.col("_local")).cast("int").alias("shard_id"),
-        shard_col,
+    offr = off.select(F.col(shard_col).alias("_og"), "_off")
+    return (
+        local.join(
+            F.broadcast(offr), F.col(shard_col).eqNullSafe(F.col("_og"))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            # long: the shard_col path targets manifests past 2^31 rows
+            (F.col("_off") + F.col("_local")).cast("long").alias("shard_id"),
+            shard_col,
+        )
     )
 
 

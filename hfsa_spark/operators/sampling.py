@@ -418,25 +418,42 @@ def curriculum_order(
         F.col(shard_col).alias("_ps"),
         F.col("_c").alias("_pc"),
     )
+    # NULL shard keys: a NULL group is a real group (crawl metadata is
+    # often missing) — the inequality orders NULL LAST among shards and
+    # the join-back is null-safe, so NULL-shard rows are never dropped
+    shard_before = (F.col("_ps") < F.col(shard_col)) | (
+        F.col("_ps").isNotNull() & F.col(shard_col).isNull()
+    )
     off = (
         cnt.join(
             F.broadcast(prior),
             (F.col("_pb") < F.col("bin"))
-            | ((F.col("_pb") == F.col("bin")) & (F.col("_ps") < F.col(shard_col))),
+            | ((F.col("_pb") == F.col("bin")) & shard_before),
             "left",
         )
         .groupBy("bin", shard_col)
         .agg(F.coalesce(F.sum("_pc"), F.lit(0)).alias("_off"))
     )
+    offr = off.select(
+        F.col("bin").alias("_ob"),
+        F.col(shard_col).alias("_os"),
+        "_off",
+    )
     return (
-        out.join(F.broadcast(off), ["bin", shard_col])
+        out.join(
+            F.broadcast(offr),
+            (F.col("bin") == F.col("_ob"))
+            & F.col(shard_col).eqNullSafe(F.col("_os")),
+        )
         .select(
             id_col,
             score_col,
             shard_col,
             "bin",
             "shuffle_key",
-            (F.col("_off") + F.col("_within")).cast("int").alias("position"),
+            # long, not int: the shard_col path is documented for manifest
+            # sizes past 2^31 rows
+            (F.col("_off") + F.col("_within")).cast("long").alias("position"),
         )
     )
 

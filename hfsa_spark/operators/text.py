@@ -933,10 +933,12 @@ def dsir_scores(
             .alias("lr_micro"),
         )
     )
-    # model is ≤ n_buckets rows: materialize it eagerly to cut lineage,
-    # then release the cached token aggregates so repeated calls in a
-    # long-lived session don't accumulate storage blocks
-    model = model.localCheckpoint(eager=True)
+    # model is ≤ n_buckets rows: persist + materialize it (lineage kept,
+    # so a lost executor can recompute), then release the big cached
+    # token aggregates so repeated calls don't accumulate storage blocks;
+    # the retained cache is bounded by n_buckets rows
+    model = model.persist()
+    model.count()
     cs.unpersist()
     ct.unpersist()
     doc_toks = bucketed(df, with_id=True)
@@ -1131,9 +1133,11 @@ def bm25_topk(
     scores = comp.groupBy("query_id", id_col).agg(
         F.sum("c_micro").alias("score_micro")
     )
-    # scores is bounded by (query, matching-doc) pairs: materialize it and
-    # release the cached postings so the cache doesn't outlive the call
-    scores = scores.localCheckpoint(eager=True)
+    # scores is bounded by (query, matching-doc) pairs: persist +
+    # materialize (lineage kept for fault recompute) and release the big
+    # cached postings so they don't outlive the call
+    scores = scores.persist()
+    scores.count()
     tf.unpersist()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
@@ -1293,9 +1297,10 @@ def bigram_logprob_score_arrow(
             F.sum(F.col("logp_micro") * F.col("c")).alias("sum_logp_micro"),
         )
     )
-    # one row per scored doc: materialize, then release the cached
-    # partials (three consumers have all run by now)
-    out = out.localCheckpoint(eager=True)
+    # one row per scored doc: persist + materialize (lineage kept), then
+    # release the big cached partials (three consumers have all run)
+    out = out.persist()
+    out.count()
     parts.unpersist()
     return out
 

@@ -91,6 +91,10 @@ AUDIT = [
     ("q192_sharded_curriculum", "sharded curriculum: partitioned windows, broadcast offset join, no global sort", True),
     ("q193_sharded_token_shards", "sharded token shards: per-group cumsum, broadcast offsets", True),
     ("q194_sharded_order_audit", "sharded order audit: hash-block-partitioned lead window", True),
+    ("q195_snapshot_growth", "snapshot growth: per-(snapshot,user) rollup, lag over reduced agg", False),
+    ("q196_snapshot_diff", "snapshot diff: size-projected full outer join on path", False),
+    ("q197_byte_fertility", "byte fertility: map expressions + one language-keyed groupBy", False),
+    ("q198_quality_drift_psi", "PSI drift: two <=n_bins-row histogram groupBys, one-row total broadcast", True),
 ]
 
 

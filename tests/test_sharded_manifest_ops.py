@@ -159,3 +159,52 @@ def test_sharded_paths_have_no_unpartitioned_window(spark):
                 f"unpartitioned window over {m.group(1)}:\n"
                 + physical[:2000]
             )
+
+
+def test_curriculum_shard_null_keys_not_dropped(spark):
+    """NULL shard values form a real group (ordered last); no rows drop
+    and positions stay a 1..N permutation."""
+    from hfsa_spark.operators.sampling import curriculum_order
+
+    rows = [(i, float(i % 10), None if i % 4 == 0 else f"s{i % 2}")
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, src string")
+    out = curriculum_order(df, n_bins=3, shard_col="src").collect()
+    assert len(out) == 24
+    assert sorted(r.position for r in out) == list(range(1, 25))
+    # NULL group orders after non-null shards within each bin
+    by_pos = sorted(out, key=lambda r: r.position)
+    for a, b in zip(by_pos, by_pos[1:]):
+        if a.bin == b.bin:
+            assert not (a.src is None and b.src is not None)
+
+
+def test_token_shards_null_keys_not_dropped(spark):
+    from hfsa_spark.operators.packing import token_budget_shards
+
+    rows = [(i, "w " * ((i % 5) + 1), None if i % 3 == 0 else "s")
+            for i in range(18)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = token_budget_shards(df, tokens_per_shard=6, shard_col="src").collect()
+    assert len(out) == 18
+    # shards contiguous, each wholly inside one group (None is a group)
+    groups = {}
+    for r in out:
+        groups.setdefault(r.shard_id, set()).add(r.src)
+    assert all(len(g) == 1 for g in groups.values())
+    assert sorted(groups) == list(range(len(groups)))
+
+
+def test_quality_drift_psi_null_scores_excluded(spark):
+    from hfsa_spark.operators.features import quality_drift_psi
+
+    base = [(i, (i * 53) % 1000) for i in range(200)]
+    ref = spark.createDataFrame(base, "doc_id long, score long")
+    # same distribution + 50 NULL scores must not fabricate drift
+    cur = spark.createDataFrame(
+        base + [(1000 + i, None) for i in range(50)],
+        "doc_id long, score long",
+    )
+    out = quality_drift_psi(ref, cur, n_bins=10, lo=0, hi=1000).collect()
+    assert all(r.psi_contrib == 0 for r in out)
+    assert sum(r.cur_n for r in out) == 200
