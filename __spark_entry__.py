@@ -3475,6 +3475,61 @@ def q198_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q199_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor through a REAL Structured-Streaming
+    lifecycle: three micro-batches (doc thirds) arrive as staged files,
+    foreachBatch writes one idempotent seg=<batch_id> PSI segment
+    against the frozen even-id reference histogram, and the monitor
+    table is read back batch-side. Deterministic batch→file mapping via
+    maxFilesPerTrigger=1 + staged mtimes (q164's protocol), so the
+    oracle replays each segment's PSI exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.streaming.drift import streaming_drift_monitor
+
+    tmp = tempfile.mkdtemp(prefix="q199_")
+    try:
+        src_dir = os.path.join(tmp, "arrivals")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("long").alias("score")
+        )
+        for k in range(3):
+            _stage_arrival_file(
+                d.filter(F.col("doc_id") % 3 == k), src_dir, k
+            )
+        ref = d.filter(F.col("doc_id") % 2 == 0)
+        src = (
+            spark.readStream.schema("doc_id bigint, score bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = os.path.join(tmp, "monitor")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = streaming_drift_monitor(
+                src, ref, out, checkpoint_path=os.path.join(tmp, "ck"),
+                score_col="score", n_bins=10, lo=0, hi=600,
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("seg").cast("long").alias("seg"),
+                "bin", "ref_n", "cur_n", "p_micro", "q_micro",
+                "lr_micro", "psi_contrib",
+            )
+            .orderBy("seg", "bin")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3938,6 +3993,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_snapshot_diff": q196_snapshot_diff,
         "q197_byte_fertility": q197_byte_fertility,
         "q198_quality_drift_psi": q198_quality_drift_psi,
+        "q199_streaming_drift": q199_streaming_drift,
     }
 
 
@@ -8151,6 +8207,42 @@ def oracle_sql() -> dict[str, str]:
                           / ((cur_n + 1) * (ta + 10))::DOUBLE) * 1e6)::BIGINT
                    AS psi_contrib
         FROM j, tot ORDER BY bin
+    """
+
+    # q199: per-micro-batch PSI segments — seg k = docs with doc_id%3=k
+    # vs the frozen even-id reference, identical convention to q198
+    o["q199_streaming_drift"] = """
+        WITH segs AS (SELECT unnest(generate_series(0, 2))::BIGINT AS seg),
+        r AS (SELECT ((n_chars - 0) // 60) AS rawbin FROM documents
+              WHERE doc_id % 2 = 0),
+        rh AS (SELECT LEAST(GREATEST(rawbin, 0), 9) AS bin,
+                      COUNT(*)::BIGINT AS ref_n FROM r GROUP BY 1),
+        c AS (SELECT doc_id % 3 AS seg, ((n_chars - 0) // 60) AS rawbin
+              FROM documents),
+        ch AS (SELECT seg, LEAST(GREATEST(rawbin, 0), 9) AS bin,
+                      COUNT(*)::BIGINT AS cur_n FROM c GROUP BY 1, 2),
+        bins AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin),
+        j AS (SELECT s.seg, b.bin,
+                     COALESCE(rh.ref_n, 0) AS ref_n,
+                     COALESCE(ch.cur_n, 0) AS cur_n
+              FROM segs s CROSS JOIN bins b
+              LEFT JOIN rh ON rh.bin = b.bin
+              LEFT JOIN ch ON ch.seg = s.seg AND ch.bin = b.bin),
+        tot AS (SELECT seg, SUM(ref_n)::BIGINT AS ta,
+                       SUM(cur_n)::BIGINT AS tb
+                FROM j GROUP BY seg)
+        SELECT j.seg, j.bin, j.ref_n, j.cur_n,
+               (((j.ref_n + 1) * 1000000) // (t.ta + 10))::BIGINT AS p_micro,
+               (((j.cur_n + 1) * 1000000) // (t.tb + 10))::BIGINT AS q_micro,
+               round(ln(((j.ref_n + 1) * (t.tb + 10))::DOUBLE
+                        / ((j.cur_n + 1) * (t.ta + 10))::DOUBLE)
+                     * 1e6)::BIGINT AS lr_micro,
+               ((((j.ref_n + 1) * 1000000) // (t.ta + 10))
+                - (((j.cur_n + 1) * 1000000) // (t.tb + 10)))
+               * round(ln(((j.ref_n + 1) * (t.tb + 10))::DOUBLE
+                          / ((j.cur_n + 1) * (t.ta + 10))::DOUBLE)
+                       * 1e6)::BIGINT AS psi_contrib
+        FROM j JOIN tot t USING (seg) ORDER BY j.seg, j.bin
     """
 
     return o

@@ -17,6 +17,11 @@ from hfsa_spark.streaming.stateful import stateful_sessionize
 from hfsa_spark.streaming.joins import stream_stream_interval_join
 from hfsa_spark.streaming.ingest import ingest_batch, streaming_ingest_dedup
 from hfsa_spark.streaming.index import streaming_index_maintenance
+from hfsa_spark.streaming.drift import (
+    read_drift_monitor,
+    streaming_drift_monitor,
+    write_drift_segment,
+)
 
 __all__ = [
     "read_snapshot_stream",
@@ -30,4 +35,7 @@ __all__ = [
     "ingest_batch",
     "streaming_ingest_dedup",
     "streaming_index_maintenance",
+    "read_drift_monitor",
+    "streaming_drift_monitor",
+    "write_drift_segment",
 ]

@@ -462,6 +462,16 @@ def test_containment_join_matches_bruteforce(spark):
         df, threshold_num=3, threshold_den=4).collect()}
     assert got == want
 
+    # and at the q184 gate threshold (9/10)
+    want_hi = set()
+    for a, b in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if 10 * inter >= 9 * len(sets[a]):
+            want_hi.add((a, b))
+    got_hi = {(r.id_a, r.id_b) for r in containment_join(
+        df, threshold_num=9, threshold_den=10).collect()}
+    assert got_hi == want_hi and want_hi
+
 
 # -------------------------------------------------------------- zipf_slope --
 def test_zipf_slope_near_minus_one_on_zipfian_counts(spark):

@@ -92,3 +92,34 @@ def test_quality_drift_psi_partition_invariant(spark):
          for r in quality_drift_psi(
              ref.repartition(7), cur.repartition(5), lo=0, hi=600).collect()}
     assert a == b
+
+
+def test_drift_segment_write_is_idempotent(spark, tmp_path):
+    """An at-least-once replay of a batch rewrites exactly its own
+    segment — the monitor table stays exactly-once."""
+    from hfsa_spark.streaming.drift import (
+        read_drift_monitor,
+        write_drift_segment,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, (i * 7) % 100) for i in range(100)], "doc_id long, score long"
+    )
+    batch = spark.createDataFrame(
+        [(i, (i * 13) % 100) for i in range(50)], "doc_id long, score long"
+    )
+    out = str(tmp_path / "monitor")
+    write_drift_segment(batch, ref, out, 0, n_bins=5, lo=0, hi=100)
+    first = {(r.seg, r.bin): r.psi_contrib
+             for r in read_drift_monitor(spark, out).collect()}
+    # replay the same batch id — must overwrite, not duplicate
+    write_drift_segment(batch, ref, out, 0, n_bins=5, lo=0, hi=100)
+    again = {(r.seg, r.bin): r.psi_contrib
+             for r in read_drift_monitor(spark, out).collect()}
+    assert first == again and len(first) == 5
+    # a second batch adds its own segment only
+    write_drift_segment(ref, ref, out, 1, n_bins=5, lo=0, hi=100)
+    allrows = read_drift_monitor(spark, out).collect()
+    assert {r.seg for r in allrows} == {0, 1}
+    # self-comparison segment is exactly zero
+    assert all(r.psi_contrib == 0 for r in allrows if r.seg == 1)
