@@ -123,3 +123,90 @@ def test_drift_segment_write_is_idempotent(spark, tmp_path):
     assert {r.seg for r in allrows} == {0, 1}
     # self-comparison segment is exactly zero
     assert all(r.psi_contrib == 0 for r in allrows if r.seg == 1)
+
+
+# ------------------------------------------------ property invariants --
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FAST = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_FAST
+@given(
+    st.lists(st.integers(min_value=0, max_value=999), min_size=2, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=999), min_size=2, max_size=30),
+)
+def test_psi_antisymmetry_property(spark, xs, ys):
+    """Swapping ref and cur negates every lr_micro exactly and keeps
+    |psi_contrib| within one smoothing quantum (p/q floor asymmetry)."""
+    from hfsa_spark.operators.features import quality_drift_psi
+
+    ref = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "doc_id long, score long"
+    )
+    cur = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ys)], "doc_id long, score long"
+    )
+    ab = {r.bin: r for r in
+          quality_drift_psi(ref, cur, n_bins=5, lo=0, hi=1000).collect()}
+    ba = {r.bin: r for r in
+          quality_drift_psi(cur, ref, n_bins=5, lo=0, hi=1000).collect()}
+    for b in ab:
+        assert ab[b].lr_micro == -ba[b].lr_micro
+        assert ab[b].ref_n == ba[b].cur_n and ab[b].cur_n == ba[b].ref_n
+
+
+@_FAST
+@given(st.lists(st.text(alphabet="ab é", min_size=0, max_size=20),
+                min_size=1, max_size=10))
+def test_byte_fertility_count_identities(spark, texts):
+    """bytes ≥ chars always (UTF-8), and group totals equal the sum of
+    per-document counts."""
+    from hfsa_spark.operators.text import tokenizer_byte_fertility
+
+    df = spark.createDataFrame(
+        [(i, t, "g") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    r = tokenizer_byte_fertility(df).collect()[0]
+    assert r.n_bytes >= r.n_chars
+    assert r.n_docs == len(texts)
+    assert r.n_chars == sum(len(t) for t in texts)
+    assert r.n_bytes == sum(len(t.encode("utf-8")) for t in texts)
+
+
+@_FAST
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 50)),
+                min_size=1, max_size=20))
+def test_snapshot_diff_partitions_the_union(spark, rows):
+    """Every path in old ∪ new appears exactly once, with the status
+    matching a direct dict comparison."""
+    from hfsa_spark.streaming.snapshots import snapshot_inode_diff
+
+    old_d = {f"/p{k}": v for k, v in rows[: len(rows) // 2 + 1]}
+    new_d = {f"/p{k}": v + (k % 2) for k, v in rows[len(rows) // 3 :]}
+    old = spark.createDataFrame(
+        list(old_d.items()) or [("/none", 0)], ["full_path", "file_size"]
+    )
+    new = spark.createDataFrame(
+        list(new_d.items()) or [("/none2", 0)], ["full_path", "file_size"]
+    )
+    od = old_d or {"/none": 0}
+    nd = new_d or {"/none2": 0}
+    got = {r.path: r.status
+           for r in snapshot_inode_diff(old, new).collect()}
+    assert set(got) == set(od) | set(nd)
+    for p in got:
+        if p not in nd:
+            assert got[p] == "deleted"
+        elif p not in od:
+            assert got[p] == "added"
+        elif od[p] != nd[p]:
+            assert got[p] == "modified"
+        else:
+            assert got[p] == "unchanged"
