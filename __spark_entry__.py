@@ -6565,10 +6565,15 @@ def oracle_sql() -> dict[str, str]:
 
     # q145: both templates normalize to '<norm text> ok'; one group of 2
     # per even doc, keeper = the even id
+    # group by digest for real: the corpus contains genuine exact dups
+    # (two even docs can share normalized text — found at sf0.1), so each
+    # digest group holds 2x its even members (each brings an odd twin)
     o["q145_chat_dedup"] = f"""
-        SELECT md5({_NORM} || ' ok') AS digest, 2::BIGINT AS doc_count,
-               doc_id AS keep_id
-        FROM documents WHERE doc_id % 2 = 0
+        SELECT digest, (2 * COUNT(*))::BIGINT AS doc_count,
+               MIN(doc_id) AS keep_id
+        FROM (SELECT doc_id, md5({_NORM} || ' ok') AS digest
+              FROM documents WHERE doc_id % 2 = 0)
+        GROUP BY digest
         ORDER BY keep_id
     """
 
