@@ -3530,6 +3530,27 @@ def q199_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q200_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization-aware dedup: even docs get an NFC suffix
+    ('é' = U+00E9), their odd twins reuse the text with the NFD
+    rendering ('e' + U+0301) — byte-exact dedup sees 2N distinct docs,
+    NFC-digest dedup must collapse each pair (and count one denormalized
+    member). Python unicodedata NFC == DuckDB nfc_normalize bit-exact,
+    so the oracle replays the digests."""
+    from hfsa_spark.operators.dedup import nfc_dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" café")).alias("text")
+    )
+    odd = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        # NFD rendering: same suffix as 'e' + combining acute U+0301
+        F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"),
+    )
+    return nfc_dedup_groups(even.unionByName(odd)).orderBy("keep_id")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -3994,6 +4015,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_byte_fertility": q197_byte_fertility,
         "q198_quality_drift_psi": q198_quality_drift_psi,
         "q199_streaming_drift": q199_streaming_drift,
+        "q200_nfc_dedup": q200_nfc_dedup,
     }
 
 
@@ -8248,6 +8270,24 @@ def oracle_sql() -> dict[str, str]:
                           / ((j.cur_n + 1) * (t.ta + 10))::DOUBLE)
                        * 1e6)::BIGINT AS psi_contrib
         FROM j JOIN tot t USING (seg) ORDER BY j.seg, j.bin
+    """
+
+    # q200: NFC-digest dedup — DuckDB nfc_normalize is bit-identical to
+    # Python unicodedata NFC; group by digest (corpus contains real
+    # exact dups, q145 lesson)
+    o["q200_nfc_dedup"] = """
+        WITH rendered AS (
+            SELECT doc_id, text || ' caf' || chr(233) AS t
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 1, text || ' cafe' || chr(769)
+            FROM documents WHERE doc_id % 2 = 0)
+        SELECT md5(nfc_normalize(t)) AS digest,
+               COUNT(*)::BIGINT AS doc_count,
+               MIN(doc_id)::BIGINT AS keep_id,
+               SUM(CASE WHEN nfc_normalize(t) != t THEN 1
+                        ELSE 0 END)::BIGINT AS n_denorm
+        FROM rendered GROUP BY digest ORDER BY keep_id
     """
 
     return o

@@ -1585,3 +1585,62 @@ def interdoc_shingle_repetition(
         .cast("long")
         .alias("shared_micro"),
     )
+
+
+def nfc_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-normalization-aware exact dedup: digests are md5 over the
+    NFC (canonical composition) form of the text, so NFD/NFC renderings
+    of the SAME string — 'é' as U+00E9 vs 'e'+U+0301, the duplicate
+    class OCR/copy-paste pipelines produce constantly — collapse into
+    one group where byte-exact dedup sees two documents. Also reports
+    how many group members arrived denormalized (text != NFC(text)),
+    the corpus-health signal for whether an NFC pass belongs upstream.
+
+    Returns (digest, doc_count, keep_id, n_denorm). Python's
+    unicodedata NFC is verified bit-identical to DuckDB's
+    nfc_normalize, so the oracle replays the digest exactly.
+
+    Scale: one Arrow map pass (Spark has no built-in NFC; the kernel
+    ships (id, 32-char digest, bool) — never the text) + the same
+    single digest-keyed groupBy as :func:`exact_dedup_groups`.
+    """
+    import hashlib
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from hfsa_spark.plans import parallelize_compute
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            digests: list[str | None] = []
+            denorm: list[bool | None] = []
+            for t in batch[text_col]:
+                if t is None:
+                    digests.append(None)
+                    denorm.append(None)
+                    continue
+                n = unicodedata.normalize("NFC", t)
+                digests.append(hashlib.md5(n.encode("utf-8")).hexdigest())
+                denorm.append(n != t)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "digest": digests,
+                    "denorm": denorm,
+                }
+            )
+
+    parts = parallelize_compute(df.select(id_col, text_col)).mapInPandas(
+        run, schema=f"{id_col} bigint, digest string, denorm boolean"
+    )
+    return parts.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.min(id_col).alias("keep_id"),
+        F.sum(F.col("denorm").cast("long")).alias("n_denorm"),
+    )

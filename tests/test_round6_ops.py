@@ -210,3 +210,21 @@ def test_snapshot_diff_partitions_the_union(spark, rows):
             assert got[p] == "modified"
         else:
             assert got[p] == "unchanged"
+
+
+def test_nfc_dedup_collapses_nfd_variants(spark):
+    from hfsa_spark.operators.dedup import nfc_dedup_groups
+
+    nfc = "café"          # é composed
+    nfd = "café"         # e + combining acute
+    rows = [(1, nfc), (2, nfd), (3, "other"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.keep_id: (r.doc_count, r.n_denorm)
+           for r in nfc_dedup_groups(df).collect() if r.keep_id is not None
+           and r.doc_count}
+    groups = nfc_dedup_groups(df).collect()
+    by_keep = {r.keep_id: r for r in groups}
+    assert by_keep[1].doc_count == 2 and by_keep[1].n_denorm == 1
+    assert by_keep[3].doc_count == 1 and by_keep[3].n_denorm == 0
+    # NULL text forms its own null-digest group, not a crash
+    assert any(r.digest is None for r in groups)
