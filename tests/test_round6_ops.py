@@ -228,3 +228,17 @@ def test_nfc_dedup_collapses_nfd_variants(spark):
     assert by_keep[3].doc_count == 1 and by_keep[3].n_denorm == 0
     # NULL text forms its own null-digest group, not a crash
     assert any(r.digest is None for r in groups)
+
+
+def test_nfkc_dedup_collapses_compat_variants(spark):
+    from hfsa_spark.operators.dedup import nfc_dedup_groups
+
+    rows = [(1, "file 6"), (2, "ﬁle ６"), (3, "file 7")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # NFC keeps the ligature/fullwidth doc distinct; NFKC collapses it
+    nfc = {r.keep_id: r.doc_count
+           for r in nfc_dedup_groups(df).collect()}
+    assert nfc == {1: 1, 2: 1, 3: 1}
+    nfkc = {r.keep_id: (r.doc_count, r.n_denorm)
+            for r in nfc_dedup_groups(df, form="NFKC").collect()}
+    assert nfkc == {1: (2, 1), 3: (1, 0)}
