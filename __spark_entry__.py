@@ -3551,6 +3551,120 @@ def q200_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_dedup_groups(even.unionByName(odd)).orderBy("keep_id")
 
 
+def q201_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot maintenance: a synthesized change batch (updates at
+    ts=1, later updates at ts=2 that must win, deletes, deletes
+    superseded by later updates, and inserts of unseen keys) applied to
+    the orders snapshot with one per-key window over the CHANGES only +
+    one full-outer equi-join — the base is never windowed. Oracle is the
+    same last-writer-wins algebra in SQL."""
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c1 = od.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 21 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit(1).alias("ts"),
+        F.lit(0).alias("seq"),
+    )
+    c2 = od.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("Y").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(200.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("ts"),
+        F.lit(0).alias("seq"),
+    )
+    c3 = od.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("ts"),
+        F.lit(0).alias("seq"),
+    )
+    changes = c1.unionByName(c2).unionByName(c3)
+    merged = upsert_merge(od, changes, ["o_orderkey"], ts_col="ts", seq_col="seq")
+    return merged.orderBy("o_orderkey")
+
+
+def q202_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build: a 3-version change log (insert at
+    ts=10, update at ts=20 for half the keys, delete at ts=30 for a
+    third of those) → per-key validity intervals via a lead window over
+    the change LOG only (partition = one key's history, bounded)."""
+    from hfsa_spark.operators.cdc import scd2_intervals
+
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    v1 = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("I").alias("op"),
+        F.lit(10).alias("ts"),
+    )
+    v2 = od.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(50.0)).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(20).alias("ts"),
+    )
+    v3 = od.filter(F.col("o_orderkey") % 150 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(30).alias("ts"),
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    return scd2_intervals(log, ["o_orderkey"], ts_col="ts", op_col="op").orderBy(
+        "o_orderkey", "valid_from"
+    )
+
+
+def q203_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord sharding end-to-end: write (doc_id, text) tf.Examples
+    into 4 CRC32C-framed shards, read them BACK through the parser
+    (every record CRC-verified), and report per-shard record/byte/id
+    totals — the oracle is the doc_id%4 closed form on documents."""
+    import shutil
+    import tempfile
+
+    from hfsa_spark.sinks.tfrecord import (
+        read_tfrecord_shards,
+        write_tfrecord_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000).select(
+        "doc_id", "text"
+    )
+    out = tempfile.mkdtemp(prefix="tfr_gate_")
+    spec = {"doc_id": "int64", "text": "bytes"}
+    try:
+        write_tfrecord_shards(d, out, spec, n_shards=4)
+        back = read_tfrecord_shards(spark, out, spec)
+        return (
+            back.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum(F.length("text")).cast("long").alias("text_bytes"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+            .orderBy("shard")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -4016,6 +4130,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_quality_drift_psi": q198_quality_drift_psi,
         "q199_streaming_drift": q199_streaming_drift,
         "q200_nfc_dedup": q200_nfc_dedup,
+        "q201_upsert_merge": q201_upsert_merge,
+        "q202_scd2_intervals": q202_scd2_intervals,
+        "q203_tfrecord_roundtrip": q203_tfrecord_roundtrip,
     }
 
 
@@ -8288,6 +8405,82 @@ def oracle_sql() -> dict[str, str]:
                SUM(CASE WHEN nfc_normalize(t) != t THEN 1
                         ELSE 0 END)::BIGINT AS n_denorm
         FROM rendered GROUP BY digest ORDER BY keep_id
+    """
+
+    # q201: CDC upsert — same change-batch construction, last writer
+    # (max ts, then seq) wins per key, 'D' winners drop the row
+    o["q201_upsert_merge"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders),
+        c AS (
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                   o_totalprice + 100.0 AS o_totalprice,
+                   CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op,
+                   1 AS ts, 0 AS seq
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'Y', o_totalprice + 200.0,
+                   'U', 2, 0
+            FROM orders WHERE o_orderkey % 14 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+                   'I', 1, 0
+            FROM orders WHERE o_orderkey % 11 = 0),
+        latest AS (
+            SELECT * FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY ts DESC, seq DESC) AS rn
+                FROM c) WHERE rn = 1)
+        SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+                    ELSE b.o_custkey END AS o_custkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN latest l
+          ON b.o_orderkey = l.o_orderkey
+        WHERE l.op IS NULL OR l.op <> 'D'
+        ORDER BY o_orderkey
+    """
+
+    # q202: SCD2 — lead window over the change log; 'D' rows close the
+    # previous interval but emit none themselves
+    o["q202_scd2_intervals"] = """
+        WITH k AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 50 = 0),
+        log AS (
+            SELECT o_orderkey, o_totalprice AS price, 'I' AS op, 10 AS ts
+            FROM k
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 50.0, 'U', 20
+            FROM k WHERE o_orderkey % 100 = 0
+            UNION ALL
+            SELECT o_orderkey, 0.0, 'D', 30
+            FROM k WHERE o_orderkey % 150 = 0),
+        iv AS (
+            SELECT o_orderkey, price, op, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY o_orderkey
+                                  ORDER BY ts) AS valid_to
+            FROM log)
+        SELECT o_orderkey, price, op, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM iv WHERE op <> 'D'
+        ORDER BY o_orderkey, valid_from
+    """
+
+    # q203: TFRecord round-trip — per-shard totals' closed form (text
+    # bytes = UTF-8 octet length, what the tf.Example BytesList carries)
+    o["q203_tfrecord_roundtrip"] = """
+        SELECT (doc_id % 4)::INT AS shard,
+               COUNT(*)::BIGINT AS n_records,
+               SUM(octet_length(encode(text)))::BIGINT AS text_bytes,
+               SUM(doc_id)::BIGINT AS sum_ids
+        FROM documents WHERE doc_id < 1000
+        GROUP BY shard ORDER BY shard
     """
 
     return o

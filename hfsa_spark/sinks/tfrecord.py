@@ -1,0 +1,333 @@
+"""TFRecord sharded sink/source with hand-rolled tf.Example encoding.
+
+TFRecord (public format: tensorflow.org/tutorials/load_data/tfrecord)
+is the other de-facto training-corpus interchange format next to
+WebDataset: a flat stream of length-prefixed, CRC32C-checksummed
+records, each usually a serialized ``tf.train.Example`` protobuf. This
+module implements BOTH layers from the public wire specs with zero
+TensorFlow/protobuf dependency:
+
+* record framing — ``uint64 length (LE) · masked crc32c(length) ·
+  data · masked crc32c(data)``, mask = ``rotr15(crc) + 0xa282ead8``
+  (the spec from tensorflow/core/lib/io/record_writer.h);
+* ``tf.Example`` proto wire bytes — ``Example{1: Features{1: map<string,
+  Feature>}}`` with ``Feature`` oneof ``{1: BytesList, 2: FloatList,
+  3: Int64List}``, numeric lists packed, map keys emitted in sorted
+  order so a rewrite of the same rows is byte-identical.
+
+Spark shape mirrors :mod:`hfsa_spark.sinks.webdataset`: writing keys the
+one payload shuffle on a deterministic shard id and writes each shard in
+exactly one task (groupBy → applyInPandas); reading is one task per
+shard with zero shuffles, CRCs verified on every record.
+
+Scale notes: shards are the parallelism unit (keep them 100 MB–1 GB, the
+standard practice); the encode/decode is pure per-row byte work inside
+Arrow-batched tasks — map-only, no driver involvement beyond the shard
+manifest. No counterpart in the reference (beyond-reference sink family
+with webdataset/jsonl).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- crc32c
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ (0x82F63B78 if _c & 1 else 0)  # reflected Castagnoli
+    _CRC_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), the checksum TFRecord framing uses."""
+    crc = 0xFFFFFFFF
+    tab = _CRC_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ tab[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ------------------------------------------------------------ proto wire
+
+def _varint(n: int) -> bytes:
+    """Unsigned LEB128. int64 values are encoded as their 64-bit two's
+    complement (protobuf's int64 rule: negatives take 10 bytes)."""
+    n &= 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(tag_byte: int, payload: bytes) -> bytes:
+    """One length-delimited field: tag · varint(len) · payload."""
+    return bytes([tag_byte]) + _varint(len(payload)) + payload
+
+
+def _feature(kind: str, values) -> bytes:
+    """Encode one ``Feature`` message."""
+    if kind == "bytes":
+        inner = b"".join(_ld(0x0A, v) for v in values)  # BytesList.value = 1
+        return _ld(0x0A, inner)  # Feature.bytes_list = 1
+    if kind == "float":
+        inner = _ld(0x0A, struct.pack(f"<{len(values)}f", *values))  # packed
+        return _ld(0x12, inner)  # Feature.float_list = 2
+    if kind == "int64":
+        inner = _ld(0x0A, b"".join(_varint(int(v)) for v in values))  # packed
+        return _ld(0x1A, inner)  # Feature.int64_list = 3
+    raise ValueError(f"unknown feature kind {kind!r}")
+
+
+def encode_example(feats: dict[str, tuple[str, list]]) -> bytes:
+    """``{name: (kind, values)}`` → serialized ``tf.Example`` bytes.
+
+    Keys are emitted sorted (protobuf map order is unspecified; pinning
+    it makes rewrites byte-identical)."""
+    entries = b""
+    for name in sorted(feats):
+        kind, values = feats[name]
+        entry = _ld(0x0A, name.encode()) + _ld(0x12, _feature(kind, values))
+        entries += _ld(0x0A, entry)  # Features.feature map entry
+    return _ld(0x0A, entries)  # Example.features = 1
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _to_i64(n: int) -> int:
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
+    """Inverse of :func:`encode_example` (accepts unpacked int64/float
+    repeats too, which other writers may emit)."""
+
+    def fields(buf: bytes):
+        pos = 0
+        while pos < len(buf):
+            key, pos = _read_varint(buf, pos)
+            num, wire = key >> 3, key & 7
+            if wire == 2:
+                ln, pos = _read_varint(buf, pos)
+                yield num, buf[pos : pos + ln]
+                pos += ln
+            elif wire == 0:
+                v, pos = _read_varint(buf, pos)
+                yield num, v
+            elif wire == 5:
+                yield num, buf[pos : pos + 4]
+                pos += 4
+            else:  # pragma: no cover - wire types tf.Example never uses
+                raise ValueError(f"unsupported wire type {wire}")
+
+    out: dict[str, tuple[str, list]] = {}
+    for num, features_buf in fields(data):
+        if num != 1:
+            continue
+        for enum, entry in fields(features_buf):
+            if enum != 1:
+                continue
+            name, feat = "", b""
+            for fnum, val in fields(entry):
+                if fnum == 1:
+                    name = val.decode()
+                elif fnum == 2:
+                    feat = val
+            for knum, kval in fields(feat):
+                if knum == 1:  # BytesList
+                    vals = [v for n2, v in fields(kval) if n2 == 1]
+                    out[name] = ("bytes", vals)
+                elif knum == 2:  # FloatList
+                    vals: list = []
+                    for n2, v in fields(kval):
+                        if n2 != 1:
+                            continue
+                        if isinstance(v, bytes) and len(v) != 4:
+                            vals.extend(
+                                struct.unpack(f"<{len(v) // 4}f", v)
+                            )  # packed
+                        elif isinstance(v, bytes):
+                            vals.append(struct.unpack("<f", v)[0])
+                        else:  # pragma: no cover
+                            raise ValueError("float wire mismatch")
+                    out[name] = ("float", vals)
+                elif knum == 3:  # Int64List
+                    vals = []
+                    for n2, v in fields(kval):
+                        if n2 != 1:
+                            continue
+                        if isinstance(v, bytes):  # packed
+                            p = 0
+                            while p < len(v):
+                                x, p = _read_varint(v, p)
+                                vals.append(_to_i64(x))
+                        else:
+                            vals.append(_to_i64(v))
+                    out[name] = ("int64", vals)
+    return out
+
+
+# --------------------------------------------------------------- framing
+
+def write_record(fh, data: bytes) -> None:
+    ln = struct.pack("<Q", len(data))
+    fh.write(ln)
+    fh.write(struct.pack("<I", _masked_crc(ln)))
+    fh.write(data)
+    fh.write(struct.pack("<I", _masked_crc(data)))
+
+
+def iter_records(buf: bytes):
+    """Yield record payloads, verifying both CRCs (raises ValueError)."""
+    pos = 0
+    while pos < len(buf):
+        ln_bytes = buf[pos : pos + 8]
+        (ln,) = struct.unpack("<Q", ln_bytes)
+        (len_crc,) = struct.unpack("<I", buf[pos + 8 : pos + 12])
+        if len_crc != _masked_crc(ln_bytes):
+            raise ValueError(f"tfrecord length CRC mismatch at offset {pos}")
+        data = buf[pos + 12 : pos + 12 + ln]
+        (data_crc,) = struct.unpack("<I", buf[pos + 12 + ln : pos + 16 + ln])
+        if data_crc != _masked_crc(data):
+            raise ValueError(f"tfrecord data CRC mismatch at offset {pos}")
+        yield data
+        pos += 16 + ln
+
+
+# ------------------------------------------------------------ spark side
+
+def _row_features(r, feature_spec: dict[str, str]) -> dict[str, tuple[str, list]]:
+    feats = {}
+    for col, kind in feature_spec.items():
+        v = r[col]
+        if kind == "int64":
+            feats[col] = ("int64", [int(v)])
+        elif kind == "int64_list":
+            feats[col] = ("int64", [int(x) for x in v])
+        elif kind == "bytes":
+            raw = v.encode() if isinstance(v, str) else bytes(v or b"")
+            feats[col] = ("bytes", [raw])
+        elif kind == "float_list":
+            feats[col] = ("float", [float(x) for x in v])
+        else:
+            raise ValueError(f"unknown feature spec kind {kind!r}")
+    return feats
+
+
+def write_tfrecord_shards(
+    df: DataFrame,
+    out_dir: str,
+    feature_spec: dict[str, str],
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Write rows as ``part-{i:05d}.tfrecord`` shards.
+
+    ``feature_spec`` maps column → ``'int64' | 'int64_list' | 'bytes' |
+    'float_list'`` (``bytes`` accepts string columns, UTF-8 encoded).
+    Sharding is ``id_col % n_shards``; members are ordered by ``id_col``
+    within a shard, so a rewrite is byte-identical. Returns shard paths.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cols = list(dict.fromkeys([id_col, *feature_spec]))
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        path = os.path.join(out_dir, f"part-{shard:05d}.tfrecord")
+        pdf = pdf.sort_values(id_col)
+        n_bytes = 0
+        with open(path, "wb") as fh:
+            for _, r in pdf.iterrows():
+                data = encode_example(_row_features(r, feature_spec))
+                write_record(fh, data)
+                n_bytes += 16 + len(data)
+        return pd.DataFrame(
+            {"shard": [shard], "n_records": [len(pdf)], "n_bytes": [n_bytes],
+             "path": [path]}
+        )
+
+    manifest = (
+        df.select(*cols)
+        .withColumn("__shard", (F.col(id_col) % n_shards).cast("int"))
+        .groupBy("__shard")
+        .applyInPandas(
+            write_shard,
+            schema="shard int, n_records long, n_bytes long, path string",
+        )
+        .collect()
+    )
+    return [r["path"] for r in sorted(manifest, key=lambda r: r["shard"])]
+
+
+def read_tfrecord_shards(
+    spark: SparkSession,
+    in_dir: str,
+    feature_spec: dict[str, str],
+) -> DataFrame:
+    """Read a :func:`write_tfrecord_shards` directory back — one task per
+    shard, zero shuffles, every record CRC-verified. Columns follow
+    ``feature_spec``: int64 → bigint, bytes → binary, int64_list →
+    array<bigint>, float_list → array<float>."""
+    paths = sorted(
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.endswith(".tfrecord")
+    )
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(len(paths), 1)
+    )
+    spec = dict(feature_spec)
+
+    def read_shard(batches):
+        for batch in batches:
+            for path in batch["path"]:
+                with open(path, "rb") as fh:
+                    buf = fh.read()
+                rows: dict[str, list] = {c: [] for c in spec}
+                for data in iter_records(buf):
+                    feats = decode_example(data)
+                    for col, kind in spec.items():
+                        _, vals = feats.get(col, (None, []))
+                        if kind == "int64":
+                            rows[col].append(vals[0] if vals else None)
+                        elif kind == "bytes":
+                            rows[col].append(vals[0] if vals else b"")
+                        else:
+                            rows[col].append(list(vals))
+                yield pd.DataFrame(rows)
+
+    types = {
+        "int64": "bigint",
+        "bytes": "binary",
+        "int64_list": "array<bigint>",
+        "float_list": "array<float>",
+    }
+    schema = ", ".join(f"{c} {types[k]}" for c, k in spec.items())
+    return pdf.mapInPandas(read_shard, schema=schema)

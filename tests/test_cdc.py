@@ -1,0 +1,97 @@
+"""CDC merge operators: upsert last-writer-wins semantics (join path ≡
+broadcast path), delete/insert/update handling, SCD2 interval algebra."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BASE = [
+    (1, "a", 10.0),
+    (2, "b", 20.0),
+    (3, "c", 30.0),
+    (4, "d", 40.0),
+]
+# (k, v, price, op, ts, seq)
+CHANGES = [
+    (2, "b2", 21.0, "U", 1, 0),  # update
+    (3, None, 0.0, "D", 1, 0),   # delete
+    (5, "e", 50.0, "I", 1, 0),   # insert new key
+    (2, "b3", 22.0, "U", 2, 0),  # later update wins over ts=1
+    (4, "x", 0.0, "D", 1, 0),    # delete...
+    (4, "d2", 41.0, "U", 2, 0),  # ...then re-upsert at ts=2 → survives
+    (6, "f", 60.0, "I", 1, 0),   # insert...
+    (6, None, 0.0, "D", 2, 1),   # ...then delete (same would-be day, seq wins)
+]
+EXPECTED = {
+    1: ("a", 10.0),   # untouched
+    2: ("b3", 22.0),  # last writer
+    4: ("d2", 41.0),  # delete superseded
+    5: ("e", 50.0),   # insert
+}
+
+
+def _frames(spark):
+    base = spark.createDataFrame(BASE, "k bigint, v string, price double")
+    ch = spark.createDataFrame(
+        CHANGES, "k bigint, v string, price double, op string, ts int, seq int"
+    )
+    return base, ch
+
+
+def test_upsert_merge_join_path(spark):
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base, ch = _frames(spark)
+    out = upsert_merge(base, ch, ["k"], ts_col="ts", seq_col="seq")
+    got = {r["k"]: (r["v"], r["price"]) for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_upsert_merge_broadcast_path_equivalent(spark):
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base, ch = _frames(spark)
+    out = upsert_merge(
+        base, ch, ["k"], ts_col="ts", seq_col="seq", broadcast_changes=True
+    )
+    got = {r["k"]: (r["v"], r["price"]) for r in out.collect()}
+    assert got == EXPECTED
+    assert out.columns == ["k", "v", "price"]
+
+
+def test_upsert_merge_empty_changes_is_identity(spark):
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base, ch = _frames(spark)
+    out = upsert_merge(base, ch.filter(F.lit(False)), ["k"])
+    assert {r["k"] for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_scd2_intervals(spark):
+    from hfsa_spark.operators.cdc import scd2_intervals
+
+    ch = spark.createDataFrame(
+        [
+            (1, "a1", "I", 10, 0),
+            (1, "a2", "U", 20, 0),
+            (1, "a3", "U", 30, 0),
+            (2, "b1", "I", 10, 0),
+            (2, None, "D", 25, 0),  # deleted key → no current row
+            (3, "c1", "I", 15, 0),
+        ],
+        "k bigint, v string, op string, ts int, seq int",
+    )
+    out = scd2_intervals(ch, ["k"], ts_col="ts", op_col="op", seq_col="seq")
+    rows = {
+        (r["k"], r["valid_from"]): (r["v"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 10): ("a1", 20, False),
+        (1, 20): ("a2", 30, False),
+        (1, 30): ("a3", None, True),
+        (2, 10): ("b1", 25, False),  # closed by the delete
+        (3, 15): ("c1", None, True),
+    }
+    # the delete row itself emits no interval; key 2 has no current row
+    assert not any(k == 2 and cur for (k, _), (_, _, cur) in rows.items())

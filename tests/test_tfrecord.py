@@ -1,0 +1,133 @@
+"""TFRecord sink/source: wire-format goldens (CRC32C, varint, proto),
+exact round-trip, CRC corruption detection, byte-determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import pytest
+
+from hfsa_spark.sinks.tfrecord import (
+    crc32c,
+    decode_example,
+    encode_example,
+    iter_records,
+    read_tfrecord_shards,
+    write_record,
+    write_tfrecord_shards,
+)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 appendix B.4 test vectors for CRC-32C
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+    # classic check value
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_example_wire_golden():
+    # hand-assembled tf.Example{features{feature{"id": int64_list[7]}}}
+    int64_list = b"\x0a\x01\x07"  # field1 packed, len1, varint(7)
+    feature = b"\x1a" + bytes([len(int64_list)]) + int64_list
+    entry = b"\x0a\x02id" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    assert encode_example({"id": ("int64", [7])}) == example
+
+
+def test_example_roundtrip_types():
+    feats = {
+        "ids": ("int64", [0, 1, -1, 2**62, -(2**62)]),
+        "payload": ("bytes", [b"\x00\xffabc", b""]),
+        "vec": ("float", [0.5, -2.25, 0.0]),
+    }
+    back = decode_example(encode_example(feats))
+    assert back["ids"] == ("int64", [0, 1, -1, 2**62, -(2**62)])
+    assert back["payload"] == ("bytes", [b"\x00\xffabc", b""])
+    assert back["vec"][0] == "float"
+    assert back["vec"][1] == [0.5, -2.25, 0.0]  # dyadic — exact in f32
+
+
+def test_framing_roundtrip_and_crc_detection(tmp_path):
+    p = tmp_path / "r.tfrecord"
+    with open(p, "wb") as fh:
+        write_record(fh, b"hello")
+        write_record(fh, b"")
+        write_record(fh, b"x" * 1000)
+    buf = open(p, "rb").read()
+    assert list(iter_records(buf)) == [b"hello", b"", b"x" * 1000]
+    # flip one payload byte → data CRC must fail
+    bad = bytearray(buf)
+    bad[12] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        list(iter_records(bytes(bad)))
+    # corrupt the length prefix → length CRC must fail
+    bad2 = bytearray(buf)
+    bad2[0] ^= 0x01
+    with pytest.raises(ValueError, match="length CRC"):
+        list(iter_records(bytes(bad2)))
+
+
+def test_tfrecord_shards_roundtrip(spark, tmp_path):
+    rows = [
+        (i, f"doc {i} é", [float(i), i / 2.0], [i, -i]) for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, vec array<double>, ids array<bigint>"
+    )
+    spec = {
+        "doc_id": "int64",
+        "text": "bytes",
+        "vec": "float_list",
+        "ids": "int64_list",
+    }
+    out = str(tmp_path / "tfr")
+    paths = write_tfrecord_shards(df, out, spec, n_shards=4)
+    assert [os.path.basename(p) for p in paths] == [
+        f"part-{i:05d}.tfrecord" for i in range(4)
+    ]
+
+    back = read_tfrecord_shards(spark, out, spec).collect()
+    got = {r["doc_id"]: r for r in back}
+    assert len(got) == 25
+    for i in range(25):
+        assert bytes(got[i]["text"]) == f"doc {i} é".encode()
+        assert got[i]["vec"] == [float(i), i / 2.0]  # halves exact in f32
+        assert got[i]["ids"] == [i, -i]
+
+    # deterministic rewrite → byte-identical shards
+    h1 = [hashlib.md5(open(p, "rb").read()).hexdigest() for p in paths]
+    out2 = str(tmp_path / "tfr2")
+    paths2 = write_tfrecord_shards(df, out2, spec, n_shards=4)
+    h2 = [hashlib.md5(open(p, "rb").read()).hexdigest() for p in paths2]
+    assert h1 == h2
+
+
+def test_tfrecord_unpacked_int64_accepted():
+    # other writers may emit repeated int64 UNPACKED (wire type 0 repeats)
+    unpacked = b"\x08\x07\x08\x2a"  # field1 varint 7, field1 varint 42
+    feature = b"\x1a" + bytes([len(unpacked)]) + unpacked
+    entry = b"\x0a\x01n" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    assert decode_example(example)["n"] == ("int64", [7, 42])
+
+
+def test_masked_crc_matches_spec():
+    # mask(crc) = rotr15(crc) + 0xa282ead8 (record_writer.h); verify the
+    # framing of a known record against an independently computed value
+    data = b"hello"
+    ln = struct.pack("<Q", 5)
+    c = crc32c(ln)
+    expected_mask = (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    import io
+
+    fh = io.BytesIO()
+    write_record(fh, data)
+    buf = fh.getvalue()
+    assert struct.unpack("<I", buf[8:12])[0] == expected_mask
