@@ -3665,6 +3665,117 @@ def q203_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q204_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document lengths: exact [p25, p75]
+    band per lang (integer-valued percentiles at dyadic p — IEEE-exact
+    across engines, q49's convention), broadcast back, map-only clip.
+    Full per-row decision table: clipped value + direction flags."""
+    from hfsa_spark.operators.features import winsorize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize(
+        d, "n_chars", group_col="lang", p_lo=0.25, p_hi=0.75
+    ).orderBy("doc_id")
+
+
+def q205_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC apply loop END-TO-END (not its batch twin):
+    three change batches (updates, deletes, delete-then-reupsert,
+    inserts) arrive as mtime-ordered files (maxFilesPerTrigger=1), each
+    foreachBatch merges into the newest committed snapshot version and
+    commits the next (versioned copy-on-write, replay-idempotent), and
+    the FINAL snapshot is read back — per-status counts/sums. Oracle is
+    the global last-writer-wins algebra (ts strictly increases with
+    batch order, so sequential apply ≡ one-shot LWW)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.streaming.cdc import (
+        init_snapshot,
+        latest_snapshot,
+        streaming_upsert_snapshots,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="q205_")
+    try:
+        src_dir = os.path.join(tmp, "changes")
+        b0 = od.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("ts"),
+        )
+        b1 = od.filter(F.col("o_orderkey") % 27 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit("D").alias("op"),
+            F.lit(2).alias("ts"),
+        )
+        b2a = od.filter(F.col("o_orderkey") % 18 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("Y").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(30.0)).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+            F.lit(3).alias("ts"),
+        )
+        b2b = od.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + F.lit(20000000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("I").alias("op"),
+            F.lit(3).alias("ts"),
+        )
+        for k, b in enumerate((b0, b1, b2a.unionByName(b2b))):
+            _stage_arrival_file(b, src_dir, k)
+
+        snap = os.path.join(tmp, "snapshot")
+        init_snapshot(od, snap)
+        src = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+                " o_totalprice double, op string, ts int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_upsert_snapshots(
+            src,
+            snap,
+            os.path.join(tmp, "ckpt"),
+            ["o_orderkey"],
+            ts_col="ts",
+            op_col="op",
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+        final = latest_snapshot(spark, snap)
+        return (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100)).alias("sum_cents"),
+                F.sum("o_orderkey").alias("sum_keys"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -4133,6 +4244,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_upsert_merge": q201_upsert_merge,
         "q202_scd2_intervals": q202_scd2_intervals,
         "q203_tfrecord_roundtrip": q203_tfrecord_roundtrip,
+        "q204_winsorize": q204_winsorize,
+        "q205_streaming_cdc": q205_streaming_cdc,
     }
 
 
@@ -8481,6 +8594,66 @@ def oracle_sql() -> dict[str, str]:
                SUM(doc_id)::BIGINT AS sum_ids
         FROM documents WHERE doc_id < 1000
         GROUP BY shard ORDER BY shard
+    """
+
+    # q204: winsorize — quantile_cont ≡ Spark percentile at dyadic p
+    # over integer values (q49 parity); LEAST/GREATEST coerce to double
+    # identically
+    o["q204_winsorize"] = """
+        WITH bands AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.25) AS lo,
+                   quantile_cont(n_chars, 0.75) AS hi
+            FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_wins,
+               (d.n_chars < b.lo) AS clipped_lo,
+               (d.n_chars > b.hi) AS clipped_hi,
+               b.lo, b.hi
+        FROM documents d JOIN bands b USING (lang)
+        ORDER BY d.doc_id
+    """
+
+    # q205: streaming CDC — ts strictly increases with batch order and a
+    # key appears once per batch, so the sequential versioned apply
+    # equals one-shot last-writer-wins over the unioned change log
+    o["q205_streaming_cdc"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders),
+        c AS (
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                   o_totalprice + 10.0 AS o_totalprice, 'U' AS op, 1 AS ts
+            FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, NULL, 0.0, 'D', 2
+            FROM orders WHERE o_orderkey % 27 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'Y', o_totalprice + 30.0, 'U', 3
+            FROM orders WHERE o_orderkey % 18 = 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+                   'I', 3
+            FROM orders WHERE o_orderkey % 13 = 0),
+        latest AS (
+            SELECT * FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+                FROM c) WHERE rn = 1),
+        merged AS (
+            SELECT CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                        ELSE b.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                        ELSE b.o_totalprice END AS o_totalprice,
+                   COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey
+            FROM base b FULL OUTER JOIN latest l
+              ON b.o_orderkey = l.o_orderkey
+            WHERE l.op IS NULL OR l.op <> 'D')
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_orders,
+               SUM(FLOOR(o_totalprice * 100))::BIGINT AS sum_cents,
+               SUM(o_orderkey)::BIGINT AS sum_keys
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """
 
     return o

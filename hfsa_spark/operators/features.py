@@ -566,3 +566,52 @@ def quality_drift_psi(
     return withp.withColumn(
         "psi_contrib", (F.col("p_micro") - F.col("q_micro")) * F.col("lr_micro")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Clip ``value_col`` to its exact [p_lo, p_hi] percentile band —
+    the standard heavy-tail taming step before feature scaling (Dixon,
+    "Simplified estimation from censored normal samples"; universally
+    called winsorizing in feature pipelines).
+
+    Adds ``{value}_wins`` (the clipped value), ``clipped_lo`` /
+    ``clipped_hi`` flags, and the band columns ``lo`` / ``hi`` so a
+    downstream auditor can see the cut applied to each row. Percentiles
+    are Spark's exact ``percentile`` (linear interpolation — DuckDB
+    ``quantile_cont`` parity; dyadic p values are IEEE-exact across
+    engines, see q49).
+
+    Scale: one aggregate produces the (per-group) percentile pair —
+    grouped, that's one shuffle on the group key over value pairs;
+    ungrouped, a one-row global aggregate — then a BROADCAST join back
+    and a map-only clip. The row table is never re-shuffled. For extreme
+    group cardinality swap ``percentile`` for ``approx_percentile`` and
+    keep everything else.
+    """
+    v = F.col(value_col)
+    bands_agg = [
+        F.percentile(v, F.lit(p_lo)).alias("lo"),
+        F.percentile(v, F.lit(p_hi)).alias("hi"),
+    ]
+    if group_col is None:
+        bands = df.agg(*bands_agg)
+        joined = df.crossJoin(F.broadcast(bands))
+    else:
+        bands = df.groupBy(group_col).agg(*bands_agg)
+        joined = df.join(F.broadcast(bands), on=group_col, how="left")
+    return joined.select(
+        *df.columns,
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias(
+            f"{value_col}_wins"
+        ),
+        (v < F.col("lo")).alias("clipped_lo"),
+        (v > F.col("hi")).alias("clipped_hi"),
+        "lo",
+        "hi",
+    )

@@ -95,6 +95,9 @@ AUDIT = [
     ("q196_snapshot_diff", "snapshot diff: size-projected full outer join on path", False),
     ("q197_byte_fertility", "byte fertility: map expressions + one language-keyed groupBy", False),
     ("q198_quality_drift_psi", "PSI drift: two <=n_bins-row histogram groupBys, one-row total broadcast", True),
+    ("q200_nfc_dedup", "NFC dedup: Arrow digest kernel -> one digest-keyed groupBy, text never shuffles", False),
+    ("q201_upsert_merge", "CDC upsert: change-batch-only window, one full-outer pk equi join, base never windowed", False),
+    ("q202_scd2_intervals", "SCD2: lead window bounded by per-key history, no global sort", False),
 ]
 
 

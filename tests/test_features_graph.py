@@ -170,3 +170,30 @@ def test_quarantine_invalid(spark):
         3: ["nonnegative_n"],
         4: ["nonempty_text", "nonnegative_n"],
     }
+
+
+def test_winsorize_global_and_grouped(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.features import winsorize
+
+    # 0..10 in one group: p25=2.5, p75=7.5 (linear interpolation)
+    df = spark.createDataFrame([(i, float(i)) for i in range(11)], "id int, v double")
+    out = {r["id"]: r for r in winsorize(df, "v", p_lo=0.25, p_hi=0.75).collect()}
+    assert out[0]["lo"] == 2.5 and out[0]["hi"] == 7.5
+    assert out[0]["v_wins"] == 2.5 and out[0]["clipped_lo"] and not out[0]["clipped_hi"]
+    assert out[10]["v_wins"] == 7.5 and out[10]["clipped_hi"]
+    assert out[5]["v_wins"] == 5.0 and not out[5]["clipped_lo"] and not out[5]["clipped_hi"]
+
+    # grouped: bands computed per group independently
+    g = spark.createDataFrame(
+        [("a", float(i)) for i in range(5)] + [("b", float(100 + i)) for i in range(5)],
+        "grp string, v double",
+    )
+    got = winsorize(g, "v", group_col="grp", p_lo=0.25, p_hi=0.75)
+    bands = {r["grp"]: (r["lo"], r["hi"]) for r in got.select("grp", "lo", "hi").distinct().collect()}
+    assert bands == {"a": (1.0, 3.0), "b": (101.0, 103.0)}
+    # the band table joins back via BROADCAST — the row table never
+    # re-shuffles after the percentile aggregate
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -269,3 +269,48 @@ def test_exact_join_family_plans(spark):
     assert partkeys, plan[:1500]
     for k in partkeys:
         assert "_h#" in k or "_id#" in k, partkeys
+
+
+def test_cdc_upsert_plans(spark):
+    """CDC plan contract: the default path windows ONLY the change batch
+    (one Window node, fed by the changes side) and applies it with equi
+    joins; the broadcast path keeps the base payload out of every
+    shuffle (survivors join is a BroadcastHashJoin; no cartesian or
+    nested-loop join anywhere)."""
+    import re
+
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ch = (
+        base.limit(50)
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(1))
+    )
+
+    merged = upsert_merge(base, ch, ["o_orderkey"], ts_col="ts")
+    plan = explain_str(merged, "formatted")
+    # exactly one Window NODE (the change batch) — the base is never
+    # windowed; Spark also inserts a WindowGroupLimit above it (rank
+    # pushdown), which the \b guard excludes
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    bc = upsert_merge(base, ch, ["o_orderkey"], ts_col="ts",
+                      broadcast_changes=True)
+    bplan = explain_str(bc, "formatted")
+    assert "BroadcastHashJoin" in bplan
+    assert "CartesianProduct" not in bplan
+    assert "BroadcastNestedLoopJoin" not in bplan
+    strategies = set(
+        re.findall(
+            r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct)",
+            bplan,
+        )
+    )
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
