@@ -3776,6 +3776,60 @@ def q205_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q206_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-located join: orders and customer are both
+    persisted bucketed+sorted on the customer key (one file per bucket),
+    so the fact⋈dim join runs with ZERO exchanges and zero sorts — the
+    shuffle is paid once at write time (tests/test_bucketed_layout.py
+    pins the plan contract). Result: per-segment order counts/sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="q206_")
+    try:
+        write_bucketed(od, "q206_orders", os.path.join(tmp, "o"), "o_custkey", 8)
+        write_bucketed(cu, "q206_customer", os.path.join(tmp, "c"), "c_custkey", 8)
+        o = spark.table("q206_orders")
+        c = spark.table("q206_customer")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100)).alias("sum_cents"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint()  # materialize before tables drop
+        )
+    finally:
+        drop_bucketed(spark, "q206_orders")
+        drop_bucketed(spark, "q206_customer")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q207_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-state maintenance: two disjoint event
+    batches each build per-type algebraic partials, the states merge
+    (state rows only — history is never re-scanned), and the finalize
+    adds the integer-exact mean. Oracle = the one-shot recompute, which
+    the merge algebra must equal bit-for-bit."""
+    from hfsa_spark.operators.incremental import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s0 = build_agg_state(ev.filter(F.col("event_id") % 2 == 0), ["event_type"])
+    s1 = build_agg_state(ev.filter(F.col("event_id") % 2 == 1), ["event_type"])
+    return finalize_agg_state(merge_agg_states(s0, s1)).orderBy("event_type")
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -4246,6 +4300,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_tfrecord_roundtrip": q203_tfrecord_roundtrip,
         "q204_winsorize": q204_winsorize,
         "q205_streaming_cdc": q205_streaming_cdc,
+        "q206_bucketed_join": q206_bucketed_join,
+        "q207_incremental_agg": q207_incremental_agg,
     }
 
 
@@ -8654,6 +8710,27 @@ def oracle_sql() -> dict[str, str]:
                SUM(FLOOR(o_totalprice * 100))::BIGINT AS sum_cents,
                SUM(o_orderkey)::BIGINT AS sum_keys
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+    # q206: bucketed join — layout changes the PLAN, never the values
+    o["q206_bucketed_join"] = """
+        SELECT c_mktsegment,
+               COUNT(*)::BIGINT AS n_orders,
+               SUM(FLOOR(o_totalprice * 100))::BIGINT AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+    # q207: incremental agg state — merge algebra ≡ one-shot recompute;
+    # FLOOR(x/y) is double division then floor in both engines
+    o["q207_incremental_agg"] = """
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(FLOOR(value * 100))::BIGINT AS sum_cents,
+               MIN(FLOOR(value * 100))::BIGINT AS min_cents,
+               MAX(FLOOR(value * 100))::BIGINT AS max_cents,
+               FLOOR(SUM(FLOOR(value * 100)) / COUNT(*))::BIGINT AS mean_cents
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     return o

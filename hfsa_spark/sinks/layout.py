@@ -102,3 +102,52 @@ def write_compacted(
         .parquet(path)
     )
     return n_files
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as an EXTERNAL bucketed (+sorted) table.
+
+    Bucketing is THE layout lever for repeated big joins/aggregations on
+    a stable key at 100 TB: two tables bucketed by the same key into the
+    same bucket count join with ZERO exchanges (and zero sorts when
+    ``sort=True``) — the shuffle is paid once at write time instead of
+    on every query. On a 1000-executor cluster this turns the nightly
+    fact⋈dim pipeline from a full-network shuffle into a local merge.
+
+    Uses ``bucketBy(...).option("path", ...)`` + ``saveAsTable`` (Spark
+    only honors bucket metadata through the catalog; plain
+    ``.parquet()`` writes would lose it). Overwrites any existing table
+    of the same name.
+
+    Exchange elimination is automatic for same-bucketing joins; SORT
+    elimination additionally requires one file per bucket (this writer
+    guarantees it) AND the scan-ordering conf
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (off by
+    default since 3.0, SPARK-19256) — set it on queries that join big
+    sorted-bucketed tables.
+    """
+    # one FILE per bucket: repartition by the same Murmur3 hash bucketBy
+    # uses, so each task holds exactly one bucket's rows — Spark only
+    # trusts sortBy metadata (and skips the merge-join sort) when a
+    # bucket is a single file
+    w = (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.option("path", path).format("parquet").saveAsTable(table)
+
+
+def drop_bucketed(spark, table: str) -> None:
+    """Drop the catalog entry of an external bucketed table (files at
+    ``path`` are left for the caller's tempdir cleanup)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1,0 +1,98 @@
+"""Bucketed-table layout: co-located join plan contract (zero exchanges,
+zero sorts) and incremental agg-state merge algebra."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, tmp_path):
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    try:
+        write_bucketed(od, "tb_orders", str(tmp_path / "o"), "o_custkey", 4)
+        write_bucketed(cu, "tb_customer", str(tmp_path / "c"), "c_custkey", 4)
+        # one file per bucket — the precondition for sortBy metadata use
+        files = [f for f in os.listdir(tmp_path / "o") if f.endswith(".parquet")]
+        assert len(files) == 4
+
+        o = spark.table("tb_orders")
+        c = spark.table("tb_customer")
+        joined = o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "c_mktsegment"
+        )
+        # at test SF the dim side fits the broadcast threshold, which
+        # would hide the co-location; pin the merge-join contract
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_ord = spark.conf.get(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: paid at write
+            assert "SelectedBucketsCount" in plan  # bucketed scans
+
+            # sort elimination additionally needs the one-file-per-bucket
+            # scan-ordering conf (off by default since 3.0, SPARK-19256)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+            )
+            joined2 = o.join(c, o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "c_mktsegment"
+            )
+            plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan2
+            assert not re.search(r"\bSort\b(?!MergeJoin)", plan2)  # sorted
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord
+            )
+
+        # values identical to the unbucketed join
+        expect = (
+            od.join(cu, od.o_custkey == cu.c_custkey).count()
+        )
+        assert joined.count() == expect
+    finally:
+        drop_bucketed(spark, "tb_orders")
+        drop_bucketed(spark, "tb_customer")
+
+
+def test_agg_state_merge_equals_recompute(spark):
+    from hfsa_spark.operators.incremental import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    one_shot = finalize_agg_state(
+        build_agg_state(ev, ["event_type"])
+    ).collect()
+    expect = {r["event_type"]: r.asDict() for r in one_shot}
+
+    # split 3 ways, merge pairwise then fold the third — any tree shape
+    parts = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    states = [build_agg_state(p, ["event_type"]) for p in parts]
+    merged = merge_agg_states(merge_agg_states(states[0], states[1]), states[2])
+    got = {r["event_type"]: r.asDict() for r in finalize_agg_state(merged).collect()}
+    assert got == expect
+
+    # merge of a single state is identity
+    solo = {
+        r["event_type"]: r.asDict()
+        for r in finalize_agg_state(
+            merge_agg_states(build_agg_state(ev, ["event_type"]))
+        ).collect()
+    }
+    assert solo == expect
