@@ -98,6 +98,8 @@ AUDIT = [
     ("q200_nfc_dedup", "NFC dedup: Arrow digest kernel -> one digest-keyed groupBy, text never shuffles", False),
     ("q201_upsert_merge", "CDC upsert: change-batch-only window, one full-outer pk equi join, base never windowed", False),
     ("q202_scd2_intervals", "SCD2: lead window bounded by per-key history, no global sort", False),
+    ("q204_winsorize", "winsorize: per-group percentile agg, broadcast band join back, map-only clip", False),
+    ("q207_incremental_agg", "incremental agg: two partial-state builds, one state-row merge", False),
 ]
 
 
