@@ -3830,6 +3830,20 @@ def q207_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_agg_state(merge_agg_states(s0, s1)).orderBy("event_type")
 
 
+def q208_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: exact top-5 overlap between the
+    full 64-dim ranking and prefix-truncated rankings at d ∈ {32,16,8}
+    for 3 probe queries — integer-exact rank-set intersection (q28's
+    rank-only convention; cosine math mirrored to the oracle)."""
+    from hfsa_spark.operators.similarity import matryoshka_overlap
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return matryoshka_overlap(emb, qs, dims=[32, 16, 8], k=5).orderBy(
+        "query_id", "dim"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -4302,6 +4316,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_streaming_cdc": q205_streaming_cdc,
         "q206_bucketed_join": q206_bucketed_join,
         "q207_incremental_agg": q207_incremental_agg,
+        "q208_matryoshka": q208_matryoshka,
     }
 
 
@@ -8731,6 +8746,49 @@ def oracle_sql() -> dict[str, str]:
                MAX(FLOOR(value * 100))::BIGINT AS max_cents,
                FLOOR(SUM(FLOOR(value * 100)) / COUNT(*))::BIGINT AS mean_cents
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    # q208: matryoshka truncation — per-dim top-5 via the q28 cosine
+    # convention, overlap = rank-set intersection (integer-exact)
+    def _mat_top(dim: int, name: str) -> str:
+        cos = (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            " i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+            " i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+            " i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))"
+        )
+        return f"""
+        {name} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {cos} DESC, e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id) t
+            WHERE rank <= 5)"""
+
+    mat_dims = [32, 16, 8]
+    mat_ctes = ",".join(
+        [_mat_top(64, "full_top")] + [_mat_top(d, f"t{d}") for d in mat_dims]
+    )
+    mat_selects = "\n            UNION ALL\n".join(
+        f"""            SELECT q.query_id, {d} AS dim,
+                   (SELECT COUNT(*) FROM full_top f JOIN t{d} t
+                    ON f.query_id = t.query_id
+                       AND f.neighbor_id = t.neighbor_id
+                    WHERE f.query_id = q.query_id)::BIGINT AS overlap_at_k
+            FROM q"""
+        for d in mat_dims
+    )
+    o["q208_matryoshka"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        {mat_ctes}
+        SELECT * FROM (
+{mat_selects}
+        ) ORDER BY query_id, dim
     """
 
     return o

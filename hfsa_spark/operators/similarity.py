@@ -2002,3 +2002,60 @@ def rbo_overlap(
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
         F.sum("_w").cast("long").alias("rbo_micro"),
     )
+
+
+def matryoshka_overlap(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): MRL-trained embeddings keep
+    most retrieval quality when truncated to a prefix of dimensions,
+    which buys a dims-ratio speedup/footprint cut in ANN serving. This
+    op measures what truncation actually costs on YOUR vectors: for each
+    prefix length d it runs the exact top-k with only components [1, d]
+    and reports the per-query overlap with the full-dimension top-k.
+
+    Output (query_id, dim, overlap_at_k) — integer-exact, one row per
+    (query, d) including zero-overlap pairs. Scale: each dim is one
+    :func:`cosine_topk` pass (corpus never shuffles, queries broadcast),
+    plus a join of two ≤k·|queries|-row rank lists — evaluating D
+    truncations costs D corpus scans and nothing else.
+    """
+    full = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    per_dim = []
+    for d in dims:
+        tcorpus = corpus.select(
+            id_col, F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        tqueries = queries.select(
+            id_col, F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        trunc = cosine_topk(tcorpus, tqueries, k, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        ov = (
+            full.join(trunc, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("overlap_at_k"))
+        )
+        per_dim.append(
+            qids.join(ov, "query_id", "left").select(
+                "query_id",
+                F.lit(d).alias("dim"),
+                F.coalesce("overlap_at_k", F.lit(0)).cast("long").alias(
+                    "overlap_at_k"
+                ),
+            )
+        )
+    out = per_dim[0]
+    for p in per_dim[1:]:
+        out = out.unionByName(p)
+    return out

@@ -579,3 +579,22 @@ def test_kmeans_parallel_init_feeds_ivf(spark):
         by_cluster.setdefault(vid % 3, set()).add(lid)
     assert all(len(s) == 1 for s in by_cluster.values())
     assert len(set().union(*by_cluster.values())) == 3
+
+
+def test_matryoshka_overlap_identity_and_rows(spark):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import (
+        matryoshka_overlap,
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(spark, 200, dim=16).cache()
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = matryoshka_overlap(emb, qs, dims=[16, 4], k=5).collect()
+    rows = {(r["query_id"], r["dim"]): r["overlap_at_k"] for r in out}
+    # one row per (query, dim), full-dim "truncation" is identity → k
+    assert len(rows) == 6
+    for qid in range(3):
+        assert rows[(qid, 16)] == 5
+        assert 0 <= rows[(qid, 4)] <= 5
