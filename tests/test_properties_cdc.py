@@ -1,0 +1,111 @@
+"""Property-based checks (hypothesis) for the CDC/incremental round-6b
+operators: upsert_merge is compared against a sequential python
+reference model; agg-state merges must equal one-shot recomputes under
+ANY split of the input."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FAST = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# one change = (key 0..5, op, ts 0..4, seq: position in list)
+_change = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["U", "D", "I"]),
+    st.integers(min_value=0, max_value=4),
+)
+
+
+@_FAST
+@given(st.lists(_change, min_size=0, max_size=15))
+def test_upsert_merge_matches_reference_model(spark, changes):
+    """Operator result == python model that picks, per key, the change
+    with max (ts, seq) and applies it to the base dict."""
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base = {k: f"base{k}" for k in range(4)}  # keys 4,5 start absent
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k bigint, v string"
+    )
+    rows = [
+        (k, f"chg{i}", op, ts, i) for i, (k, op, ts) in enumerate(changes)
+    ]
+    ch_df = spark.createDataFrame(
+        rows, "k bigint, v string, op string, ts int, seq int"
+    )
+
+    # reference: last writer per key by (ts, seq)
+    winners: dict[int, tuple] = {}
+    for i, (k, op, ts) in enumerate(changes):
+        if k not in winners or (ts, i) > (winners[k][0], winners[k][1]):
+            winners[k] = (ts, i, op, f"chg{i}")
+    expect = dict(base)
+    for k, (_, _, op, val) in winners.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = val
+
+    for bc in (False, True):
+        out = upsert_merge(
+            base_df, ch_df, ["k"], ts_col="ts", seq_col="seq",
+            broadcast_changes=bc,
+        )
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == expect, f"broadcast_changes={bc}"
+
+
+@_FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_agg_state_any_split_equals_recompute(spark, rows, n_splits):
+    """merge(build(split_i)) == build(all) for ANY hash split count."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.incremental import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id bigint, key string, value double",
+    )
+    whole = {
+        r["key"]: r.asDict()
+        for r in finalize_agg_state(build_agg_state(df, ["key"])).collect()
+    }
+    parts = [
+        build_agg_state(df.filter(F.col("id") % n_splits == j), ["key"])
+        for j in range(n_splits)
+    ]
+    merged = {
+        r["key"]: r.asDict()
+        for r in finalize_agg_state(merge_agg_states(*parts)).collect()
+    }
+    assert merged == whole
+    # spot-check the algebra against python ints
+    for k, agg in whole.items():
+        vals = [math.floor(v * 100) for kk, v in rows if kk == k]
+        assert agg["n_rows"] == len(vals)
+        assert agg["sum_cents"] == sum(vals)
+        assert agg["min_cents"] == min(vals)
+        assert agg["max_cents"] == max(vals)
