@@ -8,6 +8,8 @@ exact SQL oracles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -859,6 +861,12 @@ def char_entropy_profile(
     )
 
 
+def _round_half_up(x: float) -> float:
+    """Round half away from zero — Spark's F.round / DuckDB round()
+    semantics for doubles (python round() is banker's, which differs)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def dsir_scores(
     df: DataFrame,
     target: DataFrame,
@@ -902,46 +910,44 @@ def dsir_scores(
             *cols, (portable_hash64(F.col("__tok"), seed) % n_buckets).alias("b")
         )
 
-    cs = bucketed(df, with_id=False).groupBy("b").agg(
-        F.count(F.lit(1)).alias("cs")
-    ).persist()
-    ct = bucketed(target, with_id=False).groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    ).persist()
-    # totals fold out of the (≤ n_buckets row) aggregates — no second
-    # pass over the token streams
-    ns = cs.agg(F.sum("cs")).collect()[0][0] or 0
-    nt = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    # ONE explode of the source corpus serves both the model counts and
+    # the per-doc scoring join; both bucket-count tables are ≤ n_buckets
+    # rows, so they are COLLECTED and the log-ratio model is shipped back
+    # as a literal — the accepted small-broadcast pattern (centroids,
+    # probe queries), which cuts the op from 6 jobs to 3 and removes the
+    # cs⋈ct join stage entirely. Nothing driver-side scales with the
+    # corpus: only with n_buckets.
+    doc_toks = bucketed(df, with_id=True).persist()
+    cs = {
+        r["b"]: r["n"]
+        for r in doc_toks.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ct = {
+        r["b"]: r["n"]
+        for r in bucketed(target, with_id=False)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ns, nt = sum(cs.values()), sum(ct.values())
     v = float(n_buckets)
-    model = (
-        cs.join(ct, "b", "full")
-        .select(
-            "b",
-            F.coalesce("cs", F.lit(0)).alias("cs"),
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-        )
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.col("ct").cast("double") + 1.0) * (float(ns) + v))
-                    / ((F.col("cs").cast("double") + 1.0) * (float(nt) + v))
+    model_rows = [
+        (
+            int(b_),
+            int(
+                _round_half_up(
+                    math.log(
+                        ((ct.get(b_, 0) + 1.0) * (ns + v))
+                        / ((cs.get(b_, 0) + 1.0) * (nt + v))
+                    )
+                    * 1e6
                 )
-                * 1e6
-            )
-            .cast("long")
-            .alias("lr_micro"),
+            ),
         )
-    )
-    # model is ≤ n_buckets rows: persist + materialize it (lineage kept,
-    # so a lost executor can recompute), then release the big cached
-    # token aggregates so repeated calls don't accumulate storage blocks;
-    # the retained cache is bounded by n_buckets rows
-    model = model.persist()
-    model.count()
-    cs.unpersist()
-    ct.unpersist()
-    doc_toks = bucketed(df, with_id=True)
+        for b_ in sorted(set(cs) | set(ct))
+    ]
+    spark = df.sparkSession
+    model = spark.createDataFrame(model_rows, "b long, lr_micro long")
     scored = (
         doc_toks.join(F.broadcast(model), "b", "left")
         .groupBy(id_col)
@@ -950,6 +956,11 @@ def dsir_scores(
             F.sum(F.coalesce("lr_micro", F.lit(0))).alias("logw_micro"),
         )
     )
+    # scored is one small row per doc: materialize it so the big cached
+    # token explode can be released before returning
+    scored = scored.persist()
+    scored.count()
+    doc_toks.unpersist()
     return (
         df.select(id_col)
         .join(scored, id_col, "left")
