@@ -3583,8 +3583,11 @@ def q201_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("ts"),
         F.lit(0).alias("seq"),
     )
+    # insert keys are NEGATIVE: structurally disjoint from every real
+    # orderkey at ANY scale factor (an additive offset collides once the
+    # corpus outgrows it)
     c3 = od.filter(F.col("o_orderkey") % 11 == 0).select(
-        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
@@ -3728,7 +3731,7 @@ def q205_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3).alias("ts"),
         )
         b2b = od.filter(F.col("o_orderkey") % 13 == 0).select(
-            (F.col("o_orderkey") + F.lit(20000000)).alias("o_orderkey"),
+            (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
             "o_custkey",
             F.lit("N").alias("o_orderstatus"),
             "o_totalprice",
@@ -8608,7 +8611,7 @@ def oracle_sql() -> dict[str, str]:
                    'U', 2, 0
             FROM orders WHERE o_orderkey % 14 = 0
             UNION ALL
-            SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+            SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice,
                    'I', 1, 0
             FROM orders WHERE o_orderkey % 11 = 0),
         latest AS (
@@ -8703,7 +8706,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, 'Y', o_totalprice + 30.0, 'U', 3
             FROM orders WHERE o_orderkey % 18 = 0
             UNION ALL
-            SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+            SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice,
                    'I', 3
             FROM orders WHERE o_orderkey % 13 = 0),
         latest AS (

@@ -57,6 +57,14 @@ def _latest_per_key(
     )
 
 
+def _known_ops(changes: DataFrame, op_col: str) -> DataFrame:
+    """Contract: ``op_col`` must be 'I' / 'U' / 'D'. Rows with any other
+    value (incl. NULL) are ignored IDENTICALLY on every apply path —
+    without this, the full-outer and broadcast paths would diverge on
+    null-op inserts (one emits a phantom all-null row, one drops it)."""
+    return changes.filter(F.col(op_col).isin("I", "U", "D"))
+
+
 def upsert_merge(
     base: DataFrame,
     changes: DataFrame,
@@ -70,7 +78,8 @@ def upsert_merge(
 
     ``changes`` carries the base's columns plus ``op_col`` (``'I'`` /
     ``'U'`` / ``'D'`` — I and U are treated identically: last writer
-    wins) and ``ts_col`` (change time; later beats earlier). A key's
+    wins; rows with any other op value, including NULL, are ignored on
+    every path) and ``ts_col`` (change time; later beats earlier). A key's
     winning change replaces (or, for ``'D'``, removes) the base row;
     keys untouched by the batch pass through unchanged; winning inserts
     for unseen keys are added.
@@ -84,9 +93,9 @@ def upsert_merge(
     """
     key_cols = list(key_cols)
     payload_cols = [c for c in base.columns if c not in key_cols]
-    latest = _latest_per_key(changes, key_cols, ts_col, seq_col).select(
-        *key_cols, op_col, *payload_cols
-    )
+    latest = _latest_per_key(
+        _known_ops(changes, op_col), key_cols, ts_col, seq_col
+    ).select(*key_cols, op_col, *payload_cols)
 
     b = base.alias("b")
     c = latest.alias("c")

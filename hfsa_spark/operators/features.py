@@ -603,8 +603,17 @@ def winsorize(
         bands = df.agg(*bands_agg)
         joined = df.crossJoin(F.broadcast(bands))
     else:
-        bands = df.groupBy(group_col).agg(*bands_agg)
-        joined = df.join(F.broadcast(bands), on=group_col, how="left")
+        # null-SAFE band join: a NULL group key is a real group (its
+        # band row exists from the groupBy) — a null-unsafe equi join
+        # would leave those rows with NULL bands and flags
+        bands = df.groupBy(group_col).agg(*bands_agg).withColumnRenamed(
+            group_col, "__band_grp"
+        )
+        joined = df.join(
+            F.broadcast(bands),
+            F.col(group_col).eqNullSafe(F.col("__band_grp")),
+            "left",
+        ).drop("__band_grp")
     return joined.select(
         *df.columns,
         F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias(

@@ -43,14 +43,24 @@ def build_agg_state(
     )
 
 
-def merge_agg_states(*states: DataFrame) -> DataFrame:
+def merge_agg_states(
+    *states: DataFrame, key_cols: Sequence[str] | None = None
+) -> DataFrame:
     """Fold any number of state tables into one (merge is the same
     algebra as build: sum the counts/sums, min the mins, max the maxes).
     Associative and commutative, so daily states can be merged in any
-    tree shape — shuffle cost is O(state rows)."""
+    tree shape — shuffle cost is O(state rows).
+
+    ``key_cols`` defaults to every column not named like a state column;
+    pass it explicitly if a grouping column shares a STATE_COLS name
+    (the inference would silently drop it from the groupBy otherwise).
+    """
     if not states:
         raise ValueError("merge_agg_states needs at least one state")
-    key_cols = [c for c in states[0].columns if c not in STATE_COLS]
+    if key_cols is None:
+        key_cols = [c for c in states[0].columns if c not in STATE_COLS]
+    else:
+        key_cols = list(key_cols)
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)

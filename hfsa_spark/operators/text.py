@@ -910,17 +910,21 @@ def dsir_scores(
             *cols, (portable_hash64(F.col("__tok"), seed) % n_buckets).alias("b")
         )
 
-    # ONE explode of the source corpus serves both the model counts and
-    # the per-doc scoring join; both bucket-count tables are ≤ n_buckets
-    # rows, so they are COLLECTED and the log-ratio model is shipped back
-    # as a literal — the accepted small-broadcast pattern (centroids,
-    # probe queries), which cuts the op from 6 jobs to 3 and removes the
-    # cs⋈ct join stage entirely. Nothing driver-side scales with the
-    # corpus: only with n_buckets.
-    doc_toks = bucketed(df, with_id=True).persist()
+    # Both bucket-count tables are ≤ n_buckets rows, so they are
+    # COLLECTED and the log-ratio model is shipped back as a literal —
+    # the accepted small-broadcast pattern (centroids, probe queries),
+    # which makes the op exactly 3 jobs (two count collects + the
+    # scoring pass) with NOTHING persisted: no retained cache to leak
+    # across calls. The token explode runs twice (model pass + scoring
+    # pass); it is a map-only scan-speed stage, and callers for whom a
+    # corpus re-scan is expensive can pass a cached/checkpointed df.
+    # Nothing driver-side scales with the corpus — only with n_buckets.
     cs = {
         r["b"]: r["n"]
-        for r in doc_toks.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in bucketed(df, with_id=False)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     ct = {
         r["b"]: r["n"]
@@ -949,18 +953,14 @@ def dsir_scores(
     spark = df.sparkSession
     model = spark.createDataFrame(model_rows, "b long, lr_micro long")
     scored = (
-        doc_toks.join(F.broadcast(model), "b", "left")
+        bucketed(df, with_id=True)
+        .join(F.broadcast(model), "b", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.coalesce("lr_micro", F.lit(0))).alias("logw_micro"),
         )
     )
-    # scored is one small row per doc: materialize it so the big cached
-    # token explode can be released before returning
-    scored = scored.persist()
-    scored.count()
-    doc_toks.unpersist()
     return (
         df.select(id_col)
         .join(scored, id_col, "left")

@@ -208,11 +208,15 @@ def iter_records(buf: bytes):
     """Yield record payloads, verifying both CRCs (raises ValueError)."""
     pos = 0
     while pos < len(buf):
+        if len(buf) - pos < 12:
+            raise ValueError(f"tfrecord truncated header at offset {pos}")
         ln_bytes = buf[pos : pos + 8]
         (ln,) = struct.unpack("<Q", ln_bytes)
         (len_crc,) = struct.unpack("<I", buf[pos + 8 : pos + 12])
         if len_crc != _masked_crc(ln_bytes):
             raise ValueError(f"tfrecord length CRC mismatch at offset {pos}")
+        if len(buf) - pos < 16 + ln:
+            raise ValueError(f"tfrecord truncated record at offset {pos}")
         data = buf[pos + 12 : pos + 12 + ln]
         (data_crc,) = struct.unpack("<I", buf[pos + 12 + ln : pos + 16 + ln])
         if data_crc != _masked_crc(data):
@@ -223,17 +227,35 @@ def iter_records(buf: bytes):
 
 # ------------------------------------------------------------ spark side
 
+def _is_null(v) -> bool:
+    return v is None or (isinstance(v, float) and v != v)  # NaN from Arrow
+
+
 def _row_features(r, feature_spec: dict[str, str]) -> dict[str, tuple[str, list]]:
+    """Null policy, uniform and explicit: a NULL ``bytes`` value writes
+    an empty byte string (tar/wds convention, round-trips as b''); a
+    NULL numeric value has no representable tf.Example encoding that
+    round-trips, so it raises a clear error naming the column instead of
+    letting ``int(nan)`` blow up the task opaquely."""
     feats = {}
     for col, kind in feature_spec.items():
         v = r[col]
+        if kind == "bytes":
+            if _is_null(v):
+                raw = b""
+            else:
+                raw = v.encode() if isinstance(v, str) else bytes(v)
+            feats[col] = ("bytes", [raw])
+            continue
+        if _is_null(v):
+            raise ValueError(
+                f"tfrecord: NULL value in {kind!r} column {col!r} "
+                "(tf.Example has no numeric null; filter or fill first)"
+            )
         if kind == "int64":
             feats[col] = ("int64", [int(v)])
         elif kind == "int64_list":
             feats[col] = ("int64", [int(x) for x in v])
-        elif kind == "bytes":
-            raw = v.encode() if isinstance(v, str) else bytes(v or b"")
-            feats[col] = ("bytes", [raw])
         elif kind == "float_list":
             feats[col] = ("float", [float(x) for x in v])
         else:
@@ -273,9 +295,17 @@ def write_tfrecord_shards(
              "path": [path]}
         )
 
+    # pmod keeps negative ids in [0, n_shards); a NULL id routes to shard
+    # 0 so the row reaches _row_features, whose error names the column —
+    # instead of an opaque NaN crash on the shard key itself
     manifest = (
         df.select(*cols)
-        .withColumn("__shard", (F.col(id_col) % n_shards).cast("int"))
+        .withColumn(
+            "__shard",
+            F.coalesce(F.pmod(F.col(id_col), F.lit(n_shards)), F.lit(0)).cast(
+                "int"
+            ),
+        )
         .groupBy("__shard")
         .applyInPandas(
             write_shard,

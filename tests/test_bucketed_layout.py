@@ -96,3 +96,18 @@ def test_agg_state_merge_equals_recompute(spark):
         ).collect()
     }
     assert solo == expect
+
+
+def test_merge_agg_states_explicit_keys(spark):
+    from hfsa_spark.operators.incremental import (
+        build_agg_state,
+        merge_agg_states,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "key string, value double"
+    )
+    s = build_agg_state(df, ["key"])
+    merged = merge_agg_states(s, s, key_cols=["key"])
+    got = {r["key"]: r["n_rows"] for r in merged.collect()}
+    assert got == {"a": 4, "b": 2}

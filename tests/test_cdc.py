@@ -95,3 +95,24 @@ def test_scd2_intervals(spark):
     }
     # the delete row itself emits no interval; key 2 has no current row
     assert not any(k == 2 and cur for (k, _), (_, _, cur) in rows.items())
+
+
+def test_upsert_merge_null_op_ignored_on_both_paths(spark):
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base, _ = _frames(spark)
+    ch = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 1, 0),
+            (9, "ghost", 1.0, None, 1, 0),   # null-op insert: ignored
+            (1, "phantom", 2.0, None, 2, 0),  # null-op update: ignored
+            (3, "x", 3.0, "Z", 1, 0),        # unknown op: ignored
+        ],
+        "k bigint, v string, price double, op string, ts int, seq int",
+    )
+    expect = {1: "a", 2: "b2", 3: "c", 4: "d"}
+    for bc in (False, True):
+        out = upsert_merge(
+            base, ch, ["k"], ts_col="ts", seq_col="seq", broadcast_changes=bc
+        )
+        assert {r["k"]: r["v"] for r in out.collect()} == expect, f"bc={bc}"

@@ -197,3 +197,18 @@ def test_winsorize_global_and_grouped(spark):
     # re-shuffles after the percentile aggregate
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_null_group_key_is_a_real_group(spark):
+    from hfsa_spark.operators.features import winsorize
+
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 10.0), (None, 20.0), (None, 30.0)],
+        "grp string, v double",
+    )
+    out = winsorize(g, "v", group_col="grp", p_lo=0.25, p_hi=0.75)
+    rows = [r for r in out.collect() if r["grp"] is None]
+    assert len(rows) == 3  # null-group rows survive with real bands
+    assert all(r["lo"] == 15.0 and r["hi"] == 25.0 for r in rows)
+    clipped = {r["v"]: (r["clipped_lo"], r["clipped_hi"]) for r in rows}
+    assert clipped == {10.0: (True, False), 20.0: (False, False), 30.0: (False, True)}

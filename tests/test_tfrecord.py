@@ -131,3 +131,36 @@ def test_masked_crc_matches_spec():
     write_record(fh, data)
     buf = fh.getvalue()
     assert struct.unpack("<I", buf[8:12])[0] == expected_mask
+
+
+def test_null_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    # null bytes → empty string, round-trips
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    out = str(tmp_path / "nulls")
+    write_tfrecord_shards(df, out, {"doc_id": "int64", "text": "bytes"}, n_shards=1)
+    got = read_tfrecord_shards(
+        spark, out, {"doc_id": "int64", "text": "bytes"}
+    ).collect()
+    assert bytes(got[0]["text"]) == b""
+
+    # null numeric → clear error, not an opaque task crash
+    df2 = spark.createDataFrame([(None, "x")], "doc_id bigint, text string")
+    with _pytest.raises(Exception, match="NULL value in 'int64'"):
+        write_tfrecord_shards(
+            df2, str(tmp_path / "bad"), {"doc_id": "int64", "text": "bytes"},
+            n_shards=1,
+        )
+
+
+def test_truncated_file_raises_valueerror(tmp_path):
+    import io
+
+    fh = io.BytesIO()
+    write_record(fh, b"hello")
+    buf = fh.getvalue()
+    with pytest.raises(ValueError, match="truncated record"):
+        list(iter_records(buf[:-3]))  # lost the tail mid-record
+    with pytest.raises(ValueError, match="truncated header"):
+        list(iter_records(buf + buf[:5]))  # partial next header
