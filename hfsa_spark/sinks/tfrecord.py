@@ -29,6 +29,7 @@ with webdataset/jsonl).
 
 from __future__ import annotations
 
+import gzip
 import os
 import struct
 
@@ -269,23 +270,34 @@ def write_tfrecord_shards(
     feature_spec: dict[str, str],
     n_shards: int = 8,
     id_col: str = "doc_id",
+    compression: str = "",
 ) -> list[str]:
-    """Write rows as ``part-{i:05d}.tfrecord`` shards.
+    """Write rows as ``part-{i:05d}.tfrecord[.gz]`` shards.
 
     ``feature_spec`` maps column → ``'int64' | 'int64_list' | 'bytes' |
     'float_list'`` (``bytes`` accepts string columns, UTF-8 encoded).
-    Sharding is ``id_col % n_shards``; members are ordered by ``id_col``
-    within a shard, so a rewrite is byte-identical. Returns shard paths.
+    Sharding is ``pmod(id_col, n_shards)``; members are ordered by
+    ``id_col`` within a shard, so a rewrite is byte-identical (gzip
+    mtime pinned to 0 for the same reason). ``compression='gzip'``
+    matches TFRecordDataset(compression_type='GZIP'). Returns paths.
     """
+    if compression not in ("", "gzip"):
+        raise ValueError(f"unsupported compression {compression!r}")
     os.makedirs(out_dir, exist_ok=True)
     cols = list(dict.fromkeys([id_col, *feature_spec]))
+    suffix = ".tfrecord.gz" if compression else ".tfrecord"
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
-        path = os.path.join(out_dir, f"part-{shard:05d}.tfrecord")
+        path = os.path.join(out_dir, f"part-{shard:05d}{suffix}")
         pdf = pdf.sort_values(id_col)
         n_bytes = 0
-        with open(path, "wb") as fh:
+        opener = (
+            (lambda p: gzip.GzipFile(p, "wb", mtime=0))
+            if compression
+            else (lambda p: open(p, "wb"))
+        )
+        with opener(path) as fh:
             for _, r in pdf.iterrows():
                 data = encode_example(_row_features(r, feature_spec))
                 write_record(fh, data)
@@ -328,7 +340,7 @@ def read_tfrecord_shards(
     paths = sorted(
         os.path.join(in_dir, f)
         for f in os.listdir(in_dir)
-        if f.endswith(".tfrecord")
+        if f.endswith(".tfrecord") or f.endswith(".tfrecord.gz")
     )
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         max(len(paths), 1)
@@ -338,8 +350,12 @@ def read_tfrecord_shards(
     def read_shard(batches):
         for batch in batches:
             for path in batch["path"]:
-                with open(path, "rb") as fh:
-                    buf = fh.read()
+                if path.endswith(".gz"):
+                    with gzip.open(path, "rb") as fh:
+                        buf = fh.read()
+                else:
+                    with open(path, "rb") as fh:
+                        buf = fh.read()
                 rows: dict[str, list] = {c: [] for c in spec}
                 for data in iter_records(buf):
                     feats = decode_example(data)

@@ -164,3 +164,25 @@ def test_truncated_file_raises_valueerror(tmp_path):
         list(iter_records(buf[:-3]))  # lost the tail mid-record
     with pytest.raises(ValueError, match="truncated header"):
         list(iter_records(buf + buf[:5]))  # partial next header
+
+
+def test_gzip_shards_roundtrip_and_determinism(spark, tmp_path):
+    import hashlib as _hashlib
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id bigint, text string"
+    )
+    spec = {"doc_id": "int64", "text": "bytes"}
+    out = str(tmp_path / "gz")
+    paths = write_tfrecord_shards(df, out, spec, n_shards=2, compression="gzip")
+    assert all(p.endswith(".tfrecord.gz") for p in paths)
+    got = {
+        r["doc_id"]: bytes(r["text"])
+        for r in read_tfrecord_shards(spark, out, spec).collect()
+    }
+    assert got == {i: f"doc {i}".encode() for i in range(10)}
+    # pinned gzip mtime → byte-identical rewrite
+    h1 = [_hashlib.md5(open(p, "rb").read()).hexdigest() for p in paths]
+    out2 = str(tmp_path / "gz2")
+    p2 = write_tfrecord_shards(df, out2, spec, n_shards=2, compression="gzip")
+    assert h1 == [_hashlib.md5(open(p, "rb").read()).hexdigest() for p in p2]
