@@ -3847,6 +3847,47 @@ def q208_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q209_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: facts (one per %25 orderkey,
+    fact time 5+(key%30)) pick up the SCD2 state valid AT their own
+    timestamp from q202's interval table — before-first-version and
+    unknown-key facts keep NULL state (left join), deleted windows
+    match nothing. One equi-join on the key with a range residual."""
+    from hfsa_spark.operators.cdc import point_in_time_join, scd2_intervals
+
+    od = _t(spark, sf_dir, "orders")
+    k = od.filter(F.col("o_orderkey") % 50 == 0)
+    v1 = k.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("I").alias("op"),
+        F.lit(10).alias("ts"),
+    )
+    v2 = k.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(50.0)).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(20).alias("ts"),
+    )
+    v3 = k.filter(F.col("o_orderkey") % 150 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(30).alias("ts"),
+    )
+    intervals = scd2_intervals(
+        v1.unionByName(v2).unionByName(v3), ["o_orderkey"], ts_col="ts",
+        op_col="op",
+    )
+    facts = od.filter(F.col("o_orderkey") % 25 == 0).select(
+        "o_orderkey",
+        (F.lit(5) + F.col("o_orderkey") % 30).alias("ts"),
+    )
+    return point_in_time_join(facts, intervals, ["o_orderkey"]).orderBy(
+        "o_orderkey", "ts"
+    )
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -4320,6 +4361,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_bucketed_join": q206_bucketed_join,
         "q207_incremental_agg": q207_incremental_agg,
         "q208_matryoshka": q208_matryoshka,
+        "q209_pit_join": q209_pit_join,
     }
 
 
@@ -8657,6 +8699,43 @@ def oracle_sql() -> dict[str, str]:
                (valid_to IS NULL) AS is_current
         FROM iv WHERE op <> 'D'
         ORDER BY o_orderkey, valid_from
+    """
+
+    # q209: point-in-time join — same SCD2 CTEs, LEFT JOIN with the
+    # [valid_from, valid_to) range residual; non-overlapping intervals
+    # guarantee at most one match per fact
+    o["q209_pit_join"] = """
+        WITH k AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 50 = 0),
+        log AS (
+            SELECT o_orderkey, o_totalprice AS price, 'I' AS op, 10 AS ts
+            FROM k
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 50.0, 'U', 20
+            FROM k WHERE o_orderkey % 100 = 0
+            UNION ALL
+            SELECT o_orderkey, 0.0, 'D', 30
+            FROM k WHERE o_orderkey % 150 = 0),
+        iv AS (
+            SELECT o_orderkey, price, op, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY o_orderkey
+                                  ORDER BY ts) AS valid_to
+            FROM log),
+        iv2 AS (
+            SELECT o_orderkey, price, op, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM iv WHERE op <> 'D'),
+        facts AS (
+            SELECT o_orderkey, 5 + (o_orderkey % 30) AS ts
+            FROM orders WHERE o_orderkey % 25 = 0)
+        SELECT f.o_orderkey, f.ts,
+               i.price, i.op, i.valid_from, i.valid_to, i.is_current
+        FROM facts f LEFT JOIN iv2 i
+          ON f.o_orderkey = i.o_orderkey
+             AND f.ts >= i.valid_from
+             AND (i.valid_to IS NULL OR f.ts < i.valid_to)
+        ORDER BY f.o_orderkey, f.ts
     """
 
     # q203: TFRecord round-trip — per-shard totals' closed form (text

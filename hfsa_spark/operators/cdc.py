@@ -175,3 +175,45 @@ def scd2_intervals(
     if op_col is not None:
         out = out.filter(F.col(op_col) != "D")
     return out.withColumn("is_current", F.col("valid_to").isNull()).drop(ts_col)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Feature-store point-in-time join: each fact row picks up the
+    dimension state that was valid AT its own timestamp — the
+    leakage-prevention primitive for training-data assembly (joining
+    "current" state would leak future information into past examples).
+
+    ``intervals`` is :func:`scd2_intervals` output (per key,
+    non-overlapping ``[valid_from, valid_to)`` with NULL ``valid_to`` =
+    open); a fact matches at most one interval, and facts before the
+    key's first version (or for unknown keys) keep NULL state (left
+    join) so the caller can audit coverage.
+
+    Plan shape: ONE equi-join keyed on ``key_cols`` with the range
+    predicate applied as a join residual — a hash/sort-merge join, never
+    a cartesian; per-key interval counts are history lengths, so the
+    residual scan per probe row is tiny at any corpus size.
+    """
+    key_cols = list(key_cols)
+    f = facts.alias("f")
+    iv = intervals.alias("i")
+    cond = [F.col(f"f.{k}").eqNullSafe(F.col(f"i.{k}")) for k in key_cols]
+    cond.append(F.col(f"f.{fact_ts_col}") >= F.col(f"i.{valid_from_col}"))
+    cond.append(
+        F.col(f"i.{valid_to_col}").isNull()
+        | (F.col(f"f.{fact_ts_col}") < F.col(f"i.{valid_to_col}"))
+    )
+    state_cols = [
+        c for c in intervals.columns if c not in key_cols
+    ]
+    return f.join(iv, cond, "left").select(
+        *[F.col(f"f.{c}").alias(c) for c in facts.columns],
+        *[F.col(f"i.{c}").alias(c) for c in state_cols],
+    )

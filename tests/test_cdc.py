@@ -116,3 +116,33 @@ def test_upsert_merge_null_op_ignored_on_both_paths(spark):
             base, ch, ["k"], ts_col="ts", seq_col="seq", broadcast_changes=bc
         )
         assert {r["k"]: r["v"] for r in out.collect()} == expect, f"bc={bc}"
+
+
+def test_point_in_time_join_semantics(spark):
+    from hfsa_spark.operators.cdc import point_in_time_join
+
+    iv = spark.createDataFrame(
+        [
+            (1, "v1", 10, 20, False),
+            (1, "v2", 20, None, True),
+            (2, "w1", 15, 25, False),  # key 2 deleted at 25: no current
+        ],
+        "k bigint, state string, valid_from int, valid_to int, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 19), (1, 20), (1, 99), (2, 24), (2, 25), (3, 12)],
+        "k bigint, ts int",
+    )
+    out = point_in_time_join(facts, iv, ["k"])
+    got = {(r["k"], r["ts"]): r["state"] for r in out.collect()}
+    assert got == {
+        (1, 5): None,    # before first version
+        (1, 10): "v1",   # inclusive lower bound
+        (1, 19): "v1",
+        (1, 20): "v2",   # exclusive upper bound
+        (1, 99): "v2",   # open interval
+        (2, 24): "w1",
+        (2, 25): None,   # after delete
+        (3, 12): None,   # unknown key
+    }
+    assert out.count() == 8  # at most one match per fact
