@@ -100,6 +100,7 @@ AUDIT = [
     ("q202_scd2_intervals", "SCD2: lead window bounded by per-key history, no global sort", False),
     ("q204_winsorize", "winsorize: per-group percentile agg, broadcast band join back, map-only clip", False),
     ("q207_incremental_agg", "incremental agg: two partial-state builds, one state-row merge", False),
+    ("q209_pit_join", "point-in-time join: key equi join + range residual, no nested loop", False),
 ]
 
 
