@@ -3888,6 +3888,60 @@ def q209_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q210_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance END-TO-END: embeddings arrive in
+    three micro-batches, each assigned against FROZEN stride-25
+    centroids and appended idempotently (ingest_batch_id=N/list_id=M
+    dynamic overwrite), then the stored index serves the q39 probe
+    queries (k=5, n_probe=2) — assignment is a pure function of
+    (vector, centroids), so the streaming-built index must answer
+    EXACTLY like q39's one-shot IVF; the oracle is q39's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.operators.similarity import ivf_topk_indexed
+    from hfsa_spark.streaming.vectors import (
+        init_ivf_index,
+        streaming_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="q210_")
+    try:
+        src_dir = os.path.join(tmp, "arrivals")
+        for k in range(3):
+            _stage_arrival_file(
+                emb.filter(F.col("vec_id") % 3 == k).select(
+                    "vec_id", "embedding"
+                ),
+                src_dir,
+                k,
+            )
+        idx = os.path.join(tmp, "ivf")
+        init_ivf_index(emb.filter(F.col("vec_id") % 25 == 0), idx)
+        src = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_ivf_index(src, idx, os.path.join(tmp, "ckpt"))
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+        qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        return (
+            ivf_topk_indexed(spark, idx, qs, k=5, n_probe=2)
+            .select("query_id", "rank", "neighbor_id")
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
@@ -4362,6 +4416,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_incremental_agg": q207_incremental_agg,
         "q208_matryoshka": q208_matryoshka,
         "q209_pit_join": q209_pit_join,
+        "q210_streaming_ivf": q210_streaming_ivf,
     }
 
 
@@ -8737,6 +8792,10 @@ def oracle_sql() -> dict[str, str]:
              AND (i.valid_to IS NULL OR f.ts < i.valid_to)
         ORDER BY f.o_orderkey, f.ts
     """
+
+    # q210: the streaming-built IVF index must answer exactly like the
+    # one-shot IVF — same frozen centroids, probes, tie-breaks
+    o["q210_streaming_ivf"] = o["q39_knn_ivf"]
 
     # q203: TFRecord round-trip — per-shard totals' closed form (text
     # bytes = UTF-8 octet length, what the tf.Example BytesList carries)

@@ -1,0 +1,119 @@
+"""Streaming IVF vector-index maintenance: embeddings arrive, the
+inverted-file index grows, queries keep serving.
+
+The batch layout is operators/similarity.py::write_ivf_index (inverted
+lists partitioned by ``list_id`` + a frozen ``_centroids`` table); this
+module maintains that SAME layout continuously via ``foreachBatch`` —
+the vector-search twin of streaming/index.py's inverted-text-index
+maintenance, and the missing piece between "train the coarse quantizer
+once" and "ingest embeddings forever":
+
+* centroids are FROZEN up front (:func:`init_ivf_index`) — the standard
+  production discipline: retraining the quantizer per batch would
+  silently reshuffle every prior assignment;
+* each micro-batch is assigned map-only against the frozen centroids
+  and written with dynamic-partition OVERWRITE under
+  ``ingest_batch_id=N/list_id=M`` — assignment is a pure function of
+  (vector, centroids), so a replay of batch N rewrites exactly its own
+  partitions with identical content: effective exactly-once, the
+  q93/q164/q205 protocol;
+* serving is the UNCHANGED :func:`ivf_topk_indexed` — probed lists
+  prune to their partitions across all arrived batches.
+
+Scale: per batch the work is one map-only assignment pass + a
+partitioned append; nothing rescans the index. Compact small per-batch
+files periodically with sinks/layout.py::write_compacted per list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfsa_spark.operators.similarity import (
+    _collect_centroids,
+    _make_scorer,
+    ivf_assign_arrow,
+    l2_norm,
+)
+from hfsa_spark.plans import parallelize_compute
+
+BATCH_ID_COL = "ingest_batch_id"
+
+
+def init_ivf_index(centroids: DataFrame, index_path: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Freeze the coarse quantizer: write ``<path>/_centroids`` (the
+    underscore prefix keeps it out of parquet partition discovery)."""
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    centroids.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec, _ in cent_rows],
+        "centroid_id bigint, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
+
+
+def index_vector_batch(
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expr_centroid_limit: int = 32,
+) -> None:
+    """One idempotent maintenance step: assign ``batch`` against the
+    frozen centroids and dynamic-partition-overwrite its inverted-list
+    rows under ``ingest_batch_id=batch_id``. Callable directly for batch
+    backfills."""
+    spark = batch.sparkSession
+    cent = spark.read.parquet(f"{index_path}/_centroids")
+    cent_rows = _collect_centroids(cent, "centroid_id", "vec")
+    if len(cent_rows) <= expr_centroid_limit:
+        scorer = _make_scorer(cent_rows)
+        assigned = parallelize_compute(batch.select(id_col, vec_col)).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            l2_norm(vec_col).alias("norm"),
+        ).withColumn(
+            "list_id",
+            -F.array_max(scorer(F.col("vec"), F.col("norm")))["neg_id"],
+        )
+    else:
+        cmat = [vec for _, vec, _ in cent_rows]
+        cids = [cid for cid, _, _ in cent_rows]
+        assigned = ivf_assign_arrow(
+            batch, cmat, cids, id_col=id_col, vec_col=vec_col,
+            include_vec=True,
+        )
+    (
+        assigned.withColumn(BATCH_ID_COL, F.lit(int(batch_id)))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_ID_COL, "list_id")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def streaming_ivf_index(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Wire a streaming embedding feed into the index maintenance loop.
+    Returns the started StreamingQuery; :func:`init_ivf_index` must have
+    frozen the centroids first. Serve with
+    ``operators.similarity.ivf_topk_indexed(spark, index_path, ...)``."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        index_vector_batch(
+            batch, index_path, batch_id=int(batch_id),
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
