@@ -45,10 +45,9 @@ def init_ivf_index(centroids: DataFrame, index_path: str,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Freeze the coarse quantizer: write ``<path>/_centroids`` (the
     underscore prefix keeps it out of parquet partition discovery)."""
-    cent_rows = _collect_centroids(centroids, id_col, vec_col)
-    centroids.sparkSession.createDataFrame(
-        [(cid, vec) for cid, vec, _ in cent_rows],
-        "centroid_id bigint, vec array<double>",
+    centroids.select(
+        F.col(id_col).cast("long").alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
 
 
@@ -59,14 +58,18 @@ def index_vector_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     expr_centroid_limit: int = 32,
+    cent_rows=None,
 ) -> None:
     """One idempotent maintenance step: assign ``batch`` against the
     frozen centroids and dynamic-partition-overwrite its inverted-list
     rows under ``ingest_batch_id=batch_id``. Callable directly for batch
-    backfills."""
+    backfills. ``cent_rows`` (from :func:`_collect_centroids` over the
+    frozen table) lets a long-running caller skip the per-batch centroid
+    re-read."""
     spark = batch.sparkSession
-    cent = spark.read.parquet(f"{index_path}/_centroids")
-    cent_rows = _collect_centroids(cent, "centroid_id", "vec")
+    if cent_rows is None:
+        cent = spark.read.parquet(f"{index_path}/_centroids")
+        cent_rows = _collect_centroids(cent, "centroid_id", "vec")
     if len(cent_rows) <= expr_centroid_limit:
         scorer = _make_scorer(cent_rows)
         assigned = parallelize_compute(batch.select(id_col, vec_col)).select(
@@ -85,7 +88,11 @@ def index_vector_batch(
             include_vec=True,
         )
     (
-        assigned.withColumn(BATCH_ID_COL, F.lit(int(batch_id)))
+        # key the write on list_id: one file per (batch, list) instead of
+        # tasks × lists small files — the write-amplification killer for
+        # partitioned appends (and the locality the probe scan wants)
+        assigned.repartition(F.col("list_id"))
+        .withColumn(BATCH_ID_COL, F.lit(int(batch_id)))
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(BATCH_ID_COL, "list_id")
         .mode("overwrite")
@@ -104,11 +111,17 @@ def streaming_ivf_index(
     Returns the started StreamingQuery; :func:`init_ivf_index` must have
     frozen the centroids first. Serve with
     ``operators.similarity.ivf_topk_indexed(spark, index_path, ...)``."""
+    # centroids are FROZEN, so read them once for the query's lifetime
+    # instead of once per micro-batch
+    spark = vectors_stream.sparkSession
+    cent_rows = _collect_centroids(
+        spark.read.parquet(f"{index_path}/_centroids"), "centroid_id", "vec"
+    )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         index_vector_batch(
             batch, index_path, batch_id=int(batch_id),
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, cent_rows=cent_rows,
         )
 
     return (
