@@ -21,8 +21,9 @@ once" and "ingest embeddings forever":
   prune to their partitions across all arrived batches.
 
 Scale: per batch the work is one map-only assignment pass + a
-partitioned append; nothing rescans the index. Compact small per-batch
-files periodically with sinks/layout.py::write_compacted per list.
+partitioned append; nothing rescans the index. Merge accumulated
+segments periodically with :func:`compact_ivf_index` (answers are
+pytest-pinned identical before/after).
 """
 
 from __future__ import annotations
@@ -130,3 +131,25 @@ def streaming_ivf_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ivf_index(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """Merge a streaming-grown index (many ``ingest_batch_id=N``
+    segment partitions) into a flat one-file-per-list index at
+    ``dst_path`` — the Lucene-merge step for vectors: serving scans stop
+    paying per-segment file opens as batch count grows. Write-to-new-dir
+    keeps the source serveable throughout (swap by rename); the frozen
+    ``_centroids`` table is copied verbatim so the compacted index is a
+    drop-in :func:`~hfsa_spark.operators.similarity.ivf_topk_indexed`
+    target. Queries answer identically before and after (pytest-pinned):
+    compaction changes LAYOUT, never content."""
+    rows = spark.read.parquet(src_path).select("id", "vec", "norm", "list_id")
+    (
+        rows.repartition(F.col("list_id"))
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(dst_path)
+    )
+    spark.read.parquet(f"{src_path}/_centroids").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dst_path}/_centroids")

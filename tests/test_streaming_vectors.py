@@ -66,3 +66,36 @@ def test_index_batch_replay_idempotent(spark, tmp_path):
     assert len(before) == 120
     # centroids remain frozen and out of partition discovery
     assert os.path.isdir(os.path.join(idx, "_centroids"))
+
+
+def test_compact_ivf_index_preserves_answers(spark, tmp_path):
+    from hfsa_spark.operators.similarity import ivf_topk_indexed
+    from hfsa_spark.streaming.vectors import (
+        compact_ivf_index,
+        index_vector_batch,
+        init_ivf_index,
+    )
+
+    emb = _corpus(spark)
+    idx = str(tmp_path / "grown")
+    init_ivf_index(emb.filter(F.col("vec_id") % 20 == 0), idx)
+    for b in range(4):
+        index_vector_batch(emb.filter(F.col("vec_id") % 4 == b), idx, batch_id=b)
+
+    flat = str(tmp_path / "flat")
+    compact_ivf_index(spark, idx, flat)
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk_indexed(spark, idx, qs, k=5, n_probe=2).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk_indexed(spark, flat, qs, k=5, n_probe=2).collect()
+    )
+    assert a == b
+    # layout really is flat: no batch-segment partition level remains
+    import os
+    top = [d for d in os.listdir(flat) if not d.startswith(("_", "."))]
+    assert all(d.startswith("list_id=") for d in top)
