@@ -73,6 +73,7 @@ def upsert_merge(
     op_col: str = "op",
     seq_col: str | None = None,
     broadcast_changes: bool = False,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Apply a change batch to a snapshot; return the next snapshot.
 
@@ -90,6 +91,14 @@ def upsert_merge(
     the base PAYLOAD never shuffles (full-outer can't broadcast, so the
     apply becomes a broadcast left join + insert union; the inserts'
     anti-join shuffles only the base's pruned 8-byte key projection).
+
+    ``null_safe_keys`` (default True) matches NULL keys to each other.
+    Spark plans a null-safe equi-join on ``(coalesce(key), isnull(key))``,
+    which CANNOT reuse an existing hash layout — a base stored bucketed
+    by its pk re-shuffles. When the pk is non-null (the normal contract),
+    pass ``null_safe_keys=False``: plain ``==`` keys let the join consume
+    the bucketed/pre-partitioned base with zero base-side exchange
+    (pinned in tests/test_bucketed_layout.py).
     """
     key_cols = list(key_cols)
     payload_cols = [c for c in base.columns if c not in key_cols]
@@ -99,7 +108,10 @@ def upsert_merge(
 
     b = base.alias("b")
     c = latest.alias("c")
-    on = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+    if null_safe_keys:
+        on = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+    else:
+        on = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in key_cols]
 
     if broadcast_changes:
         c = F.broadcast(c)

@@ -111,3 +111,45 @@ def test_merge_agg_states_explicit_keys(spark):
     merged = merge_agg_states(s, s, key_cols=["key"])
     got = {r["key"]: r["n_rows"] for r in merged.collect()}
     assert got == {"a": 4, "b": 2}
+
+
+def test_upsert_merge_reuses_bucketed_base_layout(spark, tmp_path):
+    """The nightly-merge shape at 100 TB: a snapshot stored bucketed by
+    its pk enters upsert_merge's full-outer join WITHOUT re-shuffling —
+    the bucketed plan must carry exactly one fewer Exchange than the
+    same merge over plain parquet."""
+    import re
+
+    from hfsa_spark.operators.cdc import upsert_merge
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ch = (
+        od.limit(40)
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(1))
+    )
+
+    def n_exchanges(base):
+        # non-null pk contract -> plain == keys, the layout-reusable form
+        merged = upsert_merge(base, ch, ["o_orderkey"], ts_col="ts",
+                              null_safe_keys=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"\bExchange\b", plan))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = n_exchanges(od)
+        # one-sided layout reuse needs numBuckets == shuffle partitions
+        # (the other side is shuffled INTO the bucket partitioning)
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(od, "tb_cdc_base", str(tmp_path / "b"),
+                       "o_orderkey", n_shuffle)
+        bucketed = n_exchanges(spark.table("tb_cdc_base"))
+        assert bucketed == plain - 1  # base side exchange eliminated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "tb_cdc_base")

@@ -55,12 +55,13 @@ def test_upsert_merge_matches_reference_model(spark, changes):
             expect[k] = val
 
     for bc in (False, True):
-        out = upsert_merge(
-            base_df, ch_df, ["k"], ts_col="ts", seq_col="seq",
-            broadcast_changes=bc,
-        )
-        got = {r["k"]: r["v"] for r in out.collect()}
-        assert got == expect, f"broadcast_changes={bc}"
+        for nsk in (True, False):  # keys never null here: modes must agree
+            out = upsert_merge(
+                base_df, ch_df, ["k"], ts_col="ts", seq_col="seq",
+                broadcast_changes=bc, null_safe_keys=nsk,
+            )
+            got = {r["k"]: r["v"] for r in out.collect()}
+            assert got == expect, f"broadcast_changes={bc} null_safe={nsk}"
 
 
 @_FAST
