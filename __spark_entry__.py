@@ -3563,6 +3563,14 @@ def q201_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    changes = _q201_changes(od)
+    merged = upsert_merge(od, changes, ["o_orderkey"], ts_col="ts", seq_col="seq")
+    return merged.orderBy("o_orderkey")
+
+
+def _q201_changes(od: DataFrame) -> DataFrame:
+    """The q201/q211 synthesized change batch (shared so the two gates
+    stay value-identical and share one oracle)."""
     c1 = od.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         "o_custkey",
@@ -3595,9 +3603,40 @@ def q201_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("ts"),
         F.lit(0).alias("seq"),
     )
-    changes = c1.unionByName(c2).unionByName(c3)
-    merged = upsert_merge(od, changes, ["o_orderkey"], ts_col="ts", seq_col="seq")
-    return merged.orderBy("o_orderkey")
+    return c1.unionByName(c2).unionByName(c3)
+
+
+def q211_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-merge composition at 100 TB: the SAME CDC apply as
+    q201 but against a snapshot stored BUCKETED by its pk and with the
+    non-null-pk contract (null_safe_keys=False) — the full-outer join
+    consumes the bucketed layout with zero base-side exchange (plan
+    contract pinned in tests/test_bucketed_layout.py). Values must be
+    identical to q201: layout changes the PLAN, never the answer —
+    the oracle IS q201's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.operators.cdc import upsert_merge
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="q211_")
+    try:
+        write_bucketed(od, "q211_base", os.path.join(tmp, "b"),
+                       "o_orderkey", 32)
+        base = spark.table("q211_base")
+        merged = upsert_merge(
+            base, _q201_changes(base), ["o_orderkey"], ts_col="ts",
+            seq_col="seq", null_safe_keys=False,
+        )
+        return merged.orderBy("o_orderkey").localCheckpoint()
+    finally:
+        drop_bucketed(spark, "q211_base")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q202_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4417,6 +4456,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_matryoshka": q208_matryoshka,
         "q209_pit_join": q209_pit_join,
         "q210_streaming_ivf": q210_streaming_ivf,
+        "q211_bucketed_merge": q211_bucketed_merge,
     }
 
 
@@ -8796,6 +8836,9 @@ def oracle_sql() -> dict[str, str]:
     # q210: the streaming-built IVF index must answer exactly like the
     # one-shot IVF — same frozen centroids, probes, tie-breaks
     o["q210_streaming_ivf"] = o["q39_knn_ivf"]
+
+    # q211: bucketed nightly merge — layout-only change vs q201
+    o["q211_bucketed_merge"] = o["q201_upsert_merge"]
 
     # q203: TFRecord round-trip — per-shard totals' closed form (text
     # bytes = UTF-8 octet length, what the tf.Example BytesList carries)
