@@ -3745,39 +3745,7 @@ def q205_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q205_")
     try:
         src_dir = os.path.join(tmp, "changes")
-        b0 = od.filter(F.col("o_orderkey") % 9 == 0).select(
-            "o_orderkey",
-            "o_custkey",
-            F.lit("X").alias("o_orderstatus"),
-            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
-            F.lit("U").alias("op"),
-            F.lit(1).alias("ts"),
-        )
-        b1 = od.filter(F.col("o_orderkey") % 27 == 0).select(
-            "o_orderkey",
-            "o_custkey",
-            F.lit(None).cast("string").alias("o_orderstatus"),
-            F.lit(0.0).alias("o_totalprice"),
-            F.lit("D").alias("op"),
-            F.lit(2).alias("ts"),
-        )
-        b2a = od.filter(F.col("o_orderkey") % 18 == 0).select(
-            "o_orderkey",
-            "o_custkey",
-            F.lit("Y").alias("o_orderstatus"),
-            (F.col("o_totalprice") + F.lit(30.0)).alias("o_totalprice"),
-            F.lit("U").alias("op"),
-            F.lit(3).alias("ts"),
-        )
-        b2b = od.filter(F.col("o_orderkey") % 13 == 0).select(
-            (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
-            "o_custkey",
-            F.lit("N").alias("o_orderstatus"),
-            "o_totalprice",
-            F.lit("I").alias("op"),
-            F.lit(3).alias("ts"),
-        )
-        for k, b in enumerate((b0, b1, b2a.unionByName(b2b))):
+        for k, b in enumerate(_q205_change_batches(od)):
             _stage_arrival_file(b, src_dir, k)
 
         snap = os.path.join(tmp, "snapshot")
@@ -3816,6 +3784,44 @@ def q205_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q205_change_batches(od: DataFrame) -> list[DataFrame]:
+    """The q205/q212 synthesized micro-batch sequence (shared so the two
+    COW granularities stay value-identical and share one oracle)."""
+    b0 = od.filter(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("ts"),
+    )
+    b1 = od.filter(F.col("o_orderkey") % 27 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("ts"),
+    )
+    b2a = od.filter(F.col("o_orderkey") % 18 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("Y").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(30.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(3).alias("ts"),
+    )
+    b2b = od.filter(F.col("o_orderkey") % 13 == 0).select(
+        (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("I").alias("op"),
+        F.lit(3).alias("ts"),
+    )
+    return [b0, b1, b2a.unionByName(b2b)]
 
 
 def q206_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3973,6 +3979,112 @@ def q210_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
         return (
             ivf_topk_indexed(spark, idx, qs, k=5, n_probe=2)
+            .select("query_id", "rank", "neighbor_id")
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q212_streaming_cdc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKET-granular streaming CDC apply END-TO-END — q205's exact
+    change feed through the 100 TB copy-on-write path: the snapshot is
+    hash-partitioned into 16 pk buckets, each micro-batch rewrites ONLY
+    the buckets its keys touch and commits a manifest referencing the
+    untouched ones in place (rewrite volume ∝ change rate, not corpus —
+    scripts/cdc_cow_probe.py). COW granularity changes the write volume,
+    never the answer: the oracle IS q205's one-shot last-writer-wins SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.streaming.cdc import (
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+        streaming_upsert_snapshots_bucketed,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="q212_")
+    try:
+        src_dir = os.path.join(tmp, "changes")
+        for k, b in enumerate(_q205_change_batches(od)):
+            _stage_arrival_file(b, src_dir, k)
+
+        snap = os.path.join(tmp, "snapshot")
+        init_snapshot_bucketed(od, snap, ["o_orderkey"], n_buckets=16)
+        src = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+                " o_totalprice double, op string, ts int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_upsert_snapshots_bucketed(
+            src, snap, os.path.join(tmp, "ckpt"), ts_col="ts", op_col="op"
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+        final = latest_snapshot_bucketed(spark, snap)
+        return (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100)).alias("sum_cents"),
+                F.sum("o_orderkey").alias("sum_keys"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q213_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance grow→COMPACT→serve: three backfill batches append
+    ingest_batch_id=N/list_id=M segments (the exact function q210's
+    stream calls per micro-batch), compact_ivf_index merges them into a
+    flat one-file-per-list layout (the Lucene-merge step — serving stops
+    paying per-segment file opens as batches accumulate), and the q39
+    probes are answered FROM THE COMPACTED index. Compaction changes
+    LAYOUT, never content: the oracle is q39's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.operators.similarity import ivf_topk_indexed
+    from hfsa_spark.streaming.vectors import (
+        compact_ivf_index,
+        index_vector_batch,
+        init_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="q213_")
+    try:
+        idx = os.path.join(tmp, "ivf")
+        init_ivf_index(emb.filter(F.col("vec_id") % 25 == 0), idx)
+        for k in range(3):
+            index_vector_batch(
+                emb.filter(F.col("vec_id") % 3 == k).select(
+                    "vec_id", "embedding"
+                ),
+                idx,
+                batch_id=k,
+            )
+        compacted = os.path.join(tmp, "ivf_compacted")
+        compact_ivf_index(spark, idx, compacted)
+
+        qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        return (
+            ivf_topk_indexed(spark, compacted, qs, k=5, n_probe=2)
             .select("query_id", "rank", "neighbor_id")
             .orderBy("query_id", "rank")
             .localCheckpoint()  # materialize before the tmp dir vanishes
@@ -4457,6 +4569,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_pit_join": q209_pit_join,
         "q210_streaming_ivf": q210_streaming_ivf,
         "q211_bucketed_merge": q211_bucketed_merge,
+        "q212_streaming_cdc_bucketed": q212_streaming_cdc_bucketed,
+        "q213_ivf_compaction": q213_ivf_compaction,
     }
 
 
@@ -8854,6 +8968,10 @@ def oracle_sql() -> dict[str, str]:
     # q204: winsorize — quantile_cont ≡ Spark percentile at dyadic p
     # over integer values (q49 parity); LEAST/GREATEST coerce to double
     # identically
+    # null-SAFE band join (IS NOT DISTINCT FROM), mirroring winsorize's
+    # eqNullSafe: a NULL lang is a real group with its own band row — a
+    # plain equi/USING join would silently drop those documents if the
+    # fixture ever grows NULL langs (pinned in tests/test_round7_ops.py)
     o["q204_winsorize"] = """
         WITH bands AS (
             SELECT lang,
@@ -8865,7 +8983,8 @@ def oracle_sql() -> dict[str, str]:
                (d.n_chars < b.lo) AS clipped_lo,
                (d.n_chars > b.hi) AS clipped_hi,
                b.lo, b.hi
-        FROM documents d JOIN bands b USING (lang)
+        FROM documents d LEFT JOIN bands b
+          ON d.lang IS NOT DISTINCT FROM b.lang
         ORDER BY d.doc_id
     """
 
@@ -8957,6 +9076,14 @@ def oracle_sql() -> dict[str, str]:
     mat_ctes = ",".join(
         [_mat_top(64, "full_top")] + [_mat_top(d, f"t{d}") for d in mat_dims]
     )
+    # q212: bucket-granular streaming CDC — COW granularity changes the
+    # write volume, never the answer: same oracle as q205
+    o["q212_streaming_cdc_bucketed"] = o["q205_streaming_cdc"]
+
+    # q213: IVF grow→compact→serve — compaction changes layout, never
+    # content: the compacted index must answer exactly like q39's one-shot
+    o["q213_ivf_compaction"] = o["q39_knn_ivf"]
+
     mat_selects = "\n            UNION ALL\n".join(
         f"""            SELECT q.query_id, {d} AS dim,
                    (SELECT COUNT(*) FROM full_top f JOIN t{d} t

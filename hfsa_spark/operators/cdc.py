@@ -196,6 +196,7 @@ def point_in_time_join(
     fact_ts_col: str = "ts",
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Feature-store point-in-time join: each fact row picks up the
     dimension state that was valid AT its own timestamp — the
@@ -206,17 +207,41 @@ def point_in_time_join(
     non-overlapping ``[valid_from, valid_to)`` with NULL ``valid_to`` =
     open); a fact matches at most one interval, and facts before the
     key's first version (or for unknown keys) keep NULL state (left
-    join) so the caller can audit coverage.
+    join) so the caller can audit coverage. The intervals' non-key
+    state columns must not collide with fact column names (the output
+    would carry ambiguous duplicates); collisions raise — rename on the
+    intervals side first.
 
     Plan shape: ONE equi-join keyed on ``key_cols`` with the range
     predicate applied as a join residual — a hash/sort-merge join, never
     a cartesian; per-key interval counts are history lengths, so the
     residual scan per probe row is tiny at any corpus size.
+
+    ``null_safe_keys`` mirrors :func:`upsert_merge`: the default matches
+    NULL keys to each other, but null-safe equality plans on
+    ``(coalesce(key), isnull(key))`` and cannot reuse a hash layout — a
+    feature store keeping its interval table BUCKETED by key re-shuffles
+    it on every PIT join. When the key is non-null (the normal feature
+    store contract), pass ``null_safe_keys=False``: plain ``==`` keys
+    consume the bucketed interval table with zero interval-side exchange
+    (pinned in tests/test_bucketed_layout.py).
     """
     key_cols = list(key_cols)
+    clashes = sorted(
+        (set(intervals.columns) - set(key_cols)) & set(facts.columns)
+    )
+    if clashes:
+        raise ValueError(
+            "point_in_time_join: interval state columns collide with fact"
+            f" columns {clashes}; rename them on the intervals side"
+            " (e.g. state_<col>) before joining"
+        )
     f = facts.alias("f")
     iv = intervals.alias("i")
-    cond = [F.col(f"f.{k}").eqNullSafe(F.col(f"i.{k}")) for k in key_cols]
+    if null_safe_keys:
+        cond = [F.col(f"f.{k}").eqNullSafe(F.col(f"i.{k}")) for k in key_cols]
+    else:
+        cond = [F.col(f"f.{k}") == F.col(f"i.{k}") for k in key_cols]
     cond.append(F.col(f"f.{fact_ts_col}") >= F.col(f"i.{valid_from_col}"))
     cond.append(
         F.col(f"i.{valid_to_col}").isNull()

@@ -863,8 +863,18 @@ def char_entropy_profile(
 
 def _round_half_up(x: float) -> float:
     """Round half away from zero — Spark's F.round / DuckDB round()
-    semantics for doubles (python round() is banker's, which differs)."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    semantics for doubles (python round() is banker's, which differs).
+
+    Computed WITHOUT the floor(x+0.5) trick: x+0.5 can round up in the
+    FP addition itself (0.49999999999999994 + 0.5 == 1.0), misrounding
+    at representation edges. fmod-and-compare is exact: abs(x) % 1 and
+    the >= 0.5 comparison both operate on the unmodified binary value,
+    matching what Spark/DuckDB round on."""
+    if x != x or math.isinf(x):  # NaN/inf pass through like F.round
+        return x
+    a = abs(x)
+    r = math.floor(a) + (1.0 if a % 1.0 >= 0.5 else 0.0)
+    return math.copysign(r, x)
 
 
 def dsir_scores(

@@ -33,6 +33,7 @@ import gzip
 import os
 import struct
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,9 +48,21 @@ for _i in range(256):
         _c = (_c >> 1) ^ (0x82F63B78 if _c & 1 else 0)  # reflected Castagnoli
     _CRC_TABLE.append(_c)
 
+# slicing-by-8 tables (Kounavis & Berry, "Novel Table Lookup-Based
+# Algorithms for High-Performance CRC Generation", public method): T[0]
+# is the byte-at-a-time table; T[k][v] advances v's contribution k more
+# bytes through the register, so one step folds 8 input bytes at once.
+_T8 = np.zeros((8, 256), dtype=np.uint32)
+_T8[0] = np.array(_CRC_TABLE, dtype=np.uint32)
+for _k in range(1, 8):
+    _prev = _T8[_k - 1]
+    _T8[_k] = _T8[0][_prev & 0xFF] ^ (_prev >> np.uint32(8))
+
 
 def crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli), the checksum TFRecord framing uses."""
+    """CRC-32C (Castagnoli), the checksum TFRecord framing uses.
+    Scalar form (single buffer); the batch paths use :func:`crc32c_many`,
+    which this stays bit-identical to (RFC 3720 vectors pin both)."""
     crc = 0xFFFFFFFF
     tab = _CRC_TABLE
     for b in data:
@@ -57,9 +70,90 @@ def crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+def crc32c_many(bufs: list[bytes]) -> np.ndarray:
+    """CRC-32C of MANY buffers at once — vectorized ACROSS records.
+
+    A single CRC is a serial byte recurrence, so the per-buffer loop
+    can't vectorize; but a shard checksums thousands of records, and the
+    recurrences are independent. This runs the slicing-by-8 state machine
+    on a uint32 VECTOR of states: each step folds the next 8 bytes of
+    every active record via eight table gathers + xors (numpy fancy
+    indexing), then the ≤7 tail bytes byte-at-a-time, still vectorized.
+    Records are length-sorted and processed in ≤32 MB padded groups so
+    padding waste and peak memory stay bounded. ~40× the scalar loop at
+    tfrecord-typical record sizes — the difference between a CPU-bound
+    sink and a disk-bound one at 100 TB (PERFORMANCE.md round-7 row).
+    """
+    n = len(bufs)
+    out = np.zeros(n, dtype=np.uint32)
+    if not n:
+        return out
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    budget = 32 << 20
+    start = 0
+    while start < n:
+        # grow the group while padded size stays within budget
+        end = start + 1
+        maxlen = int(lens[order[start]])
+        while end < n:
+            cand = max(maxlen, int(lens[order[end]]))
+            if cand * (end - start + 1) > budget and end > start:
+                break
+            maxlen = cand
+            end += 1
+        idx = order[start:end]
+        g = len(idx)
+        glens = lens[idx]
+        width = ((maxlen + 7) // 8) * 8
+        arr = np.zeros((g, max(width, 8)), dtype=np.uint8)
+        for row, i in enumerate(idx):
+            b = bufs[i]
+            if b:
+                arr[row, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        crc = np.full(g, 0xFFFFFFFF, dtype=np.uint32)
+        nwords = glens // 8
+        for j in range(int(nwords.max()) if g else 0):
+            active = nwords > j
+            c = arr[:, j * 8 : j * 8 + 8].astype(np.uint32)
+            x = crc ^ (c[:, 0] | (c[:, 1] << np.uint32(8))
+                       | (c[:, 2] << np.uint32(16)) | (c[:, 3] << np.uint32(24)))
+            nxt = (
+                _T8[7][x & 0xFF]
+                ^ _T8[6][(x >> np.uint32(8)) & 0xFF]
+                ^ _T8[5][(x >> np.uint32(16)) & 0xFF]
+                ^ _T8[4][x >> np.uint32(24)]
+                ^ _T8[3][c[:, 4]]
+                ^ _T8[2][c[:, 5]]
+                ^ _T8[1][c[:, 6]]
+                ^ _T8[0][c[:, 7]]
+            )
+            crc = np.where(active, nxt, crc)
+        # tail: up to 7 trailing bytes, byte-at-a-time but still vectorized
+        rows = np.arange(g)
+        for t in range(7):
+            pos = nwords * 8 + t
+            active = pos < glens
+            byte = arr[rows, np.minimum(pos, arr.shape[1] - 1)].astype(
+                np.uint32
+            )
+            nxt = (crc >> np.uint32(8)) ^ _T8[0][(crc ^ byte) & 0xFF]
+            crc = np.where(active, nxt, crc)
+        out[idx] = crc ^ np.uint32(0xFFFFFFFF)
+        start = end
+    return out
+
+
 def _masked_crc(data: bytes) -> int:
     crc = crc32c(data)
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _masked_crc_many(crcs: np.ndarray) -> np.ndarray:
+    return (
+        ((crcs >> np.uint32(15)) | (crcs << np.uint32(17)))
+        + np.uint32(0xA282EAD8)
+    )
 
 
 # ------------------------------------------------------------ proto wire

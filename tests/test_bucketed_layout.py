@@ -113,6 +113,78 @@ def test_merge_agg_states_explicit_keys(spark):
     assert got == {"a": 4, "b": 2}
 
 
+def test_pit_join_reuses_bucketed_interval_layout(spark, tmp_path):
+    """The feature-store shape at 100 TB: an SCD2 interval table stored
+    bucketed by its key enters point_in_time_join WITHOUT re-shuffling —
+    the bucketed plan must carry exactly one fewer Exchange than the
+    same join over plain parquet (needs the null_safe_keys=False
+    non-null-key contract; eqNullSafe keys plan on (coalesce, isnull)
+    and can never reuse a hash layout)."""
+    import re
+
+    from hfsa_spark.operators.cdc import point_in_time_join, scd2_intervals
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    log = od.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("I").alias("op"),
+        (F.col("o_orderkey") % 3 * 10).alias("ts"),
+    )
+    intervals = scd2_intervals(log, ["o_orderkey"], ts_col="ts", op_col="op")
+    facts = od.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("o_orderkey") % 40).alias("ts")
+    )
+
+    def n_exchanges(iv):
+        j = point_in_time_join(facts, iv, ["o_orderkey"],
+                               null_safe_keys=False)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"\bExchange\b", plan))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = n_exchanges(intervals)
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(intervals, "tb_pit_iv", str(tmp_path / "iv"),
+                       "o_orderkey", n_shuffle)
+        bucketed = n_exchanges(spark.table("tb_pit_iv"))
+        assert bucketed == plain - 1  # interval-side exchange eliminated
+
+        # values identical both ways (the layout never changes the answer)
+        a = point_in_time_join(facts, intervals, ["o_orderkey"],
+                               null_safe_keys=False)
+        b = point_in_time_join(facts, spark.table("tb_pit_iv"),
+                               ["o_orderkey"], null_safe_keys=False)
+        assert sorted(map(tuple, a.collect()), key=lambda t: t[:2]) == sorted(
+            map(tuple, b.collect()), key=lambda t: t[:2]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "tb_pit_iv")
+
+
+def test_pit_join_rejects_state_column_collisions(spark):
+    """A fact column sharing a name with an interval state column would
+    emit ambiguous duplicate output columns — must raise, not emit."""
+    import pytest
+
+    from hfsa_spark.operators.cdc import point_in_time_join
+
+    facts = spark.createDataFrame(
+        [(1, 5, 9.0)], "k bigint, ts int, price double"
+    )
+    iv = spark.createDataFrame(
+        [(1, 1.0, 0, None, True)],
+        "k bigint, price double, valid_from int, valid_to int,"
+        " is_current boolean",
+    )
+    with pytest.raises(ValueError, match="price"):
+        point_in_time_join(facts, iv, ["k"])
+
+
 def test_upsert_merge_reuses_bucketed_base_layout(spark, tmp_path):
     """The nightly-merge shape at 100 TB: a snapshot stored bucketed by
     its pk enters upsert_merge's full-outer join WITHOUT re-shuffling —
