@@ -158,10 +158,15 @@ def _masked_crc_many(crcs: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------ proto wire
 
+_BYTE = [bytes([i]) for i in range(256)]  # 1-byte cache: hot in _ld/_varint
+
+
 def _varint(n: int) -> bytes:
     """Unsigned LEB128. int64 values are encoded as their 64-bit two's
     complement (protobuf's int64 rule: negatives take 10 bytes)."""
     n &= 0xFFFFFFFFFFFFFFFF
+    if n < 0x80:  # the common case: small lengths/values, one byte
+        return _BYTE[n]
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -175,7 +180,10 @@ def _varint(n: int) -> bytes:
 
 def _ld(tag_byte: int, payload: bytes) -> bytes:
     """One length-delimited field: tag · varint(len) · payload."""
-    return bytes([tag_byte]) + _varint(len(payload)) + payload
+    ln = len(payload)
+    if ln < 0x80:
+        return _BYTE[tag_byte] + _BYTE[ln] + payload
+    return _BYTE[tag_byte] + _varint(ln) + payload
 
 
 def _feature(kind: str, values) -> bytes:
@@ -292,6 +300,8 @@ def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
 # --------------------------------------------------------------- framing
 
 def write_record(fh, data: bytes) -> None:
+    """Frame ONE record (scalar path; shard writes use
+    :func:`frame_records`, which is byte-identical)."""
     ln = struct.pack("<Q", len(data))
     fh.write(ln)
     fh.write(struct.pack("<I", _masked_crc(ln)))
@@ -299,25 +309,70 @@ def write_record(fh, data: bytes) -> None:
     fh.write(struct.pack("<I", _masked_crc(data)))
 
 
+def frame_records(datas: list[bytes]) -> bytes:
+    """Frame a record batch into one buffer — both CRC columns computed
+    in two vectorized :func:`crc32c_many` passes instead of a per-byte
+    Python loop per record. Byte-identical to repeated
+    :func:`write_record` calls (pinned in tests)."""
+    lens = [struct.pack("<Q", len(d)) for d in datas]
+    lc = _masked_crc_many(crc32c_many(lens)).astype("<u4").tobytes()
+    dc = _masked_crc_many(crc32c_many(datas)).astype("<u4").tobytes()
+    parts = []
+    for i, (ln, d) in enumerate(zip(lens, datas)):
+        parts.append(ln)
+        parts.append(lc[i * 4 : i * 4 + 4])
+        parts.append(d)
+        parts.append(dc[i * 4 : i * 4 + 4])
+    return b"".join(parts)
+
+
 def iter_records(buf: bytes):
-    """Yield record payloads, verifying both CRCs (raises ValueError)."""
+    """Yield record payloads, verifying both CRCs (raises ValueError).
+
+    Two-phase: frames are located first (truncation raises with the
+    failing offset), then BOTH CRC columns verify in two vectorized
+    passes; the first bad frame raises with its offset and kind, so the
+    error surface matches the per-record scalar check."""
+    offs: list[int] = []
+    ln_bufs: list[bytes] = []
+    datas: list[bytes] = []
     pos = 0
     while pos < len(buf):
         if len(buf) - pos < 12:
             raise ValueError(f"tfrecord truncated header at offset {pos}")
         ln_bytes = buf[pos : pos + 8]
         (ln,) = struct.unpack("<Q", ln_bytes)
-        (len_crc,) = struct.unpack("<I", buf[pos + 8 : pos + 12])
-        if len_crc != _masked_crc(ln_bytes):
-            raise ValueError(f"tfrecord length CRC mismatch at offset {pos}")
         if len(buf) - pos < 16 + ln:
+            # an unverified length could be garbage from corruption; if
+            # its CRC fails, report THAT (the root cause), not truncation
+            if struct.unpack("<I", buf[pos + 8 : pos + 12])[0] != _masked_crc(
+                ln_bytes
+            ):
+                raise ValueError(
+                    f"tfrecord length CRC mismatch at offset {pos}"
+                )
             raise ValueError(f"tfrecord truncated record at offset {pos}")
-        data = buf[pos + 12 : pos + 12 + ln]
-        (data_crc,) = struct.unpack("<I", buf[pos + 12 + ln : pos + 16 + ln])
-        if data_crc != _masked_crc(data):
-            raise ValueError(f"tfrecord data CRC mismatch at offset {pos}")
-        yield data
+        offs.append(pos)
+        ln_bufs.append(ln_bytes)
+        datas.append(buf[pos + 12 : pos + 12 + ln])
         pos += 16 + ln
+    if offs:
+        len_ok = _masked_crc_many(crc32c_many(ln_bufs)) == np.frombuffer(
+            b"".join(buf[o + 8 : o + 12] for o in offs), dtype="<u4"
+        )
+        data_ok = _masked_crc_many(crc32c_many(datas)) == np.frombuffer(
+            b"".join(
+                buf[o + 12 + len(d) : o + 16 + len(d)]
+                for o, d in zip(offs, datas)
+            ),
+            dtype="<u4",
+        )
+        for i, o in enumerate(offs):  # first bad frame, scalar-check order
+            if not len_ok[i]:
+                raise ValueError(f"tfrecord length CRC mismatch at offset {o}")
+            if not data_ok[i]:
+                raise ValueError(f"tfrecord data CRC mismatch at offset {o}")
+    yield from datas
 
 
 # ------------------------------------------------------------ spark side
@@ -358,6 +413,22 @@ def _row_features(r, feature_spec: dict[str, str]) -> dict[str, tuple[str, list]
     return feats
 
 
+def _encode_batch(pdf: pd.DataFrame, feature_spec: dict[str, str]) -> list[bytes]:
+    """Encode a shard's rows to tf.Example payloads COLUMNARLY: one
+    values-array per column pulled once, rows assembled by zip — no
+    ``iterrows`` Series construction per record (the other half of the
+    round-7 throughput fix next to :func:`crc32c_many`). Same null
+    policy and byte output as :func:`_row_features` row-at-a-time."""
+    cols = list(feature_spec)
+    arrays = [pdf[c].to_numpy() for c in cols]
+    out: list[bytes] = []
+    for vals in zip(*arrays):
+        out.append(
+            encode_example(_row_features(dict(zip(cols, vals)), feature_spec))
+        )
+    return out
+
+
 def write_tfrecord_shards(
     df: DataFrame,
     out_dir: str,
@@ -385,20 +456,18 @@ def write_tfrecord_shards(
         shard = int(pdf["__shard"].iloc[0])
         path = os.path.join(out_dir, f"part-{shard:05d}{suffix}")
         pdf = pdf.sort_values(id_col)
-        n_bytes = 0
+        datas = _encode_batch(pdf, feature_spec)
+        framed = frame_records(datas)  # both CRC columns vectorized
         opener = (
             (lambda p: gzip.GzipFile(p, "wb", mtime=0))
             if compression
             else (lambda p: open(p, "wb"))
         )
         with opener(path) as fh:
-            for _, r in pdf.iterrows():
-                data = encode_example(_row_features(r, feature_spec))
-                write_record(fh, data)
-                n_bytes += 16 + len(data)
+            fh.write(framed)
         return pd.DataFrame(
-            {"shard": [shard], "n_records": [len(pdf)], "n_bytes": [n_bytes],
-             "path": [path]}
+            {"shard": [shard], "n_records": [len(pdf)],
+             "n_bytes": [len(framed)], "path": [path]}
         )
 
     # pmod keeps negative ids in [0, n_shards); a NULL id routes to shard

@@ -118,6 +118,46 @@ def test_tfrecord_unpacked_int64_accepted():
     assert decode_example(example)["n"] == ("int64", [7, 42])
 
 
+def test_crc32c_many_matches_scalar():
+    """The vectorized across-records CRC must be bit-identical to the
+    per-byte scalar on every length class (word-multiple, tail, empty)."""
+    import random
+
+    import numpy as np
+
+    from hfsa_spark.sinks.tfrecord import crc32c_many
+
+    # RFC 3720 vectors through the batch path too
+    got = crc32c_many([b"", b"\x00" * 32, b"\xff" * 32, bytes(range(32)),
+                       b"123456789"])
+    assert list(got) == [0x00000000, 0x8A9136AA, 0x62A8AB43, 0x46DD794E,
+                         0xE3069283]
+
+    random.seed(11)
+    bufs = [
+        bytes(random.randrange(256) for _ in range(ln))
+        for ln in (0, 1, 7, 8, 9, 15, 16, 17, 63, 64, 65, 255, 1000, 4096)
+        for _ in range(3)
+    ]
+    random.shuffle(bufs)  # exercise the length-sort grouping
+    assert list(crc32c_many(bufs)) == [crc32c(b) for b in bufs]
+    assert crc32c_many([]).shape == (0,)
+    assert crc32c_many([]).dtype == np.uint32
+
+
+def test_frame_records_byte_identical_to_write_record():
+    import io
+
+    from hfsa_spark.sinks.tfrecord import frame_records
+
+    datas = [b"hello", b"", b"x" * 1000, bytes(range(256)) * 3]
+    fh = io.BytesIO()
+    for d in datas:
+        write_record(fh, d)
+    assert frame_records(datas) == fh.getvalue()
+    assert frame_records([]) == b""
+
+
 def test_masked_crc_matches_spec():
     # mask(crc) = rotr15(crc) + 0xa282ead8 (record_writer.h); verify the
     # framing of a known record against an independently computed value
