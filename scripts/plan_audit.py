@@ -100,7 +100,19 @@ AUDIT = [
     ("q202_scd2_intervals", "SCD2: lead window bounded by per-key history, no global sort", False),
     ("q204_winsorize", "winsorize: per-group percentile agg, broadcast band join back, map-only clip", False),
     ("q207_incremental_agg", "incremental agg: two partial-state builds, one state-row merge", False),
+    ("q208_matryoshka", "matryoshka audit: D broadcast-query corpus scans, rank-set equi joins", True),
     ("q209_pit_join", "point-in-time join: key equi join + range residual, no nested loop", False),
+    # CONVENTION — gates absent above carry their plan evidence in pytest:
+    # streaming lifecycles q93/q94/q164/q199/q205/q210/q212 (foreachBatch
+    # plans are per-batch; pinned in tests/test_streaming*.py), and
+    # tmpdir-write gates that localCheckpoint their result, whose audit
+    # plan is vacuous like q161/q164: q203 (read path pinned in
+    # tests/test_plans.py::test_tfrecord_read_path_plan), q206/q211
+    # (zero-Exchange co-located joins, tests/test_bucketed_layout.py),
+    # q212 (manifest-union read, test_plans.py::test_bucketed_cow_read_
+    # path_plan), q213 (serve-path partition pruning,
+    # tests/test_similarity_ivf.py::test_indexed_ivf_matches_direct_and_
+    # prunes_partitions; compacted layout, tests/test_streaming_vectors.py).
 ]
 
 
@@ -154,6 +166,17 @@ def main() -> None:
         "available; joins listed are the strategies present anywhere in the",
         "plan. tests/test_plans.py asserts the load-bearing properties;",
         "this file is the human-readable evidence.",
+        "",
+        "Convention: gates with no section here carry pinned PLAN TESTS",
+        "instead — streaming lifecycles (q93/q94/q164/q199/q205/q210/q212:",
+        "foreachBatch plans are per-batch, tests/test_streaming*.py) and",
+        "tmpdir-write gates that localCheckpoint their result, making the",
+        "audited plan vacuous (q161/q164: test_inverted_index.py; q203:",
+        "test_plans.py::test_tfrecord_read_path_plan; q206/q211:",
+        "test_bucketed_layout.py; q212:",
+        "test_plans.py::test_bucketed_cow_read_path_plan; q213:",
+        "test_similarity_ivf.py serve-path pruning +",
+        "test_streaming_vectors.py compacted layout).",
         "",
     ]
     for name, note, bnlj_ok in AUDIT:

@@ -314,3 +314,65 @@ def test_cdc_upsert_plans(spark):
     )
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_tfrecord_read_path_plan(spark, tmp_path):
+    """q203's read side (its gate localCheckpoints, so the audit plan is
+    vacuous — evidence lives here by the q161/q164 convention): one scan
+    task per shard via a RoundRobin exchange over the n_shards PATH
+    STRINGS only; the record payloads are parsed inside mapInPandas and
+    never shuffle (no Exchange above the Python node)."""
+    import re
+
+    from hfsa_spark.sinks.tfrecord import (
+        read_tfrecord_shards,
+        write_tfrecord_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    spec = {"doc_id": "int64", "text": "bytes"}
+    out = str(tmp_path / "tfr")
+    write_tfrecord_shards(df, out, spec, n_shards=4)
+    back = read_tfrecord_shards(spark, out, spec)
+    plan = explain_str(back, "formatted")
+    # exactly one exchange, and it is the tiny path-list round-robin —
+    # NOT a hash/range shuffle of record data
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "RoundRobinPartitioning" in plan
+    # payload parse happens in exactly one Arrow Python node
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1
+    assert back.count() == 40
+
+
+def test_bucketed_cow_read_path_plan(spark, tmp_path):
+    """q212's read side (lifecycle gate → pytest evidence): resolving a
+    bucketed snapshot unions manifest-referenced bucket files in ONE
+    parquet scan with zero exchanges — untouched buckets are read in
+    place across version directories."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(64)], "k bigint, v string"
+    )
+    snap = str(tmp_path / "snap")
+    init_snapshot_bucketed(base, snap, ["k"], n_buckets=8)
+    ch = spark.createDataFrame(
+        [(7, "x", "U", 1)], "k bigint, v string, op string, ts int"
+    )
+    apply_change_batch_bucketed(ch, snap, batch_id=0)
+    final = latest_snapshot_bucketed(spark, snap)
+    plan = explain_str(final, "formatted")
+    assert "Exchange" not in plan
+    # one multi-path scan node, not N per-bucket scans unioned
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1
+    assert final.count() == 64
