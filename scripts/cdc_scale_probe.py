@@ -88,6 +88,31 @@ def main() -> None:
         )
         rows.append({"mode": mode, "sec": sec})
 
+    # skewed change batch: ONE hot key carries 10% of the change ROWS
+    # (the repeated-update shape a hot entity produces). The exposure is
+    # the change-batch window (_latest_per_key partitions by key), not
+    # the apply join — the window reduces to one winner per key first,
+    # so the join sees no skew. seq breaks the ties deterministically.
+    hot_rows = b // 10
+    skewed = changes.withColumn("seq", F.lit(0)).unionByName(
+        spark.range(hot_rows).select(
+            F.lit(0).cast("long").alias("k"),
+            F.col("id").alias("score"),
+            F.lit("hot").alias("tag"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("ts"),
+            (F.col("id") + 1).alias("seq"),
+        )
+    ).persist()
+    sb = skewed.count()
+    for mode, bc in [("full_outer", False), ("broadcast", True)]:
+        sec = timed(
+            upsert_merge(base, skewed, ["k"], ts_col="ts", seq_col="seq",
+                         broadcast_changes=bc)
+        )
+        rows.append({"mode": f"skewed_{mode}", "sec": sec,
+                     "batch_rows": sb, "hot_key_rows": hot_rows})
+
     print(json.dumps({
         "probe": "cdc_scale", "n_rows": n, "batch_rows": b, "rows": rows,
     }))
