@@ -3898,9 +3898,21 @@ def q209_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp from q202's interval table — before-first-version and
     unknown-key facts keep NULL state (left join), deleted windows
     match nothing. One equi-join on the key with a range residual."""
-    from hfsa_spark.operators.cdc import point_in_time_join, scd2_intervals
+    from hfsa_spark.operators.cdc import point_in_time_join
 
     od = _t(spark, sf_dir, "orders")
+    intervals, facts = _q209_inputs(od)
+    return point_in_time_join(facts, intervals, ["o_orderkey"]).orderBy(
+        "o_orderkey", "ts"
+    )
+
+
+def _q209_inputs(od: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The q209/q214 SCD2 interval table + fact table (shared so the
+    plain and bucketed-layout gates stay value-identical and share one
+    oracle)."""
+    from hfsa_spark.operators.cdc import scd2_intervals
+
     k = od.filter(F.col("o_orderkey") % 50 == 0)
     v1 = k.select(
         "o_orderkey",
@@ -3928,9 +3940,37 @@ def q209_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.lit(5) + F.col("o_orderkey") % 30).alias("ts"),
     )
-    return point_in_time_join(facts, intervals, ["o_orderkey"]).orderBy(
-        "o_orderkey", "ts"
-    )
+    return intervals, facts
+
+
+def q214_bucketed_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store composition at 100 TB: q209's EXACT point-in-
+    time join but with the SCD2 interval table persisted BUCKETED by its
+    key and the non-null-key contract (null_safe_keys=False) — the join
+    consumes the bucketed layout with zero interval-side exchange (plan
+    pinned in tests/test_bucketed_layout.py). Layout changes the PLAN,
+    never the answer: the oracle IS q209's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.operators.cdc import point_in_time_join
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = _t(spark, sf_dir, "orders")
+    intervals, facts = _q209_inputs(od)
+    tmp = tempfile.mkdtemp(prefix="q214_")
+    try:
+        write_bucketed(intervals, "q214_iv", os.path.join(tmp, "iv"),
+                       "o_orderkey", 32)
+        out = point_in_time_join(
+            facts, spark.table("q214_iv"), ["o_orderkey"],
+            null_safe_keys=False,
+        )
+        return out.orderBy("o_orderkey", "ts").localCheckpoint()
+    finally:
+        drop_bucketed(spark, "q214_iv")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q210_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4571,6 +4611,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_bucketed_merge": q211_bucketed_merge,
         "q212_streaming_cdc_bucketed": q212_streaming_cdc_bucketed,
         "q213_ivf_compaction": q213_ivf_compaction,
+        "q214_bucketed_pit": q214_bucketed_pit,
     }
 
 
@@ -9083,6 +9124,9 @@ def oracle_sql() -> dict[str, str]:
     # q213: IVF grow→compact→serve — compaction changes layout, never
     # content: the compacted index must answer exactly like q39's one-shot
     o["q213_ivf_compaction"] = o["q39_knn_ivf"]
+
+    # q214: bucketed point-in-time join — layout-only change vs q209
+    o["q214_bucketed_pit"] = o["q209_pit_join"]
 
     mat_selects = "\n            UNION ALL\n".join(
         f"""            SELECT q.query_id, {d} AS dim,

@@ -395,6 +395,50 @@ def apply_change_batch_bucketed(
     _write_manifest(snapshot_dir, new_version, new_manifest)
 
 
+def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:
+    """Age out old snapshot versions (time-travel retention).
+
+    Keeps the newest ``keep_latest`` committed versions' READABILITY —
+    which for the two COW flavors means different file sets:
+
+    * snapshot-COW (no ``_meta.json``): every version is self-contained,
+      so everything older than the kept versions is deleted;
+    * bucket-COW: a kept manifest may reference bucket files in ANY
+      older version (untouched buckets are never rewritten), so a
+      version directory is deleted only if NO kept manifest references
+      it — version 0 typically lives as long as some bucket has never
+      been touched. The manifest, not directory age, is truth.
+
+    Returns the version numbers removed. Half-written (uncommitted)
+    versions older than the newest kept one are removed too; a newer
+    in-flight version is left alone (its writer may still commit)."""
+    import shutil
+
+    bucketed = os.path.exists(os.path.join(snapshot_dir, "_meta.json"))
+    marker = MANIFEST if bucketed else "_SUCCESS"
+    committed = _committed_versions(snapshot_dir, marker=marker)
+    if not committed:
+        return []
+    kept = committed[-keep_latest:]
+    needed = set(kept)
+    if bucketed:
+        for v in kept:
+            needed.update(_read_manifest(snapshot_dir, v).values())
+    removed = []
+    for d in os.listdir(snapshot_dir):
+        if not d.startswith("v="):
+            continue
+        try:
+            v = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v in needed or v > kept[-1]:  # kept, referenced, or in-flight
+            continue
+        shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
+        removed.append(v)
+    return sorted(removed)
+
+
 def streaming_upsert_snapshots_bucketed(
     changes_stream: DataFrame,
     snapshot_dir: str,

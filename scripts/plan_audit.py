@@ -112,7 +112,9 @@ AUDIT = [
     # q212 (manifest-union read, test_plans.py::test_bucketed_cow_read_
     # path_plan), q213 (serve-path partition pruning,
     # tests/test_similarity_ivf.py::test_indexed_ivf_matches_direct_and_
-    # prunes_partitions; compacted layout, tests/test_streaming_vectors.py).
+    # prunes_partitions; compacted layout, tests/test_streaming_vectors.py),
+    # q214 (zero-Exchange bucketed PIT join, tests/test_bucketed_layout.py
+    # ::test_pit_join_reuses_bucketed_interval_layout).
 ]
 
 
@@ -176,7 +178,8 @@ def main() -> None:
         "test_bucketed_layout.py; q212:",
         "test_plans.py::test_bucketed_cow_read_path_plan; q213:",
         "test_similarity_ivf.py serve-path pruning +",
-        "test_streaming_vectors.py compacted layout).",
+        "test_streaming_vectors.py compacted layout; q214:",
+        "test_bucketed_layout.py zero-Exchange bucketed PIT join).",
         "",
     ]
     for name, note, bnlj_ok in AUDIT:

@@ -317,6 +317,73 @@ def test_bucketed_insert_into_new_bucket(spark, tmp_path):
     assert got == {10: "x", 11: "y"}
 
 
+def test_vacuum_snapshot_cow(spark, tmp_path):
+    """Snapshot-COW vacuum: versions are self-contained, so everything
+    below the kept window goes; the head still reads."""
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch,
+        init_snapshot,
+        latest_snapshot,
+        vacuum_snapshots,
+    )
+
+    snap = str(tmp_path / "snap")
+    init_snapshot(_base(spark), snap)
+    for i, rows in enumerate(BATCHES):
+        apply_change_batch(
+            spark.createDataFrame(rows, SCHEMA), snap, ["k"], batch_id=i
+        )
+    before = {r["k"]: r["v"] for r in latest_snapshot(spark, snap).collect()}
+    removed = vacuum_snapshots(snap, keep_latest=1)
+    assert removed == [0, 1, 2]
+    assert sorted(os.listdir(snap)) == ["v=3"]
+    after = {r["k"]: r["v"] for r in latest_snapshot(spark, snap).collect()}
+    assert after == before
+
+
+def test_vacuum_bucketed_keeps_referenced_versions(spark, tmp_path):
+    """Bucket-COW vacuum: a version holding buckets the HEAD manifest
+    still references must survive even when older than the kept window —
+    the manifest, not directory age, is truth."""
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+        vacuum_snapshots,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(64)], "k bigint, v string"
+    )
+    snap = str(tmp_path / "snap")
+    init_snapshot_bucketed(base, snap, ["k"], n_buckets=8)
+    # two single-key batches — most buckets stay referenced at v=0
+    for i, k in enumerate((7, 13)):
+        apply_change_batch_bucketed(
+            spark.createDataFrame([(k, f"v{k}x", "U", i + 1)], SCHEMA),
+            snap, batch_id=i,
+        )
+    before = {
+        r["k"]: r["v"] for r in latest_snapshot_bucketed(spark, snap).collect()
+    }
+    removed = vacuum_snapshots(snap, keep_latest=1)
+    # v=0 referenced by untouched buckets; v=1 only if key 7 and 13 share
+    # a bucket version no longer referenced — with distinct buckets v=1
+    # stays referenced by the head manifest too, so nothing is removable
+    # unless both keys hashed to the SAME bucket; assert via the manifest
+    import json
+
+    with open(os.path.join(snap, "v=2", "_MANIFEST.json")) as fh:
+        referenced = {int(v) for v in json.load(fh).values()} | {2}
+    assert set(removed).isdisjoint(referenced)
+    dirs = {d for d in os.listdir(snap) if d.startswith("v=")}
+    assert dirs == {f"v={v}" for v in referenced}
+    after = {
+        r["k"]: r["v"] for r in latest_snapshot_bucketed(spark, snap).collect()
+    }
+    assert after == before
+
+
 def test_bucketed_streaming_lifecycle(spark, tmp_path):
     from hfsa_spark.streaming.cdc import (
         init_snapshot_bucketed,
