@@ -4087,6 +4087,69 @@ def q212_streaming_cdc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q215_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ CDC strategy END-TO-END — q205's exact change
+    feed through the third industry-standard maintenance form: each
+    micro-batch appends one O(batch) delta segment (tombstones kept;
+    writes never touch the base — the answer for uniform-churn feeds
+    where every COW flavor degrades to a full rewrite, per the probe),
+    and the read resolves base + segments in ONE upsert_merge, ties
+    across segments broken by batch order. Strategy changes WHERE the
+    merge cost is paid, never the answer: the oracle IS q205's SQL —
+    one oracle pins the whole trio (q205 snapshot-COW, q212 bucket-COW,
+    q215 merge-on-read) value-identical."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.streaming.cdc import (
+        init_base,
+        read_merged,
+        streaming_append_segments,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="q215_")
+    try:
+        src_dir = os.path.join(tmp, "changes")
+        for k, b in enumerate(_q205_change_batches(od)):
+            _stage_arrival_file(b, src_dir, k)
+        tdir = os.path.join(tmp, "table")
+        init_base(od, tdir)
+        src = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+                " o_totalprice double, op string, ts int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_append_segments(
+            src, tdir, os.path.join(tmp, "ckpt"), ["o_orderkey"],
+            ts_col="ts", op_col="op",
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+        final = read_merged(spark, tdir, ["o_orderkey"])
+        return (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100)).alias("sum_cents"),
+                F.sum("o_orderkey").alias("sum_keys"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q213_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF maintenance grow→COMPACT→serve: three backfill batches append
     ingest_batch_id=N/list_id=M segments (the exact function q210's
@@ -4612,6 +4675,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_streaming_cdc_bucketed": q212_streaming_cdc_bucketed,
         "q213_ivf_compaction": q213_ivf_compaction,
         "q214_bucketed_pit": q214_bucketed_pit,
+        "q215_merge_on_read": q215_merge_on_read,
     }
 
 
@@ -9127,6 +9191,10 @@ def oracle_sql() -> dict[str, str]:
 
     # q214: bucketed point-in-time join — layout-only change vs q209
     o["q214_bucketed_pit"] = o["q209_pit_join"]
+
+    # q215: merge-on-read CDC — the strategy moves the merge cost from
+    # write to read time, never the answer: same oracle as q205/q212
+    o["q215_merge_on_read"] = o["q205_streaming_cdc"]
 
     mat_selects = "\n            UNION ALL\n".join(
         f"""            SELECT q.query_id, {d} AS dim,

@@ -165,7 +165,7 @@ def main() -> None:
     # start→drain→stop cycle, ~10× a median batch query) and the 210k-inode
     # report suite would otherwise inflate the batch mean as more land.
     # Cross-round comparisons use families.batch.mean (rule in BASELINE.md).
-    STREAMING_LIFECYCLE = {"q93_streaming_dedup", "q94_interval_join", "q164_streaming_index", "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf", "q212_streaming_cdc_bucketed"}
+    STREAMING_LIFECYCLE = {"q93_streaming_dedup", "q94_interval_join", "q164_streaming_index", "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf", "q212_streaming_cdc_bucketed", "q215_merge_on_read"}
     fams: dict[str, list[float]] = {"batch": [], "streaming_lifecycle": [], "reports": []}
     for k, v in timings.items():
         if k == "extract_210k":

@@ -24,6 +24,16 @@ Exactly-once protocol (versioned copy-on-write):
   convergence on top of an at-least-once trigger, q93/q164's protocol
   applied to table maintenance.
 
+Three maintenance strategies (the industry-standard trio), one merge
+algebra, one oracle — pick by workload:
+
+* copy-on-WRITE, snapshot- or bucket-granular (below): reads are always
+  one clean scan; writes cost O(snapshot) / O(touched buckets).
+* merge-on-READ (:func:`append_change_segment` / :func:`read_merged` /
+  :func:`compact_segments`): writes cost O(batch) ALWAYS — the answer
+  for uniform-churn feeds where every COW flavor degrades to a full
+  rewrite (probe) — and reads pay a segment merge until compaction.
+
 Two COW granularities, same protocol, same merge:
 
 * SNAPSHOT-granular (:func:`apply_change_batch`) — every version is a
@@ -52,7 +62,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfsa_spark.operators.cdc import _known_ops, upsert_merge
@@ -393,6 +403,159 @@ def apply_change_batch_bucketed(
     else:  # empty/no-op batch: commit a version that changes nothing
         new_manifest = dict(manifest)
     _write_manifest(snapshot_dir, new_version, new_manifest)
+
+
+# --------------------------------------------------- merge-on-read CDC
+
+SEG_SEQ = "__seg"
+
+
+def append_change_segment(
+    batch: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    batch_id: int = 0,
+) -> None:
+    """Merge-on-READ apply: the write side of the third standard CDC
+    maintenance strategy (next to snapshot-COW and bucket-COW — Hudi/
+    Iceberg "merge-on-read" at engine level).
+
+    The batch is reduced to its per-key winners (DELETES KEPT as
+    tombstone rows — the reader needs them) and appended as the delta
+    segment ``seg={batch_id}``: write volume is O(batch) regardless of
+    corpus size or change locality — the answer to the probe's honest
+    uniform-churn finding, where every COW flavor degrades to a full
+    rewrite. The cost moves to READ time (:func:`read_merged`), bounded
+    by segment count until :func:`compact_segments` folds them into a
+    new base. Winners are a pure function of the batch, so a replay of
+    batch ``b`` rewrites ``seg=b`` with identical content: idempotent
+    without any versioned-read protocol.
+
+    Contract (same as the q205 apply loop): a key appears at most once
+    per batch; across batches, later ``ts`` wins, ties broken by batch
+    order (``__seg``)."""
+    keep = _known_ops(batch, op_col)
+    latest = (
+        keep.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    (
+        latest.withColumn(SEG_SEQ, F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .parquet(os.path.join(table_dir, f"seg={batch_id}"))
+    )
+
+
+def _committed_segments(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for d in os.listdir(table_dir):
+        if not d.startswith("seg="):
+            continue
+        try:
+            s = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(table_dir, d, "_SUCCESS")):
+            out.append(s)
+    return sorted(out)
+
+
+def init_base(base: DataFrame, table_dir: str) -> None:
+    """Write the merge-on-read base table (segments accumulate next to
+    it until compaction)."""
+    base.write.mode("overwrite").parquet(os.path.join(table_dir, "_base"))
+
+
+def read_merged(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Merge-on-read resolve: base + all committed delta segments
+    through ONE :func:`upsert_merge` (the union of segments is the
+    change batch; ``__seg`` breaks equal-ts ties by batch order). Read
+    amplification is the price of O(batch) writes — bounded by segment
+    count, reset by :func:`compact_segments`."""
+    base = spark.read.parquet(os.path.join(table_dir, "_base"))
+    segs = _committed_segments(table_dir)
+    if not segs:
+        return base
+    changes = spark.read.parquet(
+        *[os.path.join(table_dir, f"seg={s}") for s in segs]
+    )
+    return upsert_merge(
+        base, changes, key_cols, ts_col=ts_col, op_col=op_col,
+        seq_col=SEG_SEQ,
+    )
+
+
+def compact_segments(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> int:
+    """Fold all committed segments into a new base (one read-side merge
+    materialized), then drop them: read amplification back to zero.
+    Returns the number of segments compacted. Answers before == after
+    (pytest-pinned): compaction changes LAYOUT, never content."""
+    import shutil
+
+    segs = _committed_segments(table_dir)
+    if not segs:
+        return 0
+    merged = read_merged(spark, table_dir, key_cols, ts_col=ts_col,
+                         op_col=op_col)
+    tmp_base = os.path.join(table_dir, "_base_compacting")
+    merged.write.mode("overwrite").parquet(tmp_base)
+    old = os.path.join(table_dir, "_base_old")
+    os.rename(os.path.join(table_dir, "_base"), old)
+    os.rename(tmp_base, os.path.join(table_dir, "_base"))
+    shutil.rmtree(old, ignore_errors=True)
+    for s in segs:
+        shutil.rmtree(os.path.join(table_dir, f"seg={s}"),
+                      ignore_errors=True)
+    return len(segs)
+
+
+def streaming_append_segments(
+    changes_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+):
+    """Wire a change feed into the merge-on-read apply loop: each
+    micro-batch appends one O(batch) delta segment; readers resolve via
+    :func:`read_merged`; compact on your own cadence. ``init_base``
+    must have written the base first."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        append_change_segment(
+            batch, table_dir, key_cols, ts_col=ts_col, op_col=op_col,
+            batch_id=int(batch_id),
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:

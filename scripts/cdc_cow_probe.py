@@ -40,12 +40,15 @@ from pyspark.sql import functions as F
 
 from hfsa_spark import get_spark
 from hfsa_spark.streaming.cdc import (
+    append_change_segment,
     apply_change_batch,
     apply_change_batch_bucketed,
+    init_base,
     init_snapshot,
     init_snapshot_bucketed,
     latest_snapshot,
     latest_snapshot_bucketed,
+    read_merged,
 )
 
 
@@ -139,22 +142,28 @@ def main() -> None:
         try:
             full = os.path.join(tmp, "full")
             buck = os.path.join(tmp, "buck")
+            mor = os.path.join(tmp, "mor")
             init_snapshot(base, full)
             init_snapshot_bucketed(base, buck, ["k"], **cfg["init"])
+            init_base(base, mor)
+            totals["merge_on_read"] = 0
 
-            for mode, apply_fn, root in (
+            for mode, apply_fn, vdir in (
                 ("snapshot_cow",
                  lambda b, i: apply_change_batch(b, full, ["k"], batch_id=i),
-                 full),
+                 lambda i: os.path.join(full, f"v={i + 1}")),
                 ("bucket_cow",
                  lambda b, i: apply_change_batch_bucketed(b, buck, batch_id=i),
-                 buck),
+                 lambda i: os.path.join(buck, f"v={i + 1}")),
+                ("merge_on_read",
+                 lambda b, i: append_change_segment(b, mor, ["k"], batch_id=i),
+                 lambda i: os.path.join(mor, f"seg={i}")),
             ):
                 for i, b in enumerate(batches):
                     t0 = time.time()
                     apply_fn(b, i)
                     sec = round(time.time() - t0, 2)
-                    nb, nf = _dir_stats(os.path.join(root, f"v={i + 1}"))
+                    nb, nf = _dir_stats(vdir(i))
                     totals[mode] += nb
                     out_rows.append({
                         "scenario": scen, "mode": mode, "batch": i,
@@ -166,12 +175,25 @@ def main() -> None:
             chk = lambda df: tuple(df.agg(
                 F.count(F.lit(1)), F.sum("k"), F.sum("score")
             ).collect()[0])
-            assert chk(latest_snapshot(spark, full)) == chk(
+            want = chk(latest_snapshot(spark, full))
+            assert want == chk(
                 latest_snapshot_bucketed(spark, buck)
-            ), f"COW flavors diverged in {scen}!"
-            summary[scen] = round(
-                totals["snapshot_cow"] / max(totals["bucket_cow"], 1), 2
-            )
+            ), f"bucket-COW diverged in {scen}!"
+            # merge-on-read pays its cost HERE: time the resolve too
+            t0 = time.time()
+            got_mor = chk(read_merged(spark, mor, ["k"]))
+            mor_read_sec = round(time.time() - t0, 2)
+            assert want == got_mor, f"merge-on-read diverged in {scen}!"
+            summary[scen] = {
+                "snapshot_over_bucket": round(
+                    totals["snapshot_cow"] / max(totals["bucket_cow"], 1), 2
+                ),
+                "snapshot_over_mor": round(
+                    totals["snapshot_cow"] / max(totals["merge_on_read"], 1),
+                    2,
+                ),
+                "mor_read_sec": mor_read_sec,
+            }
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
             for b in batches:

@@ -103,7 +103,7 @@ AUDIT = [
     ("q208_matryoshka", "matryoshka audit: D broadcast-query corpus scans, rank-set equi joins", True),
     ("q209_pit_join", "point-in-time join: key equi join + range residual, no nested loop", False),
     # CONVENTION — gates absent above carry their plan evidence in pytest:
-    # streaming lifecycles q93/q94/q164/q199/q205/q210/q212 (foreachBatch
+    # streaming lifecycles q93/q94/q164/q199/q205/q210/q212/q215 (foreachBatch
     # plans are per-batch; pinned in tests/test_streaming*.py), and
     # tmpdir-write gates that localCheckpoint their result, whose audit
     # plan is vacuous like q161/q164: q203 (read path pinned in
@@ -170,7 +170,7 @@ def main() -> None:
         "this file is the human-readable evidence.",
         "",
         "Convention: gates with no section here carry pinned PLAN TESTS",
-        "instead — streaming lifecycles (q93/q94/q164/q199/q205/q210/q212:",
+        "instead — streaming lifecycles (q93/q94/q164/q199/q205/q210/q212/q215:",
         "foreachBatch plans are per-batch, tests/test_streaming*.py) and",
         "tmpdir-write gates that localCheckpoint their result, making the",
         "audited plan vacuous (q161/q164: test_inverted_index.py; q203:",

@@ -384,6 +384,119 @@ def test_vacuum_bucketed_keeps_referenced_versions(spark, tmp_path):
     assert after == before
 
 
+def test_merge_on_read_matches_reference_and_cow(spark, tmp_path):
+    """The third strategy: O(batch) segment appends + read-time resolve
+    must equal the sequential reference model (and hence both COW
+    flavors — one oracle for the trio)."""
+    from hfsa_spark.streaming.cdc import (
+        append_change_segment,
+        init_base,
+        read_merged,
+    )
+
+    tdir = str(tmp_path / "mor")
+    init_base(_base(spark), tdir)
+    for i, rows in enumerate(BATCHES):
+        append_change_segment(
+            spark.createDataFrame(rows, SCHEMA), tdir, ["k"], batch_id=i
+        )
+    got = {
+        r["k"]: r["v"]
+        for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    assert got == _seq_reference([(1, "a"), (2, "b"), (3, "c")], BATCHES)
+
+
+def test_merge_on_read_segment_replay_idempotent(spark, tmp_path):
+    """Winners are a pure function of the batch: replaying a segment
+    write (even after later segments landed) changes nothing."""
+    from hfsa_spark.streaming.cdc import (
+        append_change_segment,
+        init_base,
+        read_merged,
+    )
+
+    tdir = str(tmp_path / "mor")
+    init_base(_base(spark), tdir)
+    bs = [spark.createDataFrame(rows, SCHEMA) for rows in BATCHES]
+    for i, b in enumerate(bs):
+        append_change_segment(b, tdir, ["k"], batch_id=i)
+    expect = {
+        r["k"]: r["v"] for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    append_change_segment(bs[0], tdir, ["k"], batch_id=0)  # replay
+    got = {
+        r["k"]: r["v"] for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    assert got == expect
+
+
+def test_merge_on_read_compaction_preserves_answers(spark, tmp_path):
+    import os as _os
+
+    from hfsa_spark.streaming.cdc import (
+        append_change_segment,
+        compact_segments,
+        init_base,
+        read_merged,
+    )
+
+    tdir = str(tmp_path / "mor")
+    init_base(_base(spark), tdir)
+    for i, rows in enumerate(BATCHES[:2]):
+        append_change_segment(
+            spark.createDataFrame(rows, SCHEMA), tdir, ["k"], batch_id=i
+        )
+    before = {
+        r["k"]: r["v"] for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    assert compact_segments(spark, tdir, ["k"]) == 2
+    assert not [d for d in _os.listdir(tdir) if d.startswith("seg=")]
+    after = {
+        r["k"]: r["v"] for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    assert after == before
+    # new segments keep composing after compaction
+    append_change_segment(
+        spark.createDataFrame(BATCHES[2], SCHEMA), tdir, ["k"], batch_id=2
+    )
+    final = {
+        r["k"]: r["v"] for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    assert final == _seq_reference([(1, "a"), (2, "b"), (3, "c")], BATCHES)
+
+
+def test_merge_on_read_streaming_lifecycle(spark, tmp_path):
+    from hfsa_spark.streaming.cdc import (
+        init_base,
+        read_merged,
+        streaming_append_segments,
+    )
+
+    arrivals = str(tmp_path / "changes")
+    os.makedirs(arrivals)
+    for i, rows in enumerate(BATCHES):
+        _write_file(spark, arrivals, i, rows)
+    tdir = str(tmp_path / "mor")
+    init_base(_base(spark), tdir)
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    q = streaming_append_segments(
+        src, tdir, str(tmp_path / "ckpt"), ["k"], ts_col="ts", op_col="op"
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r["k"]: r["v"] for r in read_merged(spark, tdir, ["k"]).collect()
+    }
+    assert got == _seq_reference([(1, "a"), (2, "b"), (3, "c")], BATCHES)
+
+
 def test_bucketed_streaming_lifecycle(spark, tmp_path):
     from hfsa_spark.streaming.cdc import (
         init_snapshot_bucketed,
