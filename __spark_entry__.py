@@ -4151,18 +4151,24 @@ def q215_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q213_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF maintenance grow→COMPACT→serve: three backfill batches append
+    """IVF maintenance grow→COMPACT→serve: two backfill batches append
     ingest_batch_id=N/list_id=M segments (the exact function q210's
-    stream calls per micro-batch), compact_ivf_index merges them into a
-    flat one-file-per-list layout (the Lucene-merge step — serving stops
-    paying per-segment file opens as batches accumulate), and the q39
-    probes are answered FROM THE COMPACTED index. Compaction changes
-    LAYOUT, never content: the oracle is q39's SQL."""
+    stream calls per micro-batch; two segments suffice to exercise the
+    multi-segment merge while keeping the gate inside the batch-family
+    cost band — q210 already pays the three-batch streaming form),
+    compact_ivf_index merges them into a flat one-file-per-list layout
+    (the Lucene-merge step — serving stops paying per-segment file opens
+    as batches accumulate), and the q39 probes are answered FROM THE
+    COMPACTED index. Compaction changes LAYOUT, never content: the
+    oracle is q39's SQL."""
     import os
     import shutil
     import tempfile
 
-    from hfsa_spark.operators.similarity import ivf_topk_indexed
+    from hfsa_spark.operators.similarity import (
+        _collect_centroids,
+        ivf_topk_indexed,
+    )
     from hfsa_spark.streaming.vectors import (
         compact_ivf_index,
         index_vector_batch,
@@ -4174,13 +4180,19 @@ def q213_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         idx = os.path.join(tmp, "ivf")
         init_ivf_index(emb.filter(F.col("vec_id") % 25 == 0), idx)
-        for k in range(3):
+        # frozen centroids: collect ONCE for all backfill batches (the
+        # q210 streaming loop's optimization, applied to the batch path)
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{idx}/_centroids"), "centroid_id", "vec"
+        )
+        for k in range(2):
             index_vector_batch(
-                emb.filter(F.col("vec_id") % 3 == k).select(
+                emb.filter(F.col("vec_id") % 2 == k).select(
                     "vec_id", "embedding"
                 ),
                 idx,
                 batch_id=k,
+                cent_rows=cent_rows,
             )
         compacted = os.path.join(tmp, "ivf_compacted")
         compact_ivf_index(spark, idx, compacted)
