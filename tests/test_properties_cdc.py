@@ -110,3 +110,74 @@ def test_agg_state_any_split_equals_recompute(spark, rows, n_splits):
         assert agg["sum_cents"] == sum(vals)
         assert agg["min_cents"] == min(vals)
         assert agg["max_cents"] == max(vals)
+
+
+# one batch = {key: op}; ts = batch index (strictly increasing across
+# batches, the apply-loop contract); a key appears at most once per batch
+_batch = st.dictionaries(
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["U", "D", "I"]),
+    min_size=0,
+    max_size=4,
+)
+
+_TRIO = settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_TRIO
+@given(st.lists(_batch, min_size=1, max_size=3))
+def test_three_maintenance_strategies_agree(spark, tmp_path_factory, batches):
+    """Snapshot-COW, bucket-COW, and merge-on-read applied to the SAME
+    random batch sequence must all equal the sequential dict model —
+    the strategy changes where the merge cost is paid, never the
+    answer (the q205/q212/q215 shared-oracle invariant, generalized)."""
+    from hfsa_spark.streaming.cdc import (
+        append_change_segment,
+        apply_change_batch,
+        apply_change_batch_bucketed,
+        init_base,
+        init_snapshot,
+        init_snapshot_bucketed,
+        latest_snapshot,
+        latest_snapshot_bucketed,
+        read_merged,
+    )
+
+    base = {k: f"base{k}" for k in range(4)}
+    base_df = spark.createDataFrame(
+        sorted(base.items()), "k bigint, v string"
+    )
+    tmp = tmp_path_factory.mktemp("trio")
+    full, buck, mor = str(tmp / "full"), str(tmp / "buck"), str(tmp / "mor")
+    init_snapshot(base_df, full)
+    init_snapshot_bucketed(base_df, buck, ["k"], n_buckets=4)
+    init_base(base_df, mor)
+
+    expect = dict(base)
+    for i, batch in enumerate(batches):
+        rows = [
+            (k, f"b{i}k{k}", op, i) for k, op in sorted(batch.items())
+        ]
+        for k, op in batch.items():
+            if op == "D":
+                expect.pop(k, None)
+            else:
+                expect[k] = f"b{i}k{k}"
+        bdf = spark.createDataFrame(
+            rows, "k bigint, v string, op string, ts int"
+        )
+        apply_change_batch(bdf, full, ["k"], batch_id=i)
+        apply_change_batch_bucketed(bdf, buck, batch_id=i)
+        append_change_segment(bdf, mor, ["k"], batch_id=i)
+
+    for got_df in (
+        latest_snapshot(spark, full),
+        latest_snapshot_bucketed(spark, buck),
+        read_merged(spark, mor, ["k"]),
+    ):
+        got = {r["k"]: r["v"] for r in got_df.collect()}
+        assert got == expect
