@@ -166,12 +166,23 @@ def main() -> None:
     # report suite would otherwise inflate the batch mean as more land.
     # Cross-round comparisons use families.batch.mean (rule in BASELINE.md).
     STREAMING_LIFECYCLE = {"q93_streaming_dedup", "q94_interval_join", "q164_streaming_index", "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf", "q212_streaming_cdc_bucketed", "q215_merge_on_read"}
-    fams: dict[str, list[float]] = {"batch": [], "streaming_lifecycle": [], "reports": []}
+    # maintenance-lifecycle gates run a full write-layout-then-serve cycle
+    # (bucketed table writes, IVF index build + compaction, dynamic-partition
+    # job commits) whose cost is dominated by fixed per-run commit IO, same
+    # shape as the streaming gates — compared per-query, never in a mean
+    # (reclassified r8; BASELINE.md "family rules").
+    MAINTENANCE_LIFECYCLE = {"q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit"}
+    fams: dict[str, list[float]] = {
+        "batch": [], "streaming_lifecycle": [], "maintenance_lifecycle": [],
+        "reports": [],
+    }
     for k, v in timings.items():
         if k == "extract_210k":
             continue
         if k in STREAMING_LIFECYCLE:
             fams["streaming_lifecycle"].append(v)
+        elif k in MAINTENANCE_LIFECYCLE:
+            fams["maintenance_lifecycle"].append(v)
         elif k.startswith("report_"):
             fams["reports"].append(v)
         else:
