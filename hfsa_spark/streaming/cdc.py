@@ -51,10 +51,15 @@ Two COW granularities, same protocol, same merge:
   rewrite volume scales with the CHANGE RATE, not the corpus
   (probe: scripts/cdc_cow_probe.py).
 
-Both require the snapshot dir on a POSIX path visible to the driver
-(local/NFS; route listings through the Hadoop FileSystem API for
-HDFS/S3). Old versions are retained for time travel; a bucketed vacuum
-must keep any version still referenced by a live manifest.
+The snapshot/table dirs may live on any Hadoop-supported filesystem:
+all driver-side metadata IO (version listings, manifests, commit
+markers, base swaps) goes through :mod:`hfsa_spark.fs`, which uses
+plain ``os`` calls for POSIX paths and the Hadoop FileSystem API for
+scheme'd paths (``hdfs://``, ``s3a://``, ``file://`` …) — the data
+files always move through Spark readers/writers, which are
+scheme-capable already. Old versions are retained for time travel; a
+bucketed vacuum must keep any version still referenced by a live
+manifest.
 """
 
 from __future__ import annotations
@@ -65,21 +70,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hfsa_spark import fs as _fs
 from hfsa_spark.operators.cdc import _known_ops, upsert_merge
 
 
 def _committed_versions(snapshot_dir: str, marker: str = "_SUCCESS") -> list[int]:
     """Committed version numbers under ``snapshot_dir``.
 
-    Listing goes through driver-local ``os`` calls, so the snapshot dir
-    must be a POSIX path visible to the driver (local or shared FS such
-    as NFS; for HDFS/S3 route the listing through the Hadoop FileSystem
-    API instead). Non-numeric ``v=`` suffixes (editor droppings, stray
-    dirs) are skipped, not crashed on."""
-    if not os.path.isdir(snapshot_dir):
+    Listing goes through :mod:`hfsa_spark.fs` (POSIX fast path, Hadoop
+    FileSystem API for scheme'd paths). Non-numeric ``v=`` suffixes
+    (editor droppings, stray dirs) are skipped, not crashed on."""
+    if not _fs.isdir(snapshot_dir):
         return []
     out = []
-    for d in os.listdir(snapshot_dir):
+    for d in _fs.listdir(snapshot_dir):
         if not d.startswith("v="):
             continue
         suffix = d.split("=", 1)[1]
@@ -87,7 +91,7 @@ def _committed_versions(snapshot_dir: str, marker: str = "_SUCCESS") -> list[int
             v = int(suffix)
         except ValueError:
             continue
-        if os.path.exists(os.path.join(snapshot_dir, d, marker)):
+        if _fs.exists(os.path.join(snapshot_dir, d, marker)):
             out.append(v)
     return sorted(out)
 
@@ -119,7 +123,14 @@ def apply_change_batch(
     Re-running with the same ``batch_id`` converges (module docstring).
     Callable directly for batch backfills."""
     spark = batch.sparkSession
-    eligible = [v for v in _committed_versions(snapshot_dir) if v <= batch_id]
+    committed = _committed_versions(snapshot_dir)
+    if int(batch_id) + 1 in committed:
+        # replay of an already-committed batch: the first attempt's
+        # output is the deterministic function of the same inputs, so
+        # this is a pure no-op — and rewriting would momentarily delete
+        # a version that IS the newest committed one
+        return
+    eligible = [v for v in committed if v <= batch_id]
     if not eligible:
         raise FileNotFoundError(
             f"no committed snapshot version <= {batch_id} under {snapshot_dir}"
@@ -201,8 +212,21 @@ def _bucket_expr(key_cols: list[str], n_buckets: int,
                 "range bucket_mode needs exactly one numeric key column"
                 " and a positive range_width"
             )
-        return F.floor(F.col(key_cols[0]) / F.lit(int(range_width))).cast(
-            "int"
+        key = F.col(key_cols[0])
+        # a NULL key has no range bucket (floor(NULL/w) = NULL would
+        # silently become an unreadable __HIVE_DEFAULT_PARTITION__ dir
+        # at init and a TypeError deep in the apply's sorted()); fail
+        # loudly at the point of evaluation with the contract violation
+        return F.when(
+            key.isNull(),
+            F.raise_error(F.lit(
+                f"range bucket_mode: NULL value in key column"
+                f" {key_cols[0]!r} — range bucketing requires a"
+                " non-null numeric key (use hash bucket_mode for"
+                " nullable keys)"
+            )).cast("int"),
+        ).otherwise(
+            F.floor(key / F.lit(int(range_width))).cast("int")
         )
     raise ValueError(f"unknown bucket_mode {bucket_mode!r}")
 
@@ -216,13 +240,12 @@ def _meta_bucket_expr(meta: dict):
 
 
 def _read_meta(snapshot_dir: str) -> dict:
-    with open(os.path.join(snapshot_dir, "_meta.json")) as fh:
-        return json.load(fh)
+    return json.loads(_fs.read_text(os.path.join(snapshot_dir, "_meta.json")))
 
 
 def _read_manifest(snapshot_dir: str, version: int) -> dict[int, int]:
-    with open(os.path.join(snapshot_dir, f"v={version}", MANIFEST)) as fh:
-        return {int(b): int(v) for b, v in json.load(fh).items()}
+    text = _fs.read_text(os.path.join(snapshot_dir, f"v={version}", MANIFEST))
+    return {int(b): int(v) for b, v in json.loads(text).items()}
 
 
 def _write_manifest(snapshot_dir: str, version: int,
@@ -230,19 +253,20 @@ def _write_manifest(snapshot_dir: str, version: int,
     """The manifest IS the commit marker: it is written last, after the
     version's parquet job committed, so a crashed half-write leaves an
     invisible version (same role _SUCCESS plays for the snapshot-COW
-    path). ``os.replace`` makes the marker itself atomic."""
+    path). The tmp-then-rename inside ``write_text_atomic`` makes the
+    marker itself atomic."""
     vdir = os.path.join(snapshot_dir, f"v={version}")
-    os.makedirs(vdir, exist_ok=True)
-    tmp = os.path.join(vdir, MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({str(b): v for b, v in sorted(manifest.items())}, fh)
-    os.replace(tmp, os.path.join(vdir, MANIFEST))
+    _fs.makedirs(vdir)
+    _fs.write_text_atomic(
+        os.path.join(vdir, MANIFEST),
+        json.dumps({str(b): v for b, v in sorted(manifest.items())}),
+    )
 
 
 def _present_buckets(snapshot_dir: str, version: int) -> set[int]:
     vdir = os.path.join(snapshot_dir, f"v={version}")
     out = set()
-    for d in os.listdir(vdir):
+    for d in _fs.listdir(vdir):
         if d.startswith("bucket="):
             try:
                 out.add(int(d.split("=", 1)[1]))
@@ -267,13 +291,15 @@ def init_snapshot_bucketed(
     and read derives the same pk→bucket mapping from it."""
     key_cols = list(key_cols)
     bexpr = _bucket_expr(key_cols, n_buckets, bucket_mode, range_width)
-    os.makedirs(snapshot_dir, exist_ok=True)
-    with open(os.path.join(snapshot_dir, "_meta.json"), "w") as fh:
-        json.dump({"key_cols": key_cols, "n_buckets": int(n_buckets),
-                   "bucket_mode": bucket_mode,
-                   "range_width": range_width,
-                   "columns": base.columns,
-                   "schema": base.schema.json()}, fh)
+    _fs.makedirs(snapshot_dir)
+    _fs.write_text_atomic(
+        os.path.join(snapshot_dir, "_meta.json"),
+        json.dumps({"key_cols": key_cols, "n_buckets": int(n_buckets),
+                    "bucket_mode": bucket_mode,
+                    "range_width": range_width,
+                    "columns": base.columns,
+                    "schema": base.schema.json()}),
+    )
     (
         base.withColumn("bucket", bexpr)
         .repartition(n_buckets, F.col("bucket"))
@@ -352,10 +378,19 @@ def apply_change_batch_bucketed(
     meta = _read_meta(snapshot_dir)
     key_cols = meta["key_cols"]
     bexpr = _meta_bucket_expr(meta)
-    eligible = [
-        v for v in _committed_versions(snapshot_dir, marker=MANIFEST)
-        if v <= batch_id
-    ]
+    committed = _committed_versions(snapshot_dir, marker=MANIFEST)
+    if int(batch_id) + 1 in committed:
+        # replay of an already-committed batch is a pure no-op: the
+        # first attempt wrote the deterministic output already.
+        # Rewriting would be worse than wasted work — an OUT-OF-ORDER
+        # replay (batch b after later versions committed) would
+        # mode('overwrite') v=b+1 and momentarily delete bucket files
+        # that LATER committed manifests still reference, so a crash
+        # mid-rewrite would leave the head manifest pointing at missing
+        # files. Checkpointed Structured Streaming never replays out of
+        # order, but the function is public API.
+        return
+    eligible = [v for v in committed if v <= batch_id]
     if not eligible:
         raise FileNotFoundError(
             f"no committed bucketed snapshot version <= {batch_id} under"
@@ -455,25 +490,68 @@ def append_change_segment(
 
 
 def _committed_segments(table_dir: str) -> list[int]:
-    if not os.path.isdir(table_dir):
+    if not _fs.isdir(table_dir):
         return []
     out = []
-    for d in os.listdir(table_dir):
+    for d in _fs.listdir(table_dir):
         if not d.startswith("seg="):
             continue
         try:
             s = int(d.split("=", 1)[1])
         except ValueError:
             continue
-        if os.path.exists(os.path.join(table_dir, d, "_SUCCESS")):
+        if _fs.exists(os.path.join(table_dir, d, "_SUCCESS")):
             out.append(s)
     return sorted(out)
 
 
+FOLDED = "_FOLDED.json"
+
+
+def _committed_bases(table_dir: str) -> list[int]:
+    """Committed base versions: ``_base_v=N`` dirs whose ``_FOLDED.json``
+    marker exists (the marker is written LAST — a base missing it is a
+    crashed half-compaction and stays invisible)."""
+    if not _fs.isdir(table_dir):
+        return []
+    out = []
+    for d in _fs.listdir(table_dir):
+        if not d.startswith("_base_v="):
+            continue
+        try:
+            v = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if _fs.exists(os.path.join(table_dir, d, FOLDED)):
+            out.append(v)
+    return sorted(out)
+
+
+def _resolve_base(table_dir: str) -> tuple[str, int, set[int]]:
+    """(base path, base version, cumulative folded segment ids) of the
+    newest committed base. Falls back to the legacy un-versioned
+    ``_base`` dir (version -1, nothing folded) for tables written by
+    the pre-r8 layout."""
+    bases = _committed_bases(table_dir)
+    if bases:
+        v = bases[-1]
+        bdir = os.path.join(table_dir, f"_base_v={v}")
+        folded = json.loads(_fs.read_text(os.path.join(bdir, FOLDED)))
+        return bdir, v, set(int(s) for s in folded["folded"])
+    legacy = os.path.join(table_dir, "_base")
+    if _fs.exists(legacy):
+        return legacy, -1, set()
+    raise FileNotFoundError(f"no committed base under {table_dir}")
+
+
 def init_base(base: DataFrame, table_dir: str) -> None:
-    """Write the merge-on-read base table (segments accumulate next to
-    it until compaction)."""
-    base.write.mode("overwrite").parquet(os.path.join(table_dir, "_base"))
+    """Write the merge-on-read base table as committed version 0
+    (segments accumulate next to it until compaction)."""
+    bdir = os.path.join(table_dir, "_base_v=0")
+    base.write.mode("overwrite").parquet(bdir)
+    _fs.write_text_atomic(
+        os.path.join(bdir, FOLDED), json.dumps({"folded": []})
+    )
 
 
 def read_merged(
@@ -483,13 +561,18 @@ def read_merged(
     ts_col: str = "ts",
     op_col: str = "op",
 ) -> DataFrame:
-    """Merge-on-read resolve: base + all committed delta segments
-    through ONE :func:`upsert_merge` (the union of segments is the
-    change batch; ``__seg`` breaks equal-ts ties by batch order). Read
-    amplification is the price of O(batch) writes — bounded by segment
-    count, reset by :func:`compact_segments`."""
-    base = spark.read.parquet(os.path.join(table_dir, "_base"))
-    segs = _committed_segments(table_dir)
+    """Merge-on-read resolve: newest committed base + the committed
+    delta segments it has NOT already folded, through ONE
+    :func:`upsert_merge` (the union of segments is the change batch;
+    ``__seg`` breaks equal-ts ties by batch order). Read amplification
+    is the price of O(batch) writes — bounded by segment count, reset
+    by :func:`compact_segments`. Base resolution goes through the
+    ``_FOLDED.json`` commit marker, so a reader concurrent with a
+    compaction sees either the old committed base (+ its segments) or
+    the new one — never a half-swapped state."""
+    bdir, _, folded = _resolve_base(table_dir)
+    base = spark.read.parquet(bdir)
+    segs = [s for s in _committed_segments(table_dir) if s not in folded]
     if not segs:
         return base
     changes = spark.read.parquet(
@@ -508,27 +591,77 @@ def compact_segments(
     ts_col: str = "ts",
     op_col: str = "op",
 ) -> int:
-    """Fold all committed segments into a new base (one read-side merge
-    materialized), then drop them: read amplification back to zero.
+    """Fold all unfolded committed segments into a new base version (one
+    read-side merge materialized): read amplification back to zero.
     Returns the number of segments compacted. Answers before == after
-    (pytest-pinned): compaction changes LAYOUT, never content."""
-    import shutil
+    (pytest-pinned): compaction changes LAYOUT, never content.
 
+    Commit protocol (the same commit-last discipline as the COW paths,
+    replacing the pre-r8 pair of non-atomic renames that could strand a
+    reader baseless mid-swap): the merged result is written to
+    ``_base_v={v+1}``; the version becomes visible only when its
+    ``_FOLDED.json`` marker (carrying the CUMULATIVE folded segment ids)
+    lands via atomic rename. A crash before the marker leaves the old
+    base authoritative; a crash after it leaves stale segment/base dirs
+    that readers already ignore (the folded set excludes them) and
+    :func:`vacuum_segments` removes. Single compactor at a time — same
+    single-writer assumption as every maintenance path here."""
     segs = _committed_segments(table_dir)
-    if not segs:
+    bdir, v, folded = _resolve_base(table_dir)
+    todo = [s for s in segs if s not in folded]
+    if not todo:
         return 0
     merged = read_merged(spark, table_dir, key_cols, ts_col=ts_col,
                          op_col=op_col)
-    tmp_base = os.path.join(table_dir, "_base_compacting")
-    merged.write.mode("overwrite").parquet(tmp_base)
-    old = os.path.join(table_dir, "_base_old")
-    os.rename(os.path.join(table_dir, "_base"), old)
-    os.rename(tmp_base, os.path.join(table_dir, "_base"))
-    shutil.rmtree(old, ignore_errors=True)
-    for s in segs:
-        shutil.rmtree(os.path.join(table_dir, f"seg={s}"),
-                      ignore_errors=True)
-    return len(segs)
+    new_dir = os.path.join(table_dir, f"_base_v={v + 1}")
+    merged.write.mode("overwrite").parquet(new_dir)
+    _fs.write_text_atomic(
+        os.path.join(new_dir, FOLDED),
+        json.dumps({"folded": sorted(folded | set(todo))}),
+    )
+    # commit done — everything below is best-effort hygiene that
+    # vacuum_segments can redo after a crash
+    vacuum_segments(table_dir)
+    return len(todo)
+
+
+def vacuum_segments(table_dir: str) -> list[str]:
+    """Merge-on-read hygiene: drop every dir the newest committed base
+    has made unreachable — folded ``seg=`` dirs, older ``_base_v=``
+    versions, the legacy ``_base``, and crashed half-compactions (a
+    ``_base_v=`` NEWER than the committed head but missing its marker
+    is debris of an attempt the next compaction will redo under the
+    same name). The analog of :func:`vacuum_snapshots` for the segment
+    table; also the crash-recovery pass for :func:`compact_segments`.
+    Returns the removed dir names."""
+    bases = _committed_bases(table_dir)
+    if not bases:
+        return []  # never compacted/inited via markers: nothing is stale
+    head = bases[-1]
+    bdir = os.path.join(table_dir, f"_base_v={head}")
+    folded = set(
+        int(s)
+        for s in json.loads(_fs.read_text(os.path.join(bdir, FOLDED)))["folded"]
+    )
+    removed = []
+    for d in _fs.listdir(table_dir):
+        stale = False
+        if d == "_base":
+            stale = True
+        elif d.startswith("_base_v="):
+            try:
+                stale = int(d.split("=", 1)[1]) != head
+            except ValueError:
+                continue
+        elif d.startswith("seg="):
+            try:
+                stale = int(d.split("=", 1)[1]) in folded
+            except ValueError:
+                continue
+        if stale:
+            _fs.rmtree(os.path.join(table_dir, d))
+            removed.append(d)
+    return sorted(removed)
 
 
 def streaming_append_segments(
@@ -575,9 +708,7 @@ def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:
     Returns the version numbers removed. Half-written (uncommitted)
     versions older than the newest kept one are removed too; a newer
     in-flight version is left alone (its writer may still commit)."""
-    import shutil
-
-    bucketed = os.path.exists(os.path.join(snapshot_dir, "_meta.json"))
+    bucketed = _fs.exists(os.path.join(snapshot_dir, "_meta.json"))
     marker = MANIFEST if bucketed else "_SUCCESS"
     committed = _committed_versions(snapshot_dir, marker=marker)
     if not committed:
@@ -588,7 +719,7 @@ def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:
         for v in kept:
             needed.update(_read_manifest(snapshot_dir, v).values())
     removed = []
-    for d in os.listdir(snapshot_dir):
+    for d in _fs.listdir(snapshot_dir):
         if not d.startswith("v="):
             continue
         try:
@@ -597,7 +728,7 @@ def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:
             continue
         if v in needed or v > kept[-1]:  # kept, referenced, or in-flight
             continue
-        shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
+        _fs.rmtree(os.path.join(snapshot_dir, d))
         removed.append(v)
     return sorted(removed)
 

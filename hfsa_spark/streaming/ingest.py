@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hfsa_spark import fs as _fs
 from hfsa_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_groups,
@@ -75,7 +76,7 @@ def ingest_batch(
     Returns the number of accepted rows. Callable directly for batch
     backfills (pick a fresh ``batch_id`` per backfill chunk)."""
     spark = batch.sparkSession
-    if os.path.exists(index_path):
+    if _fs.exists(index_path):
         index = spark.read.parquet(index_path).filter(
             F.col(BATCH_ID_COL) != batch_id
         )
