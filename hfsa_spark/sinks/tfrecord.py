@@ -326,53 +326,75 @@ def frame_records(datas: list[bytes]) -> bytes:
     return b"".join(parts)
 
 
-def iter_records(buf: bytes):
+def iter_records(buf: bytes, _chunk: int = 1024):
     """Yield record payloads, verifying both CRCs (raises ValueError).
 
-    Two-phase: frames are located first (truncation raises with the
-    failing offset), then BOTH CRC columns verify in two vectorized
-    passes; the first bad frame raises with its offset and kind, so the
-    error surface matches the per-record scalar check."""
-    offs: list[int] = []
-    ln_bufs: list[bytes] = []
-    datas: list[bytes] = []
+    Chunked: frames are located and validated ``_chunk`` at a time —
+    both CRC columns verify in two vectorized :func:`crc32c_many`
+    passes per chunk, then the chunk's payloads yield before the next
+    chunk materializes. This keeps extra memory bounded by the chunk
+    (not O(file), the pre-r8 behavior) AND preserves the per-record
+    scalar error order the docstring promises: a structural problem
+    found while LOCATING frame k (truncation, bad length CRC) is
+    raised only after every earlier frame in flight has CRC-validated
+    and yielded, exactly as a record-at-a-time reader would report it."""
     pos = 0
-    while pos < len(buf):
-        if len(buf) - pos < 12:
-            raise ValueError(f"tfrecord truncated header at offset {pos}")
-        ln_bytes = buf[pos : pos + 8]
-        (ln,) = struct.unpack("<Q", ln_bytes)
-        if len(buf) - pos < 16 + ln:
-            # an unverified length could be garbage from corruption; if
-            # its CRC fails, report THAT (the root cause), not truncation
-            if struct.unpack("<I", buf[pos + 8 : pos + 12])[0] != _masked_crc(
-                ln_bytes
-            ):
-                raise ValueError(
-                    f"tfrecord length CRC mismatch at offset {pos}"
+    n = len(buf)
+    while pos < n:
+        offs: list[int] = []
+        ln_bufs: list[bytes] = []
+        datas: list[bytes] = []
+        pending: ValueError | None = None
+        while pos < n and len(datas) < _chunk:
+            if n - pos < 12:
+                pending = ValueError(
+                    f"tfrecord truncated header at offset {pos}"
                 )
-            raise ValueError(f"tfrecord truncated record at offset {pos}")
-        offs.append(pos)
-        ln_bufs.append(ln_bytes)
-        datas.append(buf[pos + 12 : pos + 12 + ln])
-        pos += 16 + ln
-    if offs:
-        len_ok = _masked_crc_many(crc32c_many(ln_bufs)) == np.frombuffer(
-            b"".join(buf[o + 8 : o + 12] for o in offs), dtype="<u4"
-        )
-        data_ok = _masked_crc_many(crc32c_many(datas)) == np.frombuffer(
-            b"".join(
-                buf[o + 12 + len(d) : o + 16 + len(d)]
-                for o, d in zip(offs, datas)
-            ),
-            dtype="<u4",
-        )
-        for i, o in enumerate(offs):  # first bad frame, scalar-check order
-            if not len_ok[i]:
-                raise ValueError(f"tfrecord length CRC mismatch at offset {o}")
-            if not data_ok[i]:
-                raise ValueError(f"tfrecord data CRC mismatch at offset {o}")
-    yield from datas
+                break
+            ln_bytes = buf[pos : pos + 8]
+            (ln,) = struct.unpack("<Q", ln_bytes)
+            if n - pos < 16 + ln:
+                # an unverified length could be garbage from corruption;
+                # if its CRC fails, report THAT (the root cause), not
+                # truncation
+                if struct.unpack("<I", buf[pos + 8 : pos + 12])[
+                    0
+                ] != _masked_crc(ln_bytes):
+                    pending = ValueError(
+                        f"tfrecord length CRC mismatch at offset {pos}"
+                    )
+                else:
+                    pending = ValueError(
+                        f"tfrecord truncated record at offset {pos}"
+                    )
+                break
+            offs.append(pos)
+            ln_bufs.append(ln_bytes)
+            datas.append(buf[pos + 12 : pos + 12 + ln])
+            pos += 16 + ln
+        if offs:
+            len_ok = _masked_crc_many(crc32c_many(ln_bufs)) == np.frombuffer(
+                b"".join(buf[o + 8 : o + 12] for o in offs), dtype="<u4"
+            )
+            data_ok = _masked_crc_many(crc32c_many(datas)) == np.frombuffer(
+                b"".join(
+                    buf[o + 12 + len(d) : o + 16 + len(d)]
+                    for o, d in zip(offs, datas)
+                ),
+                dtype="<u4",
+            )
+            for i, o in enumerate(offs):  # first bad frame, scalar order
+                if not len_ok[i]:
+                    raise ValueError(
+                        f"tfrecord length CRC mismatch at offset {o}"
+                    )
+                if not data_ok[i]:
+                    raise ValueError(
+                        f"tfrecord data CRC mismatch at offset {o}"
+                    )
+        yield from datas
+        if pending is not None:
+            raise pending
 
 
 # ------------------------------------------------------------ spark side

@@ -73,6 +73,36 @@ def test_framing_roundtrip_and_crc_detection(tmp_path):
         list(iter_records(bytes(bad2)))
 
 
+def test_iter_records_chunked_streaming_and_error_order(tmp_path):
+    """r8 advisor fix: validation is chunked (bounded memory), and a
+    corrupt EARLY record reports before a truncation LATER in the file
+    — the order a record-at-a-time scalar reader would produce."""
+    import io
+
+    fh = io.BytesIO()
+    payloads = [f"rec{i}".encode() for i in range(10)]
+    for p in payloads:
+        write_record(fh, p)
+    buf = fh.getvalue()
+
+    # multi-chunk traversal yields everything, in order
+    assert list(iter_records(buf, _chunk=3)) == payloads
+
+    # early data-CRC corruption + late truncation: CRC wins (root cause)
+    bad = bytearray(buf[:-3])  # truncate the tail record
+    bad[12] ^= 0x01  # and corrupt record 0's payload
+    with pytest.raises(ValueError, match="data CRC mismatch at offset 0"):
+        list(iter_records(bytes(bad), _chunk=3))
+
+    # truncation alone: every intact earlier record yields first, then
+    # the truncation raises (streaming consumers keep the good prefix)
+    got = []
+    with pytest.raises(ValueError, match="truncated"):
+        for r in iter_records(buf[:-3], _chunk=3):
+            got.append(r)
+    assert got == payloads[:-1]
+
+
 def test_tfrecord_shards_roundtrip(spark, tmp_path):
     rows = [
         (i, f"doc {i} é", [float(i), i / 2.0], [i, -i]) for i in range(25)
