@@ -183,14 +183,67 @@ def _parse_file_summary(raw: bytes) -> tuple[str, list[_Section]]:
     return codec, sections
 
 
+def _block_stream_decompress(data: bytes, arrow_codec: str) -> bytes:
+    """Hadoop BlockCompressorStream framing — what Lz4Codec and
+    SnappyCodec's ``createInputStream`` expects (the reference accepts
+    any factory codec via ``FSImageUtil.wrapInputStreamForCompression``,
+    `lib/.../core/FsImageLoader.java:268`): repeated blocks of
+    ``[origBlockSize int32-BE] [chunkLen int32-BE] [chunk bytes]…``,
+    chunks repeating until the block's ``origBlockSize`` bytes are
+    produced. Chunk payloads are the codec's RAW block format (no frame
+    header) — pyarrow's ``lz4_raw`` / ``snappy`` codecs."""
+    import pyarrow as pa
+
+    c = pa.Codec(arrow_codec)
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos + 4 <= n:
+        (orig,) = struct.unpack_from(">i", data, pos)
+        pos += 4
+        produced = 0
+        while produced < orig:
+            if pos + 4 > n:
+                raise ValueError(
+                    f"truncated {arrow_codec} block stream at offset {pos}"
+                )
+            (clen,) = struct.unpack_from(">i", data, pos)
+            pos += 4
+            dec = c.decompress(
+                data[pos : pos + clen],
+                decompressed_size=orig - produced,
+                asbytes=True,
+            )
+            pos += clen
+            produced += len(dec)
+            out += dec
+    return bytes(out)
+
+
 def _decompress(codec: str, data: bytes) -> bytes:
+    """Accept-anything codec dispatch matching Hadoop's factory set
+    (`FsImageLoader.java:268`): Gzip, Default (zlib), Lz4, Snappy,
+    BZip2, ZStandard. Lzo is the one factory codec not handled (GPL
+    plugin, not bundled with Hadoop either)."""
     if not codec:
         return data
-    lower = codec.lower()
+    lower = codec.rsplit(".", 1)[-1].lower()  # class-name tail
     if "gzip" in lower:
         return gzip.decompress(data)
     if "default" in lower:  # DefaultCodec = zlib-framed deflate
         return zlib.decompress(data)
+    if "lz4" in lower:
+        return _block_stream_decompress(data, "lz4_raw")
+    if "snappy" in lower:
+        return _block_stream_decompress(data, "snappy")
+    if "bzip2" in lower:  # BZip2Codec writes a standard .bz2 stream
+        import bz2
+
+        return bz2.decompress(data)
+    if "zstandard" in lower or "zstd" in lower:  # standard zstd frames
+        import pyarrow as pa
+
+        stream = pa.input_stream(pa.BufferReader(data), compression="zstd")
+        return stream.read()
     raise ValueError(f"unsupported fsimage codec: {codec}")
 
 
@@ -481,13 +534,63 @@ def _read_section(path: str, codec: str, sections: list[_Section], name: str) ->
     raise KeyError(f"no section {name} in fsimage (have {[s.name for s in sections]})")
 
 
-def _decompress_to_file(src: str, offset: int, length: int, dst) -> int:
-    """Streaming decompress (constant memory) of a compressed section into
-    an open scratch file; returns decompressed byte count. wbits=47
-    auto-detects both fsimage codecs (GzipCodec and zlib-framed
-    DefaultCodec)."""
-    d = zlib.decompressobj(wbits=47)
+def _decompress_to_file(
+    src: str, offset: int, length: int, dst, codec: str = ""
+) -> int:
+    """Streaming decompress (constant memory) of a compressed section
+    into an open scratch file; returns decompressed byte count. Same
+    codec set as :func:`_decompress`; gzip/Default go through one zlib
+    decompressobj (wbits=47 auto-detects both framings), the block
+    codecs stream block-by-block, bzip2/zstd through their incremental
+    decompressors."""
+    lower = codec.rsplit(".", 1)[-1].lower() if codec else ""
     written = 0
+    if "lz4" in lower or "snappy" in lower:
+        import pyarrow as pa
+
+        c = pa.Codec("lz4_raw" if "lz4" in lower else "snappy")
+        with open(src, "rb") as f:
+            f.seek(offset)
+            end = offset + length
+            while f.tell() + 4 <= end:
+                (orig,) = struct.unpack(">i", f.read(4))
+                produced = 0
+                while produced < orig:
+                    (clen,) = struct.unpack(">i", f.read(4))
+                    dec = c.decompress(
+                        f.read(clen),
+                        decompressed_size=orig - produced,
+                        asbytes=True,
+                    )
+                    produced += len(dec)
+                    dst.write(dec)
+                    written += len(dec)
+        return written
+    if "bzip2" in lower:
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        decomp, flush = d.decompress, lambda: b""
+    elif "zstandard" in lower or "zstd" in lower:
+        import pyarrow as pa
+
+        # pyarrow has no incremental zstd decompressor object; its
+        # input_stream wrapper over a bounded file slice streams in
+        # 8 MiB reads with constant memory instead
+        with open(src, "rb") as f:
+            f.seek(offset)
+            buf = f.read(length)  # one section read; decompress streams
+        stream = pa.input_stream(pa.BufferReader(buf), compression="zstd")
+        while True:
+            out = stream.read(8 << 20)
+            if not out:
+                break
+            dst.write(out)
+            written += len(out)
+        return written
+    else:
+        d = zlib.decompressobj(wbits=47)
+        decomp, flush = d.decompress, lambda: d.flush()
     with open(src, "rb") as f:
         f.seek(offset)
         remaining = length
@@ -496,10 +599,10 @@ def _decompress_to_file(src: str, offset: int, length: int, dst) -> int:
             if not block:
                 break
             remaining -= len(block)
-            out = d.decompress(block)
+            out = decomp(block)
             dst.write(out)
             written += len(out)
-    tail = d.flush()
+    tail = flush()
     dst.write(tail)
     return written + len(tail)
 
@@ -565,7 +668,7 @@ def _materialize_big_sections(
         cursor = 0
         for n in names:
             s = by_name[n]
-            written = _decompress_to_file(path, s.offset, s.length, out)
+            written = _decompress_to_file(path, s.offset, s.length, out, codec)
             spans[n] = (cursor, written)
             cursor += written
     os.replace(scratch + ".tmp", scratch)

@@ -140,28 +140,83 @@ def _encode_inode(row: dict, sid_of: dict[str, int]) -> bytes:
 
 
 class _SectionWriter:
-    """Accumulate a section (optionally compressed) and record its span."""
+    """Accumulate a section (optionally compressed) and record its span.
+
+    Codec framing mirrors what Hadoop's ``codec.createOutputStream``
+    produces for each factory codec, so writer-generated fixtures decode
+    through the same path a real compressed image would: Gzip/Default =
+    one zlib stream (wbits 31/15); Lz4/Snappy = BlockCompressorStream
+    framing (``[origBlockSize BE][chunkLen BE][raw chunk]`` per ≤256 KiB
+    block — the default io.compression.codec.*.buffersize); BZip2 = a
+    standard .bz2 stream; ZStandard = a standard zstd frame."""
+
+    BLOCK = 256 * 1024
 
     def __init__(self, f, codec: str):
         self._f = f
         self._codec = codec
         self._comp = None
+        self._mode = ""
+        self._buf = bytearray()
         self._start = 0
 
     def open(self):
         self._start = self._f.tell()
-        if self._codec:
+        self._buf = bytearray()
+        if not self._codec:
+            self._mode = ""
+        elif "Lz4" in self._codec or "Snappy" in self._codec:
+            import pyarrow as pa
+
+            self._mode = "block"
+            self._comp = pa.Codec(
+                "lz4_raw" if "Lz4" in self._codec else "snappy"
+            )
+        elif "BZip2" in self._codec:
+            import bz2
+
+            self._mode = "stream"
+            self._comp = bz2.BZ2Compressor()
+        elif "ZStandard" in self._codec:
+            self._mode = "buffer"  # one zstd frame emitted at close
+        else:
             # GzipCodec = gzip framing (wbits 31); DefaultCodec = zlib (15)
-            wbits = 31 if "Gzip" in self._codec else 15
-            self._comp = zlib.compressobj(wbits=wbits)
+            self._mode = "zlib"
+            self._comp = zlib.compressobj(
+                wbits=31 if "Gzip" in self._codec else 15
+            )
+
+    def _emit_block(self, block: bytes):
+        chunk = self._comp.compress(block, asbytes=True)
+        self._f.write(struct.pack(">i", len(block)))
+        self._f.write(struct.pack(">i", len(chunk)))
+        self._f.write(chunk)
 
     def write(self, data: bytes):
-        self._f.write(self._comp.compress(data) if self._comp else data)
+        if self._mode in ("zlib", "stream"):
+            self._f.write(self._comp.compress(data))
+        elif self._mode == "block":
+            self._buf += data
+            while len(self._buf) >= self.BLOCK:
+                self._emit_block(bytes(self._buf[: self.BLOCK]))
+                del self._buf[: self.BLOCK]
+        elif self._mode == "buffer":
+            self._buf += data
+        else:
+            self._f.write(data)
 
     def close(self) -> tuple[int, int]:
-        if self._comp:
+        if self._mode in ("zlib", "stream"):
             self._f.write(self._comp.flush())
-            self._comp = None
+        elif self._mode == "block":
+            if self._buf:
+                self._emit_block(bytes(self._buf))
+        elif self._mode == "buffer":
+            import pyarrow as pa
+
+            self._f.write(pa.Codec("zstd").compress(bytes(self._buf), asbytes=True))
+        self._comp = None
+        self._buf = bytearray()
         return self._start, self._f.tell() - self._start
 
 
@@ -178,8 +233,10 @@ def write_fsimage(
     storage_policy_id, ec_policy_id, ns_quota, ds_quota, symlink_target,
     blocks=[(block_id, gen_stamp, num_bytes)]) into a binary fsimage.
 
-    ``codec`` of None writes uncompressed; "default"/"gzip" (or the full
-    Hadoop codec class name) compresses sections like Hadoop does.
+    ``codec`` of None writes uncompressed; "default" / "gzip" / "lz4" /
+    "snappy" / "bzip2" / "zstd" (or the full Hadoop codec class name)
+    compresses sections with the same framing Hadoop's codec factory
+    produces (see :class:`_SectionWriter`).
 
     Section headers precede their rows (and compressed sections cannot be
     back-patched), so the string table and inode count must be known before
@@ -208,6 +265,14 @@ def write_fsimage(
         lower = codec.lower()
         if "gzip" in lower:
             codec_name = "org.apache.hadoop.io.compress.GzipCodec"
+        elif "lz4" in lower:
+            codec_name = "org.apache.hadoop.io.compress.Lz4Codec"
+        elif "snappy" in lower:
+            codec_name = "org.apache.hadoop.io.compress.SnappyCodec"
+        elif "bzip2" in lower:
+            codec_name = "org.apache.hadoop.io.compress.BZip2Codec"
+        elif "zstandard" in lower or "zstd" in lower:
+            codec_name = "org.apache.hadoop.io.compress.ZStandardCodec"
         else:
             codec_name = "org.apache.hadoop.io.compress.DefaultCodec"
 

@@ -21,10 +21,46 @@ def _comparable(rows):
     )
 
 
-@pytest.mark.parametrize("codec", [None, "default", "gzip"])
+@pytest.mark.parametrize(
+    "codec", [None, "default", "gzip", "lz4", "snappy", "bzip2", "zstd"]
+)
 def test_roundtrip_small_h3_2(tmp_path, codec):
     src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
     out = str(tmp_path / "rt.img")
+    write_fsimage(out, src, codec=codec)
+    assert _comparable(parse_fsimage(out)) == _comparable(src)
+
+
+@pytest.mark.parametrize(
+    "codec,cls",
+    [
+        ("lz4", "org.apache.hadoop.io.compress.Lz4Codec"),
+        ("snappy", "org.apache.hadoop.io.compress.SnappyCodec"),
+        ("bzip2", "org.apache.hadoop.io.compress.BZip2Codec"),
+        ("zstd", "org.apache.hadoop.io.compress.ZStandardCodec"),
+    ],
+)
+def test_codec_classname_in_footer_and_uncompressed_twin(tmp_path, codec, cls):
+    """The footer must carry the real Hadoop codec class name (what a
+    NameNode writes for dfs.image.compression.codec), and the decoded
+    rows must equal the uncompressed twin's exactly
+    (FsImageLoader.java:268 accepts any factory codec; r7 VERDICT
+    missing-item #1)."""
+    src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
+    plain, comp = str(tmp_path / "plain.img"), str(tmp_path / "comp.img")
+    write_fsimage(plain, src)
+    write_fsimage(comp, src, codec=codec)
+    assert cls.encode() in open(comp, "rb").read()
+    assert _comparable(parse_fsimage(comp)) == _comparable(parse_fsimage(plain))
+
+
+@pytest.mark.parametrize("codec", ["lz4", "snappy", "zstd", "bzip2"])
+def test_new_codec_210k_multiblock(tmp_path, codec):
+    """The 210k image's INODE section spans many 256 KiB blocks — pins
+    the multi-block BlockCompressorStream framing (lz4/snappy) and the
+    large-stream paths (zstd/bzip2), not just single-block toys."""
+    src = parse_fsimage(f"{LIB_RES}/fsimage_d800_f210k_compressed.img")
+    out = str(tmp_path / f"rt210k_{codec}.img")
     write_fsimage(out, src, codec=codec)
     assert _comparable(parse_fsimage(out)) == _comparable(src)
 
@@ -48,12 +84,14 @@ def test_streaming_writer_matches_buffered(tmp_path):
     assert open(buffered, "rb").read() == open(streamed, "rb").read()
 
 
-def test_written_image_distributed_load(spark, tmp_path):
+@pytest.mark.parametrize("codec", ["gzip", "lz4", "snappy", "zstd"])
+def test_written_image_distributed_load(spark, tmp_path, codec):
     """A writer-produced compressed image must load identically through the
-    driver-side and executor-parallel decode paths."""
+    driver-side and executor-parallel decode paths (the latter exercises
+    the streaming scratch-file decompress per codec)."""
     src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
-    out = str(tmp_path / "dist.img")
-    write_fsimage(out, src, codec="gzip")
+    out = str(tmp_path / f"dist_{codec}.img")
+    write_fsimage(out, src, codec=codec)
     a = load_fsimage(spark, out, distributed=False)
     b = load_fsimage(
         spark, out, distributed=True, target_chunk_bytes=256,
