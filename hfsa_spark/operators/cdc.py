@@ -42,10 +42,42 @@ def _latest_per_key(
     key_cols: Sequence[str],
     ts_col: str,
     seq_col: str | None,
+    skew_reduce: bool = False,
 ) -> DataFrame:
     """One winning row per key: max ``ts_col``, ties broken by
     ``seq_col`` (mandatory for determinism when a key can receive two
-    changes with the same timestamp)."""
+    changes with the same timestamp).
+
+    Default plan: a per-key window — fine whenever no single key's
+    change count dwarfs a partition. ``skew_reduce=True`` switches to a
+    map-combinable semi-reduce for DEGENERATE batches (one key
+    receiving ~10^8 changes — a hot entity under a repeated-update
+    storm): ``groupBy(key).agg(max(struct(ts, seq, payload…)))``.
+    ``row_number`` has no partial aggregation, so the window route
+    ships the whole storm into ONE task's sort; the struct-max
+    aggregate collapses each input partition to one candidate per key
+    map-side — the shuffle carries ≤ (#map partitions) rows per key
+    and every sort is partition-local (probe:
+    scripts/cdc_scale_probe.py degenerate rows). No salt is needed
+    precisely because of that partial phase. Same winner as the window
+    whenever (ts, seq) is unique per key (the module's determinism
+    contract); on violated contracts the struct max breaks the tie by
+    payload comparison where the window picks arbitrarily."""
+    if skew_reduce:
+        order_cols = [ts_col] + ([seq_col] if seq_col is not None else [])
+        other = [
+            c for c in changes.columns
+            if c not in key_cols and c not in order_cols
+        ]
+        winner = F.struct(*[F.col(c) for c in order_cols + other])
+        return (
+            changes.groupBy(*key_cols)
+            .agg(F.max(winner).alias("__w"))
+            .select(
+                *key_cols,
+                *[F.col(f"__w.{c}").alias(c) for c in order_cols + other],
+            )
+        )
     order = [F.col(ts_col).desc()]
     if seq_col is not None:
         order.append(F.col(seq_col).desc())
@@ -74,6 +106,7 @@ def upsert_merge(
     seq_col: str | None = None,
     broadcast_changes: bool = False,
     null_safe_keys: bool = True,
+    skew_reduce: bool = False,
 ) -> DataFrame:
     """Apply a change batch to a snapshot; return the next snapshot.
 
@@ -99,11 +132,22 @@ def upsert_merge(
     pass ``null_safe_keys=False``: plain ``==`` keys let the join consume
     the bucketed/pre-partitioned base with zero base-side exchange
     (pinned in tests/test_bucketed_layout.py).
+
+    ``skew_reduce=True`` (opt-in) replaces the change-batch window with
+    a map-combinable struct-max semi-reduce for degenerately skewed
+    batches — one key receiving a meaningful fraction of a huge batch's
+    rows (~10^8 updates of a single hot entity), where the per-key
+    window would sort the whole storm in one task. See
+    :func:`_latest_per_key`; the winner is identical whenever
+    (ts, seq) is unique per key. Property-tested against the window
+    path in tests/test_properties_cdc.py; probe row in
+    scripts/cdc_scale_probe.py.
     """
     key_cols = list(key_cols)
     payload_cols = [c for c in base.columns if c not in key_cols]
     latest = _latest_per_key(
-        _known_ops(changes, op_col), key_cols, ts_col, seq_col
+        _known_ops(changes, op_col), key_cols, ts_col, seq_col,
+        skew_reduce=skew_reduce,
     ).select(*key_cols, op_col, *payload_cols)
 
     b = base.alias("b")

@@ -113,6 +113,34 @@ def main() -> None:
         rows.append({"mode": f"skewed_{mode}", "sec": sec,
                      "batch_rows": sb, "hot_key_rows": hot_rows})
 
+    # DEGENERATE skew: ONE key carries essentially the whole batch (the
+    # 10^8-updates-of-one-entity storm). The per-key window ships it all
+    # into one task's sort (row_number has no partial aggregation);
+    # skew_reduce's struct-max semi-reduce collapses each map partition
+    # to one candidate per key before the shuffle, so the sort
+    # parallelizes and the shuffle carries #partitions rows. Both timed
+    # on the same input; agreement is property-tested
+    # (tests/test_properties_cdc.py).
+    storm_rows = (
+        int(sys.argv[3]) if len(sys.argv) > 3 else max(b, 1_000_000)
+    )
+    storm = spark.range(storm_rows).select(
+        F.lit(0).cast("long").alias("k"),
+        F.col("id").alias("score"),
+        F.lit("storm").alias("tag"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("ts"),
+        F.col("id").alias("seq"),
+    ).persist()
+    storm.count()
+    for mode, skew in [("window", False), ("semi_reduce", True)]:
+        sec = timed(
+            upsert_merge(base, storm, ["k"], ts_col="ts", seq_col="seq",
+                         broadcast_changes=True, skew_reduce=skew)
+        )
+        rows.append({"mode": f"degenerate_{mode}", "sec": sec,
+                     "batch_rows": storm_rows, "hot_key_rows": storm_rows})
+
     print(json.dumps({
         "probe": "cdc_scale", "n_rows": n, "batch_rows": b, "rows": rows,
     }))

@@ -63,6 +63,18 @@ def test_upsert_merge_matches_reference_model(spark, changes):
             got = {r["k"]: r["v"] for r in out.collect()}
             assert got == expect, f"broadcast_changes={bc} null_safe={nsk}"
 
+    # the r8 skew escape hatch (map-combinable struct-max semi-reduce
+    # instead of the per-key window) must agree with the window path —
+    # and the model — on every random batch, since (ts, seq) is unique
+    # per key here
+    for bc in (False, True):
+        out = upsert_merge(
+            base_df, ch_df, ["k"], ts_col="ts", seq_col="seq",
+            broadcast_changes=bc, skew_reduce=True,
+        )
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == expect, f"skew_reduce broadcast_changes={bc}"
+
 
 @_FAST
 @given(
