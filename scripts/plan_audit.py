@@ -118,8 +118,8 @@ AUDIT = [
 ]
 
 
-def audit_one(spark, name: str, note: str, one_row_bnlj_ok: bool, sf_dir: str) -> str:
-    df = entrymod.queries()[name](spark, sf_dir)
+def render_plan(df, name: str, note: str, one_row_bnlj_ok: bool,
+                extra_lines: list[str] | None = None) -> str:
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     explain = df._sc._jvm.PythonSQLUtils.explainString
@@ -142,6 +142,12 @@ def audit_one(spark, name: str, note: str, one_row_bnlj_ok: bool, sf_dir: str) -
     if schemas:
         cols = [s.count(":") for s in schemas]
         lines.append(f"- read schemas (cols per scan): {cols}")
+    part_filters = [
+        p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
+        if p.strip()
+    ]
+    if part_filters:
+        lines.append(f"- partition filters: {'; '.join(part_filters[:3])}")
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
         if one_row_bnlj_ok:
             lines.append(
@@ -150,8 +156,180 @@ def audit_one(spark, name: str, note: str, one_row_bnlj_ok: bool, sf_dir: str) -
             )
         else:
             lines.append("- **WARNING: cartesian/nested-loop join present**")
+    if extra_lines:
+        lines.extend(extra_lines)
     lines.append("")
     return "\n".join(lines)
+
+
+def audit_one(spark, name: str, note: str, one_row_bnlj_ok: bool, sf_dir: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return render_plan(df, name, note, one_row_bnlj_ok)
+
+
+# ---------------------------------------------------------------------------
+# Serve-path audits for the maintenance-lifecycle gates (q212-q215): their
+# GATE functions write layouts into a tmpdir and localCheckpoint results, so
+# auditing the gate plan is vacuous — what matters at 100 TB is the plan
+# that READS the maintained layout. Each builder constructs a small layout
+# and returns the serve-path DataFrame (plus claim-specific extra lines).
+
+
+def _exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def _serve_q212(spark, sf_dir: str, tmp: str):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    snap = f"{tmp}/snap212"
+    init_snapshot_bucketed(od, snap, ["o_orderkey"], n_buckets=8)
+    batch = (
+        od.limit(50)
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(1))
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    apply_change_batch_bucketed(batch, snap, batch_id=0)
+    df = latest_snapshot_bucketed(spark, snap)
+    return df, [
+        "- manifest-union read: every bucket file scanned in place from"
+        " the version that last wrote it; nothing was copied at apply"
+        " time (untouched buckets are v=0 paths, touched ones v=1)",
+    ]
+
+
+def _serve_q213(spark, sf_dir: str, tmp: str):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.similarity import ivf_topk_indexed
+    from hfsa_spark.streaming.vectors import (
+        compact_ivf_index,
+        index_vector_batch,
+        init_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(400)
+        .select("vec_id", "embedding")
+    )
+    cent = emb.limit(8)
+    idx, cidx = f"{tmp}/ivf213", f"{tmp}/ivf213_compact"
+    init_ivf_index(cent, idx)
+    for b in range(2):
+        index_vector_batch(emb, idx, batch_id=b)
+    compact_ivf_index(spark, idx, cidx)
+    queries = emb.limit(2)
+    df = ivf_topk_indexed(spark, cidx, queries, k=3, n_probe=2)
+    return df, [
+        "- serve reads ONLY the probed lists' partitions of the compacted"
+        " layout (see partition filters above): the scan is pruned by"
+        " list_id, not a full-index read",
+    ]
+
+
+def _serve_q214(spark, sf_dir: str, tmp: str):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.cdc import point_in_time_join, scd2_intervals
+    from hfsa_spark.sinks.layout import drop_bucketed, write_bucketed
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    log = od.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("I").alias("op"),
+        (F.col("o_orderkey") % 3 * 10).alias("ts"),
+    )
+    intervals = scd2_intervals(log, ["o_orderkey"], ts_col="ts", op_col="op")
+    facts = od.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("o_orderkey") % 40).alias("ts")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = _exchanges(
+            point_in_time_join(facts, intervals, ["o_orderkey"],
+                               null_safe_keys=False)
+        )
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(intervals, "audit_pit_iv", f"{tmp}/iv214",
+                       "o_orderkey", n_shuffle)
+        df = point_in_time_join(
+            facts, spark.table("audit_pit_iv"), ["o_orderkey"],
+            null_safe_keys=False,
+        )
+        bucketed = _exchanges(df)
+        extra = [
+            f"- layout reuse: {plain} exchanges over plain parquet vs"
+            f" {bucketed} with the interval table bucketed by key — the"
+            " interval-side exchange is eliminated (requires the"
+            " null_safe_keys=False non-null-pk contract; pytest twin:"
+            " tests/test_bucketed_layout.py::"
+            "test_pit_join_reuses_bucketed_interval_layout)",
+        ]
+        assert bucketed == plain - 1, (plain, bucketed)
+        return df, extra
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # NOTE: table must outlive plan rendering; dropped by caller via
+        # _serve_cleanup
+        _SERVE_CLEANUP.append(lambda: drop_bucketed(spark, "audit_pit_iv"))
+
+
+def _serve_q215(spark, sf_dir: str, tmp: str):
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.streaming.cdc import (
+        append_change_segment,
+        init_base,
+        read_merged,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = f"{tmp}/mor215"
+    init_base(od, tdir)
+    for b in range(2):
+        seg = (
+            od.limit(40)
+            .withColumn("op", F.lit("U"))
+            .withColumn("ts", F.lit(b))
+        )
+        append_change_segment(seg, tdir, ["o_orderkey"], batch_id=b)
+    df = read_merged(spark, tdir, ["o_orderkey"])
+    return df, [
+        "- merge-on-read resolve: ONE upsert_merge over base + unioned"
+        " segments — the window runs over the SEGMENTS only (bounded by"
+        " batch sizes), the base crosses the shuffle once for the pk"
+        " equi join and is never windowed",
+    ]
+
+
+_SERVE_CLEANUP: list = []
+
+SERVE_AUDIT = [
+    ("q212_streaming_cdc_bucketed [serve path]",
+     "bucket-COW manifest-union read", False, _serve_q212),
+    ("q213_ivf_compaction [serve path]",
+     "compacted IVF index: partition-pruned probe scan", False, _serve_q213),
+    ("q214_bucketed_pit [serve path]",
+     "PIT join consuming a key-bucketed interval table", False, _serve_q214),
+    ("q215_merge_on_read [serve path]",
+     "read_merged over base + delta segments", False, _serve_q215),
+]
 
 
 def main() -> None:
@@ -170,12 +348,15 @@ def main() -> None:
         "this file is the human-readable evidence.",
         "",
         "Convention: gates with no section here carry pinned PLAN TESTS",
-        "instead — streaming lifecycles (q93/q94/q164/q199/q205/q210/q212/q215:",
+        "instead — streaming lifecycles (q93/q94/q164/q199/q205/q210:",
         "foreachBatch plans are per-batch, tests/test_streaming*.py) and",
         "tmpdir-write gates that localCheckpoint their result, making the",
         "audited plan vacuous (q161/q164: test_inverted_index.py; q203:",
         "test_plans.py::test_tfrecord_read_path_plan; q206/q211:",
-        "test_bucketed_layout.py; q212:",
+        "test_bucketed_layout.py). The maintenance-lifecycle gates",
+        "q212-q215 get dedicated SERVE-PATH sections at the end of this",
+        "file (r8), auditing the plan that reads each maintained layout;",
+        "their pytest twins stay pinned (q212:",
         "test_plans.py::test_bucketed_cow_read_path_plan; q213:",
         "test_similarity_ivf.py serve-path pruning +",
         "test_streaming_vectors.py compacted layout; q214:",
@@ -184,6 +365,21 @@ def main() -> None:
     ]
     for name, note, bnlj_ok in AUDIT:
         out.append(audit_one(spark, name, note, bnlj_ok, sf_dir))
+    out.append(
+        "## Maintenance-lifecycle serve paths (r8)\n\n"
+        "q212-q215's gate functions write layouts into a tmpdir and"
+        " localCheckpoint, so their gate plans are vacuous; the sections"
+        " below audit the plan that READS each maintained layout — the"
+        " plan a 100 TB deployment actually serves from.\n"
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="plan_audit_serve_")
+    for name, note, bnlj_ok, builder in SERVE_AUDIT:
+        df, extra = builder(spark, sf_dir, tmp)
+        out.append(render_plan(df, name, note, bnlj_ok, extra))
+    for fn in _SERVE_CLEANUP:
+        fn()
     with open("PLANS.md", "w") as fh:
         fh.write("\n".join(out))
     print("wrote PLANS.md")
