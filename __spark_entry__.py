@@ -4150,6 +4150,32 @@ def q215_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q216_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q131's purchase graph with the DANGLING-MASS term enabled
+    (pagerank(dangling=True)): every supplier node is a sink in the
+    customer→supplier bipartite graph, so without redistribution ~half
+    the total mass drains out per iteration — this gate's graph is the
+    worst case the flag exists for (web-graph curation: crawl frontiers
+    are full of dangling URLs). Each iteration the rank sitting on
+    zero-outdegree nodes is summed (one broadcast one-row aggregate,
+    never a collect) and every node receives floor(dang_sum/N) extra
+    inflow before damping. Integer-exact like q131, so the 3 iterations
+    unroll into the SQL oracle verbatim. Top-50 by (pr desc, node)."""
+    from hfsa_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    edges = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=3, dangling=True).limit(50)
+
+
 def q213_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF maintenance grow→COMPACT→serve: two backfill batches append
     ingest_batch_id=N/list_id=M segments (the exact function q210's
@@ -4688,6 +4714,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_ivf_compaction": q213_ivf_compaction,
         "q214_bucketed_pit": q214_bucketed_pit,
         "q215_merge_on_read": q215_merge_on_read,
+        "q216_pagerank_dangling": q216_pagerank_dangling,
     }
 
 
@@ -9207,6 +9234,45 @@ def oracle_sql() -> dict[str, str]:
     # q215: merge-on-read CDC — the strategy moves the merge cost from
     # write to read time, never the answer: same oracle as q205/q212
     o["q215_merge_on_read"] = o["q205_streaming_cdc"]
+
+    # q216: q131's graph + the dangling-mass term; the per-iteration
+    # dangling share is a scalar subquery (rank summed over nodes absent
+    # from outdeg, floor-divided by N) mirroring the Spark broadcast
+    # one-row aggregate, and every FLOOR-over-DOUBLE matches the Spark
+    # expression shape exactly (the q131 integer-exact discipline)
+    _prd_iter = """
+        SELECT n.node,
+               ({base} + FLOOR((85 * (COALESCE(s.in_sum, 0)
+                    + (SELECT FLOOR(COALESCE(SUM(p.pr), 0)::DOUBLE
+                              / (SELECT n FROM nn)::DOUBLE)::BIGINT
+                       FROM {prev} p LEFT JOIN outdeg d ON p.node = d.src
+                       WHERE d.src IS NULL)))::DOUBLE / 100))::BIGINT AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(FLOOR(p.pr::DOUBLE / d.outdeg::DOUBLE)::BIGINT)::BIGINT
+                       AS in_sum
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            JOIN outdeg d ON e.src = d.src
+            GROUP BY e.dst) s ON n.node = s.node
+    """
+    _prd_base = "(SELECT (15 * 1000000000000 // 100) // n FROM nn)"
+    o["q216_pagerank_dangling"] = f"""
+        WITH edges AS (
+            SELECT DISTINCT (o.o_custkey * 2)::BIGINT AS src,
+                            (l.l_suppkey * 2 + 1)::BIGINT AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey % 10 = 0),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        pr0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn)::BIGINT AS pr
+                FROM nodes),
+        pr1 AS ({_prd_iter.format(base=_prd_base, prev="pr0")}),
+        pr2 AS ({_prd_iter.format(base=_prd_base, prev="pr1")}),
+        pr3 AS ({_prd_iter.format(base=_prd_base, prev="pr2")})
+        SELECT node, pr FROM pr3 ORDER BY pr DESC, node ASC LIMIT 50
+    """
 
     mat_selects = "\n            UNION ALL\n".join(
         f"""            SELECT q.query_id, {d} AS dim,

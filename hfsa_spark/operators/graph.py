@@ -106,6 +106,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    dangling: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, INTEGER-EXACT: ranks live in
     pico-units (10^12 = 1.0) and every per-iteration step is integer
@@ -116,14 +117,25 @@ def pagerank(
     truncation loses < 1 pico-unit per term: irrelevant for ranking,
     priceless for reproducibility.
 
-    Dangling nodes (outdeg 0) absorb rank without redistributing — the
-    simple variant; document or add a dangling-sum term if mass
-    conservation matters.
+    ``dangling=False`` (default): nodes with outdeg 0 absorb rank
+    without redistributing — the simple variant. ``dangling=True`` adds
+    the standard dangling-mass term: each iteration sums the rank
+    sitting on zero-outdegree nodes (one broadcast-singleton aggregate,
+    the same one-row crossJoin pattern as the pct-of-total operators —
+    never a collect) and every node receives
+    ``floor(dangling_sum / N)`` extra inflow before damping:
+    ``pr' = base + floor(d·(Σcontrib + dang_share)/100)``. Mass is then
+    conserved up to floor truncation — the variant web-graph curation
+    wants, since a crawl frontier is full of dangling URLs and the
+    simple variant systematically deflates ranks of pages linked from
+    them.
 
     Scale: per iteration ONE join of the rank table (N rows) with the
     edge list on src + a map-combinable groupBy(dst) — the classic plan;
-    ``localCheckpoint`` truncates lineage each round so the plan depth
-    stays constant. Nodes = src ∪ dst, computed once.
+    the dangling term adds one anti-join against the (pre-aggregated,
+    N-row) outdeg table and a one-row broadcast. ``localCheckpoint``
+    truncates lineage each round so the plan depth stays constant.
+    Nodes = src ∪ dst, computed once.
     """
     from hfsa_spark.plans import parallelize_compute
 
@@ -160,6 +172,35 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
+        if dangling:
+            # rank sitting on zero-outdegree nodes this round: ONE row,
+            # broadcast-crossJoined (the pct-of-total pattern) — every
+            # node gets floor(dang_sum / N) extra inflow before damping
+            dang = (
+                pr.join(
+                    outdeg.withColumnRenamed("src", "node"), "node",
+                    "left_anti",
+                )
+                .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("__ds"))
+            )
+            inflow = F.coalesce(F.col("in_sum"), F.lit(0)) + F.floor(
+                F.col("__ds") / F.lit(n_nodes)
+            ).cast("long")
+            pr = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        base
+                        + F.floor(F.lit(damping_pct) * inflow / 100).cast(
+                            "long"
+                        )
+                    ).alias("pr"),
+                )
+                .localCheckpoint()
+            )
+            continue
         pr = (
             nodes.join(contrib, "node", "left")
             .select(

@@ -143,6 +143,62 @@ def test_pagerank_tiny(spark):
     assert again == ranks
 
 
+def test_pagerank_dangling_conserves_mass(spark):
+    """dangling=True redistributes sink rank: on a sink-heavy graph the
+    total mass stays ~10^12 pico-units (up to floor truncation) where
+    the simple variant drains it; a pure-sink graph is the worst case.
+    Python reference model run alongside for exactness (the same model
+    the q216 SQL oracle unrolls)."""
+    from hfsa_spark.operators.graph import pagerank
+
+    E = 10**12
+    # a,b -> sinks s1,s2 (plus a->b so one node has in-links AND outdeg)
+    edges = spark.createDataFrame(
+        [("a", "s1"), ("a", "b"), ("b", "s2")], "src string, dst string"
+    )
+    nodes = ["a", "b", "s1", "s2"]
+    outdeg = {"a": 2, "b": 1}
+    inlinks = {"s1": [("a", 2)], "b": [("a", 2)], "s2": [("b", 1)]}
+    n = len(nodes)
+    base = (15 * E // 100) // n
+    pr = {v: E // n for v in nodes}
+    for _ in range(3):
+        dang = sum(p for v, p in pr.items() if v not in outdeg)
+        share = int(dang / n)  # floor over double, like both engines
+        pr = {
+            v: base
+            + int(
+                85
+                * (sum(int(pr[u] / d) for u, d in inlinks.get(v, []))
+                   + share)
+                / 100
+            )
+            for v in nodes
+        }
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iters=3, dangling=True).collect()
+    }
+    assert got == pr
+    # mass conserved within floor loss (< 1 pico-unit per term per iter)
+    assert abs(sum(got.values()) - E) < 100
+    # the simple variant drains mass on this sink-heavy graph
+    simple = {
+        r["node"]: r["pr"] for r in pagerank(edges, iters=3).collect()
+    }
+    assert sum(simple.values()) < sum(got.values())
+    # no dangling nodes -> flag is a no-op (cycle graph)
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    a = {r["node"]: r["pr"] for r in pagerank(cyc, iters=2).collect()}
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(cyc, iters=2, dangling=True).collect()
+    }
+    assert a == b
+
+
 def test_quarantine_invalid(spark):
     from hfsa_spark.operators.features import quarantine_invalid
 
