@@ -44,6 +44,45 @@ def _total_jiffies() -> int:
         return -1
 
 
+def _cpu_canary() -> float:
+    """Seconds to SHA-256 256 MiB single-threaded — a deterministic,
+    data-independent host-speed yardstick recorded alongside the suite.
+
+    Why (r8 finding): steal_pct alone does NOT capture this host's
+    performance drift. The r8 bisect ran the r6-recorded code
+    back-to-back with HEAD on the same day: both clocked q131_pagerank
+    at ~4.3 s where the r6 record says 2.29 s, while full-suite passes
+    showed steal at 0.08-0.21%% — the host is simply slower than in the
+    r6 recording window (noisy-neighbor memory bandwidth / frequency,
+    invisible to steal). Cross-round comparisons should divide by the
+    canary ratio before calling anything a regression."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    block = b"\x5a" * (1 << 20)
+    for _ in range(256):
+        h.update(block)
+    return round(time.perf_counter() - t0, 4)
+
+
+def _membw_canary() -> float:
+    """GB/s copying a 256 MiB numpy buffer — the memory-bandwidth axis
+    of the host yardstick (shuffle/sort-heavy queries like pagerank are
+    bandwidth-bound, and neighbor contention there is invisible to both
+    steal_pct and a cache-resident CPU canary)."""
+    import numpy as np
+
+    a = np.full(1 << 28, 90, dtype=np.uint8)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        best = min(best, time.perf_counter() - t0)
+        del b
+    return round((1 << 28) / best / 1e9, 2)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -192,10 +231,16 @@ def main() -> None:
               "mean": round(sum(vs) / len(vs), 4)}
         for fam, vs in fams.items() if vs
     }
+    # host-speed yardstick: min of 3 (the canary must measure the host,
+    # not a scheduling blip), taken AFTER the timed runs so it never
+    # perturbs them
+    canary = min(_cpu_canary() for _ in range(3))
     result = {
         "metric": "suite_wall",
         "value": total,
         "unit": "sec",
+        "canary_sha256_256mb_sec": canary,
+        "canary_membw_gbps": _membw_canary(),
         # the suite GROWS across rounds as operators are added —
         # compare families.batch.mean (or per-query values) across
         # rounds, not raw suite_wall
