@@ -131,11 +131,13 @@ def pagerank(
     them.
 
     Scale: per iteration ONE join of the rank table (N rows) with the
-    edge list on src + a map-combinable groupBy(dst) — the classic plan;
-    the dangling term adds one anti-join against the (pre-aggregated,
-    N-row) outdeg table and a one-row broadcast. ``localCheckpoint``
-    truncates lineage each round so the plan depth stays constant.
-    Nodes = src ∪ dst, computed once.
+    weighted edge list on src + a map-combinable groupBy(dst) + the
+    rank rebuild join — two shuffles-carrying joins per round (the
+    edge⋈outdeg join is INVARIANT, so it is paid once before the loop
+    and persisted, not once per iteration); the dangling term adds one
+    anti-join against the (pre-aggregated, N-row) outdeg table and a
+    one-row broadcast. ``localCheckpoint`` truncates lineage each round
+    so the plan depth stays constant. Nodes = src ∪ dst, computed once.
     """
     from hfsa_spark.plans import parallelize_compute
 
@@ -158,13 +160,15 @@ def pagerank(
     )
     n_nodes = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # edge list pre-weighted with its source's outdegree — invariant
+    # across iterations, so this join happens ONCE, not per round
+    e_w = e.join(outdeg, "src").persist()
 
     base = F.lit(((100 - damping_pct) * E // 100) // n_nodes).cast("long")
     pr = nodes.withColumn("pr", F.lit(E // n_nodes).cast("long"))
     for _ in range(iters):
         contrib = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            e_w.join(pr.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("pr") / F.col("outdeg")).cast("long").alias("c"),
@@ -218,6 +222,6 @@ def pagerank(
         )
     # the final pr is checkpointed (self-contained); release the cached
     # invariants so repeated calls don't accumulate executor storage
-    for cached in (e, nodes, outdeg):
+    for cached in (e, nodes, outdeg, e_w):
         cached.unpersist()
     return pr.orderBy(F.desc("pr"), F.asc("node"))
