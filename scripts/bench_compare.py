@@ -57,6 +57,23 @@ def main() -> None:
     gm = math.exp(sum(logs) / len(logs))
     print(f"\npaired queries: {len(shared)}  geo-mean ratio: {gm:.3f}x")
 
+    # r8+: host canaries, when both records carry them — a geo-mean
+    # drift that tracks the canary ratio is host speed, not code
+    # (BASELINE.md "Host-speed canaries")
+    def canaries(path):
+        with open(path) as fh:
+            d = json.load(fh)
+        d = d.get("parsed") or d
+        return d.get("canary_sha256_256mb_sec"), d.get("canary_membw_gbps")
+
+    (c_cpu, c_bw), (p_cpu, p_bw) = canaries(cur_path), canaries(prev_path)
+    if c_cpu and p_cpu:
+        print(f"canary cpu ratio: {c_cpu / p_cpu:.3f}x"
+              f" (sha256 {p_cpu:.3f}s -> {c_cpu:.3f}s)")
+    if c_bw and p_bw:
+        print(f"canary membw ratio: {p_bw / c_bw:.3f}x"
+              f" ({p_bw:.2f} -> {c_bw:.2f} GB/s; >1 = host got slower)")
+
 
 if __name__ == "__main__":
     main()
