@@ -611,8 +611,20 @@ def compact_segments(
     todo = [s for s in segs if s not in folded]
     if not todo:
         return 0
-    merged = read_merged(spark, table_dir, key_cols, ts_col=ts_col,
-                         op_col=op_col)
+    # merge exactly `todo` (not a re-listing): a segment committed by a
+    # concurrent appender between these two lines must NOT slip into the
+    # new base without appearing in its folded marker — readers would
+    # still be correct (re-applying an already-folded segment is
+    # content-idempotent under last-writer-wins), but marker==content is
+    # the cleaner invariant
+    base = spark.read.parquet(bdir)
+    changes = spark.read.parquet(
+        *[os.path.join(table_dir, f"seg={s}") for s in todo]
+    )
+    merged = upsert_merge(
+        base, changes, key_cols, ts_col=ts_col, op_col=op_col,
+        seq_col=SEG_SEQ,
+    )
     new_dir = os.path.join(table_dir, f"_base_v={v + 1}")
     merged.write.mode("overwrite").parquet(new_dir)
     _fs.write_text_atomic(
