@@ -342,6 +342,54 @@ def latest_snapshot_bucketed(
     return spark.read.parquet(*paths).select(*meta["columns"])
 
 
+def lookup_bucketed(
+    spark: SparkSession,
+    snapshot_dir: str,
+    keys: list[tuple] | list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup against a bucket-granular snapshot: hash the
+    requested keys with the FROZEN bucket function, resolve only those
+    buckets' files through the manifest, and semi-join — at 100 TB a
+    single-pk fetch reads ONE bucket file (corpus/2^k bytes), never the
+    snapshot. ``keys`` is a list of values (single-column pk) or tuples
+    (composite pk); duplicates are fine. The bucket ids come from a
+    tiny Spark job over the keys themselves (the bucket fn is
+    ``xxhash64``/range per ``_meta.json`` — evaluating it through Spark
+    guarantees bit-identical hashing with what the writer used), then
+    the pruned read is filtered by a broadcast join against the keys.
+    """
+    vs = _committed_versions(snapshot_dir, marker=MANIFEST)
+    if version is not None:
+        vs = [v for v in vs if v <= version]
+    if not vs:
+        raise FileNotFoundError(
+            f"no committed bucketed snapshot under {snapshot_dir}"
+        )
+    meta = _read_meta(snapshot_dir)
+    key_cols = meta["key_cols"]
+    rows = [
+        tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys
+    ]
+    if not rows:
+        return _empty_snapshot(spark, meta)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    key_schema = StructType([schema[c] for c in key_cols])
+    keys_df = spark.createDataFrame(rows, key_schema).distinct()
+    bexpr = _meta_bucket_expr(meta)
+    wanted = {
+        r["b"] for r in keys_df.select(bexpr.alias("b")).distinct().collect()
+    }
+    manifest = _read_manifest(snapshot_dir, vs[-1])
+    paths = _bucket_paths(snapshot_dir, manifest, wanted)
+    if not paths:
+        return _empty_snapshot(spark, meta)
+    snap = spark.read.parquet(*paths).select(*meta["columns"])
+    return snap.join(F.broadcast(keys_df), key_cols, "left_semi")
+
+
 def _empty_snapshot(spark: SparkSession, meta: dict) -> DataFrame:
     from pyspark.sql.types import StructType
 
