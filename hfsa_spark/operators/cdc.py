@@ -107,6 +107,7 @@ def upsert_merge(
     broadcast_changes: bool = False,
     null_safe_keys: bool = True,
     skew_reduce: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Apply a change batch to a snapshot; return the next snapshot.
 
@@ -142,13 +143,43 @@ def upsert_merge(
     (ts, seq) is unique per key. Property-tested against the window
     path in tests/test_properties_cdc.py; probe row in
     scripts/cdc_scale_probe.py.
+
+    ``evolve_schema=True`` (opt-in) accepts ADDITIVE schema drift
+    between snapshot and feed — the Delta/Iceberg ``mergeSchema``
+    semantics at engine level, decided STRUCTURALLY from the two
+    schemas, never from NULL values:
+
+    * a change column absent from the base is appended to the output
+      schema (typed from the feed); rows the batch didn't touch carry
+      NULL there;
+    * a base column absent from the feed keeps its base value on
+      updated rows (a feed that stopped sending a column must not
+      NULL it out) and is NULL on fresh inserts.
+
+    With the flag off (default) the current strict contract holds:
+    changes must carry every base column.
     """
     key_cols = list(key_cols)
+    meta_cols = {op_col, ts_col} | ({seq_col} if seq_col else set())
     payload_cols = [c for c in base.columns if c not in key_cols]
+    if evolve_schema:
+        change_payload = [
+            c for c in changes.columns
+            if c not in key_cols and c not in meta_cols
+        ]
+        new_cols = [c for c in change_payload if c not in payload_cols]
+        base_only = set(payload_cols) - set(change_payload)
+        out_payload = payload_cols + new_cols
+        change_cols = [c for c in out_payload if c not in base_only]
+        base_types = {f.name: f.dataType for f in base.schema.fields}
+    else:
+        new_cols, base_only = [], set()
+        out_payload = change_cols = payload_cols
+        base_types = {}
     latest = _latest_per_key(
         _known_ops(changes, op_col), key_cols, ts_col, seq_col,
         skew_reduce=skew_reduce,
-    ).select(*key_cols, op_col, *payload_cols)
+    ).select(*key_cols, op_col, *change_cols)
 
     b = base.alias("b")
     c = latest.alias("c")
@@ -157,20 +188,30 @@ def upsert_merge(
     else:
         on = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in key_cols]
 
+    def _merged_val(p, has_change):
+        # base-only: the feed cannot speak to this column — keep base
+        # (NULL for pure inserts, which have no base row). new_cols:
+        # only the feed can — NULL for untouched base rows.
+        if p in base_only:
+            return F.col(f"b.{p}").alias(p)
+        if p in new_cols:
+            return F.when(has_change, F.col(f"c.{p}")).alias(p)
+        return (
+            F.when(has_change, F.col(f"c.{p}"))
+            .otherwise(F.col(f"b.{p}"))
+            .alias(p)
+        )
+
     if broadcast_changes:
         c = F.broadcast(c)
+        matched = F.col(f"c.{op_col}").isNotNull()
         # left join: kept/updated/deleted base rows without shuffling base
         survivors = (
             b.join(c, on, "left")
             .filter(F.coalesce(F.col(f"c.{op_col}"), F.lit("")) != "D")
             .select(
                 *[F.col(f"b.{k}").alias(k) for k in key_cols],
-                *[
-                    F.when(
-                        F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{p}")
-                    ).otherwise(F.col(f"b.{p}")).alias(p)
-                    for p in payload_cols
-                ],
+                *[_merged_val(p, matched) for p in out_payload],
             )
         )
         # winning inserts for keys absent from base: anti-join against the
@@ -180,7 +221,14 @@ def upsert_merge(
             latest.filter(F.col(op_col) != "D")
             .alias("c")
             .join(base.select(*key_cols).alias("b"), on, "left_anti")
-            .select(*key_cols, *payload_cols)
+            .select(
+                *key_cols,
+                *[
+                    F.lit(None).cast(base_types[p]).alias(p)
+                    if p in base_only else F.col(p)
+                    for p in out_payload
+                ],
+            )
         )
         return survivors.unionByName(inserts)
 
@@ -191,12 +239,7 @@ def upsert_merge(
             F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k)
             for k in key_cols
         ],
-        *[
-            F.when(has_change, F.col(f"c.{p}"))
-            .otherwise(F.col(f"b.{p}"))
-            .alias(p)
-            for p in payload_cols
-        ],
+        *[_merged_val(p, has_change) for p in out_payload],
     )
 
 

@@ -146,3 +146,62 @@ def test_point_in_time_join_semantics(spark):
         (3, 12): None,   # unknown key
     }
     assert out.count() == 8  # at most one match per fact
+
+
+def test_upsert_merge_schema_evolution_additive(spark):
+    """evolve_schema=True: new feed columns append (NULL for untouched
+    rows), base columns missing from the feed keep their base values on
+    updates and are NULL on inserts — decided structurally, never from
+    NULL values. All three apply paths agree."""
+    from hfsa_spark.operators.cdc import upsert_merge
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, v string, score double",
+    )
+    # feed adds `lang`, drops `score`, updates k=2, deletes k=3, inserts k=4
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "en", "U", 1, 0),
+            (3, None, None, "D", 1, 1),
+            (4, "d", "fr", "I", 1, 2),
+        ],
+        "k bigint, v string, lang string, op string, ts int, seq int",
+    )
+    expect = {
+        1: ("a", 10.0, None),    # untouched: new col NULL
+        2: ("b2", 20.0, "en"),   # updated: base-only score KEPT
+        4: ("d", None, "fr"),    # insert: base-only score NULL
+    }
+    for kwargs in (
+        {},
+        {"broadcast_changes": True},
+        {"skew_reduce": True},
+        {"broadcast_changes": True, "null_safe_keys": False},
+    ):
+        out = upsert_merge(
+            base, changes, ["k"], ts_col="ts", seq_col="seq",
+            evolve_schema=True, **kwargs,
+        )
+        assert out.columns == ["k", "v", "score", "lang"]
+        got = {
+            r["k"]: (r["v"], r["score"], r["lang"]) for r in out.collect()
+        }
+        assert got == expect, kwargs
+
+    # an explicit NULL in a column the feed DOES carry must still win
+    # (structural absence, not NULL-ness, is what preserves base values)
+    nullify = spark.createDataFrame(
+        [(1, None, "de", "U", 1, 0)],
+        "k bigint, v string, lang string, op string, ts int, seq int",
+    )
+    out = upsert_merge(base, nullify, ["k"], ts_col="ts", seq_col="seq",
+                       evolve_schema=True)
+    row = {r["k"]: (r["v"], r["score"], r["lang"]) for r in out.collect()}
+    assert row[1] == (None, 10.0, "de")
+
+    # flag off: strict contract unchanged (missing base column raises)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        upsert_merge(base, changes, ["k"], ts_col="ts", seq_col="seq").collect()
