@@ -117,11 +117,20 @@ def apply_change_batch(
     op_col: str = "op",
     seq_col: str | None = None,
     batch_id: int = 0,
+    evolve_schema: bool = False,
 ) -> None:
     """One idempotent CDC step: merge ``batch`` into the newest committed
     version ``<= batch_id`` and commit the result as ``v={batch_id+1}``.
     Re-running with the same ``batch_id`` converges (module docstring).
-    Callable directly for batch backfills."""
+    Callable directly for batch backfills.
+
+    ``evolve_schema`` passes through to :func:`upsert_merge`'s additive
+    mergeSchema semantics — safe HERE because every snapshot-COW
+    version is a complete self-contained rewrite, so each version
+    carries one coherent schema and time travel just reads the schema
+    of its era. The bucket-granular path deliberately has no such flag:
+    its manifest unions bucket files written by DIFFERENT versions, and
+    its reader pins the frozen ``_meta.json`` schema."""
     spark = batch.sparkSession
     committed = _committed_versions(snapshot_dir)
     if int(batch_id) + 1 in committed:
@@ -138,7 +147,8 @@ def apply_change_batch(
         )
     prev = spark.read.parquet(os.path.join(snapshot_dir, f"v={eligible[-1]}"))
     merged = upsert_merge(
-        prev, batch, key_cols, ts_col=ts_col, op_col=op_col, seq_col=seq_col
+        prev, batch, key_cols, ts_col=ts_col, op_col=op_col, seq_col=seq_col,
+        evolve_schema=evolve_schema,
     )
     merged.write.mode("overwrite").parquet(
         os.path.join(snapshot_dir, f"v={batch_id + 1}")

@@ -382,3 +382,32 @@ def test_range_bucket_null_key_raises_clearly(spark, tmp_path):
             nullbase, str(tmp_path / "snap2"), ["k"], n_buckets=4,
             bucket_mode="range", range_width=2,
         )
+
+
+def test_snapshot_cow_schema_evolution_across_versions(spark, tmp_path):
+    """evolve_schema through the snapshot-COW apply: each version is
+    self-contained, so the schema can grow mid-stream and time travel
+    reads each era's own schema."""
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch,
+        init_snapshot,
+        latest_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    init_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        snap,
+    )
+    widened = spark.createDataFrame(
+        [(2, "b2", "en", "U", 1)],
+        "k bigint, v string, lang string, op string, ts int",
+    )
+    apply_change_batch(widened, snap, ["k"], batch_id=0, evolve_schema=True)
+    cur = latest_snapshot(spark, snap)
+    assert cur.columns == ["k", "v", "lang"]
+    got = {r["k"]: (r["v"], r["lang"]) for r in cur.collect()}
+    assert got == {1: ("a", None), 2: ("b2", "en")}
+    # the pre-evolution version still reads with its era's schema
+    old = spark.read.parquet(os.path.join(snap, "v=0"))
+    assert old.columns == ["k", "v"]
