@@ -163,10 +163,12 @@ def streaming_upsert_snapshots(
     ts_col: str = "ts",
     op_col: str = "op",
     seq_col: str | None = None,
+    evolve_schema: bool = False,
 ):
     """Wire a streaming change feed into the versioned-snapshot apply
     loop. Returns the started StreamingQuery (caller awaits/stops).
-    ``init_snapshot`` must have committed version 0 first."""
+    ``init_snapshot`` must have committed version 0 first.
+    ``evolve_schema`` passes through to :func:`apply_change_batch`."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         apply_change_batch(
@@ -177,6 +179,7 @@ def streaming_upsert_snapshots(
             op_col=op_col,
             seq_col=seq_col,
             batch_id=int(batch_id),
+            evolve_schema=evolve_schema,
         )
 
     return (
