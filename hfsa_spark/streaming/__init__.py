@@ -22,6 +22,30 @@ from hfsa_spark.streaming.drift import (
     streaming_drift_monitor,
     write_drift_segment,
 )
+from hfsa_spark.streaming.cdc import (
+    append_change_segment,
+    apply_change_batch,
+    apply_change_batch_bucketed,
+    compact_segments,
+    init_base,
+    init_snapshot,
+    init_snapshot_bucketed,
+    latest_snapshot,
+    latest_snapshot_bucketed,
+    lookup_bucketed,
+    read_merged,
+    streaming_append_segments,
+    streaming_upsert_snapshots,
+    streaming_upsert_snapshots_bucketed,
+    vacuum_segments,
+    vacuum_snapshots,
+)
+from hfsa_spark.streaming.vectors import (
+    compact_ivf_index,
+    index_vector_batch,
+    init_ivf_index,
+    streaming_ivf_index,
+)
 
 __all__ = [
     "read_snapshot_stream",
@@ -38,4 +62,24 @@ __all__ = [
     "read_drift_monitor",
     "streaming_drift_monitor",
     "write_drift_segment",
+    "append_change_segment",
+    "apply_change_batch",
+    "apply_change_batch_bucketed",
+    "compact_segments",
+    "init_base",
+    "init_snapshot",
+    "init_snapshot_bucketed",
+    "latest_snapshot",
+    "latest_snapshot_bucketed",
+    "lookup_bucketed",
+    "read_merged",
+    "streaming_append_segments",
+    "streaming_upsert_snapshots",
+    "streaming_upsert_snapshots_bucketed",
+    "vacuum_segments",
+    "vacuum_snapshots",
+    "compact_ivf_index",
+    "index_vector_batch",
+    "init_ivf_index",
+    "streaming_ivf_index",
 ]
