@@ -25,9 +25,13 @@ carries a URI scheme (``hdfs://…``, ``s3a://…``, ``file:///…``).
 Atomicity note, stated rather than hidden: ``replace`` is atomic on
 POSIX (``os.replace``) and on HDFS (``FileContext.rename(OVERWRITE)``
 is a namespace operation); object stores without atomic rename (plain
-S3) degrade to copy+delete inside the connector, which narrows but does
-not close the swap window — the same caveat every rename-based commit
-protocol (including Spark's v1 committer) carries there.
+S3) degrade to copy+delete inside the connector. For COMMIT MARKERS
+that window is now closed: :func:`write_text_atomic` scheme-dispatches
+and writes markers on the S3 family via one direct ``create()`` —
+a single S3 PUT is all-or-nothing, strictly better than tmp+rename
+there. Directory-level ``replace`` on plain S3 still carries the
+copy+delete caveat — the same one every rename-based commit protocol
+(including Spark's v1 committer) carries there.
 """
 
 from __future__ import annotations
@@ -46,6 +50,19 @@ _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
 
 def has_scheme(path: str) -> bool:
     return bool(_SCHEME.match(path))
+
+
+def scheme(path: str) -> str:
+    """The URI scheme in lowercase, '' for plain POSIX paths."""
+    m = _SCHEME.match(path)
+    return path[: m.end() - 2].lower() if m else ""
+
+
+# Filesystems whose rename is a copy+delete inside the connector (no
+# atomic namespace rename) but whose single-object PUT IS atomic —
+# there, writing a commit marker by one direct create() is strictly
+# safer than tmp+rename.
+_PUT_ATOMIC_SCHEMES = {"s3", "s3a", "s3n"}
 
 
 def _jfs(path: str):
@@ -89,7 +106,12 @@ def makedirs(path: str) -> None:
         os.makedirs(path, exist_ok=True)
         return
     fs, p, _ = _jfs(path)
-    fs.mkdirs(p)
+    # Hadoop mkdirs() signals failure by RETURNING false, not only by
+    # throwing (FileSystem.mkdirs javadoc) — surface it like the POSIX
+    # branch would, instead of letting a commit protocol proceed on a
+    # directory that was never created
+    if not fs.mkdirs(p):
+        raise OSError(f"mkdirs failed: {path}")
 
 
 def read_text(path: str) -> str:
@@ -116,13 +138,26 @@ def _write_bytes(path: str, data: bytes) -> None:
 
 
 def write_text_atomic(path: str, text: str) -> None:
-    """Write via a sibling ``.tmp`` + rename-over, so a reader never
-    observes a half-written file — the commit-marker primitive."""
+    """The commit-marker primitive: a reader must never observe a
+    half-written file. Scheme-dispatched to whichever write IS atomic
+    on that filesystem:
+
+    * POSIX / HDFS (and any rename-capable fs): sibling ``.tmp`` +
+      atomic rename-over;
+    * S3-family (``s3``/``s3a``/``s3n``): one direct ``create()`` —
+      a single S3 PUT is all-or-nothing (readers see either the old
+      object or the complete new one, never a torn write), whereas
+      tmp+rename there degrades to copy+delete inside the connector
+      and REOPENS a non-atomic window. Direct PUT is strictly better.
+    """
     if not has_scheme(path):
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(text)
         os.replace(tmp, path)
+        return
+    if scheme(path) in _PUT_ATOMIC_SCHEMES:
+        _write_bytes(path, text.encode("utf-8"))
         return
     tmp = path + ".tmp"
     _write_bytes(tmp, text.encode("utf-8"))
@@ -156,16 +191,30 @@ def replace(src: str, dst: str) -> None:
 
 def rename(src: str, dst: str) -> None:
     """Plain rename; fails if ``dst`` exists (os.rename semantics —
-    callers that need overwrite use :func:`replace`)."""
+    callers that need overwrite use :func:`replace`).
+
+    No exists() pre-check: Hadoop rename() does not overwrite by
+    default, so an existing destination already makes it return false
+    (→ OSError below). A pre-check would only add a TOCTOU window in
+    which a failure could pass silently."""
     if not has_scheme(src):
         os.rename(src, dst)
         return
     fs, jsrc, jvm = _jfs(src)
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
-    if fs.exists(jdst):
-        raise FileExistsError(f"rename target exists: {dst}")
     if not fs.rename(jsrc, jdst):
         raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def remove(path: str) -> None:
+    """Delete ONE file (non-recursive, missing path is an error) —
+    os.remove semantics."""
+    if not has_scheme(path):
+        os.remove(path)
+        return
+    fs, p, _ = _jfs(path)
+    if not fs.delete(p, False):
+        raise FileNotFoundError(f"remove failed: {path}")
 
 
 def rmtree(path: str) -> None:

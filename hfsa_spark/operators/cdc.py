@@ -35,6 +35,20 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_orderable(dtype) -> bool:
+    """Whether Spark can ORDER BY a value of this type (struct-max /
+    sort keys). MapType is the one unorderable family; arrays and
+    structs are orderable iff their element/field types are."""
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _is_orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dtype.fields)
+    return True
 
 
 def _latest_per_key(
@@ -61,23 +75,36 @@ def _latest_per_key(
     scripts/cdc_scale_probe.py degenerate rows). No salt is needed
     precisely because of that partial phase. Same winner as the window
     whenever (ts, seq) is unique per key (the module's determinism
-    contract); on violated contracts the struct max breaks the tie by
-    payload comparison where the window picks arbitrarily."""
+    contract); on violated contracts the struct max breaks orderable-
+    payload ties by payload comparison where the window picks
+    arbitrarily. Non-ORDERABLE payload columns (MapType anywhere in
+    the type — fine on the window route, which only sorts ts/seq)
+    cannot ride inside the comparison struct: they are paired to the
+    winner with a (ts, seq)-keyed ``max_by`` instead, equally
+    map-combinable; on a violated contract their tied pick is
+    arbitrary, same as the window route."""
     if skew_reduce:
         order_cols = [ts_col] + ([seq_col] if seq_col is not None else [])
         other = [
             c for c in changes.columns
             if c not in key_cols and c not in order_cols
         ]
-        winner = F.struct(*[F.col(c) for c in order_cols + other])
-        return (
-            changes.groupBy(*key_cols)
-            .agg(F.max(winner).alias("__w"))
-            .select(
-                *key_cols,
-                *[F.col(f"__w.{c}").alias(c) for c in order_cols + other],
-            )
-        )
+        by_type = {f.name: f.dataType for f in changes.schema.fields}
+        ordered = [c for c in other if _is_orderable(by_type[c])]
+        unordered = [c for c in other if not _is_orderable(by_type[c])]
+        winner = F.struct(*[F.col(c) for c in order_cols + ordered])
+        aggs = [F.max(winner).alias("__w")] + [
+            F.max_by(
+                F.col(c), F.struct(*[F.col(o) for o in order_cols])
+            ).alias(c)
+            for c in unordered
+        ]
+        reduced = changes.groupBy(*key_cols).agg(*aggs)
+        return reduced.select(
+            *key_cols,
+            *[F.col(f"__w.{c}").alias(c) for c in order_cols + ordered],
+            *unordered,
+        ).select(*changes.columns)
     order = [F.col(ts_col).desc()]
     if seq_col is not None:
         order.append(F.col(seq_col).desc())

@@ -37,6 +37,7 @@ from hfsa_spark.streaming.cdc import (
     streaming_append_segments,
     streaming_upsert_snapshots,
     streaming_upsert_snapshots_bucketed,
+    vacuum_buckets,
     vacuum_segments,
     vacuum_snapshots,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "streaming_append_segments",
     "streaming_upsert_snapshots",
     "streaming_upsert_snapshots_bucketed",
+    "vacuum_buckets",
     "vacuum_segments",
     "vacuum_snapshots",
     "compact_ivf_index",

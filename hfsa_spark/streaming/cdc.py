@@ -57,9 +57,9 @@ markers, base swaps) goes through :mod:`hfsa_spark.fs`, which uses
 plain ``os`` calls for POSIX paths and the Hadoop FileSystem API for
 scheme'd paths (``hdfs://``, ``s3a://``, ``file://`` …) — the data
 files always move through Spark readers/writers, which are
-scheme-capable already. Old versions are retained for time travel; a
-bucketed vacuum must keep any version still referenced by a live
-manifest.
+scheme-capable already. Old versions are retained for time travel;
+:func:`vacuum_buckets` reclaims them at bucket-file granularity,
+keeping any bucket file still referenced by a retained manifest.
 """
 
 from __future__ import annotations
@@ -498,6 +498,22 @@ def apply_change_batch_bucketed(
                 new_manifest.pop(b, None)
     else:  # empty/no-op batch: commit a version that changes nothing
         new_manifest = dict(manifest)
+    # optimistic-concurrency guard: every maintenance path here is
+    # documented single-writer; this converts a violated assumption
+    # from silent manifest divergence into a clean loud abort. Re-check
+    # the committed head immediately before the final marker write —
+    # if another writer committed meanwhile, our manifest was derived
+    # from a stale head and must not land. The half-written v= dir we
+    # leave behind has no manifest, so readers never see it and
+    # vacuum_buckets removes it as crash debris.
+    now = _committed_versions(snapshot_dir, marker=MANIFEST)
+    if (now[-1] if now else None) != eligible[-1]:
+        raise RuntimeError(
+            f"concurrent writer detected under {snapshot_dir}: committed"
+            f" head moved {eligible[-1]} -> {now[-1] if now else None}"
+            f" while applying batch {batch_id}; aborting before the"
+            " manifest commit (single-writer protocol)"
+        )
     _write_manifest(snapshot_dir, new_version, new_manifest)
 
 
@@ -688,6 +704,20 @@ def compact_segments(
     )
     new_dir = os.path.join(table_dir, f"_base_v={v + 1}")
     merged.write.mode("overwrite").parquet(new_dir)
+    # optimistic-concurrency guard (single-writer protocol made loud):
+    # re-resolve the committed head immediately before the marker — if
+    # a racing compactor committed meanwhile, our merge started from a
+    # stale base and must not become visible. The marker-less
+    # _base_v= dir we leave is exactly the crash debris readers already
+    # ignore and vacuum_segments removes.
+    now = _committed_bases(table_dir)
+    now_v = now[-1] if now else -1  # -1 = the legacy un-versioned base
+    if now_v != v:
+        raise RuntimeError(
+            f"concurrent compaction detected under {table_dir}: committed"
+            f" base moved v={v} -> v={now_v} during compaction; aborting"
+            " before the _FOLDED marker (single-writer protocol)"
+        )
     _fs.write_text_atomic(
         os.path.join(new_dir, FOLDED),
         json.dumps({"folded": sorted(folded | set(todo))}),
@@ -777,6 +807,8 @@ def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:
       version directory is deleted only if NO kept manifest references
       it — version 0 typically lives as long as some bucket has never
       been touched. The manifest, not directory age, is truth.
+      (:func:`vacuum_buckets` reclaims at the finer bucket-file
+      granularity — superseded buckets INSIDE surviving versions.)
 
     Returns the version numbers removed. Half-written (uncommitted)
     versions older than the newest kept one are removed too; a newer
@@ -803,6 +835,81 @@ def vacuum_snapshots(snapshot_dir: str, keep_latest: int = 1) -> list[int]:
             continue
         _fs.rmtree(os.path.join(snapshot_dir, d))
         removed.append(v)
+    return sorted(removed)
+
+
+def vacuum_buckets(snapshot_dir: str, keep_latest: int = 1) -> list[str]:
+    """Bucket-FILE-granular vacuum for the bucket-COW snapshot — the
+    retention pass the 100 TB path needs (without it the table
+    accumulates every bucket version ever written).
+
+    :func:`vacuum_snapshots` works at version-directory granularity: a
+    ``v=`` dir survives if ANY kept manifest references ANY bucket in
+    it, so superseded bucket files inside surviving versions are never
+    reclaimed (version 0 hosts every never-again-touched bucket
+    forever, next to stale copies of every bucket rewritten since).
+    This pass enforces the invariant stated in the module docstring —
+    *keep any bucket file still referenced by a live manifest* — at the
+    bucket level:
+
+    * the newest ``keep_latest`` committed manifests are retained
+      (their versions stay time-travelable);
+    * a ``bucket=B`` dir under ``v=N`` is deleted unless some retained
+      manifest maps ``B -> N``;
+    * non-retained versions lose their manifest too (time travel to
+      them is withdrawn — their referenced buckets elsewhere may now be
+      gone), and are deleted entirely once nothing references them;
+    * crash debris — a ``v=`` dir at or below the committed head with
+      no manifest (a writer died before its marker, or the guard in
+      :func:`apply_change_batch_bucketed` aborted) — is removed,
+      mirroring :func:`vacuum_segments`' stale-cleanup role;
+    * a ``v=`` dir NEWER than the committed head is left alone: its
+      writer may still commit.
+
+    Returns the removed entries (``v=N`` for whole versions,
+    ``v=N/bucket=B`` for pruned bucket files), sorted. Run it from the
+    single maintenance writer, like every vacuum here."""
+    committed = _committed_versions(snapshot_dir, marker=MANIFEST)
+    if not committed:
+        return []
+    kept = committed[-keep_latest:]
+    head = committed[-1]
+    # (hosting version, bucket id) pairs any retained manifest references
+    needed: set[tuple[int, int]] = set()
+    for v in kept:
+        for b, bv in _read_manifest(snapshot_dir, v).items():
+            needed.add((bv, b))
+    removed = []
+    for d in _fs.listdir(snapshot_dir):
+        if not d.startswith("v="):
+            continue
+        try:
+            v = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v > head:  # in-flight writer
+            continue
+        vdir = os.path.join(snapshot_dir, d)
+        needed_here = {b for (bv, b) in needed if bv == v}
+        if v not in kept and not needed_here:
+            _fs.rmtree(vdir)
+            removed.append(d)
+            continue
+        for child in _fs.listdir(vdir):
+            if child == MANIFEST:
+                if v not in kept:
+                    _fs.remove(os.path.join(vdir, child))
+                    removed.append(f"{d}/{child}")
+                continue
+            if not child.startswith("bucket="):
+                continue
+            try:
+                b = int(child.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b not in needed_here:
+                _fs.rmtree(os.path.join(vdir, child))
+                removed.append(f"{d}/{child}")
     return sorted(removed)
 
 
