@@ -4087,6 +4087,76 @@ def q212_streaming_cdc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q217_bucketed_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-COW schema EVOLUTION + bucket-file VACUUM lifecycle (both
+    r9): batch 0 arrives carrying a column the snapshot never had
+    (``score``) under ``evolve_schema=True`` — the manifest commits a
+    new schema ERA and untouched buckets are additively NULL-unioned at
+    read (Delta/Iceberg mergeSchema semantics at engine level,
+    streaming/cdc.py); batch 1 (new-era columns) deletes every
+    27-divisible key; ``vacuum_buckets(keep_latest=1)`` then reclaims
+    every bucket file the head manifest no longer references while the
+    mixed-era head stays readable. Layout maintenance changes the plan
+    and the disk footprint, never the answer: the oracle is the
+    one-shot last-writer-wins merge in SQL. Grouped by floor(score)
+    (-1 = the old-era NULL rows) so the hash covers both eras."""
+    import os
+    import shutil
+    import tempfile
+
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+        vacuum_buckets,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="q217_")
+    try:
+        snap = os.path.join(tmp, "snap")
+        init_snapshot_bucketed(od, snap, ["o_orderkey"], n_buckets=16)
+        b0 = od.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            ((F.col("o_orderkey") % 7).cast("double") / 2).alias("score"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("ts"),
+        )
+        apply_change_batch_bucketed(b0, snap, batch_id=0,
+                                    evolve_schema=True)
+        b1 = od.filter(F.col("o_orderkey") % 27 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit("D").alias("op"),
+            F.lit(2).alias("ts"),
+        )
+        apply_change_batch_bucketed(b1, snap, batch_id=1)
+        vacuum_buckets(snap, keep_latest=1)
+        final = latest_snapshot_bucketed(spark, snap)
+        return (
+            final.groupBy(
+                F.coalesce(F.floor(F.col("score")), F.lit(-1))
+                .cast("long")
+                .alias("score_grp")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.floor(F.col("o_totalprice") * 100)).alias("sum_cents"),
+                F.sum("o_orderkey").alias("sum_keys"),
+            )
+            .orderBy("score_grp")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q215_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MERGE-ON-READ CDC strategy END-TO-END — q205's exact change
     feed through the third industry-standard maintenance form: each
@@ -4715,6 +4785,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_bucketed_pit": q214_bucketed_pit,
         "q215_merge_on_read": q215_merge_on_read,
         "q216_pagerank_dangling": q216_pagerank_dangling,
+        "q217_bucketed_evolve": q217_bucketed_evolve,
     }
 
 
@@ -9223,6 +9294,42 @@ def oracle_sql() -> dict[str, str]:
     # q212: bucket-granular streaming CDC — COW granularity changes the
     # write volume, never the answer: same oracle as q205
     o["q212_streaming_cdc_bucketed"] = o["q205_streaming_cdc"]
+
+    # q217: schema evolution + vacuum are LAYOUT operations — the final
+    # state is the plain last-writer-wins merge with the new column NULL
+    # on rows no evolving batch touched
+    o["q217_bucketed_evolve"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        c AS (
+            SELECT o_orderkey, o_custkey,
+                   o_totalprice + 10.0 AS o_totalprice,
+                   (o_orderkey % 7)::DOUBLE / 2 AS score, 'U' AS op,
+                   1 AS ts
+            FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 0.0, NULL, 'D', 2
+            FROM orders WHERE o_orderkey % 27 = 0),
+        latest AS (
+            SELECT * FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+                FROM c) WHERE rn = 1),
+        merged AS (
+            SELECT CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                        ELSE b.o_totalprice END AS o_totalprice,
+                   CASE WHEN l.op IS NOT NULL THEN l.score
+                        ELSE NULL END AS score,
+                   COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey
+            FROM base b FULL OUTER JOIN latest l
+              ON b.o_orderkey = l.o_orderkey
+            WHERE l.op IS NULL OR l.op <> 'D')
+        SELECT COALESCE(FLOOR(score), -1)::BIGINT AS score_grp,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(FLOOR(o_totalprice * 100))::BIGINT AS sum_cents,
+               SUM(o_orderkey)::BIGINT AS sum_keys
+        FROM merged GROUP BY 1 ORDER BY 1
+    """
 
     # q213: IVF grow→compact→serve — compaction changes layout, never
     # content: the compacted index must answer exactly like q39's one-shot

@@ -210,7 +210,7 @@ def main() -> None:
     # job commits) whose cost is dominated by fixed per-run commit IO, same
     # shape as the streaming gates — compared per-query, never in a mean
     # (reclassified r8; BASELINE.md "family rules").
-    MAINTENANCE_LIFECYCLE = {"q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit"}
+    MAINTENANCE_LIFECYCLE = {"q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit", "q217_bucketed_evolve"}
     fams: dict[str, list[float]] = {
         "batch": [], "streaming_lifecycle": [], "maintenance_lifecycle": [],
         "reports": [],
@@ -235,12 +235,13 @@ def main() -> None:
     # not a scheduling blip), taken AFTER the timed runs so it never
     # perturbs them
     canary = min(_cpu_canary() for _ in range(3))
+    membw = _membw_canary()
     result = {
         "metric": "suite_wall",
         "value": total,
         "unit": "sec",
         "canary_sha256_256mb_sec": canary,
-        "canary_membw_gbps": _membw_canary(),
+        "canary_membw_gbps": membw,
         # the suite GROWS across rounds as operators are added —
         # compare families.batch.mean (or per-query values) across
         # rounds, not raw suite_wall
@@ -251,6 +252,22 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
     }
+    # Canary-normalized gate number (BASELINE.md "canary normalization"):
+    # the r7→r8 bisect proved batch-mean drift tracks shared host MEMORY
+    # BANDWIDTH (code-identical trees differed with the membw canary),
+    # so the cross-round comparable is batch mean scaled to the
+    # reference bandwidth — the r8 five-pass committed record's
+    # 2.98 GB/s, the conditions under which the current anchor margin
+    # was established. Slower host → normalized < raw (credit), faster
+    # host → normalized > raw (penalty): symmetric, can't be gamed by
+    # picking a noisy window.
+    REF_MEMBW_GBPS = 2.98
+    bm = families.get("batch", {}).get("mean")
+    if bm is not None and membw:
+        result["canary_ref_membw_gbps"] = REF_MEMBW_GBPS
+        result["batch_mean_canary_normalized"] = round(
+            bm * (membw / REF_MEMBW_GBPS), 4
+        )
     # Per-query anchors: BASELINE_PERQ.json freezes each query's first
     # committed min-of-N time at its introduction round (BASELINE.md's r1
     # suite anchor predates most queries, so "2x of baseline" is otherwise

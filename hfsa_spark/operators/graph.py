@@ -107,6 +107,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     dangling: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list, INTEGER-EXACT: ranks live in
     pico-units (10^12 = 1.0) and every per-iteration step is integer
@@ -138,6 +139,11 @@ def pagerank(
     anti-join against the (pre-aggregated, N-row) outdeg table and a
     one-row broadcast. ``localCheckpoint`` truncates lineage each round
     so the plan depth stays constant. Nodes = src ∪ dst, computed once.
+
+    ``checkpoint=False`` keeps the last iteration's lineage intact (the
+    earlier rounds still truncate) — for plan audits that want to SEE
+    the iteration body (scripts/plan_audit.py's q216 section) or tiny
+    graphs where the checkpoint write dominates. Results are identical.
     """
     from hfsa_spark.plans import parallelize_compute
 
@@ -166,7 +172,8 @@ def pagerank(
 
     base = F.lit(((100 - damping_pct) * E // 100) // n_nodes).cast("long")
     pr = nodes.withColumn("pr", F.lit(E // n_nodes).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
+        keep_lineage = not checkpoint and it == iters - 1
         contrib = (
             e_w.join(pr.withColumnRenamed("node", "src"), "src")
             .select(
@@ -202,24 +209,23 @@ def pagerank(
                         )
                     ).alias("pr"),
                 )
-                .localCheckpoint()
             )
+            if not keep_lineage:
+                pr = pr.localCheckpoint()
             continue
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    base
-                    + F.floor(
-                        F.lit(damping_pct)
-                        * F.coalesce(F.col("in_sum"), F.lit(0))
-                        / 100
-                    ).cast("long")
-                ).alias("pr"),
-            )
-            .localCheckpoint()
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                base
+                + F.floor(
+                    F.lit(damping_pct)
+                    * F.coalesce(F.col("in_sum"), F.lit(0))
+                    / 100
+                ).cast("long")
+            ).alias("pr"),
         )
+        if not keep_lineage:
+            pr = pr.localCheckpoint()
     # the final pr is checkpointed (self-contained); release the cached
     # invariants so repeated calls don't accumulate executor storage
     for cached in (e, nodes, outdeg, e_w):

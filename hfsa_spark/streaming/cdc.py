@@ -128,9 +128,9 @@ def apply_change_batch(
     mergeSchema semantics — safe HERE because every snapshot-COW
     version is a complete self-contained rewrite, so each version
     carries one coherent schema and time travel just reads the schema
-    of its era. The bucket-granular path deliberately has no such flag:
-    its manifest unions bucket files written by DIFFERENT versions, and
-    its reader pins the frozen ``_meta.json`` schema."""
+    of its era. The bucket-granular path gained its own flag in r9 via
+    manifest-carried schema eras (see
+    :func:`apply_change_batch_bucketed`)."""
     spark = batch.sparkSession
     committed = _committed_versions(snapshot_dir)
     if int(batch_id) + 1 in committed:
@@ -258,21 +258,55 @@ def _read_meta(snapshot_dir: str) -> dict:
 
 def _read_manifest(snapshot_dir: str, version: int) -> dict[int, int]:
     text = _fs.read_text(os.path.join(snapshot_dir, f"v={version}", MANIFEST))
-    return {int(b): int(v) for b, v in json.loads(text).items()}
+    obj = json.loads(text)
+    if "buckets" in obj:  # r9+ format: {"buckets": {...}, era fields...}
+        obj = obj["buckets"]
+    return {int(b): int(v) for b, v in obj.items()}
+
+
+def _read_era(snapshot_dir: str, version: int, meta: dict) -> dict:
+    """The SCHEMA ERA a manifest version belongs to: which columns (and
+    types) a reader of that version should produce. r9+ manifests carry
+    it inline (schema evolution — each version reads with the schema of
+    its era, exactly like the snapshot-COW path's per-version schemas);
+    legacy flat manifests predate evolution, so their era is the frozen
+    ``_meta.json``. ``mixed_schema`` records whether the version's
+    referenced bucket files may span MORE THAN ONE era (evolution with
+    untouched buckets), i.e. whether the reader needs a parquet
+    schema-merge pass."""
+    text = _fs.read_text(os.path.join(snapshot_dir, f"v={version}", MANIFEST))
+    obj = json.loads(text)
+    if "buckets" in obj and "columns" in obj:
+        return {
+            "columns": obj["columns"],
+            "schema": obj["schema"],
+            "mixed_schema": bool(obj.get("mixed_schema", False)),
+        }
+    return {
+        "columns": meta["columns"],
+        "schema": meta["schema"],
+        "mixed_schema": False,
+    }
 
 
 def _write_manifest(snapshot_dir: str, version: int,
-                    manifest: dict[int, int]) -> None:
+                    manifest: dict[int, int],
+                    era: dict | None = None) -> None:
     """The manifest IS the commit marker: it is written last, after the
     version's parquet job committed, so a crashed half-write leaves an
     invisible version (same role _SUCCESS plays for the snapshot-COW
     path). The tmp-then-rename inside ``write_text_atomic`` makes the
-    marker itself atomic."""
+    marker itself atomic. ``era`` (columns/schema/mixed_schema) rides
+    inside the marker so every version knows its own read schema."""
     vdir = os.path.join(snapshot_dir, f"v={version}")
     _fs.makedirs(vdir)
+    payload: dict = {
+        "buckets": {str(b): v for b, v in sorted(manifest.items())}
+    }
+    if era is not None:
+        payload.update(era)
     _fs.write_text_atomic(
-        os.path.join(vdir, MANIFEST),
-        json.dumps({str(b): v for b, v in sorted(manifest.items())}),
+        os.path.join(vdir, MANIFEST), json.dumps(payload)
     )
 
 
@@ -321,7 +355,11 @@ def init_snapshot_bucketed(
         .parquet(os.path.join(snapshot_dir, "v=0"))
     )
     manifest = {b: 0 for b in _present_buckets(snapshot_dir, 0)}
-    _write_manifest(snapshot_dir, 0, manifest)
+    _write_manifest(
+        snapshot_dir, 0, manifest,
+        era={"columns": base.columns, "schema": base.schema.json(),
+             "mixed_schema": False},
+    )
 
 
 def _bucket_paths(snapshot_dir: str, manifest: dict[int, int],
@@ -331,6 +369,29 @@ def _bucket_paths(snapshot_dir: str, manifest: dict[int, int],
         for b in sorted(buckets)
         if b in manifest
     ]
+
+
+def _read_era_buckets(spark: SparkSession, paths: list[str], era: dict
+                      ) -> DataFrame:
+    """Read bucket files AS their manifest's schema era. Single-era
+    versions take today's plain scan. After an evolution, a version's
+    referenced files span eras (untouched buckets still carry the old
+    columns): parquet ``mergeSchema`` unions them additively —
+    distributed footer reads, the price Delta/Iceberg readers pay for
+    the same feature — and any era column still missing from every file
+    is null-filled at its era type, so the produced schema is exactly
+    the era's regardless of which buckets happen to be referenced."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if era["mixed_schema"]:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
+    schema = StructType.fromJson(json.loads(era["schema"]))
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*era["columns"])
 
 
 def latest_snapshot_bucketed(
@@ -349,10 +410,11 @@ def latest_snapshot_bucketed(
         )
     meta = _read_meta(snapshot_dir)
     manifest = _read_manifest(snapshot_dir, vs[-1])
+    era = _read_era(snapshot_dir, vs[-1], meta)
     paths = _bucket_paths(snapshot_dir, manifest, manifest.keys())
-    if not paths:  # every key deleted: empty frame with the frozen schema
-        return _empty_snapshot(spark, meta)
-    return spark.read.parquet(*paths).select(*meta["columns"])
+    if not paths:  # every key deleted: empty frame with the era schema
+        return _empty_snapshot(spark, era["schema"])
+    return _read_era_buckets(spark, paths, era)
 
 
 def lookup_bucketed(
@@ -380,14 +442,17 @@ def lookup_bucketed(
             f"no committed bucketed snapshot under {snapshot_dir}"
         )
     meta = _read_meta(snapshot_dir)
+    era = _read_era(snapshot_dir, vs[-1], meta)
     key_cols = meta["key_cols"]
     rows = [
         tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys
     ]
     if not rows:
-        return _empty_snapshot(spark, meta)
+        return _empty_snapshot(spark, era["schema"])
     from pyspark.sql.types import StructType
 
+    # key columns come from the FROZEN meta (evolution is additive —
+    # the pk and its bucket function never change)
     schema = StructType.fromJson(json.loads(meta["schema"]))
     key_schema = StructType([schema[c] for c in key_cols])
     keys_df = spark.createDataFrame(rows, key_schema).distinct()
@@ -398,16 +463,16 @@ def lookup_bucketed(
     manifest = _read_manifest(snapshot_dir, vs[-1])
     paths = _bucket_paths(snapshot_dir, manifest, wanted)
     if not paths:
-        return _empty_snapshot(spark, meta)
-    snap = spark.read.parquet(*paths).select(*meta["columns"])
+        return _empty_snapshot(spark, era["schema"])
+    snap = _read_era_buckets(spark, paths, era)
     return snap.join(F.broadcast(keys_df), key_cols, "left_semi")
 
 
-def _empty_snapshot(spark: SparkSession, meta: dict) -> DataFrame:
+def _empty_snapshot(spark: SparkSession, schema_json: str) -> DataFrame:
     from pyspark.sql.types import StructType
 
     return spark.createDataFrame(
-        [], StructType.fromJson(json.loads(meta["schema"]))
+        [], StructType.fromJson(json.loads(schema_json))
     )
 
 
@@ -418,6 +483,7 @@ def apply_change_batch_bucketed(
     op_col: str = "op",
     seq_col: str | None = None,
     batch_id: int = 0,
+    evolve_schema: bool = False,
 ) -> None:
     """One idempotent bucket-granular CDC step.
 
@@ -434,6 +500,25 @@ def apply_change_batch_bucketed(
     Write volume per batch is O(touched buckets × bucket size) — at
     100 TB with a 1%-of-keys change batch and 2^12 buckets, ~1% of the
     corpus rewrites instead of 100% (probe: scripts/cdc_cow_probe.py).
+
+    ``evolve_schema`` (r9) brings :func:`upsert_merge`'s ADDITIVE
+    mergeSchema semantics to the bucketed path. Versioning makes it
+    safe where the pre-r9 frozen-``_meta.json`` design could not: every
+    manifest now carries its own schema ERA (columns + types +
+    whether its referenced files span eras), so
+
+    * the version committed by an evolving batch reads with the NEW
+      columns — untouched buckets' files lack them on disk and are
+      additively unioned (``mergeSchema``) with NULLs, exactly
+      Delta/Iceberg reader semantics;
+    * time travel to a pre-evolution version reads with that era's
+      schema — old columns only, one coherent frame per era;
+    * the pk and the bucket function stay FROZEN (evolution is
+      additive; key changes would re-bucket the world).
+
+    The root ``_meta.json`` is updated to the newest era after the
+    manifest commits (read paths prefer the manifest era, so a crash
+    between the two writes costs nothing).
     """
     spark = batch.sparkSession
     meta = _read_meta(snapshot_dir)
@@ -458,6 +543,7 @@ def apply_change_batch_bucketed(
             f" {snapshot_dir} — call init_snapshot_bucketed first"
         )
     manifest = _read_manifest(snapshot_dir, eligible[-1])
+    era = _read_era(snapshot_dir, eligible[-1], meta)
 
     # the touched-bucket set: distinct buckets of the batch's VALID
     # change rows (ignored ops must not trigger rewrites) — ≤ n_buckets
@@ -470,16 +556,25 @@ def apply_change_batch_bucketed(
         .collect()
     )
     new_version = int(batch_id) + 1
+    new_era = dict(era)
     if touched:
         prev_paths = _bucket_paths(snapshot_dir, manifest, touched)
         if prev_paths:
-            prev = spark.read.parquet(*prev_paths).select(*meta["columns"])
+            prev = _read_era_buckets(spark, prev_paths, era)
         else:  # all touched buckets are brand new (pure inserts)
-            prev = _empty_snapshot(spark, meta)
+            prev = _empty_snapshot(spark, era["schema"])
         merged = upsert_merge(
             prev, batch, key_cols, ts_col=ts_col, op_col=op_col,
-            seq_col=seq_col,
+            seq_col=seq_col, evolve_schema=evolve_schema,
         )
+        if merged.columns != era["columns"]:  # additive evolution
+            new_era = {
+                "columns": merged.columns,
+                "schema": merged.schema.json(),
+                # untouched buckets (if any survive in the manifest)
+                # still carry the OLD era's files on disk
+                "mixed_schema": True,
+            }
         (
             merged.withColumn("bucket", bexpr)
             .repartition(len(touched), F.col("bucket"))
@@ -514,7 +609,17 @@ def apply_change_batch_bucketed(
             f" while applying batch {batch_id}; aborting before the"
             " manifest commit (single-writer protocol)"
         )
-    _write_manifest(snapshot_dir, new_version, new_manifest)
+    _write_manifest(snapshot_dir, new_version, new_manifest, era=new_era)
+    if new_era["columns"] != meta.get("columns"):
+        # keep the root meta's CURRENT schema in sync for tooling that
+        # inspects it; read paths resolve eras from manifests, so a
+        # crash landing between manifest and this write is harmless
+        meta.update(
+            {"columns": new_era["columns"], "schema": new_era["schema"]}
+        )
+        _fs.write_text_atomic(
+            os.path.join(snapshot_dir, "_meta.json"), json.dumps(meta)
+        )
 
 
 # --------------------------------------------------- merge-on-read CDC
@@ -920,10 +1025,13 @@ def streaming_upsert_snapshots_bucketed(
     ts_col: str = "ts",
     op_col: str = "op",
     seq_col: str | None = None,
+    evolve_schema: bool = False,
 ):
     """Bucket-granular twin of :func:`streaming_upsert_snapshots` — the
     100 TB apply loop. ``init_snapshot_bucketed`` must have committed
-    version 0 first (key_cols/n_buckets come from its frozen _meta)."""
+    version 0 first (key_cols/n_buckets come from its frozen _meta).
+    ``evolve_schema`` lets the feed add columns mid-stream (additive;
+    see :func:`apply_change_batch_bucketed`)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         apply_change_batch_bucketed(
@@ -932,6 +1040,7 @@ def streaming_upsert_snapshots_bucketed(
             ts_col=ts_col,
             op_col=op_col,
             seq_col=seq_col,
+            evolve_schema=evolve_schema,
             batch_id=int(batch_id),
         )
 

@@ -49,6 +49,7 @@ AUDIT = [
     ("q121_count_min", "CM sketch: bounded matrix groupBy, broadcast probes", False),
     ("q124_image_neardup", "image pHash: banded equi join, popcount verify", False),
     ("q131_pagerank", "PageRank iter: rank⋈edges join + map-combinable groupBy", False),
+    ("q216_pagerank_dangling", "PageRank + dangling mass: checkpointed gate plan (iteration body audited in its own section below)", False),
     ("q133_leakage_safe_split", "content-keyed split: map-only, zero shuffles", False),
     ("q138_corpus_datasheet", "datasheet: one groupBy + tiny percentile agg", True),
     ("q140_rag_pipeline", "RAG: map-only chunk+embed, broadcast query cross", True),
@@ -318,6 +319,44 @@ def _serve_q215(spark, sf_dir: str, tmp: str):
     ]
 
 
+def _serve_q216(spark, sf_dir: str, tmp: str):
+    """q216's per-round plan: like q131, every iteration localCheckpoints,
+    so the gate section above shows a vacuous scan — this one renders
+    the last iteration UN-checkpointed (pagerank(checkpoint=False)) to
+    show the dangling-mass iteration body the cluster actually runs."""
+    from pyspark.sql import functions as F
+
+    from hfsa_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    edges = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    df = pagerank(edges, iters=1, dangling=True, checkpoint=False)
+    return df, [
+        "- exchange count above includes the ONE-TIME edge/nodes/outdeg"
+        " construction lineage (scan+join+distinct+persist), not the"
+        " per-round cost — with checkpointing on, later rounds start"
+        " from a truncated scan",
+        "- iteration body: rank⋈weighted-edges equi join + one"
+        " map-combinable groupBy(dst) + the nodes-left-join rebuild —"
+        " the invariant edge⋈outdeg join is hoisted out of the loop"
+        " (persisted once), so each round pays two shuffle-joins",
+        "- dangling-mass term: left_anti against the persisted N-row"
+        " outdeg table collapsed to ONE row, attached by broadcast"
+        " crossJoin (the pct-of-total pattern) — never a collect;"
+        " mass conservation pinned in tests/test_features_graph.py",
+    ]
+
+
 _SERVE_CLEANUP: list = []
 
 SERVE_AUDIT = [
@@ -329,6 +368,9 @@ SERVE_AUDIT = [
      "PIT join consuming a key-bucketed interval table", False, _serve_q214),
     ("q215_merge_on_read [serve path]",
      "read_merged over base + delta segments", False, _serve_q215),
+    ("q216_pagerank_dangling [iteration body]",
+     "un-checkpointed last round: 2 shuffle-joins + broadcast-singleton dangling mass",
+     True, _serve_q216),
 ]
 
 

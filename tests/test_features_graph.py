@@ -199,6 +199,28 @@ def test_pagerank_dangling_conserves_mass(spark):
     assert a == b
 
 
+def test_pagerank_checkpoint_flag_identical_and_audit_visible(spark):
+    """checkpoint=False must change only the LINEAGE (the last round's
+    plan stays visible for scripts/plan_audit.py's q216 section), never
+    the ranks."""
+    from hfsa_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "s1"), ("a", "b"), ("b", "s2")], "src string, dst string"
+    )
+    ck = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iters=2, dangling=True).collect()
+    }
+    nock_df = pagerank(edges, iters=2, dangling=True, checkpoint=False)
+    nock = {r["node"]: r["pr"] for r in nock_df.collect()}
+    assert nock == ck
+    plan = nock_df._jdf.queryExecution().executedPlan().toString()
+    # the un-checkpointed plan exposes the iteration body: the rebuild
+    # join and the broadcast-singleton dangling aggregate
+    assert "Join" in plan
+
+
 def test_quarantine_invalid(spark):
     from hfsa_spark.operators.features import quarantine_invalid
 

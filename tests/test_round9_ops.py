@@ -386,6 +386,117 @@ def test_skew_reduce_map_payload_is_map_side_combinable(spark):
     assert "partial_max" in plan
 
 
+# ------------------------------------ bucketed schema evolution (eras)
+
+
+def test_bucketed_evolve_schema_additive(spark, tmp_path):
+    """A batch carrying a NEW column under evolve_schema=True commits a
+    new schema era: the head reads with the new column (NULL on rows
+    only present in untouched old-era buckets), time travel to a
+    pre-evolution version reads that era's columns only."""
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+        lookup_bucketed,
+    )
+
+    snap = str(tmp_path / "snap")
+    init_snapshot_bucketed(_base(spark), snap, ["k"], n_buckets=8)
+    apply_change_batch_bucketed(
+        spark.createDataFrame([(2, "b1", "U", 1)], SCHEMA), snap, batch_id=0
+    )
+    # batch 1 adds a 'score' column
+    evolved = spark.createDataFrame(
+        [(2, "b2", 0.9, "U", 2), (4, "d", 0.5, "I", 2)],
+        "k bigint, v string, score double, op string, ts int",
+    )
+    apply_change_batch_bucketed(
+        evolved, snap, batch_id=1, evolve_schema=True
+    )
+    head = latest_snapshot_bucketed(spark, snap)
+    assert head.columns == ["k", "v", "score"]
+    got = {r["k"]: (r["v"], r["score"]) for r in head.collect()}
+    assert got == {
+        1: ("a", None),  # untouched old-era bucket: NULL-filled
+        2: ("b2", 0.9),
+        3: ("c", None),
+        4: ("d", 0.5),
+    }
+    # time travel: version 1 predates the evolution — old era only
+    v1 = latest_snapshot_bucketed(spark, snap, version=1)
+    assert v1.columns == ["k", "v"]
+    assert {r["k"]: r["v"] for r in v1.collect()} == {1: "a", 2: "b1", 3: "c"}
+    # point lookup resolves the head era too — old-era bucket NULL-fills
+    one = lookup_bucketed(spark, snap, [1]).collect()
+    assert [(r["k"], r["v"], r["score"]) for r in one] == [(1, "a", None)]
+    # a later NON-evolving batch keeps the evolved era
+    apply_change_batch_bucketed(
+        spark.createDataFrame(
+            [(3, "c2", 0.1, "U", 3)],
+            "k bigint, v string, score double, op string, ts int",
+        ),
+        snap, batch_id=2,
+    )
+    head2 = latest_snapshot_bucketed(spark, snap)
+    assert head2.columns == ["k", "v", "score"]
+    assert {r["k"] for r in head2.collect()} == {1, 2, 3, 4}
+
+
+def test_bucketed_evolve_without_flag_ignores_extra_columns(spark, tmp_path):
+    """Without evolve_schema the pre-r9 contract holds (same as
+    upsert_merge's): unknown change columns are ignored, the schema era
+    does not move."""
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+    )
+
+    snap = str(tmp_path / "snap")
+    init_snapshot_bucketed(_base(spark), snap, ["k"], n_buckets=4)
+    evolved = spark.createDataFrame(
+        [(2, "x", 1.0, "U", 1)],
+        "k bigint, v string, score double, op string, ts int",
+    )
+    apply_change_batch_bucketed(evolved, snap, batch_id=0)
+    head = latest_snapshot_bucketed(spark, snap)
+    assert head.columns == ["k", "v"]  # era unchanged, score dropped
+    assert {r["k"]: r["v"] for r in head.collect()} == {
+        1: "a", 2: "x", 3: "c"
+    }
+
+
+def test_bucketed_evolve_then_vacuum_keeps_mixed_eras_readable(
+    spark, tmp_path
+):
+    """vacuum_buckets after an evolution must keep the mixed-era head
+    readable (old-era untouched buckets are referenced, so they stay)."""
+    from hfsa_spark.streaming.cdc import (
+        apply_change_batch_bucketed,
+        init_snapshot_bucketed,
+        latest_snapshot_bucketed,
+        vacuum_buckets,
+    )
+
+    snap = str(tmp_path / "snap")
+    init_snapshot_bucketed(_base(spark), snap, ["k"], n_buckets=8)
+    evolved = spark.createDataFrame(
+        [(2, "b2", 7, "U", 1)],
+        "k bigint, v string, extra int, op string, ts int",
+    )
+    apply_change_batch_bucketed(evolved, snap, batch_id=0,
+                                evolve_schema=True)
+    before = sorted(
+        map(tuple, latest_snapshot_bucketed(spark, snap).collect())
+    )
+    vacuum_buckets(snap, keep_latest=1)
+    after = sorted(
+        map(tuple, latest_snapshot_bucketed(spark, snap).collect())
+    )
+    assert after == before
+
+
 # ----------------------------------------- truncated block stream bound
 
 

@@ -225,8 +225,9 @@ def test_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
         if d.startswith("bucket=")
     }
     assert v1_buckets == {f"bucket={touched}"}
-    with open(os.path.join(snap, "v=1", "_MANIFEST.json")) as fh:
-        manifest = {int(b): v for b, v in json.load(fh).items()}
+    from hfsa_spark.streaming.cdc import _read_manifest
+
+    manifest = _read_manifest(snap, 1)
     assert manifest[touched] == 1
     assert all(v == 0 for b, v in manifest.items() if b != touched)
 
@@ -248,8 +249,7 @@ def test_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
         [(k, None, "D", 2) for k in doomed], SCHEMA
     )
     apply_change_batch_bucketed(ch2, snap, batch_id=1)
-    with open(os.path.join(snap, "v=2", "_MANIFEST.json")) as fh:
-        manifest2 = {int(b): v for b, v in json.load(fh).items()}
+    manifest2 = _read_manifest(snap, 2)
     assert victim not in manifest2
     got2 = {
         r["k"] for r in latest_snapshot_bucketed(spark, snap).collect()
@@ -285,8 +285,9 @@ def test_range_bucketed_apply_matches_reference(spark, tmp_path):
         if d.startswith("bucket=")
     }
     assert v1 == {"bucket=9", "bucket=12"}
-    with open(os.path.join(snap, "v=1", "_MANIFEST.json")) as fh:
-        manifest = {int(b): v for b, v in json.load(fh).items()}
+    from hfsa_spark.streaming.cdc import _read_manifest
+
+    manifest = _read_manifest(snap, 1)
     assert manifest[9] == 1 and manifest[12] == 1
     assert all(v == 0 for b, v in manifest.items() if b not in (9, 12))
     got = {
@@ -371,10 +372,9 @@ def test_vacuum_bucketed_keeps_referenced_versions(spark, tmp_path):
     # a bucket version no longer referenced — with distinct buckets v=1
     # stays referenced by the head manifest too, so nothing is removable
     # unless both keys hashed to the SAME bucket; assert via the manifest
-    import json
+    from hfsa_spark.streaming.cdc import _read_manifest
 
-    with open(os.path.join(snap, "v=2", "_MANIFEST.json")) as fh:
-        referenced = {int(v) for v in json.load(fh).values()} | {2}
+    referenced = set(_read_manifest(snap, 2).values()) | {2}
     assert set(removed).isdisjoint(referenced)
     dirs = {d for d in os.listdir(snap) if d.startswith("v=")}
     assert dirs == {f"v={v}" for v in referenced}
