@@ -258,7 +258,9 @@ def _block_stream_decompress(data: bytes, arrow_codec: str) -> bytes:
     ``[origBlockSize int32-BE] [chunkLen int32-BE] [chunk bytes]…``,
     chunks repeating until the block's ``origBlockSize`` bytes are
     produced. Chunk payloads are the codec's RAW block format (no frame
-    header) — pyarrow's ``lz4_raw`` / ``snappy`` codecs.
+    header) — pyarrow's ``lz4_raw`` / ``snappy`` codecs, or the
+    clean-room LZO1X decoder (``extract/lzo.py``) for the hadoop-lzo
+    plugin's ``LzoCodec`` (same BlockCompressorStream framing).
 
     Each chunk is decompressed at its EXACT size, derived from the
     chunk bytes themselves (:func:`_chunk_decompressed_size`): pyarrow
@@ -266,9 +268,12 @@ def _block_stream_decompress(data: bytes, arrow_codec: str) -> bytes:
     is only correct for single-chunk blocks — for a multi-chunk block
     it silently appends garbage (the writer↔reader blind spot the r8
     judge flagged; pinned by tests/test_codec_vectors.py)."""
-    import pyarrow as pa
+    if arrow_codec == "lzo":
+        c = None
+    else:
+        import pyarrow as pa
 
-    c = pa.Codec(arrow_codec)
+        c = pa.Codec(arrow_codec)
     out = bytearray()
     pos, n = 0, len(data)
     while pos + 4 <= n:
@@ -288,13 +293,25 @@ def _block_stream_decompress(data: bytes, arrow_codec: str) -> bytes:
                     f" (chunk length {clen})"
                 )
             chunk = data[pos : pos + clen]
-            expect = _chunk_decompressed_size(arrow_codec, chunk)
-            if produced + expect > orig:
-                raise ValueError(
-                    f"corrupt {arrow_codec} block stream: chunk at offset"
-                    f" {pos} decompresses past its block"
+            if c is None:  # lzo: our decoder discovers the size itself
+                from hfsa_spark.extract.lzo import lzo1x_decompress
+
+                dec = lzo1x_decompress(chunk)
+                if produced + len(dec) > orig:
+                    raise ValueError(
+                        f"corrupt {arrow_codec} block stream: chunk at"
+                        f" offset {pos} decompresses past its block"
+                    )
+            else:
+                expect = _chunk_decompressed_size(arrow_codec, chunk)
+                if produced + expect > orig:
+                    raise ValueError(
+                        f"corrupt {arrow_codec} block stream: chunk at offset"
+                        f" {pos} decompresses past its block"
+                    )
+                dec = c.decompress(
+                    chunk, decompressed_size=expect, asbytes=True
                 )
-            dec = c.decompress(chunk, decompressed_size=expect, asbytes=True)
             pos += clen
             produced += len(dec)
             out += dec
@@ -304,8 +321,11 @@ def _block_stream_decompress(data: bytes, arrow_codec: str) -> bytes:
 def _decompress(codec: str, data: bytes) -> bytes:
     """Accept-anything codec dispatch matching Hadoop's factory set
     (`FsImageLoader.java:268`): Gzip, Default (zlib), Lz4, Snappy,
-    BZip2, ZStandard. Lzo is the one factory codec not handled (GPL
-    plugin, not bundled with Hadoop either)."""
+    BZip2, ZStandard — plus the hadoop-lzo plugin's LzoCodec via a
+    clean-room LZO1X decoder written from the public stream format
+    (``extract/lzo.py``; no GPL code used or linked). LzopCodec (the
+    lzop FILE format, with its own magic/header/checksums) is the one
+    factory-resolvable codec still rejected, explicitly."""
     if not codec:
         return data
     lower = codec.rsplit(".", 1)[-1].lower()  # class-name tail
@@ -313,6 +333,13 @@ def _decompress(codec: str, data: bytes) -> bytes:
         return gzip.decompress(data)
     if "default" in lower:  # DefaultCodec = zlib-framed deflate
         return zlib.decompress(data)
+    if "lzop" in lower:
+        raise ValueError(
+            f"unsupported fsimage codec: {codec} (lzop file framing;"
+            " com.hadoop.compression.lzo.LzoCodec is supported)"
+        )
+    if "lzo" in lower:  # hadoop-lzo LzoCodec: BlockCompressorStream + LZO1X
+        return _block_stream_decompress(data, "lzo")
     if "lz4" in lower:
         return _block_stream_decompress(data, "lz4_raw")
     if "snappy" in lower:
@@ -665,10 +692,19 @@ def _decompress_to_file(
     decompressors."""
     lower = codec.rsplit(".", 1)[-1].lower() if codec else ""
     written = 0
-    if "lz4" in lower or "snappy" in lower:
-        import pyarrow as pa
+    if "lzop" in lower:
+        raise ValueError(
+            f"unsupported fsimage codec: {codec} (lzop file framing;"
+            " com.hadoop.compression.lzo.LzoCodec is supported)"
+        )
+    is_lzo = "lzo" in lower
+    if "lz4" in lower or "snappy" in lower or is_lzo:
+        if is_lzo:
+            c = None
+        else:
+            import pyarrow as pa
 
-        c = pa.Codec("lz4_raw" if "lz4" in lower else "snappy")
+            c = pa.Codec("lz4_raw" if "lz4" in lower else "snappy")
         with open(src, "rb") as f:
             f.seek(offset)
             end = offset + length
@@ -692,17 +728,28 @@ def _decompress_to_file(
                             f" {f.tell() - offset} (chunk length {clen})"
                         )
                     chunk = f.read(clen)
-                    arrow = "lz4_raw" if "lz4" in lower else "snappy"
-                    expect = _chunk_decompressed_size(arrow, chunk)
-                    if produced + expect > orig:
-                        raise ValueError(
-                            f"corrupt {lower} block stream: chunk at"
-                            f" offset {f.tell() - offset - clen}"
-                            " decompresses past its block"
+                    if c is None:  # lzo discovers its own size
+                        from hfsa_spark.extract.lzo import lzo1x_decompress
+
+                        dec = lzo1x_decompress(chunk)
+                        if produced + len(dec) > orig:
+                            raise ValueError(
+                                f"corrupt {lower} block stream: chunk at"
+                                f" offset {f.tell() - offset - clen}"
+                                " decompresses past its block"
+                            )
+                    else:
+                        arrow = "lz4_raw" if "lz4" in lower else "snappy"
+                        expect = _chunk_decompressed_size(arrow, chunk)
+                        if produced + expect > orig:
+                            raise ValueError(
+                                f"corrupt {lower} block stream: chunk at"
+                                f" offset {f.tell() - offset - clen}"
+                                " decompresses past its block"
+                            )
+                        dec = c.decompress(
+                            chunk, decompressed_size=expect, asbytes=True
                         )
-                    dec = c.decompress(
-                        chunk, decompressed_size=expect, asbytes=True
-                    )
                     produced += len(dec)
                     dst.write(dec)
                     written += len(dec)

@@ -145,7 +145,7 @@ class _SectionWriter:
     Codec framing mirrors what Hadoop's ``codec.createOutputStream``
     produces for each factory codec, so writer-generated fixtures decode
     through the same path a real compressed image would: Gzip/Default =
-    one zlib stream (wbits 31/15); Lz4/Snappy = BlockCompressorStream
+    one zlib stream (wbits 31/15); Lz4/Snappy/Lzo = BlockCompressorStream
     framing (``[origBlockSize BE][chunkLen BE][raw chunk]`` per ≤256 KiB
     block — the default io.compression.codec.*.buffersize); BZip2 = a
     standard .bz2 stream; ZStandard = a standard zstd frame."""
@@ -172,6 +172,14 @@ class _SectionWriter:
             self._comp = pa.Codec(
                 "lz4_raw" if "Lz4" in self._codec else "snappy"
             )
+        elif "Lzo" in self._codec:
+            # hadoop-lzo LzoCodec: same BlockCompressorStream framing,
+            # chunks are valid literal-only LZO1X streams (clean-room
+            # encoder, extract/lzo.py)
+            from hfsa_spark.extract.lzo import LzoLiteralCompressor
+
+            self._mode = "block"
+            self._comp = LzoLiteralCompressor()
         elif "BZip2" in self._codec:
             import bz2
 
@@ -234,9 +242,9 @@ def write_fsimage(
     blocks=[(block_id, gen_stamp, num_bytes)]) into a binary fsimage.
 
     ``codec`` of None writes uncompressed; "default" / "gzip" / "lz4" /
-    "snappy" / "bzip2" / "zstd" (or the full Hadoop codec class name)
-    compresses sections with the same framing Hadoop's codec factory
-    produces (see :class:`_SectionWriter`).
+    "snappy" / "bzip2" / "zstd" / "lzo" (or the full Hadoop codec class
+    name) compresses sections with the same framing Hadoop's codec
+    factory produces (see :class:`_SectionWriter`).
 
     Section headers precede their rows (and compressed sections cannot be
     back-patched), so the string table and inode count must be known before
@@ -269,6 +277,13 @@ def write_fsimage(
             codec_name = "org.apache.hadoop.io.compress.Lz4Codec"
         elif "snappy" in lower:
             codec_name = "org.apache.hadoop.io.compress.SnappyCodec"
+        elif "lzop" in lower:
+            raise ValueError(
+                "unsupported writer codec: lzop (file framing);"
+                " use 'lzo' for com.hadoop.compression.lzo.LzoCodec"
+            )
+        elif "lzo" in lower:
+            codec_name = "com.hadoop.compression.lzo.LzoCodec"
         elif "bzip2" in lower:
             codec_name = "org.apache.hadoop.io.compress.BZip2Codec"
         elif "zstandard" in lower or "zstd" in lower:

@@ -1,0 +1,205 @@
+"""Clean-room LZO1X block codec: a full decompressor plus a literal-only
+compressor, implemented solely from the PUBLIC byte-stream documentation
+(the LZO1X stream format as documented in the Linux kernel's
+``Documentation/staging/lzo.rst``). No GPL source was consulted, copied,
+or linked.
+
+Why this exists: the reference accepts ANY codec Hadoop's factory
+resolves for ``dfs.image.compression.codec``
+(`lib/.../core/FsImageLoader.java:268` via
+``FSImageUtil.wrapInputStreamForCompression``), and clusters with the
+hadoop-lzo plugin installed can legitimately write LZO-compressed
+fsimages. ``com.hadoop.compression.lzo.LzoCodec`` wraps raw LZO1X blocks
+in the same ``BlockCompressorStream`` framing as Lz4/Snappy
+(``[origBlockSize BE][chunkLen BE][chunk]…``) — that framing lives in
+``fsimage.py``; this module handles only the raw LZO1X chunk payloads.
+
+The compressor emits pure literal runs (the format's incompressible-input
+encoding): every output is a valid LZO1X stream any compliant
+decompressor accepts, it just doesn't shrink. That is all the writer
+needs — its fixtures exercise the DECODER, they don't chase ratios.
+
+Instruction set implemented (normative source: the public kernel doc):
+
+==========================  ==============================================
+first byte > 17             copy (byte-17) literals; state=min(that, 4)
+t = 0..15, state == 0       literal run, len = 3 + (L or 15+255*z+nz)
+t = 0..15, state in 1..3    2-byte match, dist = (H<<2)+D+1      [+1 byte]
+t = 0..15, state == 4       3-byte match, dist = (H<<2)+D+2049   [+1 byte]
+t = 16..31                  match, len = 2 + (L3 or 7+255*z+nz),
+                            dist = 16384 + (H<<14) + (le16>>2)  [+2 bytes]
+                            dist == 16384 -> end of stream
+t = 32..63                  match, len = 2 + (L5 or 31+255*z+nz),
+                            dist = (le16>>2) + 1                [+2 bytes]
+t = 64..127                 match, len = 3 + ((t>>5)&1),
+                            dist = (H<<3) + ((t>>2)&7) + 1      [+1 byte]
+t = 128..255                match, len = 5 + ((t>>5)&3),
+                            dist = (H<<3) + ((t>>2)&7) + 1      [+1 byte]
+==========================  ==============================================
+
+Every match carries S = (trailing 2 bits) literals copied verbatim after
+it; S becomes the next instruction's ``state``.
+"""
+
+from __future__ import annotations
+
+__all__ = ["lzo1x_decompress", "lzo1x_compress_literal", "LzoLiteralCompressor"]
+
+_EOS = b"\x11\x00\x00"  # t=17 (len 3) + le16 0 -> distance 16384 = end
+
+
+def _ext_len(src: bytes, ip: int, mask: int) -> tuple[int, int]:
+    """Zero-byte run-length extension: mask + 255*zeros + final nonzero."""
+    n = len(src)
+    z = 0
+    while ip < n and src[ip] == 0:
+        z += 1
+        ip += 1
+    if ip >= n:
+        raise ValueError("corrupt lzo chunk: truncated length extension")
+    return mask + 255 * z + src[ip], ip + 1
+
+
+def lzo1x_decompress(src: bytes, expected_size: int | None = None) -> bytes:
+    """Decompress one raw LZO1X chunk. ``expected_size``, when given, is
+    validated against the produced length (Hadoop's block header carries
+    it; a mismatch means a corrupt or mis-framed chunk)."""
+    n = len(src)
+    if n < 3:
+        raise ValueError("corrupt lzo chunk: shorter than the end marker")
+    out = bytearray()
+    ip = 0
+    state = 0
+
+    b0 = src[0]
+    if b0 > 17:
+        ip = 1
+        t = b0 - 17
+        if ip + t > n:
+            raise ValueError("corrupt lzo chunk: truncated first literal run")
+        out += src[ip : ip + t]
+        ip += t
+        state = 4 if t >= 4 else t
+
+    while True:
+        if ip >= n:
+            raise ValueError("corrupt lzo chunk: missing end-of-stream marker")
+        t = src[ip]
+        ip += 1
+        if t < 16:
+            if state == 0:
+                if t == 0:
+                    t, ip = _ext_len(src, ip, 15)
+                length = t + 3
+                if ip + length > n:
+                    raise ValueError("corrupt lzo chunk: truncated literal run")
+                out += src[ip : ip + length]
+                ip += length
+                state = 4
+                continue
+            if ip >= n:
+                raise ValueError("corrupt lzo chunk: truncated match")
+            h = src[ip]
+            ip += 1
+            if state < 4:
+                dist = (h << 2) + ((t >> 2) & 3) + 1
+                length = 2
+            else:
+                dist = (h << 2) + ((t >> 2) & 3) + 2049
+                length = 3
+            s = t & 3
+        elif t < 32:
+            length = t & 7
+            if length == 0:
+                length, ip = _ext_len(src, ip, 7)
+            length += 2
+            if ip + 2 > n:
+                raise ValueError("corrupt lzo chunk: truncated match")
+            le16 = src[ip] | (src[ip + 1] << 8)
+            ip += 2
+            s = le16 & 3
+            dist = 16384 + ((t & 8) << 11) + (le16 >> 2)
+            if dist == 16384:
+                if expected_size is not None and len(out) != expected_size:
+                    raise ValueError(
+                        f"corrupt lzo chunk: produced {len(out)} bytes,"
+                        f" block header says {expected_size}"
+                    )
+                return bytes(out)
+        elif t < 64:
+            length = t & 31
+            if length == 0:
+                length, ip = _ext_len(src, ip, 31)
+            length += 2
+            if ip + 2 > n:
+                raise ValueError("corrupt lzo chunk: truncated match")
+            le16 = src[ip] | (src[ip + 1] << 8)
+            ip += 2
+            s = le16 & 3
+            dist = (le16 >> 2) + 1
+        elif t < 128:
+            if ip >= n:
+                raise ValueError("corrupt lzo chunk: truncated match")
+            length = 3 + ((t >> 5) & 1)
+            dist = (src[ip] << 3) + ((t >> 2) & 7) + 1
+            ip += 1
+            s = t & 3
+        else:
+            if ip >= n:
+                raise ValueError("corrupt lzo chunk: truncated match")
+            length = 5 + ((t >> 5) & 3)
+            dist = (src[ip] << 3) + ((t >> 2) & 7) + 1
+            ip += 1
+            s = t & 3
+
+        start = len(out) - dist
+        if start < 0:
+            raise ValueError(
+                f"corrupt lzo chunk: match distance {dist} reaches before"
+                " the start of output"
+            )
+        if dist >= length:
+            out += out[start : start + length]
+        else:  # overlapping copy (RLE-style) must proceed byte-by-byte
+            for i in range(length):
+                out.append(out[start + i])
+        if s:
+            if ip + s > n:
+                raise ValueError("corrupt lzo chunk: truncated trailing literals")
+            out += src[ip : ip + s]
+            ip += s
+        state = s
+
+
+def lzo1x_compress_literal(data: bytes) -> bytes:
+    """Encode ``data`` as one valid LZO1X literal run + end marker (the
+    format's incompressible-input path). Output is always a little
+    LARGER than input — Hadoop's BlockCompressorStream stores whatever
+    the compressor returns, so correctness never depends on shrinking."""
+    n = len(data)
+    if n == 0:
+        return _EOS
+    out = bytearray()
+    if n < 4:
+        # first-byte form: byte-17 literals (the regular long-run
+        # instruction cannot encode fewer than 4)
+        out.append(17 + n)
+    elif n <= 18:
+        out.append(n - 3)  # 0000LLLL literal run, state==0 at stream start
+    else:
+        rem = n - 18
+        z, r = divmod(rem - 1, 255)
+        out.append(0)
+        out += b"\x00" * z
+        out.append(r + 1)
+    out += data
+    out += _EOS
+    return bytes(out)
+
+
+class LzoLiteralCompressor:
+    """pyarrow-Codec-shaped adapter so the fsimage writer's block emitter
+    can treat LZO like its other block codecs."""
+
+    def compress(self, block: bytes, asbytes: bool = True) -> bytes:
+        return lzo1x_compress_literal(block)

@@ -22,7 +22,7 @@ def _comparable(rows):
 
 
 @pytest.mark.parametrize(
-    "codec", [None, "default", "gzip", "lz4", "snappy", "bzip2", "zstd"]
+    "codec", [None, "default", "gzip", "lz4", "snappy", "bzip2", "zstd", "lzo"]
 )
 def test_roundtrip_small_h3_2(tmp_path, codec):
     src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
@@ -37,6 +37,7 @@ def test_roundtrip_small_h3_2(tmp_path, codec):
         ("lz4", "org.apache.hadoop.io.compress.Lz4Codec"),
         ("snappy", "org.apache.hadoop.io.compress.SnappyCodec"),
         ("bzip2", "org.apache.hadoop.io.compress.BZip2Codec"),
+        ("lzo", "com.hadoop.compression.lzo.LzoCodec"),
         ("zstd", "org.apache.hadoop.io.compress.ZStandardCodec"),
     ],
 )
@@ -54,7 +55,7 @@ def test_codec_classname_in_footer_and_uncompressed_twin(tmp_path, codec, cls):
     assert _comparable(parse_fsimage(comp)) == _comparable(parse_fsimage(plain))
 
 
-@pytest.mark.parametrize("codec", ["lz4", "snappy", "zstd", "bzip2"])
+@pytest.mark.parametrize("codec", ["lz4", "snappy", "zstd", "bzip2", "lzo"])
 def test_new_codec_210k_multiblock(tmp_path, codec):
     """The 210k image's INODE section spans many 256 KiB blocks — pins
     the multi-block BlockCompressorStream framing (lz4/snappy) and the
@@ -84,7 +85,7 @@ def test_streaming_writer_matches_buffered(tmp_path):
     assert open(buffered, "rb").read() == open(streamed, "rb").read()
 
 
-@pytest.mark.parametrize("codec", ["gzip", "lz4", "snappy", "zstd"])
+@pytest.mark.parametrize("codec", ["gzip", "lz4", "snappy", "zstd", "lzo"])
 def test_written_image_distributed_load(spark, tmp_path, codec):
     """A writer-produced compressed image must load identically through the
     driver-side and executor-parallel decode paths (the latter exercises
