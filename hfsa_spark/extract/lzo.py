@@ -14,10 +14,12 @@ in the same ``BlockCompressorStream`` framing as Lz4/Snappy
 (``[origBlockSize BE][chunkLen BE][chunk]…``) — that framing lives in
 ``fsimage.py``; this module handles only the raw LZO1X chunk payloads.
 
-The compressor emits pure literal runs (the format's incompressible-input
-encoding): every output is a valid LZO1X stream any compliant
-decompressor accepts, it just doesn't shrink. That is all the writer
-needs — its fixtures exercise the DECODER, they don't chase ratios.
+Two compressors: the writer's default emits pure literal runs (the
+format's incompressible-input encoding — valid everywhere, O(1) per
+byte, doesn't shrink; its fixtures exercise the DECODER, not ratios),
+and :func:`lzo1x_compress_greedy` performs real greedy matching through
+all three distance windows so round-trip tests drive the decoder's
+match paths with arbitrary data, not just the pointwise spec vectors.
 
 Instruction set implemented (normative source: the public kernel doc):
 
@@ -43,7 +45,12 @@ it; S becomes the next instruction's ``state``.
 
 from __future__ import annotations
 
-__all__ = ["lzo1x_decompress", "lzo1x_compress_literal", "LzoLiteralCompressor"]
+__all__ = [
+    "lzo1x_decompress",
+    "lzo1x_compress_literal",
+    "lzo1x_compress_greedy",
+    "LzoLiteralCompressor",
+]
 
 _EOS = b"\x11\x00\x00"  # t=17 (len 3) + le16 0 -> distance 16384 = end
 
@@ -193,6 +200,131 @@ def lzo1x_compress_literal(data: bytes) -> bytes:
         out += b"\x00" * z
         out.append(r + 1)
     out += data
+    out += _EOS
+    return bytes(out)
+
+
+def _emit_literals(out: bytearray, lits: bytes, patch_pos: int | None) -> None:
+    """Emit pending literals under the format's state rules: 1-3 ride in
+    the previous match's S bits (back-patched) followed by the bytes;
+    0 emits nothing; >= 4 (or no previous match) becomes a literal-run
+    instruction — legal exactly when the previous match carried S=0
+    (state 0), which holds by construction because we only patch for
+    counts 1-3."""
+    n = len(lits)
+    if n == 0:
+        return
+    if 1 <= n <= 3 and patch_pos is not None:
+        out[patch_pos] |= n
+        out += lits
+        return
+    if patch_pos is None and n <= 238:
+        # stream start: the first-byte form covers 1..238 directly
+        out.append(17 + n)
+        out += lits
+        return
+    # literal-run instruction (state == 0 here)
+    if n < 4:
+        # cannot happen mid-stream (we always patch 1-3 into the previous
+        # match), but keep a correct fallback: pad through the run form
+        raise AssertionError("literal run shorter than 4 with no patch slot")
+    if n <= 18:
+        out.append(n - 3)
+    else:
+        rem = n - 18
+        z, r = divmod(rem - 1, 255)
+        out.append(0)
+        out += b"\x00" * z
+        out.append(r + 1)
+    out += lits
+
+
+def _emit_match(out: bytearray, dist: int, length: int) -> int:
+    """Append one match instruction (S bits left 0 for back-patching);
+    returns the byte offset holding the S bits."""
+    if dist <= 2048 and 3 <= length <= 8:
+        d = dist - 1
+        if length <= 4:  # 0 1 L D D D S S + H
+            t = 0x40 | ((length - 3) << 5) | ((d & 7) << 2)
+        else:  # 1 L L D D D S S + H
+            t = 0x80 | ((length - 5) << 5) | ((d & 7) << 2)
+        out.append(t)
+        patch = len(out) - 1
+        out.append(d >> 3)
+        return patch
+    if dist <= 16384:  # M3: 0 0 1 L L L L L + le16
+        d = dist - 1
+        body = length - 2
+        if body <= 31:
+            out.append(0x20 | body)
+        else:
+            out.append(0x20)
+            rem = body - 31
+            z, r = divmod(rem - 1, 255)
+            out += b"\x00" * z
+            out.append(r + 1)
+    else:  # M4: 0 0 0 1 H L L L + le16 (dist 16385..49151)
+        d = dist - 16384
+        h = (d >> 14) & 1
+        d &= 0x3FFF
+        body = length - 2
+        if body <= 7:
+            out.append(0x10 | (h << 3) | body)
+        else:
+            out.append(0x10 | (h << 3))
+            rem = body - 7
+            z, r = divmod(rem - 1, 255)
+            out += b"\x00" * z
+            out.append(r + 1)
+    le16 = d << 2
+    out.append(le16 & 0xFF)
+    patch = len(out) - 1
+    out.append(le16 >> 8)
+    return patch
+
+
+def lzo1x_compress_greedy(data: bytes, max_len: int = 2048) -> bytes:
+    """Real (greedy, hash-chain-of-one) LZO1X compression: 3-byte-keyed
+    last-occurrence table, matches of length >= 3 within the 49151-byte
+    window, encoded through whichever of the M2/M3/M4 forms the distance
+    admits, pending literals riding the previous match's S bits when 1-3
+    and a literal-run instruction otherwise.
+
+    Pure Python and deliberately simple — used by the round-trip tests so
+    the DECODER's match paths face arbitrary real-data streams (the spec
+    vectors pin each form pointwise; this exercises their interactions).
+    The fsimage writer keeps the O(1)-per-byte literal encoder as its
+    default for encode throughput; both emit valid LZO1X."""
+    n = len(data)
+    if n == 0:
+        return _EOS
+    out = bytearray()
+    table: dict[int, int] = {}
+    i = 0
+    lit_start = 0
+    patch_pos: int | None = None
+    while i + 3 <= n:
+        key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+        j = table.get(key)
+        table[key] = i
+        if j is None or i - j > 49151:
+            i += 1
+            continue
+        length = 3
+        limit = min(n - i, max_len)
+        while length < limit and data[j + length] == data[i + length]:
+            length += 1
+        dist = i - j
+        _emit_literals(out, data[lit_start:i], patch_pos)
+        patch_pos = _emit_match(out, dist, length)
+        # index the skipped positions sparsely (every byte is overkill
+        # for a correctness-oriented encoder)
+        end = i + length
+        for k in range(i + 1, min(end, n - 2), 7):
+            table[data[k] | (data[k + 1] << 8) | (data[k + 2] << 16)] = k
+        i = end
+        lit_start = end
+    _emit_literals(out, data[lit_start:n], patch_pos)
     out += _EOS
     return bytes(out)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from hfsa_spark.extract.lzo import (
+    lzo1x_compress_greedy,
     lzo1x_compress_literal,
     lzo1x_decompress,
 )
@@ -155,3 +156,57 @@ def test_literal_compressor_roundtrips_through_spec_decoder(n):
     data = hashlib.shake_256(str(n).encode()).digest(n) if n else b""
     enc = lzo1x_compress_literal(data)
     assert lzo1x_decompress(enc, expected_size=n) == data
+
+
+# ------------------------------------- greedy encoder through decoder --
+
+
+def test_greedy_compressor_emits_real_matches_and_roundtrips():
+    data = b"abcdabcdabcdabcd" * 64  # dense 4-byte periodicity
+    enc = lzo1x_compress_greedy(data)
+    assert len(enc) < len(data) // 4  # actually compresses
+    assert lzo1x_decompress(enc, expected_size=len(data)) == data
+
+
+def test_greedy_far_matches_m3_and_m4_windows():
+    # a motif recurring at ~5k and ~20k distances forces M3 then M4 forms
+    motif = b"the-quick-brown-fox-0123456789"
+    data = motif + bytes(range(256)) * 20 + motif + bytes(255 - b for b in range(256)) * 60 + motif
+    enc = lzo1x_compress_greedy(data)
+    assert lzo1x_decompress(enc, expected_size=len(data)) == data
+
+
+def test_greedy_long_match_extended_length():
+    data = b"x" * 10000 + b"END"  # RLE-like: one long overlapping match
+    enc = lzo1x_compress_greedy(data)
+    assert len(enc) < 100
+    assert lzo1x_decompress(enc, expected_size=len(data)) == data
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 239, 300, 65536])
+def test_greedy_roundtrips_incompressible_data(n):
+    import hashlib
+
+    data = hashlib.shake_256(f"greedy{n}".encode()).digest(n)
+    enc = lzo1x_compress_greedy(data)
+    assert lzo1x_decompress(enc, expected_size=n) == data
+
+
+def test_greedy_roundtrips_hypothesis_streams():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.binary(max_size=4096)
+        | st.lists(
+            st.sampled_from([b"aaaa", b"ab", b"abcabc", b"\x00\x00\x00\x00", b"xyz123"]),
+            max_size=200,
+        ).map(b"".join)
+    )
+    def inner(data):
+        assert lzo1x_decompress(
+            lzo1x_compress_greedy(data), expected_size=len(data)
+        ) == data
+
+    inner()
