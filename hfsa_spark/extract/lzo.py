@@ -41,6 +41,16 @@ t = 128..255                match, len = 5 + ((t>>5)&3),
 
 Every match carries S = (trailing 2 bits) literals copied verbatim after
 it; S becomes the next instruction's ``state``.
+
+Scale posture: pure-Python decode runs ~14 MB/s on instruction-dense
+(well-compressed) streams and ~150 MB/s on literal-dominated ones
+(measured round 9). Acceptable because (a) sections decompress ONCE per
+extract — the 100 TB architecture reads the materialized parquet, never
+the image, after that — and (b) LZO images exist only on clusters that
+deliberately installed the out-of-tree plugin; the bundled codecs all
+decode at C speed. If a multi-GB LZO INODE section ever becomes a real
+bottleneck, the BlockCompressorStream framing decompresses per-block —
+embarrassingly parallel across executors by block offset.
 """
 
 from __future__ import annotations
