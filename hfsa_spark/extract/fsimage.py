@@ -296,7 +296,9 @@ def _block_stream_decompress(data: bytes, arrow_codec: str) -> bytes:
             if c is None:  # lzo: our decoder discovers the size itself
                 from hfsa_spark.extract.lzo import lzo1x_decompress
 
-                dec = lzo1x_decompress(chunk)
+                # max_size aborts mid-decode: a run-length-extended
+                # instruction can expand ~255x, so cap BEFORE the copy
+                dec = lzo1x_decompress(chunk, max_size=orig - produced)
                 if produced + len(dec) > orig:
                     raise ValueError(
                         f"corrupt {arrow_codec} block stream: chunk at"
@@ -731,7 +733,7 @@ def _decompress_to_file(
                     if c is None:  # lzo discovers its own size
                         from hfsa_spark.extract.lzo import lzo1x_decompress
 
-                        dec = lzo1x_decompress(chunk)
+                        dec = lzo1x_decompress(chunk, max_size=orig - produced)
                         if produced + len(dec) > orig:
                             raise ValueError(
                                 f"corrupt {lower} block stream: chunk at"

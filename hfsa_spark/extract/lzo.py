@@ -77,13 +77,28 @@ def _ext_len(src: bytes, ip: int, mask: int) -> tuple[int, int]:
     return mask + 255 * z + src[ip], ip + 1
 
 
-def lzo1x_decompress(src: bytes, expected_size: int | None = None) -> bytes:
+def lzo1x_decompress(
+    src: bytes,
+    expected_size: int | None = None,
+    *,
+    max_size: int | None = None,
+    strict: bool = True,
+) -> bytes:
     """Decompress one raw LZO1X chunk. ``expected_size``, when given, is
     validated against the produced length (Hadoop's block header carries
-    it; a mismatch means a corrupt or mis-framed chunk)."""
+    it; a mismatch means a corrupt or mis-framed chunk). ``max_size``
+    aborts the decode the moment output WOULD exceed it — a single
+    run-length-extended instruction can legally expand ~255x the input,
+    so callers framing untrusted chunks pass the block header's
+    remaining budget here instead of materializing first and checking
+    after. ``strict`` (default) rejects trailing bytes after the
+    end-of-stream marker: Hadoop chunk lengths are exact, so leftovers
+    mean corruption or mis-framing."""
     n = len(src)
     if n < 3:
         raise ValueError("corrupt lzo chunk: shorter than the end marker")
+    if max_size is None and expected_size is not None:
+        max_size = expected_size
     out = bytearray()
     ip = 0
     state = 0
@@ -94,6 +109,10 @@ def lzo1x_decompress(src: bytes, expected_size: int | None = None) -> bytes:
         t = b0 - 17
         if ip + t > n:
             raise ValueError("corrupt lzo chunk: truncated first literal run")
+        if max_size is not None and t > max_size:
+            raise ValueError(
+                f"corrupt lzo chunk: output exceeds the {max_size}-byte cap"
+            )
         out += src[ip : ip + t]
         ip += t
         state = 4 if t >= 4 else t
@@ -110,6 +129,11 @@ def lzo1x_decompress(src: bytes, expected_size: int | None = None) -> bytes:
                 length = t + 3
                 if ip + length > n:
                     raise ValueError("corrupt lzo chunk: truncated literal run")
+                if max_size is not None and len(out) + length > max_size:
+                    raise ValueError(
+                        f"corrupt lzo chunk: output exceeds the"
+                        f" {max_size}-byte cap"
+                    )
                 out += src[ip : ip + length]
                 ip += length
                 state = 4
@@ -137,6 +161,11 @@ def lzo1x_decompress(src: bytes, expected_size: int | None = None) -> bytes:
             s = le16 & 3
             dist = 16384 + ((t & 8) << 11) + (le16 >> 2)
             if dist == 16384:
+                if strict and ip != n:
+                    raise ValueError(
+                        f"corrupt lzo chunk: {n - ip} trailing bytes after"
+                        " the end-of-stream marker"
+                    )
                 if expected_size is not None and len(out) != expected_size:
                     raise ValueError(
                         f"corrupt lzo chunk: produced {len(out)} bytes,"
@@ -174,6 +203,10 @@ def lzo1x_decompress(src: bytes, expected_size: int | None = None) -> bytes:
             raise ValueError(
                 f"corrupt lzo chunk: match distance {dist} reaches before"
                 " the start of output"
+            )
+        if max_size is not None and len(out) + length + s > max_size:
+            raise ValueError(
+                f"corrupt lzo chunk: output exceeds the {max_size}-byte cap"
             )
         if dist >= length:
             out += out[start : start + length]

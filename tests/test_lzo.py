@@ -146,6 +146,67 @@ def test_expected_size_mismatch_raises():
         lzo1x_decompress(v, expected_size=3)
 
 
+def test_trailing_garbage_after_eos_raises():
+    # Hadoop chunk lengths are exact: leftover bytes mean mis-framing.
+    v = bytes([19]) + b"ab" + EOS
+    with pytest.raises(ValueError, match="trailing bytes"):
+        lzo1x_decompress(v + b"\x00")
+    assert lzo1x_decompress(v + b"junk", strict=False) == b"ab"
+
+
+def test_max_size_cap_aborts_before_materializing():
+    # one RLE-style match whose extended length expands 10000x: the cap
+    # must fire DURING decode, not after the copy lands in memory
+    data = b"x" * 10000 + b"END"
+    enc = lzo1x_compress_greedy(data)
+    assert lzo1x_decompress(enc, max_size=len(data)) == data
+    with pytest.raises(ValueError, match="byte cap"):
+        lzo1x_decompress(enc, max_size=100)
+    # cap also guards plain literal runs
+    lit = lzo1x_compress_literal(b"y" * 500)
+    with pytest.raises(ValueError, match="byte cap"):
+        lzo1x_decompress(lit, max_size=499)
+    # and the first-byte short-run form
+    with pytest.raises(ValueError, match="byte cap"):
+        lzo1x_decompress(bytes([19]) + b"ab" + EOS, max_size=1)
+
+
+def test_block_stream_oversize_lzo_chunk_aborts_early():
+    # frame a chunk whose payload expands past the block header's size:
+    # _block_stream_decompress must reject via the in-decoder cap
+    import struct
+
+    from hfsa_spark.extract.fsimage import _block_stream_decompress
+
+    payload = lzo1x_compress_greedy(b"z" * 4096)
+    frame = struct.pack(">i", 16) + struct.pack(">i", len(payload)) + payload
+    with pytest.raises(ValueError, match="byte cap|past its block"):
+        _block_stream_decompress(frame, "lzo")
+
+
+# ----------------------- differential vs a real LZO implementation --
+# (ADVICE r9: the spec vectors and round-trips all descend from the same
+# public doc; a REAL liblzo2 stream is the only independent witness.
+# python-lzo is not in this container, so the test runs wherever it is.)
+
+
+def test_differential_against_real_liblzo2_when_importable():
+    lzo = pytest.importorskip("lzo")
+    import hashlib
+
+    for n in (0, 1, 17, 238, 4096, 65536):
+        data = hashlib.shake_256(f"diff{n}".encode()).digest(n)
+        for payload in (data, data[: n // 2] * 2, b"ab" * (n // 2)):
+            real = lzo.compress(payload, 1, False)  # raw LZO1X, no header
+            assert lzo1x_decompress(real, expected_size=len(payload)) == payload
+            # and the reverse: liblzo2 must accept OUR encoders' output
+            for enc in (
+                lzo1x_compress_literal(payload),
+                lzo1x_compress_greedy(payload),
+            ):
+                assert lzo.decompress(enc, False, len(payload)) == payload
+
+
 # -------------------------------------------- encoder through decoder --
 
 
