@@ -325,9 +325,9 @@ def _decompress(codec: str, data: bytes) -> bytes:
     (`FsImageLoader.java:268`): Gzip, Default (zlib), Lz4, Snappy,
     BZip2, ZStandard — plus the hadoop-lzo plugin's LzoCodec via a
     clean-room LZO1X decoder written from the public stream format
-    (``extract/lzo.py``; no GPL code used or linked). LzopCodec (the
-    lzop FILE format, with its own magic/header/checksums) is the one
-    factory-resolvable codec still rejected, explicitly."""
+    (``extract/lzo.py``; no GPL code used or linked) and its LzopCodec
+    via the lzop FILE-format container on the same decoder
+    (``extract/lzop.py``). That completes the factory-resolvable set."""
     if not codec:
         return data
     lower = codec.rsplit(".", 1)[-1].lower()  # class-name tail
@@ -335,11 +335,10 @@ def _decompress(codec: str, data: bytes) -> bytes:
         return gzip.decompress(data)
     if "default" in lower:  # DefaultCodec = zlib-framed deflate
         return zlib.decompress(data)
-    if "lzop" in lower:
-        raise ValueError(
-            f"unsupported fsimage codec: {codec} (lzop file framing;"
-            " com.hadoop.compression.lzo.LzoCodec is supported)"
-        )
+    if "lzop" in lower:  # hadoop-lzo LzopCodec: lzop file framing + LZO1X
+        from hfsa_spark.extract.lzop import lzop_decompress
+
+        return lzop_decompress(data)
     if "lzo" in lower:  # hadoop-lzo LzoCodec: BlockCompressorStream + LZO1X
         return _block_stream_decompress(data, "lzo")
     if "lz4" in lower:
@@ -695,10 +694,24 @@ def _decompress_to_file(
     lower = codec.rsplit(".", 1)[-1].lower() if codec else ""
     written = 0
     if "lzop" in lower:
-        raise ValueError(
-            f"unsupported fsimage codec: {codec} (lzop file framing;"
-            " com.hadoop.compression.lzo.LzoCodec is supported)"
-        )
+        from hfsa_spark.extract.lzop import lzop_decompress_file
+
+        with open(src, "rb") as f:
+            f.seek(offset)
+            # the lzop container is self-delimiting (0-length end block)
+            # and the streaming reader holds one ≤64 MiB block at a time
+            def sink(chunk: bytes) -> None:
+                nonlocal written
+                dst.write(chunk)
+                written += len(chunk)
+
+            lzop_decompress_file(f, sink)
+            if f.tell() - offset > length:
+                raise ValueError(
+                    f"corrupt lzop section: container ran {f.tell() - offset - length}"
+                    " bytes past the section boundary"
+                )
+        return written
     is_lzo = "lzo" in lower
     if "lz4" in lower or "snappy" in lower or is_lzo:
         if is_lzo:

@@ -172,6 +172,13 @@ class _SectionWriter:
             self._comp = pa.Codec(
                 "lz4_raw" if "Lz4" in self._codec else "snappy"
             )
+        elif "Lzop" in self._codec:
+            # hadoop-lzo LzopCodec: the standalone lzop FILE format
+            # (magic/header/checksummed blocks, extract/lzop.py)
+            from hfsa_spark.extract.lzop import LzopWriter
+
+            self._mode = "lzop"
+            self._comp = LzopWriter(self._f)
         elif "Lzo" in self._codec:
             # hadoop-lzo LzoCodec: same BlockCompressorStream framing,
             # chunks are valid literal-only LZO1X streams (clean-room
@@ -203,6 +210,8 @@ class _SectionWriter:
     def write(self, data: bytes):
         if self._mode in ("zlib", "stream"):
             self._f.write(self._comp.compress(data))
+        elif self._mode == "lzop":
+            self._comp.write(data)
         elif self._mode == "block":
             self._buf += data
             while len(self._buf) >= self.BLOCK:
@@ -216,6 +225,8 @@ class _SectionWriter:
     def close(self) -> tuple[int, int]:
         if self._mode in ("zlib", "stream"):
             self._f.write(self._comp.flush())
+        elif self._mode == "lzop":
+            self._comp.close()
         elif self._mode == "block":
             if self._buf:
                 self._emit_block(bytes(self._buf))
@@ -278,10 +289,7 @@ def write_fsimage(
         elif "snappy" in lower:
             codec_name = "org.apache.hadoop.io.compress.SnappyCodec"
         elif "lzop" in lower:
-            raise ValueError(
-                "unsupported writer codec: lzop (file framing);"
-                " use 'lzo' for com.hadoop.compression.lzo.LzoCodec"
-            )
+            codec_name = "com.hadoop.compression.lzo.LzopCodec"
         elif "lzo" in lower:
             codec_name = "com.hadoop.compression.lzo.LzoCodec"
         elif "bzip2" in lower:

@@ -22,7 +22,7 @@ def _comparable(rows):
 
 
 @pytest.mark.parametrize(
-    "codec", [None, "default", "gzip", "lz4", "snappy", "bzip2", "zstd", "lzo"]
+    "codec", [None, "default", "gzip", "lz4", "snappy", "bzip2", "zstd", "lzo", "lzop"]
 )
 def test_roundtrip_small_h3_2(tmp_path, codec):
     src = parse_fsimage(f"{LIB_RES}/fsi_small_h3_2.img")
@@ -38,6 +38,7 @@ def test_roundtrip_small_h3_2(tmp_path, codec):
         ("snappy", "org.apache.hadoop.io.compress.SnappyCodec"),
         ("bzip2", "org.apache.hadoop.io.compress.BZip2Codec"),
         ("lzo", "com.hadoop.compression.lzo.LzoCodec"),
+        ("lzop", "com.hadoop.compression.lzo.LzopCodec"),
         ("zstd", "org.apache.hadoop.io.compress.ZStandardCodec"),
     ],
 )
@@ -55,7 +56,7 @@ def test_codec_classname_in_footer_and_uncompressed_twin(tmp_path, codec, cls):
     assert _comparable(parse_fsimage(comp)) == _comparable(parse_fsimage(plain))
 
 
-@pytest.mark.parametrize("codec", ["lz4", "snappy", "zstd", "bzip2", "lzo"])
+@pytest.mark.parametrize("codec", ["lz4", "snappy", "zstd", "bzip2", "lzo", "lzop"])
 def test_new_codec_210k_multiblock(tmp_path, codec):
     """The 210k image's INODE section spans many 256 KiB blocks — pins
     the multi-block BlockCompressorStream framing (lz4/snappy) and the
@@ -85,7 +86,7 @@ def test_streaming_writer_matches_buffered(tmp_path):
     assert open(buffered, "rb").read() == open(streamed, "rb").read()
 
 
-@pytest.mark.parametrize("codec", ["gzip", "lz4", "snappy", "zstd", "lzo"])
+@pytest.mark.parametrize("codec", ["gzip", "lz4", "snappy", "zstd", "lzo", "lzop"])
 def test_written_image_distributed_load(spark, tmp_path, codec):
     """A writer-produced compressed image must load identically through the
     driver-side and executor-parallel decode paths (the latter exercises
