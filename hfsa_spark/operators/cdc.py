@@ -200,6 +200,21 @@ def upsert_merge(
         change_cols = [c for c in out_payload if c not in base_only]
         base_types = {f.name: f.dataType for f in base.schema.fields}
     else:
+        # strict contract: fail HERE with the actual drift, not three
+        # operators deeper with an unresolved-column AnalysisException
+        # (found by the r10 vacuum-interleaving property test: an
+        # un-evolved batch arriving after a schema-evolving one)
+        missing = [c for c in payload_cols if c not in changes.columns]
+        extra = [
+            c for c in changes.columns
+            if c not in base.columns and c not in meta_cols
+        ]
+        if missing or extra:
+            raise ValueError(
+                "upsert_merge: changes schema does not match the snapshot"
+                f" (missing columns {missing}, unexpected columns {extra});"
+                " pass evolve_schema=True to accept additive drift"
+            )
         new_cols, base_only = [], set()
         out_payload = change_cols = payload_cols
         base_types = {}

@@ -66,12 +66,22 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfsa_spark import fs as _fs
 from hfsa_spark.operators.cdc import _known_ops, upsert_merge
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A maintenance writer detected that the committed head moved while
+    it worked — another writer violated the single-writer protocol. The
+    aborted attempt left no visible state (its marker never landed);
+    callers may re-plan from the new head and retry (the ``retries``
+    parameter on :func:`apply_change_batch_bucketed` /
+    :func:`compact_segments` does exactly that)."""
 
 
 def _committed_versions(snapshot_dir: str, marker: str = "_SUCCESS") -> list[int]:
@@ -484,8 +494,17 @@ def apply_change_batch_bucketed(
     seq_col: str | None = None,
     batch_id: int = 0,
     evolve_schema: bool = False,
+    retries: int = 0,
 ) -> None:
     """One idempotent bucket-granular CDC step.
+
+    ``retries`` (r10): on a :class:`ConcurrentWriteError` abort, re-plan
+    the whole step from the NEW committed head up to ``retries`` times
+    (exponential backoff, capped at 2 s). The retry converges under a
+    misconfigured double-scheduler: if the racing writer committed OUR
+    version, the re-read sees it and no-ops (idempotent replay); if it
+    committed a different one, the re-merge starts from its manifest.
+    Default 0 keeps the loud single-writer abort.
 
     The batch's keys are hashed with the frozen pk→bucket function; ONLY
     the touched buckets' rows are read back (partition-pruned paths from
@@ -520,21 +539,45 @@ def apply_change_batch_bucketed(
     manifest commits (read paths prefer the manifest era, so a crash
     between the two writes costs nothing).
     """
+    for attempt in range(retries + 1):
+        try:
+            return _apply_change_batch_bucketed_once(
+                batch, snapshot_dir, ts_col, op_col, seq_col, batch_id,
+                evolve_schema,
+            )
+        except ConcurrentWriteError:
+            if attempt == retries:
+                raise
+            time.sleep(min(2.0, 0.05 * (2 ** attempt)))
+
+
+def _apply_change_batch_bucketed_once(
+    batch: DataFrame,
+    snapshot_dir: str,
+    ts_col: str,
+    op_col: str,
+    seq_col: str | None,
+    batch_id: int,
+    evolve_schema: bool,
+) -> None:
     spark = batch.sparkSession
     meta = _read_meta(snapshot_dir)
     key_cols = meta["key_cols"]
     bexpr = _meta_bucket_expr(meta)
     committed = _committed_versions(snapshot_dir, marker=MANIFEST)
-    if int(batch_id) + 1 in committed:
+    if committed and committed[-1] >= int(batch_id) + 1:
         # replay of an already-committed batch is a pure no-op: the
-        # first attempt wrote the deterministic output already.
-        # Rewriting would be worse than wasted work — an OUT-OF-ORDER
-        # replay (batch b after later versions committed) would
-        # mode('overwrite') v=b+1 and momentarily delete bucket files
-        # that LATER committed manifests still reference, so a crash
-        # mid-rewrite would leave the head manifest pointing at missing
-        # files. Checkpointed Structured Streaming never replays out of
-        # order, but the function is public API.
+        # first attempt wrote the deterministic output already. The
+        # check is `head >= ours`, not `ours in committed` (r10):
+        # under the sequential protocol a LATER version can only exist
+        # if this one committed first, so a head past us always means
+        # our work is in history — even when a racing double-scheduler
+        # wiped our version's own manifest mid-overwrite. This also
+        # hard-stops OUT-OF-ORDER replays (batch b after later versions
+        # committed), which would mode('overwrite') v=b+1 and
+        # momentarily delete bucket files that LATER committed
+        # manifests still reference. Checkpointed Structured Streaming
+        # never replays out of order, but the function is public API.
         return
     eligible = [v for v in committed if v <= batch_id]
     if not eligible:
@@ -603,7 +646,7 @@ def apply_change_batch_bucketed(
     # vacuum_buckets removes it as crash debris.
     now = _committed_versions(snapshot_dir, marker=MANIFEST)
     if (now[-1] if now else None) != eligible[-1]:
-        raise RuntimeError(
+        raise ConcurrentWriteError(
             f"concurrent writer detected under {snapshot_dir}: committed"
             f" head moved {eligible[-1]} -> {now[-1] if now else None}"
             f" while applying batch {batch_id}; aborting before the"
@@ -772,6 +815,7 @@ def compact_segments(
     key_cols: list[str],
     ts_col: str = "ts",
     op_col: str = "op",
+    retries: int = 0,
 ) -> int:
     """Fold all unfolded committed segments into a new base version (one
     read-side merge materialized): read amplification back to zero.
@@ -787,7 +831,29 @@ def compact_segments(
     base authoritative; a crash after it leaves stale segment/base dirs
     that readers already ignore (the folded set excludes them) and
     :func:`vacuum_segments` removes. Single compactor at a time — same
-    single-writer assumption as every maintenance path here."""
+    single-writer assumption as every maintenance path here; ``retries``
+    (r10) re-plans from the new committed base after a
+    :class:`ConcurrentWriteError` — a racing compactor that already
+    folded our segments makes the retry a clean no-op."""
+    for attempt in range(retries + 1):
+        try:
+            return _compact_segments_once(
+                spark, table_dir, key_cols, ts_col, op_col
+            )
+        except ConcurrentWriteError:
+            if attempt == retries:
+                raise
+            time.sleep(min(2.0, 0.05 * (2 ** attempt)))
+    return 0  # unreachable
+
+
+def _compact_segments_once(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+) -> int:
     segs = _committed_segments(table_dir)
     bdir, v, folded = _resolve_base(table_dir)
     todo = [s for s in segs if s not in folded]
@@ -818,7 +884,7 @@ def compact_segments(
     now = _committed_bases(table_dir)
     now_v = now[-1] if now else -1  # -1 = the legacy un-versioned base
     if now_v != v:
-        raise RuntimeError(
+        raise ConcurrentWriteError(
             f"concurrent compaction detected under {table_dir}: committed"
             f" base moved v={v} -> v={now_v} during compaction; aborting"
             " before the _FOLDED marker (single-writer protocol)"
