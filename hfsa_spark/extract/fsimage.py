@@ -682,6 +682,118 @@ class _FileSlice:
             self.closed = True
 
 
+def _lzo_parallel_min() -> int:
+    """Section size above which LZO decode goes block-parallel
+    (default 32 MiB; env-overridable so tests can exercise the path
+    on small fixtures)."""
+    try:
+        return int(os.environ.get("HFSA_LZO_PARALLEL_MIN", 32 << 20))
+    except ValueError:
+        return 32 << 20
+
+
+def _scan_lzo_block_stream(
+    src: str, offset: int, length: int
+) -> tuple[list[tuple[int, int, int, int]], int] | None:
+    """Optimistic structural walk of a BlockCompressorStream-framed LZO
+    section, ASSUMING one chunk per block — what Hadoop's writer emits
+    whenever a block's compressed output fits one compressor buffer,
+    i.e. virtually always for LZO (the stream reserves the worst-case
+    overhead up front; multi-chunk blocks are the rare overflow edge
+    the sequential path handles exactly). Under that assumption block
+    boundaries follow from the headers alone, so every block's OUTPUT
+    offset is computable without decoding anything.
+
+    Returns ([(file_off, clen, orig, out_off)], total_out) when the
+    walk consumes the section exactly, else None (caller falls back to
+    the exact sequential decode). A wrong single-chunk guess cannot
+    yield silent corruption: the walk would have to land on bytes that
+    happen to parse as plausible headers for the REST of the section
+    AND every mis-framed chunk would have to decode as a valid LZO1X
+    stream of exactly the claimed size with a clean end marker and no
+    trailing bytes — any failure routes to the sequential path."""
+    specs: list[tuple[int, int, int, int]] = []
+    out = 0
+    pos, end = offset, offset + length
+    with open(src, "rb") as f:
+        while pos + 8 <= end:
+            f.seek(pos)
+            orig, clen = struct.unpack(">ii", f.read(8))
+            if orig < 0 or clen <= 0 or pos + 8 + clen > end:
+                return None
+            specs.append((pos + 8, clen, orig, out))
+            out += orig
+            pos += 8 + clen
+    if pos != end:
+        return None
+    return specs, out
+
+
+_LZO_POOL_FDS: dict[str, int] = {}
+
+
+def _lzo_pool_init(src_path: str, dst_path: str) -> None:
+    _LZO_POOL_FDS["src"] = os.open(src_path, os.O_RDONLY)
+    _LZO_POOL_FDS["dst"] = os.open(dst_path, os.O_WRONLY)
+
+
+def _lzo_pool_decode(spec: tuple[int, int, int, int]) -> int:
+    from hfsa_spark.extract.lzo import lzo1x_decompress
+
+    file_off, clen, orig, out_off = spec
+    chunk = os.pread(_LZO_POOL_FDS["src"], clen, file_off)
+    dec = lzo1x_decompress(chunk, expected_size=orig, max_size=orig)
+    os.pwrite(_LZO_POOL_FDS["dst"], dec, out_off)
+    return orig
+
+
+def _decompress_lzo_to_file_parallel(
+    src: str, offset: int, length: int, dst
+) -> int | None:
+    """Block-parallel LZO section decode across a local process pool
+    (r9 VERDICT stretch #8): the framing scan computes every block's
+    output offset up front, the file is pre-extended, and workers
+    pread/decode/pwrite independently — ~Ncores× the 14 MB/s
+    single-thread floor. Returns None (and leaves ``dst`` untouched)
+    whenever the optimistic scan or any worker's validated decode
+    rejects the section, so the caller's exact sequential walk decides.
+
+    Driver-local by design: section decompress happens ONCE per
+    extract, on the driver, before chunk specs fan out to executors
+    (fsimage bytes are ≤ GBs even for 100M-inode namespaces; the
+    100 TB data path reads the materialized parquet, never the image).
+    """
+    import multiprocessing as mp
+
+    scanned = _scan_lzo_block_stream(src, offset, length)
+    if scanned is None:
+        return None
+    specs, total = scanned
+    if not specs:
+        return 0
+    dst.flush()
+    base = dst.tell()
+    os.ftruncate(dst.fileno(), base + total)
+    shifted = [(fo, cl, og, base + oo) for fo, cl, og, oo in specs]
+    procs = min(os.cpu_count() or 4, 32, len(shifted))
+    ctx = mp.get_context("fork")
+    try:
+        with ctx.Pool(
+            procs, initializer=_lzo_pool_init, initargs=(src, dst.name)
+        ) as pool:
+            done = sum(pool.imap_unordered(_lzo_pool_decode, shifted, 16))
+    except ValueError:
+        # a chunk failed validated decode: the single-chunk assumption
+        # was wrong (or the section is corrupt) — undo the extension and
+        # let the exact sequential path produce the authoritative result
+        os.ftruncate(dst.fileno(), base)
+        dst.seek(base)
+        return None
+    assert done == total
+    dst.seek(base + total)
+    return total
+
+
 def _decompress_to_file(
     src: str, offset: int, length: int, dst, codec: str = ""
 ) -> int:
@@ -713,6 +825,16 @@ def _decompress_to_file(
                 )
         return written
     is_lzo = "lzo" in lower
+    if is_lzo and length >= _lzo_parallel_min():
+        # pure-Python LZO1X decodes at ~14 MB/s on instruction-dense
+        # streams (extract/lzo.py docstring) — a multi-GB section would
+        # stall the driver for minutes on the sequential path. Decode
+        # block-parallel across a local process pool instead; falls
+        # back to the exact sequential walk when the optimistic framing
+        # scan or any worker's validated decode rejects the section.
+        done = _decompress_lzo_to_file_parallel(src, offset, length, dst)
+        if done is not None:
+            return done
     if "lz4" in lower or "snappy" in lower or is_lzo:
         if is_lzo:
             c = None
