@@ -262,11 +262,33 @@ def main() -> None:
     # host → normalized > raw (penalty): symmetric, can't be gamed by
     # picking a noisy window.
     REF_MEMBW_GBPS = 2.98
+    # Second axis (wired r10): the sha256 CPU canary. Round 9 proved it
+    # drifts independently of membw (1.28x slower single-thread while
+    # membw sat in-band, lifting every batch query ~6%); the r10
+    # pinned-tree bisect (PERFORMANCE.md "round-10 canary calibration")
+    # fitted the sensitivity ALPHA_CPU of batch time to the CPU-canary
+    # ratio with membw held at its own (linear) normalization. The
+    # reference pair is the r8 five-pass committed record — the
+    # conditions the anchor margin was established under.
+    REF_CPU_SEC = 0.1373
+    # least-squares over the two code-identical evidence points
+    # (r10 pinned-tree A/B: 1.156x at cpu-ratio 1.274; r8->r9 record
+    # pair: 1.058x at 1.275) — individual fits span 0.23-0.60, so the
+    # term is a documented CORRECTION, not the gate's primary defense
+    # (min-merge + steal gate remain that)
+    ALPHA_CPU = 0.41
     bm = families.get("batch", {}).get("mean")
     if bm is not None and membw:
         result["canary_ref_membw_gbps"] = REF_MEMBW_GBPS
         result["batch_mean_canary_normalized"] = round(
             bm * (membw / REF_MEMBW_GBPS), 4
+        )
+    if bm is not None and membw and canary:
+        result["canary_ref_cpu_sec"] = REF_CPU_SEC
+        result["canary_alpha_cpu"] = ALPHA_CPU
+        result["batch_mean_canary2_normalized"] = round(
+            bm * (membw / REF_MEMBW_GBPS)
+            * (REF_CPU_SEC / canary) ** ALPHA_CPU, 4
         )
     # Per-query anchors: BASELINE_PERQ.json freezes each query's first
     # committed min-of-N time at its introduction round (BASELINE.md's r1
@@ -280,27 +302,74 @@ def main() -> None:
     if abs(_sf_of(sf_dir) - 0.1) < 1e-9:
         try:
             with open(anchors_path) as fh:
-                anchors = json.load(fh)
+                raw_anchors = json.load(fh)
         except (OSError, ValueError):
             # a missing or corrupted anchor file must never lose the
             # just-finished timed run
-            anchors = {}
-        regressions = {
-            k: {"sec": round(v, 3), "anchor": anchors[k]}
-            for k, v in timings.items()
-            if k in anchors and v > 2.0 * anchors[k] + 0.4
+            raw_anchors = {}
+        v2 = isinstance(raw_anchors, dict) and raw_anchors.get("_format") == 2
+        anchors = raw_anchors.get("anchors", {}) if v2 else {
+            k: {"sec": s, "cpu_sec": None, "membw_gbps": None}
+            for k, s in raw_anchors.items()
         }
+
+        # Normalize BOTH sides of the flag line to the r8 reference
+        # conditions (r9 VERDICT next-round #2): the measurement with
+        # THIS run's canaries, each anchor with the canaries of its
+        # introduction round (null = recorded at/before the reference,
+        # treated as reference conditions — conservative, since the r8
+        # bisect showed pre-reference windows were FASTER).
+        def _to_ref(sec: float, cpu, mw) -> float:
+            f = 1.0
+            if mw:
+                f *= mw / REF_MEMBW_GBPS
+            if cpu:
+                f *= (REF_CPU_SEC / cpu) ** ALPHA_CPU
+            return sec * f
+
+        regressions = {}
+        for k, v in timings.items():
+            if k not in anchors:
+                continue
+            a = anchors[k]
+            now_n = _to_ref(v, canary, membw)
+            anch_n = _to_ref(a["sec"], a.get("cpu_sec"), a.get("membw_gbps"))
+            if now_n > 2.0 * anch_n + 0.4:
+                regressions[k] = {
+                    "sec": round(v, 3),
+                    "sec_normalized": round(now_n, 3),
+                    "anchor": a["sec"],
+                    "anchor_normalized": round(anch_n, 3),
+                }
         result["perq_regressions"] = regressions
         if "--update-anchors" in sys.argv:
             fresh = {
-                k: round(v, 4)
+                k: {
+                    "sec": round(v, 4),
+                    "cpu_sec": canary,
+                    "membw_gbps": membw,
+                }
                 for k, v in timings.items()
                 if k not in anchors and k != "extract_210k"
             }
             if fresh:
                 anchors.update(fresh)
+                out_anchors = dict(sorted(anchors.items()))
+                payload = (
+                    {**raw_anchors, "anchors": out_anchors}
+                    if v2
+                    else {  # first write upgrades the file to v2
+                        "_format": 2,
+                        "_ref": {
+                            "cpu_sec": REF_CPU_SEC,
+                            "membw_gbps": REF_MEMBW_GBPS,
+                            "alpha_cpu": ALPHA_CPU,
+                        },
+                        "anchors": out_anchors,
+                    }
+                )
                 with open(anchors_path, "w") as fh:
-                    json.dump(dict(sorted(anchors.items())), fh, indent=1)
+                    json.dump(payload, fh, indent=1)
                 print(f"# anchored {len(fresh)} new queries", file=sys.stderr)
 
     # Durable full-name record (the driver's stdout capture keeps only the
