@@ -200,20 +200,20 @@ def upsert_merge(
         change_cols = [c for c in out_payload if c not in base_only]
         base_types = {f.name: f.dataType for f in base.schema.fields}
     else:
-        # strict contract: fail HERE with the actual drift, not three
-        # operators deeper with an unresolved-column AnalysisException
-        # (found by the r10 vacuum-interleaving property test: an
-        # un-evolved batch arriving after a schema-evolving one)
+        # strict contract: a batch MISSING base columns fails HERE with
+        # the drift named, not three operators deeper with an
+        # unresolved-column AnalysisException (found by the r10
+        # vacuum-interleaving property test: an un-evolved batch
+        # arriving after a schema-evolving one). EXTRA change columns
+        # stay silently ignored — the pre-r9 pinned contract (CDC feeds
+        # legitimately carry source metadata the snapshot doesn't
+        # store; tests/test_round9_ops.py pins it).
         missing = [c for c in payload_cols if c not in changes.columns]
-        extra = [
-            c for c in changes.columns
-            if c not in base.columns and c not in meta_cols
-        ]
-        if missing or extra:
+        if missing:
             raise ValueError(
-                "upsert_merge: changes schema does not match the snapshot"
-                f" (missing columns {missing}, unexpected columns {extra});"
-                " pass evolve_schema=True to accept additive drift"
+                "upsert_merge: changes batch is missing snapshot columns"
+                f" {missing}; pass evolve_schema=True to accept additive"
+                " drift (updates then keep base values for them)"
             )
         new_cols, base_only = [], set()
         out_payload = change_cols = payload_cols

@@ -186,25 +186,27 @@ def test_compact_race_converges_inline_with_retries(spark, tmp_path, monkeypatch
     assert got == {1: "a", 2: "b1", 3: "c2"}
 
 
-def test_upsert_merge_strict_mode_rejects_schema_drift_loudly(spark):
-    """With evolve_schema=False a narrower or wider batch must fail at
-    the API boundary with the actual drift named — not three operators
+def test_upsert_merge_strict_mode_rejects_missing_columns_loudly(spark):
+    """With evolve_schema=False a batch MISSING base columns must fail
+    at the API boundary with the drift named — not three operators
     deeper with an unresolved-column AnalysisException (found by the
-    r10 vacuum-interleaving property test)."""
+    r10 vacuum-interleaving property test). EXTRA columns stay silently
+    ignored: the pre-r9 pinned contract (feeds carry source metadata)."""
     from hfsa_spark.operators.cdc import upsert_merge
 
     base = spark.createDataFrame(
         [(1, "a", "x")], "k bigint, v string, w string"
     )
     narrow = spark.createDataFrame([(1, "b", "U", 1)], SCHEMA)
-    with pytest.raises(ValueError, match=r"missing columns \['w'\]"):
+    with pytest.raises(ValueError, match=r"missing snapshot columns \['w'\]"):
         upsert_merge(base, narrow, ["k"])
     wide = spark.createDataFrame(
-        [(1, "b", "y", "z", "U", 1)],
-        "k bigint, v string, w string, extra string, op string, ts int",
+        [(1, "b", "z", "U", 1)],
+        "k bigint, v string, extra string, op string, ts int",
     )
-    with pytest.raises(ValueError, match=r"unexpected columns \['extra'\]"):
-        upsert_merge(base.select("k", "v"), wide.select("k", "v", "extra", "op", "ts"), ["k"])
-    # evolve_schema=True accepts both directions (existing contract)
+    out = upsert_merge(base.select("k", "v"), wide, ["k"])
+    assert out.columns == ["k", "v"]  # extra ignored, schema unchanged
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: "b"}
+    # evolve_schema=True accepts the narrow direction (existing contract)
     out = upsert_merge(base, narrow, ["k"], evolve_schema=True)
     assert {r["k"]: (r["v"], r["w"]) for r in out.collect()} == {1: ("b", "x")}
