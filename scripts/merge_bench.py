@@ -1,0 +1,123 @@
+"""Min-merge N full bench passes into the committed round record.
+
+Usage: python scripts/merge_bench.py /tmp/bench_pass_*.json
+
+Per-query minima across passes (each pass is itself min-of-3 inside
+bench.py); families recomputed exactly like bench.py; canaries recorded
+as the best observed window (min cpu-canary seconds, max membw) —
+consistent with pairing per-query minima with the conditions that
+produced them; steal listed per pass. Writes BENCH_LOCAL.json and
+prints the gate numbers. (Was /tmp-only in r9; committed in r10 per
+the round-workflow note.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+STREAMING_LIFECYCLE = {
+    "q93_streaming_dedup", "q94_interval_join", "q164_streaming_index",
+    "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf",
+    "q212_streaming_cdc_bucketed", "q215_merge_on_read",
+}
+MAINTENANCE_LIFECYCLE = {
+    "q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit",
+    "q217_bucketed_evolve",
+}
+REF_MEMBW_GBPS = 2.98
+REF_CPU_SEC = 0.1373
+ALPHA_CPU = 0.41
+
+
+def main() -> None:
+    passes = [json.load(open(p)) for p in sys.argv[1:]]
+    assert passes, "pass files required"
+    queries: dict[str, float] = {}
+    for p in passes:
+        for k, v in p["queries"].items():
+            queries[k] = min(queries.get(k, v), v)
+    fams: dict[str, list[float]] = {
+        "batch": [], "streaming_lifecycle": [], "maintenance_lifecycle": [],
+        "reports": [],
+    }
+    for k, v in queries.items():
+        if k == "extract_210k":
+            continue
+        if k in STREAMING_LIFECYCLE:
+            fams["streaming_lifecycle"].append(v)
+        elif k in MAINTENANCE_LIFECYCLE:
+            fams["maintenance_lifecycle"].append(v)
+        elif k.startswith("report_"):
+            fams["reports"].append(v)
+        else:
+            fams["batch"].append(v)
+    families = {
+        f: {"n": len(vs), "total": round(sum(vs), 4),
+            "mean": round(sum(vs) / len(vs), 4)}
+        for f, vs in fams.items() if vs
+    }
+    total = round(sum(v for k, v in queries.items() if k != "extract_210k"), 4)
+    n = sum(1 for k in queries if k != "extract_210k")
+    cpu = min(p["canary_sha256_256mb_sec"] for p in passes)
+    membw = max(p["canary_membw_gbps"] for p in passes)
+    bm = families["batch"]["mean"]
+
+    anchors_raw = json.load(open("BASELINE_PERQ.json"))
+    v2 = anchors_raw.get("_format") == 2
+    anchors = anchors_raw["anchors"] if v2 else {
+        k: {"sec": s, "cpu_sec": None, "membw_gbps": None}
+        for k, s in anchors_raw.items()
+    }
+
+    def to_ref(sec, c, mw):
+        f = 1.0
+        if mw:
+            f *= mw / REF_MEMBW_GBPS
+        if c:
+            f *= (REF_CPU_SEC / c) ** ALPHA_CPU
+        return sec * f
+
+    regressions = {}
+    for k, v in queries.items():
+        if k not in anchors:
+            continue
+        a = anchors[k]
+        now_n = to_ref(v, cpu, membw)
+        anch_n = to_ref(a["sec"], a.get("cpu_sec"), a.get("membw_gbps"))
+        if now_n > 2.0 * anch_n + 0.4:
+            regressions[k] = {
+                "sec": round(v, 3), "sec_normalized": round(now_n, 3),
+                "anchor": a["sec"], "anchor_normalized": round(anch_n, 3),
+            }
+
+    result = {
+        "metric": "suite_wall",
+        "value": total,
+        "unit": "sec",
+        "canary_sha256_256mb_sec": cpu,
+        "canary_membw_gbps": membw,
+        "n_queries": n,
+        "mean_per_query": round(total / max(n, 1), 4),
+        "families": families,
+        "steal_pct": min(p["steal_pct"] for p in passes),
+        "steal_per_pass": [p["steal_pct"] for p in passes],
+        "n_passes": len(passes),
+        "queries": dict(sorted(queries.items())),
+        "sf": passes[0]["sf"],
+        "canary_ref_membw_gbps": REF_MEMBW_GBPS,
+        "canary_ref_cpu_sec": REF_CPU_SEC,
+        "canary_alpha_cpu": ALPHA_CPU,
+        "batch_mean_canary_normalized": round(bm * (membw / REF_MEMBW_GBPS), 4),
+        "batch_mean_canary2_normalized": round(
+            bm * (membw / REF_MEMBW_GBPS) * (REF_CPU_SEC / cpu) ** ALPHA_CPU, 4
+        ),
+        "perq_regressions": regressions,
+    }
+    with open("BENCH_LOCAL.json", "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps({k: v for k, v in result.items() if k != "queries"}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
