@@ -776,6 +776,13 @@ def _decompress_lzo_to_file_parallel(
     os.ftruncate(dst.fileno(), base + total)
     shifted = [(fo, cl, og, base + oo) for fo, cl, og, oo in specs]
     procs = min(os.cpu_count() or 4, 32, len(shifted))
+    # Import the decode module in the PARENT before forking: the driver is
+    # a threaded JVM-attached process, and a forked child that touches the
+    # import machinery can deadlock on the import lock another driver
+    # thread held at fork time. Pre-importing makes the workers' in-child
+    # `from hfsa_spark.extract.lzo import ...` a dict lookup, not an import.
+    import hfsa_spark.extract.lzo  # noqa: F401
+
     ctx = mp.get_context("fork")
     try:
         with ctx.Pool(
@@ -818,10 +825,15 @@ def _decompress_to_file(
                 written += len(chunk)
 
             lzop_decompress_file(f, sink)
-            if f.tell() - offset > length:
+            consumed = f.tell() - offset
+            if consumed != length:
+                # exact consumption, both directions: an over-run means the
+                # container escaped the section; an under-run means trailing
+                # section bytes the parser never looked at (same strict
+                # leftover contract as the other block codecs)
                 raise ValueError(
-                    f"corrupt lzop section: container ran {f.tell() - offset - length}"
-                    " bytes past the section boundary"
+                    f"corrupt lzop section: container consumed {consumed}"
+                    f" of {length} section bytes"
                 )
         return written
     is_lzo = "lzo" in lower

@@ -122,6 +122,13 @@ def _read_header(f: BinaryIO) -> int:
         )
     if flags & F_H_EXTRA_FIELD:
         (extra_len,) = struct.unpack(">I", _read_exact(f, 4, "extra field"))
+        if extra_len > _MAX_BLOCK:
+            # same sanity bound as block lengths: a corrupt/hostile header
+            # must not force a multi-GiB read before failing
+            raise ValueError(
+                f"corrupt lzop stream: extra field claims {extra_len} bytes"
+                f" (> {_MAX_BLOCK} maximum)"
+            )
         _read_exact(f, extra_len + 4, "extra field")  # data + its checksum
     return flags
 
@@ -185,11 +192,18 @@ def lzop_decompress_file(
 
 
 def lzop_decompress(data: bytes, *, verify_checksums: bool = True) -> bytes:
-    """Decode one in-memory lzop file to bytes."""
+    """Decode one in-memory lzop file to bytes. The buffer must contain
+    exactly one lzop member: bytes after the 0-length end marker (a second
+    concatenated member, or corruption) are rejected, matching the strict
+    leftover checks of the other block codecs."""
     out = bytearray()
-    lzop_decompress_file(
-        io.BytesIO(data), out.extend, verify_checksums=verify_checksums
-    )
+    buf = io.BytesIO(data)
+    lzop_decompress_file(buf, out.extend, verify_checksums=verify_checksums)
+    if buf.tell() != len(data):
+        raise ValueError(
+            f"corrupt lzop stream: {len(data) - buf.tell()} trailing bytes"
+            " after the end-of-stream marker"
+        )
     return bytes(out)
 
 

@@ -71,6 +71,7 @@ def _py_oracle_q134(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFra
     but zlib.compress is deterministic for a fixed (input, level, library
     build), so the expected table is computable exactly (VERDICT r9
     next-round #3 — the one query that had only a rows-only gate)."""
+    import math
     import zlib
 
     docs = con.sql(
@@ -81,7 +82,11 @@ def _py_oracle_q134(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFra
         raw = (t or "").encode("utf-8")
         n_bytes.append(len(raw))
         n_comp.append(len(zlib.compress(raw, 6)) if raw else 0)
-        ratio.append(n_comp[-1] * 1_000_000 // n_bytes[-1] if raw else None)
+        # mirror the query's arithmetic exactly (text.py ratio_micro:
+        # floor(double(n_comp) * 1e6 / double(n_bytes))): the double
+        # quotient can round up across an integer boundary, so exact
+        # integer // here could disagree by one (ADVICE r10)
+        ratio.append(math.floor(n_comp[-1] * 1e6 / n_bytes[-1]) if raw else None)
     return pd.DataFrame(
         {
             "doc_id": docs["doc_id"],

@@ -207,3 +207,23 @@ def test_fsimage_level_acceptance(tmp_path):
         )
 
     assert comparable(parse_fsimage(comp)) == comparable(parse_fsimage(plain))
+
+
+def test_section_exact_consumption(tmp_path):
+    """The fsimage lzop-section path requires EXACT consumption of the
+    section byte range (r11 guard): an under-run (trailing section bytes
+    the container never looked at) is as corrupt as an over-run."""
+    import tempfile
+
+    from hfsa_spark.extract.fsimage import _decompress_to_file
+
+    payload = lzop_compress(b"hello lzop section")
+    src = tmp_path / "sect.bin"
+    src.write_bytes(payload + b"JUNK")  # 4 unconsumed trailing bytes
+    with tempfile.TemporaryFile() as out:
+        # exact length: fine
+        n = _decompress_to_file(str(src), 0, len(payload), out, "LzopCodec")
+        assert n == len(b"hello lzop section")
+        # length overstated by the junk -> under-run -> reject
+        with pytest.raises(ValueError, match="consumed"):
+            _decompress_to_file(str(src), 0, len(payload) + 4, out, "LzopCodec")
