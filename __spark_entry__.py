@@ -2198,6 +2198,19 @@ def q134_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(d).orderBy("doc_id")
 
 
+def q134b_compression_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable twin of q134 (r10 VERDICT stretch 7): the SAME
+    compression_ratio operator path — mapInPandas batching, UTF-8
+    encoding, null handling — projected to the columns DuckDB can verify
+    (n_bytes = UTF-8 byte length via strlen). Gives the driver a full
+    rows+schema+hash gate over the non-zlib plumbing; the zlib columns
+    stay python-oracle-gated in CORRECTNESS_LOCAL (PYTHON_ORACLES)."""
+    from hfsa_spark.operators.text import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d).select("doc_id", "n_bytes").orderBy("doc_id")
+
+
 def q135_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction MaxSim retrieval: labels act as multi-chunk
     documents; rank output only (float similarity stays internal, like
@@ -4703,6 +4716,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_event_transitions": q132_event_transitions,
         "q133_leakage_safe_split": q133_leakage_safe_split,
         "q134_compression_ratio": q134_compression_ratio,
+        "q134b_compression_bytes": q134b_compression_bytes,
         "q135_maxsim": q135_maxsim,
         "q136_link_extraction": q136_link_extraction,
         "q137_link_pagerank": q137_link_pagerank,
@@ -7163,6 +7177,14 @@ def oracle_sql() -> dict[str, str]:
 
     # q135: per-(query, label-group) MAX cosine, rank ties (maxsim desc,
     # group asc); rank-only output like q28
+    # q134 itself has NO SQL oracle (DEFLATE is not DuckDB-expressible;
+    # python oracle in scripts/check_correctness.py). q134b is its
+    # driver-attestable projection: strlen = UTF-8 byte length.
+    o["q134b_compression_bytes"] = """
+        SELECT doc_id, COALESCE(strlen(text), 0)::BIGINT AS n_bytes
+        FROM documents ORDER BY doc_id
+    """
+
     o["q135_maxsim"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                    FROM embeddings WHERE vec_id IN (0, 1, 2)),

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+import bench_constants
 from hfsa_spark import get_spark
 
 
@@ -204,13 +205,8 @@ def main() -> None:
     # start→drain→stop cycle, ~10× a median batch query) and the 210k-inode
     # report suite would otherwise inflate the batch mean as more land.
     # Cross-round comparisons use families.batch.mean (rule in BASELINE.md).
-    STREAMING_LIFECYCLE = {"q93_streaming_dedup", "q94_interval_join", "q164_streaming_index", "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf", "q212_streaming_cdc_bucketed", "q215_merge_on_read"}
-    # maintenance-lifecycle gates run a full write-layout-then-serve cycle
-    # (bucketed table writes, IVF index build + compaction, dynamic-partition
-    # job commits) whose cost is dominated by fixed per-run commit IO, same
-    # shape as the streaming gates — compared per-query, never in a mean
-    # (reclassified r8; BASELINE.md "family rules").
-    MAINTENANCE_LIFECYCLE = {"q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit", "q217_bucketed_evolve"}
+    # family sets + classification live in bench_constants (single source
+    # of truth shared with scripts/merge_bench.py; r10 VERDICT stretch 8)
     fams: dict[str, list[float]] = {
         "batch": [], "streaming_lifecycle": [], "maintenance_lifecycle": [],
         "reports": [],
@@ -218,14 +214,7 @@ def main() -> None:
     for k, v in timings.items():
         if k == "extract_210k":
             continue
-        if k in STREAMING_LIFECYCLE:
-            fams["streaming_lifecycle"].append(v)
-        elif k in MAINTENANCE_LIFECYCLE:
-            fams["maintenance_lifecycle"].append(v)
-        elif k.startswith("report_"):
-            fams["reports"].append(v)
-        else:
-            fams["batch"].append(v)
+        fams[bench_constants.classify_family(k)].append(v)
     families = {
         fam: {"n": len(vs), "total": round(sum(vs), 4),
               "mean": round(sum(vs) / len(vs), 4)}
@@ -260,23 +249,13 @@ def main() -> None:
     # 2.98 GB/s, the conditions under which the current anchor margin
     # was established. Slower host → normalized < raw (credit), faster
     # host → normalized > raw (penalty): symmetric, can't be gamed by
-    # picking a noisy window.
-    REF_MEMBW_GBPS = 2.98
-    # Second axis (wired r10): the sha256 CPU canary. Round 9 proved it
-    # drifts independently of membw (1.28x slower single-thread while
-    # membw sat in-band, lifting every batch query ~6%); the r10
-    # pinned-tree bisect (PERFORMANCE.md "round-10 canary calibration")
-    # fitted the sensitivity ALPHA_CPU of batch time to the CPU-canary
-    # ratio with membw held at its own (linear) normalization. The
-    # reference pair is the r8 five-pass committed record — the
-    # conditions the anchor margin was established under.
-    REF_CPU_SEC = 0.1373
-    # least-squares over the two code-identical evidence points
-    # (r10 pinned-tree A/B: 1.156x at cpu-ratio 1.274; r8->r9 record
-    # pair: 1.058x at 1.275) — individual fits span 0.23-0.60, so the
-    # term is a documented CORRECTION, not the gate's primary defense
-    # (min-merge + steal gate remain that)
-    ALPHA_CPU = 0.41
+    # picking a noisy window. Constants + model provenance live in
+    # bench_constants.py (shared with scripts/merge_bench.py); the
+    # canary2 number's total credit is clamped at CANARY2_CREDIT_FLOOR
+    # until the alpha_cpu fit has more evidence points (r11).
+    REF_MEMBW_GBPS = bench_constants.REF_MEMBW_GBPS
+    REF_CPU_SEC = bench_constants.REF_CPU_SEC
+    ALPHA_CPU = bench_constants.ALPHA_CPU
     bm = families.get("batch", {}).get("mean")
     if bm is not None and membw:
         result["canary_ref_membw_gbps"] = REF_MEMBW_GBPS
@@ -286,9 +265,9 @@ def main() -> None:
     if bm is not None and membw and canary:
         result["canary_ref_cpu_sec"] = REF_CPU_SEC
         result["canary_alpha_cpu"] = ALPHA_CPU
+        result["canary2_credit_floor"] = bench_constants.CANARY2_CREDIT_FLOOR
         result["batch_mean_canary2_normalized"] = round(
-            bm * (membw / REF_MEMBW_GBPS)
-            * (REF_CPU_SEC / canary) ** ALPHA_CPU, 4
+            bm * bench_constants.canary2_factor(canary, membw), 4
         )
     # Per-query anchors: BASELINE_PERQ.json freezes each query's first
     # committed min-of-N time at its introduction round (BASELINE.md's r1
@@ -328,6 +307,7 @@ def main() -> None:
             return sec * f
 
         regressions = {}
+        regressions_raw = {}
         for k, v in timings.items():
             if k not in anchors:
                 continue
@@ -341,7 +321,15 @@ def main() -> None:
                     "anchor": a["sec"],
                     "anchor_normalized": round(anch_n, 3),
                 }
+            # ADVICE r10: the normalized flag line can mask a genuine
+            # regression whenever the canary model over-credits — emit the
+            # UN-normalized flags beside it so both views are on record
+            # (raw flags are expected nonzero on slow-host days; a query
+            # flagged in BOTH views is the strong regression signal).
+            if v > 2.0 * a["sec"] + 0.4:
+                regressions_raw[k] = {"sec": round(v, 3), "anchor": a["sec"]}
         result["perq_regressions"] = regressions
+        result["perq_regressions_raw"] = regressions_raw
         if "--update-anchors" in sys.argv:
             fresh = {
                 k: {

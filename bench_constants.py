@@ -1,0 +1,71 @@
+"""Single source of truth for the bench gate's canary-normalization
+constants and family classification (r10 VERDICT stretch 8: these lived
+in both bench.py and scripts/merge_bench.py, where a drifted copy would
+silently skew the gate).
+
+Provenance of each value is documented at its definition; the model
+itself is derived and evidenced in BASELINE.md ("canary normalization")
+and PERFORMANCE.md ("round-10 canary calibration").
+"""
+
+from __future__ import annotations
+
+# Reference memory-bandwidth canary (256 MiB numpy copy, GB/s): the r8
+# five-pass committed record's conditions, under which the current anchor
+# margin was established. The r7->r8 bisect proved code-identical trees
+# drift linearly with this axis.
+REF_MEMBW_GBPS = 2.98
+
+# Reference single-thread CPU canary (sha256 over 256 MiB, seconds): same
+# r8 record. Round 9 proved this axis drifts independently of membw.
+REF_CPU_SEC = 0.1373
+
+# Sensitivity of batch time to the CPU-canary ratio, fitted least-squares
+# over code-identical evidence points (scripts/data/bisect_r10.jsonl and
+# successors; see PERFORMANCE.md for the fit table). The individual fits
+# spread 0.23-0.60, so the CPU term is a documented CORRECTION, not the
+# gate's primary defense (min-merge depth + the steal gate remain that).
+ALPHA_CPU = 0.41
+
+# Bound on the total canary credit (r10 VERDICT "What's wrong" #2 and
+# ADVICE: on a slow-canary host the two-axis correction reached 0.67x on
+# the driver's noisy single pass — more correction than the two-point
+# alpha fit can responsibly support). The combined factor is clamped to
+# at most this much CREDIT; the penalty direction (factor > 1, fast host)
+# is never clamped — penalizing ourselves needs no evidence bar.
+CANARY2_CREDIT_FLOOR = 0.75
+
+# Family classification (BASELINE.md "family rules"): lifecycle gates run
+# real start->drain->stop / write-layout-then-serve cycles dominated by
+# fixed per-run commit IO and are compared per-query, never in a mean.
+STREAMING_LIFECYCLE = {
+    "q93_streaming_dedup", "q94_interval_join", "q164_streaming_index",
+    "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf",
+    "q212_streaming_cdc_bucketed", "q215_merge_on_read",
+}
+MAINTENANCE_LIFECYCLE = {
+    "q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit",
+    "q217_bucketed_evolve",
+}
+
+
+def canary2_factor(cpu_sec: float | None, membw_gbps: float | None) -> float:
+    """Combined two-axis normalization factor (multiply a measured time by
+    this to express it at reference-host conditions), credit-clamped at
+    CANARY2_CREDIT_FLOOR. Either canary may be None/0 = axis unavailable."""
+    f = 1.0
+    if membw_gbps:
+        f *= membw_gbps / REF_MEMBW_GBPS
+    if cpu_sec:
+        f *= (REF_CPU_SEC / cpu_sec) ** ALPHA_CPU
+    return max(f, CANARY2_CREDIT_FLOOR)
+
+
+def classify_family(name: str) -> str:
+    if name in STREAMING_LIFECYCLE:
+        return "streaming_lifecycle"
+    if name in MAINTENANCE_LIFECYCLE:
+        return "maintenance_lifecycle"
+    if name.startswith("report_"):
+        return "reports"
+    return "batch"

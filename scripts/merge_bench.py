@@ -14,20 +14,19 @@ the round-workflow note.)
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-STREAMING_LIFECYCLE = {
-    "q93_streaming_dedup", "q94_interval_join", "q164_streaming_index",
-    "q199_streaming_drift", "q205_streaming_cdc", "q210_streaming_ivf",
-    "q212_streaming_cdc_bucketed", "q215_merge_on_read",
-}
-MAINTENANCE_LIFECYCLE = {
-    "q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit",
-    "q217_bucketed_evolve",
-}
-REF_MEMBW_GBPS = 2.98
-REF_CPU_SEC = 0.1373
-ALPHA_CPU = 0.41
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench_constants
+from bench_constants import (
+    ALPHA_CPU,
+    REF_CPU_SEC,
+    REF_MEMBW_GBPS,
+    canary2_factor,
+    classify_family,
+)
 
 
 def main() -> None:
@@ -44,14 +43,7 @@ def main() -> None:
     for k, v in queries.items():
         if k == "extract_210k":
             continue
-        if k in STREAMING_LIFECYCLE:
-            fams["streaming_lifecycle"].append(v)
-        elif k in MAINTENANCE_LIFECYCLE:
-            fams["maintenance_lifecycle"].append(v)
-        elif k.startswith("report_"):
-            fams["reports"].append(v)
-        else:
-            fams["batch"].append(v)
+        fams[classify_family(k)].append(v)
     families = {
         f: {"n": len(vs), "total": round(sum(vs), 4),
             "mean": round(sum(vs) / len(vs), 4)}
@@ -79,6 +71,7 @@ def main() -> None:
         return sec * f
 
     regressions = {}
+    regressions_raw = {}
     for k, v in queries.items():
         if k not in anchors:
             continue
@@ -90,6 +83,10 @@ def main() -> None:
                 "sec": round(v, 3), "sec_normalized": round(now_n, 3),
                 "anchor": a["sec"], "anchor_normalized": round(anch_n, 3),
             }
+        # un-normalized view beside the normalized one (ADVICE r10): a
+        # query flagged in BOTH is the strong regression signal
+        if v > 2.0 * a["sec"] + 0.4:
+            regressions_raw[k] = {"sec": round(v, 3), "anchor": a["sec"]}
 
     result = {
         "metric": "suite_wall",
@@ -108,11 +105,13 @@ def main() -> None:
         "canary_ref_membw_gbps": REF_MEMBW_GBPS,
         "canary_ref_cpu_sec": REF_CPU_SEC,
         "canary_alpha_cpu": ALPHA_CPU,
+        "canary2_credit_floor": bench_constants.CANARY2_CREDIT_FLOOR,
         "batch_mean_canary_normalized": round(bm * (membw / REF_MEMBW_GBPS), 4),
         "batch_mean_canary2_normalized": round(
-            bm * (membw / REF_MEMBW_GBPS) * (REF_CPU_SEC / cpu) ** ALPHA_CPU, 4
+            bm * canary2_factor(cpu, membw), 4
         ),
         "perq_regressions": regressions,
+        "perq_regressions_raw": regressions_raw,
     }
     with open("BENCH_LOCAL.json", "w") as fh:
         json.dump(result, fh)
