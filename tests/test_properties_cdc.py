@@ -338,3 +338,124 @@ def test_vacuum_buckets_random_maintenance_interleavings(
                 r = {c: row.get(c) for c in want_cols}
                 expect[k] = r
             assert got == expect, f"version {v} diverged"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["U", "D", "I"]),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    raced=st.sets(st.integers(min_value=0, max_value=3)),
+    lookahead=st.integers(min_value=0, max_value=1),
+)
+def test_apply_retry_converges_under_random_head_movement(
+    spark, tmp_path_factory, batches, raced, lookahead
+):
+    """r10 VERDICT next-round #5: the bounded re-plan retry, promoted from
+    deterministic injected races (test_round10_ops.py) into the random
+    interleaving net. At any random subset of steps a racing second
+    scheduler lands this batch (and optionally the next) inside the
+    victim's read-plan window — between its head-read and its commit
+    guard, exactly where the optimistic check can fire. The victim runs
+    with retries=3 and must (a) never raise, (b) leave the committed
+    head bit-identical to the sequential python model after every step,
+    regardless of which steps were raced."""
+    import hfsa_spark.streaming.cdc as cdc
+
+    base = {k: f"base{k}" for k in range(4)}
+    snap = str(tmp_path_factory.mktemp("race") / "snap")
+    cdc.init_snapshot_bucketed(
+        spark.createDataFrame(
+            [(k, v) for k, v in sorted(base.items())], "k bigint, v string"
+        ),
+        snap,
+        ["k"],
+        n_buckets=4,
+    )
+    schema = "k bigint, v string, op string, ts int"
+
+    def bdf(i):
+        rows = [
+            (k, f"b{i}k{k}", op, j)
+            for j, (k, op) in enumerate(sorted(batches[i].items()))
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    # sequential model: each batch applied exactly once, in order;
+    # model[v] = key->value state at committed version v
+    state = dict(base)
+    model = {0: dict(base)}
+    for i, b in enumerate(batches):
+        for k, op in sorted(b.items()):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = f"b{i}k{k}"
+        model[i + 1] = dict(state)
+
+    real_merge = cdc.upsert_merge
+    ctl = {"arm": None, "busy": False}
+
+    def racing_merge(*a, **kw):
+        # the competitor commits batches [i .. i+lookahead] inside the
+        # victim's window; `busy` keeps the competitor's own merges on
+        # the real path (no re-entrant race-on-race)
+        if ctl["arm"] is not None and not ctl["busy"]:
+            i = ctl["arm"]
+            ctl["arm"] = None
+            ctl["busy"] = True
+            try:
+                for j in range(i, min(i + lookahead + 1, len(batches))):
+                    cdc.apply_change_batch_bucketed(bdf(j), snap, batch_id=j)
+            finally:
+                ctl["busy"] = False
+        return real_merge(*a, **kw)
+
+    cdc.upsert_merge = racing_merge
+    try:
+        for i in range(len(batches)):
+            if i in raced:
+                ctl["arm"] = i
+            cdc.apply_change_batch_bucketed(
+                bdf(i), snap, batch_id=i, retries=3
+            )
+            ctl["arm"] = None  # un-fired race (victim no-opped) disarms
+    finally:
+        cdc.upsert_merge = real_merge
+
+    got = {
+        r["k"]: r["v"]
+        for r in cdc.latest_snapshot_bucketed(spark, snap).collect()
+    }
+    assert got == state, f"diverged from sequential model (raced={raced})"
+    # Version-chain guarantee under a racing double-scheduler: the HEAD is
+    # always len(batches) and v0 survives, but a mid-chain manifest can be
+    # legitimately wiped — the victim's in-flight deterministic overwrite
+    # of v=N deletes the racer's just-committed v=N manifest (the exact
+    # case the `head >= ours` no-op covers; cdc.py commit docstring). Every
+    # manifest that DID survive must still answer point-in-time reads
+    # bit-identically to the sequential model.
+    committed = cdc._committed_versions(snap, marker=cdc.MANIFEST)
+    assert committed[0] == 0 and committed[-1] == len(batches)
+    assert set(committed) <= set(range(len(batches) + 1))
+    if not raced:  # un-raced runs keep the full chain
+        assert committed == list(range(len(batches) + 1))
+    for v in committed:
+        pit = {
+            r["k"]: r["v"]
+            for r in cdc.latest_snapshot_bucketed(
+                spark, snap, version=v
+            ).collect()
+        }
+        assert pit == model[v], f"version {v} diverged (raced={raced})"
