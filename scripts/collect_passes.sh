@@ -1,12 +1,18 @@
 #!/bin/bash
-# Opportunistic clean-window bench collector (VERDICT r10 item 1).
+# Opportunistic clean-window bench collector (VERDICT r10 item 1) +
+# alpha_cpu evidence collector (VERDICT r10 item 2).
 #
-# Runs full `python bench.py` passes back-to-back for the whole round,
-# gating each launch on a 20-second steal probe: a pass only starts when
-# instantaneous steal is below the protocol's 0.5% recording rule
-# (BASELINE.md:133). Output passes land in $OUTDIR/pass_NN.json; the
-# round-close min-merge (scripts/merge_bench.py) consumes them all and
-# each pass's own recorded steal_pct decides whether it qualifies.
+# Loop: probe instantaneous steal for 20 s; when it reads below the
+# protocol's 0.5% recording rule (BASELINE.md:133), run one full
+# `python bench.py` pass (snapshotting BENCH_RUN.json to
+# $OUTDIR/pass_NN.json) and then one pinned-r8-tree 22-query pass
+# (scripts/ab_canary_pass.sh appends to scripts/data/bisect_r11.jsonl)
+# — each clean window yields both a min-merge pool member and one
+# (cpu-canary, time) evidence point for the alpha_cpu fit. Each pass's
+# own recorded steal_pct decides whether it qualifies at merge time.
+#
+# Touch $OUTDIR/STOP to stop the loop after the current pass (avoids
+# pkill, which matches the caller's own compound command).
 #
 # Usage: collect_passes.sh [OUTDIR] [MAX_PASSES]
 set -u
@@ -16,7 +22,6 @@ mkdir -p "$OUTDIR"
 cd /root/repo
 
 steal_now() {
-    # 20s steal sample from /proc/stat field 8 (percent, 2 decimals)
     read -r _ u0 n0 s0 i0 w0 q0 sq0 st0 _ < /proc/stat
     sleep 20
     read -r _ u1 n1 s1 i1 w1 q1 sq1 st1 _ < /proc/stat
@@ -26,8 +31,15 @@ steal_now() {
     awk -v a="$((st1-st0))" -v b="$dt" 'BEGIN{printf "%.2f", 100*a/b}'
 }
 
-n=0
+# resume numbering after existing passes
+n=$(ls "$OUTDIR"/pass_*.json 2>/dev/null | wc -l)
 while [ "$n" -lt "$MAX" ]; do
+    [ -e "$OUTDIR/STOP" ] && { echo "STOP flag — exiting"; break; }
+    if pgrep -f "python bench.py" >/dev/null || pgrep -f "python3 bench.py" >/dev/null; then
+        echo "[$(date +%H:%M:%S)] a bench process is already running — waiting 120s"
+        sleep 120
+        continue
+    fi
     s=$(steal_now)
     ok=$(awk -v s="$s" 'BEGIN{print (s < 0.5) ? 1 : 0}')
     ts=$(date +%H:%M:%S)
@@ -37,10 +49,11 @@ while [ "$n" -lt "$MAX" ]; do
         echo "[$ts] steal=$s% < 0.5% -> launching pass $n -> $out"
         python bench.py > "$OUTDIR/pass_$(printf '%02d' "$n").log" 2>&1
         rc=$?
-        # bench.py (full run, no --record) writes the repo-root scratch
-        # file BENCH_RUN.json; snapshot it as this pass's record.
         [ "$rc" = "0" ] && cp BENCH_RUN.json "$out"
         echo "[$(date +%H:%M:%S)] pass $n done rc=$rc"
+        # alpha_cpu evidence point in (approximately) the same window
+        bash scripts/ab_canary_pass.sh >> "$OUTDIR/ab.log" 2>&1
+        echo "[$(date +%H:%M:%S)] ab pass appended (see $OUTDIR/ab.log)"
     else
         echo "[$ts] steal=$s% >= 0.5% -> waiting 120s"
         sleep 120
