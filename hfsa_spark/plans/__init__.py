@@ -74,16 +74,10 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 def partial_agg_before_exchange(df: DataFrame) -> bool:
     """Map-side combine check: a partial HashAggregate must appear below the
     first Exchange (bounds shuffle volume by distinct keys, not rows)."""
-    plan = explain_str(df, "formatted")
-    saw_partial = False
-    for line in plan.splitlines():
-        if "partial_" in line:
-            saw_partial = True
-        if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line:
-            # formatted mode lists operators bottom-up in the tree header;
-            # fall through — the textual check below is the decisive one
-            pass
-    return saw_partial
+    # formatted mode prints aggregate modes explicitly; the presence of a
+    # partial_ aggregate anywhere in the plan is the decisive signal (Spark
+    # only emits partial modes below their Final counterpart's Exchange)
+    return "partial_" in explain_str(df, "formatted")
 
 
 def num_exchanges(df: DataFrame) -> int:
