@@ -77,12 +77,17 @@ def main() -> None:
             continue
         cpu = min(g["cpu"])
         membw = max(g["membw"]) if g["membw"] else None
-        tr = geomean(ratios)
-        # remove the membw axis by its established linear rule
-        if membw:
-            tr *= membw / REF_MEMBW_GBPS
+        tr0 = geomean(ratios)
+        # remove the membw axis by its established linear rule (the
+        # model-consistent treatment; the r10 fit instead used the BANDED
+        # rule — no correction — whenever membw sat near reference, which
+        # is why its published point was alpha=0.60: report both)
+        tr = tr0 * (membw / REF_MEMBW_GBPS) if membw else tr0
         lc = math.log(cpu / REF_CPU_SEC)
         lt = math.log(tr)
+        alpha_banded = (
+            round(math.log(tr0) / lc, 3) if abs(lc) > 1e-9 else None
+        )
         points.append({
             "src": src, "window": window,
             "n_merged": len(g["cpu"]),
@@ -91,6 +96,7 @@ def main() -> None:
             "time_ratio_membw_norm": round(tr, 4),
             "cpu_ratio": round(cpu / REF_CPU_SEC, 4),
             "point_alpha": round(lt / lc, 3) if abs(lc) > 1e-9 else None,
+            "point_alpha_membw_banded": alpha_banded,
             "log_cpu": lc, "log_t": lt,
             "included": abs(lc) >= 0.05,
         })
