@@ -22,9 +22,16 @@ REF_CPU_SEC = 0.1373
 
 # Sensitivity of batch time to the CPU-canary ratio, fitted least-squares
 # over code-identical evidence points (scripts/data/bisect_r10.jsonl and
-# successors; see PERFORMANCE.md for the fit table). The individual fits
-# spread 0.23-0.60, so the CPU term is a documented CORRECTION, not the
-# gate's primary defense (min-merge depth + the steal gate remain that).
+# bisect_r11.jsonl via scripts/fit_alpha.py). The r11 refit (7 points: 5
+# pinned-tree windows + the r10 min-merge + the r8->r9 record pair) puts
+# the full-sample LS at 0.68-0.80 depending on the membw treatment, with
+# the low-steal (<0.5%) windows clustering at 0.54-0.82 and a total band
+# of [0.23, 1.17] — the estimate is steal-confounded and the two membw
+# treatments disagree, so the value is NOT revised upward: 0.41 sits
+# BELOW the refit, i.e. the gate under-credits (the conservative
+# direction everywhere it is used), and the CPU term stays a documented
+# CORRECTION, not the gate's primary defense (min-merge depth + the
+# steal gate remain that).
 ALPHA_CPU = 0.41
 
 # Bound on the total canary credit (r10 VERDICT "What's wrong" #2 and
