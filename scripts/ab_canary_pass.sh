@@ -14,6 +14,10 @@ set -u
 OUT="${1:-/root/repo/scripts/data/bisect_r11.jsonl}"
 SUBSET="q15_path_rollup q18_summary_by_user q216_pagerank_dangling q131_pagerank q137_link_pagerank q148_neardup_safe_split q154_nb_classifier q155_bm25 q160_blocklist_filter q161_bm25_indexed q163_neardup_keeper q176_setsim_join q181_incremental_neardup q184_containment_join q09_topk_per_group q30_embedding_stats q52_salted_agg q80_kmeans_refine q99_jpeg_progressive q101_dup_char_ratio q107_bpe_merges q109_embedding_moments"
 
+if [ ! -d /tmp/r8tree ]; then
+    # fresh container: recreate the pinned tree (the r8-recorded commit)
+    git -C /root/repo worktree add --detach /tmp/r8tree 9d8cb99 || exit 1
+fi
 cd /tmp/r8tree || exit 1
 l1=$(python3 bench.py $SUBSET 2>/dev/null | tail -1)
 l2=$(python3 bench.py $SUBSET 2>/dev/null | tail -1)
