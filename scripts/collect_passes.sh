@@ -36,6 +36,7 @@ n=$(ls "$OUTDIR"/pass_*.json 2>/dev/null | wc -l)
 while [ "$n" -lt "$MAX" ]; do
     [ -e "$OUTDIR/STOP" ] && { echo "STOP flag — exiting"; break; }
     if pgrep -f "python bench.py" >/dev/null || pgrep -f "python3 bench.py" >/dev/null; then
+        # (matches either spelling; the launch below always uses python3)
         echo "[$(date +%H:%M:%S)] a bench process is already running — waiting 120s"
         sleep 120
         continue
@@ -44,15 +45,23 @@ while [ "$n" -lt "$MAX" ]; do
     ok=$(awk -v s="$s" 'BEGIN{print (s < 0.5) ? 1 : 0}')
     ts=$(date +%H:%M:%S)
     if [ "$ok" = "1" ]; then
-        n=$((n+1))
-        out="$OUTDIR/pass_$(printf '%02d' "$n").json"
-        echo "[$ts] steal=$s% < 0.5% -> launching pass $n -> $out"
-        python bench.py > "$OUTDIR/pass_$(printf '%02d' "$n").log" 2>&1
+        # only claim a pass number once the bench exits 0 (ADVICE r11:
+        # a failing launch must not silently consume the MAX budget)
+        try=$((n+1))
+        echo "[$ts] steal=$s% < 0.5% -> launching pass attempt $try"
+        python3 bench.py > "$OUTDIR/pass_$(printf '%02d' "$try").log" 2>&1
         rc=$?
-        [ "$rc" = "0" ] && cp BENCH_RUN.json "$out"
-        echo "[$(date +%H:%M:%S)] pass $n done rc=$rc"
+        if [ "$rc" = "0" ] && [ -s BENCH_RUN.json ]; then
+            n=$try
+            cp BENCH_RUN.json "$OUTDIR/pass_$(printf '%02d' "$n").json"
+            echo "[$(date +%H:%M:%S)] pass $n done rc=0"
+        else
+            echo "[$(date +%H:%M:%S)] bench attempt failed rc=$rc — not counted; waiting 120s"
+            sleep 120
+            continue
+        fi
         # alpha_cpu evidence point in (approximately) the same window
-        bash scripts/ab_canary_pass.sh >> "$OUTDIR/ab.log" 2>&1
+        bash scripts/ab_canary_pass.sh "${AB_OUT:-/root/repo/scripts/data/bisect_r11.jsonl}" "${AB_ROUND:-11}" >> "$OUTDIR/ab.log" 2>&1
         echo "[$(date +%H:%M:%S)] ab pass appended (see $OUTDIR/ab.log)"
     else
         echo "[$ts] steal=$s% >= 0.5% -> waiting 120s"

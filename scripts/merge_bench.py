@@ -26,6 +26,8 @@ from bench_constants import (
     REF_MEMBW_GBPS,
     canary2_factor,
     classify_family,
+    perq_threshold,
+    to_ref_time,
 )
 
 
@@ -62,30 +64,24 @@ def main() -> None:
         for k, s in anchors_raw.items()
     }
 
-    def to_ref(sec, c, mw):
-        f = 1.0
-        if mw:
-            f *= mw / REF_MEMBW_GBPS
-        if c:
-            f *= (REF_CPU_SEC / c) ** ALPHA_CPU
-        return sec * f
-
+    # shared clamped normalizer + max(2x, +grace) flag line: both live in
+    # bench_constants since r12 (ADVICE r11 item 1 / VERDICT r11 #2)
     regressions = {}
     regressions_raw = {}
     for k, v in queries.items():
         if k not in anchors:
             continue
         a = anchors[k]
-        now_n = to_ref(v, cpu, membw)
-        anch_n = to_ref(a["sec"], a.get("cpu_sec"), a.get("membw_gbps"))
-        if now_n > 2.0 * anch_n + 0.4:
+        now_n = to_ref_time(v, cpu, membw)
+        anch_n = to_ref_time(a["sec"], a.get("cpu_sec"), a.get("membw_gbps"))
+        if now_n > perq_threshold(anch_n):
             regressions[k] = {
                 "sec": round(v, 3), "sec_normalized": round(now_n, 3),
                 "anchor": a["sec"], "anchor_normalized": round(anch_n, 3),
             }
         # un-normalized view beside the normalized one (ADVICE r10): a
         # query flagged in BOTH is the strong regression signal
-        if v > 2.0 * a["sec"] + 0.4:
+        if v > perq_threshold(a["sec"]):
             regressions_raw[k] = {"sec": round(v, 3), "anchor": a["sec"]}
 
     result = {
