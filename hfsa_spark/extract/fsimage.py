@@ -830,7 +830,15 @@ def _decompress_to_file(
                 # exact consumption, both directions: an over-run means the
                 # container escaped the section; an under-run means trailing
                 # section bytes the parser never looked at (same strict
-                # leftover contract as the other block codecs)
+                # leftover contract as the other block codecs).
+                # Compat risk (ADVICE r11): the reference loader wraps a
+                # bounded stream in the codec and never requires the codec
+                # to drain it (FsImageLoader.java:268) — a real
+                # hadoop-lzo-written image whose lzop section carried slack
+                # after the end marker would be rejected here. Kept strict
+                # deliberately; if a real-image lzop corpus ever becomes
+                # available, verify sections are byte-exact there before
+                # relaxing.
                 raise ValueError(
                     f"corrupt lzop section: container consumed {consumed}"
                     f" of {length} section bytes"
