@@ -1388,7 +1388,16 @@ def write_ivf_index(
         assigned = ivf_assign_arrow(
             corpus, cmat, cids, id_col=id_col, vec_col=vec_col, include_vec=True
         )
-    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    # one file per list instead of tasks x lists (and an explicitly sized
+    # shuffle: repartition(col) would fall back to the 32-partition
+    # default whose per-task write overhead dominates small corpora —
+    # see streaming/vectors.py::index_vector_batch, r12)
+    width = max(
+        1, min(len(cent_rows), max(16, corpus.rdd.getNumPartitions()))
+    )
+    assigned.repartition(width, F.col("list_id")).write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(cid, vec) for cid, vec, _ in cent_rows], "centroid_id bigint, vec array<double>"

@@ -590,13 +590,15 @@ def _apply_change_batch_bucketed_once(
 
     # the touched-bucket set: distinct buckets of the batch's VALID
     # change rows (ignored ops must not trigger rewrites) — ≤ n_buckets
-    # ints, the one intentionally tiny collect
+    # ints, the one intentionally tiny collect. collect_set instead of
+    # distinct().collect() (r12): the dedup happens inside the partial
+    # aggregate, so the job is map + one single-task reduce rather than
+    # a width-sized exchange — one less stage on every micro-batch.
     touched = sorted(
-        r["b"]
-        for r in _known_ops(batch, op_col)
-        .select(bexpr.alias("b"))
-        .distinct()
-        .collect()
+        _known_ops(batch, op_col)
+        .agg(F.collect_set(bexpr).alias("s"))
+        .collect()[0]["s"]
+        or []
     )
     new_version = int(batch_id) + 1
     new_era = dict(era)
