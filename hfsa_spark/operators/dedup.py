@@ -1169,19 +1169,37 @@ def line_dedup(
 # ------------------------------------------- prefix-filtered setsim join --
 
 
-def _ranked_shingles(
+def _shingle_sets(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
-) -> tuple[DataFrame, DataFrame]:
-    """Shared PPJoin front end: (toks, pos) where toks = exploded
-    distinct shingles per doc and pos adds the rarest-first rank
-    (document frequency asc, element asc) and per-doc set size.
+) -> DataFrame:
+    """Shared PPJoin front end, stage 0: one row per doc with its
+    DISTINCT shingle array and set size — (_sid, _set, _n). Computed
+    ONCE per join (the callers persist it): the shingle expression
+    (split/sequence/transform) is the dominant CPU of the whole family,
+    and the r12 profile showed the pre-r12 shape re-evaluating it up to
+    6× per query (toks, the pos window join, and twice in verify).
     parallelize_compute fans a single-row-group input out to the
     cluster before the shingle expression work (no-op on real scans)."""
     from hfsa_spark.plans import parallelize_compute
 
-    toks = parallelize_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_el"),
+    shingles = word_shingles(text_col, shingle_n)
+    return parallelize_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_sid"),
+        shingles.alias("_set"),
+        F.size(shingles).alias("_n"),
+    )
+
+
+def _ranked_shingles(sets: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PPJoin front end, stage 1: (toks, pos) derived from the
+    prebuilt :func:`_shingle_sets` output. toks = exploded distinct
+    shingles per doc (with the set size carried along — the _set array
+    is already distinct, so |rows per doc| = _n); pos adds the
+    rarest-first rank (document frequency asc, element asc)."""
+    toks = sets.select(
+        F.col("_sid").alias("_id"),
+        F.col("_n"),
+        F.explode("_set").alias("_el"),
     )
     freq = toks.groupBy("_el").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("_id").orderBy("_df", "_el")
@@ -1189,30 +1207,21 @@ def _ranked_shingles(
         "_id",
         "_el",
         F.row_number().over(w).alias("_pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+        "_n",
     )
     return toks, pos
 
 
 def _verify_pairs(
     cand: "DataFrame",
-    df: "DataFrame",
-    id_col: str,
-    text_col: str,
-    shingle_n: int,
+    sets: "DataFrame",
 ) -> "DataFrame":
     """Shared exact verification back end for the PPJoin family: join the
-    candidate pairs to the two PRE-BUILT shingle arrays and intersect in
-    one codegen'd array op — shuffles one array row per (pair, side)
-    instead of |S_a| narrow string rows per pair (the r5 explode-join
-    shape cost ~1.6x more at sf0.1). Returns
+    candidate pairs to the two PRE-BUILT (and caller-persisted) shingle
+    arrays and intersect in one codegen'd array op — shuffles one array
+    row per (pair, side) instead of |S_a| narrow string rows per pair
+    (the r5 explode-join shape cost ~1.6x more at sf0.1). Returns
     (id_a, id_b, n_a, n_b, inter)."""
-    from hfsa_spark.plans import parallelize_compute
-
-    sets = parallelize_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_sid"),
-        word_shingles(text_col, shingle_n).alias("_set"),
-    )
     return (
         cand.join(
             sets.select(
@@ -1243,12 +1252,17 @@ def _setsim_candidates(
     threshold_num: int,
     threshold_den: int,
     shingle_n: int,
+    sets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate stage of :func:`setsim_join` (exposed so the τ scale
     probe measures the REAL candidate volume, not a re-derivation):
     returns (toks, cand) with cand = distinct (id_a, id_b, n_a, n_b)
-    surviving the prefix filter and the integer size bound."""
-    toks, pos = _ranked_shingles(df, id_col, text_col, shingle_n)
+    surviving the prefix filter and the integer size bound. ``sets``
+    lets the caller pass a persisted :func:`_shingle_sets` output so the
+    shingle expression is evaluated once per query."""
+    if sets is None:
+        sets = _shingle_sets(df, id_col, text_col, shingle_n)
+    toks, pos = _ranked_shingles(sets)
     # prefix length = n - ceil(t*n) + 1, exact integer ceil
     ceil_tn = F.expr(
         f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
@@ -1280,6 +1294,7 @@ def setsim_join(
     threshold_num: int = 1,
     threshold_den: int = 2,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT-threshold set-similarity self-join with prefix filtering
     (the PPJoin/AllPairs family): find every document pair whose distinct
@@ -1301,11 +1316,27 @@ def setsim_join(
     prunes before verification; verification touches only candidate
     pairs × one side's elements. Everything is equi-joins and
     map-combinable counts; nothing driver-side.
+
+    r12: the per-doc shingle arrays are computed ONCE (:func:`_shingle_sets`)
+    and persisted for the query's four consumers (toks, the pos window
+    join, and both verify sides) — the pre-r12 plan re-evaluated the
+    shingle expression up to 6× (12 parquet scans at sf0.1). The small
+    verified pair table is persisted and materialized so the big shingle
+    cache can be released before returning (the bm25_topk pattern);
+    pass ``materialize=False`` to get the pure lazy plan (plan tests).
     """
+    sets = _shingle_sets(df, id_col, text_col, shingle_n)
+    if materialize:
+        sets = sets.persist()
     _, cand = _setsim_candidates(
-        df, id_col, text_col, threshold_num, threshold_den, shingle_n
+        df, id_col, text_col, threshold_num, threshold_den, shingle_n,
+        sets=sets,
     )
-    inter = _verify_pairs(cand, df, id_col, text_col, shingle_n)
+    inter = _verify_pairs(cand, sets)
+    if materialize:
+        inter = inter.persist()
+        inter.count()
+        sets.unpersist()
     return inter.filter(
         threshold_den * F.col("inter")
         >= threshold_num * (F.col("n_a") + F.col("n_b") - F.col("inter"))
@@ -1462,21 +1493,27 @@ def _containment_candidates(
     threshold_num: int,
     threshold_den: int,
     shingle_n: int,
+    sets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate stage of :func:`containment_join` (exposed for the τ
     scale probe): returns (toks, cand) with cand = distinct directed
     (id_a, id_b, n_a, n_b) surviving the contained-side prefix filter
-    and the den·|B| ≥ num·|A| size bound."""
-    toks, pos = _ranked_shingles(df, id_col, text_col, shingle_n)
+    and the den·|B| ≥ num·|A| size bound. ``sets`` as in
+    :func:`_setsim_candidates`."""
+    if sets is None:
+        sets = _shingle_sets(df, id_col, text_col, shingle_n)
+    toks, pos = _ranked_shingles(sets)
     ceil_tn = F.expr(
         f"({threshold_num} * _n + {threshold_den} - 1) div {threshold_den}"
     )
     prefix = pos.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
         F.col("_id").alias("id_a"), "_el", F.col("_n").alias("n_a")
     )
-    sizes = pos.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
-    ).distinct()
+    # one row per doc already — was pos.select(id, _n).distinct() before
+    # the sets refactor (a window + distinct for a value sets carries)
+    sizes = sets.select(
+        F.col("_sid").alias("id_b"), F.col("_n").alias("n_b")
+    )
     full_b = toks.select(F.col("_id").alias("id_b"), "_el")
     cand = (
         prefix.join(full_b, "_el")
@@ -1496,6 +1533,7 @@ def containment_join(
     threshold_num: int = 3,
     threshold_den: int = 4,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """DIRECTED set-containment self-join: find (a, b) pairs where at
     least num/den of doc a's distinct word-``shingle_n``-gram set also
@@ -1516,11 +1554,23 @@ def containment_join(
     length; rarest-first ordering keeps those lists the short tail of
     the element-frequency distribution, and verification touches only
     candidates × the contained side's elements.
+
+    r12: shingle arrays computed once and persisted per query; verified
+    pairs materialized so the cache is released before returning (see
+    :func:`setsim_join`).
     """
+    sets = _shingle_sets(df, id_col, text_col, shingle_n)
+    if materialize:
+        sets = sets.persist()
     _, cand = _containment_candidates(
-        df, id_col, text_col, threshold_num, threshold_den, shingle_n
+        df, id_col, text_col, threshold_num, threshold_den, shingle_n,
+        sets=sets,
     )
-    inter = _verify_pairs(cand, df, id_col, text_col, shingle_n)
+    inter = _verify_pairs(cand, sets)
+    if materialize:
+        inter = inter.persist()
+        inter.count()
+        sets.unpersist()
     return inter.filter(
         threshold_den * F.col("inter") >= threshold_num * F.col("n_a")
     ).select(
@@ -1540,6 +1590,7 @@ def interdoc_shingle_repetition(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Inter-document n-gram repetition: for each document, the fraction
     of its DISTINCT word ``shingle_n``-grams that also occur in at least
@@ -1557,6 +1608,12 @@ def interdoc_shingle_repetition(
     count is a map-combinable groupBy on the shingle hash (8-byte key,
     never the shingle string); the join back to docs is on the same
     hash — two shuffles total, both on bounded-width keys.
+
+    r12: the hashed shingle stream ``sh`` is computed once and persisted
+    for its two consumers (the per-shingle doc counts and the join back)
+    — the pre-r12 plan ran the explode+hash twice. The per-doc result is
+    materialized so the stream cache is released before returning;
+    ``materialize=False`` gives the pure lazy plan (plan tests).
     """
     from hfsa_spark.plans import parallelize_compute
 
@@ -1564,6 +1621,8 @@ def interdoc_shingle_repetition(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
     ).select("_id", portable_hash64(F.col("_sh")).alias("_h"))
+    if materialize:
+        sh = sh.persist()
     counts = sh.groupBy("_h").agg(
         F.count_distinct("_id").cast("long").alias("_ndocs")
     )
@@ -1577,7 +1636,7 @@ def interdoc_shingle_repetition(
             .alias("n_shared"),
         )
     )
-    return per_doc.select(
+    out = per_doc.select(
         F.col("_id").alias(id_col),
         "n_shingles",
         "n_shared",
@@ -1585,6 +1644,11 @@ def interdoc_shingle_repetition(
         .cast("long")
         .alias("shared_micro"),
     )
+    if materialize:
+        out = out.persist()
+        out.count()
+        sh.unpersist()
+    return out
 
 
 def nfc_dedup_groups(

@@ -1006,9 +1006,14 @@ def nb_train_classify(
     for honest eval).
 
     Scale: the model is ≤ n_buckets × |classes| rows built from one
-    map-combinable count (broadcast back); scoring explodes the token
-    stream by |classes| once, then one groupBy(doc, class) and a tiny
-    per-doc argmax window. Nothing shuffles proportional to text bytes.
+    map-combinable count (broadcast back); scoring joins the
+    PRE-AGGREGATED per-(doc, bucket) counts (one tokenize pass, persisted
+    for its three consumers — r12: the token stream was previously
+    re-tokenized and re-hashed for counts, grid, and scoring, and the
+    scoring join shipped one row per TOKEN × class instead of per
+    distinct (doc, bucket) × class) against the model, then one
+    groupBy(doc, class) over Σ n·ll and a tiny per-doc argmax window.
+    Nothing shuffles proportional to text bytes.
     """
     from hfsa_spark.functions.hashing import portable_hash64
     from hfsa_spark.plans import parallelize_compute
@@ -1023,6 +1028,12 @@ def nb_train_classify(
         label_col,
         (portable_hash64(F.col("__tok"), seed) % n_buckets).alias("b"),
     )
+    # one tokenize+hash pass: per-(doc, bucket) token counts feed the
+    # class counts, the observed-bucket grid, AND the scoring join —
+    # sum over tokens of ll == n · ll exactly (integer micro-nat units)
+    tfb = toks.groupBy(id_col, label_col, "b").agg(
+        F.count(F.lit(1)).alias("tn")
+    ).persist()
 
     classes = df.groupBy(F.col(label_col).alias("c")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1034,13 +1045,13 @@ def nb_train_classify(
         .cast("long")
         .alias("prior_micro"),
     )
-    counts = toks.groupBy(F.col(label_col).alias("c"), "b").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = tfb.groupBy(F.col(label_col).alias("c"), "b").agg(
+        F.sum("tn").alias("n")
     )
     tokens_per_class = counts.groupBy("c").agg(F.sum("n").alias("tc"))
     # every observed bucket × every class — unseen (b, c) pairs still
     # carry the smoothed ln(1/(tc+V)) mass, so the grid must be dense
-    grid = toks.select("b").distinct().crossJoin(classes.select("c"))
+    grid = tfb.select("b").distinct().crossJoin(classes.select("c"))
     v = float(n_buckets)
     model = (
         grid.join(counts, ["c", "b"], "left")
@@ -1060,9 +1071,9 @@ def nb_train_classify(
         )
     )
     scores = (
-        toks.join(F.broadcast(model), "b")
+        tfb.join(F.broadcast(model), "b")
         .groupBy(F.col(id_col), F.col("c"))
-        .agg(F.sum("ll_micro").alias("s"))
+        .agg(F.sum(F.col("tn") * F.col("ll_micro")).alias("s"))
         .join(F.broadcast(priors), "c")
         .select(id_col, "c", (F.col("s") + F.col("prior_micro")).alias("score"))
     )
@@ -1072,7 +1083,7 @@ def nb_train_classify(
         .filter(F.col("rn") == 1)
         .select(id_col, F.col("c").alias("predicted"))
     )
-    return (
+    out = (
         df.select(id_col, F.col(label_col).alias("label"))
         .join(pred, id_col, "left")
         .select(
@@ -1084,6 +1095,13 @@ def nb_train_classify(
             ),
         )
     )
+    # out is one row per doc: persist + materialize it so the (bigger)
+    # per-(doc, bucket) cache can be released before returning (the
+    # bm25_topk pattern; lineage kept for fault recompute)
+    out = out.persist()
+    out.count()
+    tfb.unpersist()
+    return out
 
 
 def bm25_topk(
@@ -1124,7 +1142,11 @@ def bm25_topk(
     # the (distinct-postings-sized) tf table, which is persisted for its
     # three readers — the raw token stream is scanned exactly once
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # dl has two consumers (the avgdl reduction here and the per-doc norm
+    # join below) — persisted so the groupBy over the postings runs once
+    # (r12: the unpersisted dl was the single most expensive subtree,
+    # recomputed for the scores materialization)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
     n_docs = df.count()
     total_tokens = dl.agg(F.sum("dl")).collect()[0][0] or 0
     avgdl = float(total_tokens) / float(n_docs)
@@ -1160,6 +1182,7 @@ def bm25_topk(
     scores = scores.persist()
     scores.count()
     tf.unpersist()
+    dl.unpersist()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     )

@@ -237,9 +237,15 @@ def test_exact_join_family_plans(spark):
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    setsim = setsim_join(docs, threshold_num=4, threshold_den=5)
-    contain = containment_join(docs, threshold_num=9, threshold_den=10)
-    rep = interdoc_shingle_repetition(docs, shingle_n=5)
+    # materialize=False: the r12 operators cache-and-materialize their
+    # small verified output eagerly (releasing the shingle-set cache);
+    # the lazy form exposes the full candidate+verify plan these
+    # assertions pin
+    setsim = setsim_join(docs, threshold_num=4, threshold_den=5,
+                         materialize=False)
+    contain = containment_join(docs, threshold_num=9, threshold_den=10,
+                               materialize=False)
+    rep = interdoc_shingle_repetition(docs, shingle_n=5, materialize=False)
 
     for q in (setsim, contain, rep):
         plan = explain_str(q, "extended")
