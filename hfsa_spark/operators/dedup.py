@@ -332,6 +332,12 @@ def hamming_neardup_pairs(
             for b in range(bands)
         ]
     )
+    # r12: sigs feeds the banding explode AND both verify sides — for
+    # upstream signature kernels this is the dominant cost (q124's image
+    # pHash would decode every image three times), so the narrow
+    # (id, signature) table is persisted and the small pair table
+    # materialized before the cache is released
+    sigs = sigs.select(F.col(id_col), F.col(sig_col)).persist()
     banded = sigs.select(F.col(id_col), F.explode(chunks).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -339,13 +345,17 @@ def hamming_neardup_pairs(
 
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("_sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("_sig_b"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("hamming", hamming_distance("_sig_a", "_sig_b"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
 
 
 # ------------------------------------------------- duplicate components --
@@ -780,10 +790,18 @@ def bloom_dedup(
     if bloom is None:
         bloom = bloom_build(index_keys, "__digest", num_bits, num_hashes)
 
-    hashed = new_df.withColumn("__digest", F.md5(normalize_text(text_col)))
-    tagged = hashed.crossJoin(F.broadcast(bloom.to_row_df(spark))).withColumn(
+    # r12: work on a payload-free (id, digest) projection — the tagged
+    # stream has two consumers (definite-new and maybe branches) and the
+    # fresh union two more (keeper min + semi join), so the pre-r12 shape
+    # re-ran normalize+md5 over the full payload up to four times;
+    # persisting the narrow digests runs it once, and the payload is
+    # re-attached by ONE final semi join on the id
+    dig = new_df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("__digest")
+    )
+    tagged = dig.crossJoin(F.broadcast(bloom.to_row_df(spark))).withColumn(
         "__maybe", bloom_might_contain(bloom, "__digest")
-    ).drop("__bloom")
+    ).drop("__bloom").persist()
     definite_new = tagged.filter(~F.col("__maybe")).drop("__maybe")
     verified_new = (
         tagged.filter(F.col("__maybe"))
@@ -792,7 +810,11 @@ def bloom_dedup(
     )
     fresh = definite_new.unionByName(verified_new)
     keep = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return fresh.join(keep, id_col, "left_semi").drop("__digest")
+    out_ids = fresh.join(keep, id_col, "left_semi").select(id_col)
+    out_ids = out_ids.persist()
+    out_ids.count()
+    tagged.unpersist()
+    return new_df.join(out_ids, id_col, "left_semi")
 
 
 def canonical_keeper(
@@ -1379,12 +1401,17 @@ def incremental_neardup(
     is one map-combinable min per bucket, not a pairwise explosion, so a
     degenerate boilerplate bucket costs O(bucket), not O(bucket²).
     """
+    # r12: nb (MinHash signatures → band keys, the dominant CPU) has
+    # three consumers (index semi-join, batch-survivor anti-join, and
+    # the bucket-min join) — persisted so signatures compute once; the
+    # doc-level verdict table is materialized below so the cache is
+    # released before returning
     nb = band_keys(
         minhash_signature(new_df, id_col, text_col, num_hashes),
         id_col,
         num_hashes,
         bands,
-    )
+    ).persist()
     hit = (
         nb.join(index_df.select("band", "key"), ["band", "key"], "left_semi")
         .select(id_col)
@@ -1400,14 +1427,21 @@ def incremental_neardup(
         .distinct()
         .withColumn("_bd", F.lit(True))
     )
-    return (
-        new_df.join(hit, id_col, "left")
+    # flags are id-level (no payload columns) — materialize THEM, release
+    # the signature cache, and re-attach the batch's payload lazily
+    flags = (
+        new_df.select(id_col)
+        .join(hit, id_col, "left")
         .join(bdup, id_col, "left")
         .withColumn("index_dup", F.coalesce(F.col("_ix"), F.lit(False)))
         .withColumn("batch_dup", F.coalesce(F.col("_bd"), F.lit(False)))
         .withColumn("keep", ~F.col("index_dup") & ~F.col("batch_dup"))
         .drop("_ix", "_bd")
     )
+    flags = flags.persist()
+    flags.count()
+    nb.unpersist()
+    return new_df.join(flags, id_col)
 
 
 def domain_boilerplate_strip(

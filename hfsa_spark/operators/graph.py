@@ -53,7 +53,13 @@ def triangle_count(
     a single reducer; the count reported is then exact over the remaining
     graph — n_nodes/n_edges reflect the exclusion so the caller can see
     how much was dropped."""
-    e = canonical_edges(edges, src, dst)
+    # r12: e feeds six subtrees (three join copies, both node-set sides,
+    # and the edge count) — persisted so the upstream edge derivation
+    # (often a join/distinct) runs once; released after the one-row
+    # summary is materialized
+    cached = []
+    e = canonical_edges(edges, src, dst).persist()
+    cached.append(e)
     if max_degree is not None:
         ends = e.select(F.col("src").alias("n")).unionAll(
             e.select(F.col("dst").alias("n"))
@@ -68,7 +74,8 @@ def triangle_count(
             e.join(hubs.withColumnRenamed("n", "src"), "src", "left_anti")
             .join(hubs.withColumnRenamed("n", "dst"), "dst", "left_anti")
             .select("src", "dst")
-        )
+        ).persist()
+        cached.append(e)
     e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -76,12 +83,17 @@ def triangle_count(
     nodes = e.select(F.col("src").alias("n")).unionAll(
         e.select(F.col("dst").alias("n"))
     ).distinct()
-    return (
+    out = (
         e.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
         .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+    out = out.persist()
+    out.count()
+    for c in cached:
+        c.unpersist()
+    return out
 
 
 def degree_distribution(
@@ -90,14 +102,21 @@ def degree_distribution(
     """(degree, n_nodes): how many nodes have each degree — the first
     thing to inspect on a dedup pair graph (a heavy tail means hub
     documents / boilerplate clusters)."""
-    e = canonical_edges(edges, src, dst)
+    # r12: e feeds both endpoint projections — persisted so the upstream
+    # edge derivation runs once; released after the small histogram
+    # materializes
+    e = canonical_edges(edges, src, dst).persist()
     ends = e.select(F.col("src").alias("n")).unionAll(e.select(F.col("dst").alias("n")))
     deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
-    return (
+    out = (
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
     )
+    out = out.persist()
+    out.count()
+    e.unpersist()
+    return out
 
 
 def pagerank(

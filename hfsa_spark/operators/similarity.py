@@ -1871,7 +1871,11 @@ def semantic_dedup(
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(vec_col).alias("n")
     )
-    both = assigned.join(vecs, "id")
+    # r12: both is consumed three times (the two self-join sides and the
+    # final keep projection) — persisted, the assignment argmax and the
+    # norm computation run once instead of thrice; released after the
+    # verdict table is materialized
+    both = assigned.join(vecs, "id").persist()
     a = both.select(
         F.col("id").alias("id_a"), F.col("cluster"),
         F.col("v").alias("va"), F.col("n").alias("na"),
@@ -1888,14 +1892,19 @@ def semantic_dedup(
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
-    return (
-        assigned.join(drops, "id", "left")
+    out = (
+        both.select("id", "cluster")
+        .join(drops, "id", "left")
         .select(
             "id",
             "cluster",
             (~F.coalesce(F.col("__drop"), F.lit(False))).alias("keep"),
         )
     )
+    out = out.persist()
+    out.count()
+    both.unpersist()
+    return out
 
 
 def maxsim_topk(
@@ -2035,9 +2044,12 @@ def matryoshka_overlap(
     plus a join of two ≤k·|queries|-row rank lists — evaluating D
     truncations costs D corpus scans and nothing else.
     """
+    # r12: the full-dimension ranking is joined against EVERY truncation
+    # — persisted (k·|queries| rows) so its corpus pass runs once, not
+    # once per dim; released after the audit table is materialized
     full = cosine_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()
     qids = queries.select(F.col(id_col).alias("query_id")).distinct()
     per_dim = []
     for d in dims:
@@ -2067,4 +2079,7 @@ def matryoshka_overlap(
     out = per_dim[0]
     for p in per_dim[1:]:
         out = out.unionByName(p)
+    out = out.persist()
+    out.count()
+    full.unpersist()
     return out

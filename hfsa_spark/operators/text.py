@@ -442,10 +442,15 @@ def unigram_logprob_score(
     """
     from hfsa_spark.plans import parallelize_compute
 
+    # r12: tok has three consumers (corpus counts, which total and logp
+    # each re-derived, plus the scoring join) — unpersisted, the corpus
+    # was tokenized four times per call; persisted, exactly once. The
+    # doc-level output is materialized so both caches release before
+    # returning (bm25_topk pattern).
     tok = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    )
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    ).persist()
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = counts.agg(F.sum("cnt").cast("double").alias("__n"))
     logp = counts.crossJoin(F.broadcast(total)).select(
         "term",
@@ -453,7 +458,7 @@ def unigram_logprob_score(
         .cast("long")
         .alias("logp_micro"),
     )
-    return (
+    out = (
         tok.join(logp, "term")
         .groupBy(id_col)
         .agg(
@@ -461,6 +466,11 @@ def unigram_logprob_score(
             F.sum("logp_micro").alias("sum_logp_micro"),
         )
     )
+    out = out.persist()
+    out.count()
+    tok.unpersist()
+    counts.unpersist()
+    return out
 
 
 def perplexity_buckets(
@@ -514,6 +524,11 @@ def perplexity_buckets(
             F.coalesce(mean, F.lit(sentinel)).alias("_rk"),
         )
     )
+    # one row per doc, TWO consumers (the score histogram and the ranked
+    # join) — persisted so the unigram scoring pipeline above it runs
+    # once per query instead of twice (r12; released by the caller-side
+    # materialization below)
+    sc = sc.persist()
     hist = sc.groupBy(lang_col, "_rk").agg(F.count(F.lit(1)).alias("_cnt"))
     wl = Window.partitionBy(lang_col).orderBy(F.desc("_rk"))
     offsets = hist.select(
@@ -557,6 +572,11 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+    # same cardinality as sc (one row per doc): materialize the final
+    # ranking, then release the intermediate cache
+    ranked = ranked.persist()
+    ranked.count()
+    sc.unpersist()
     return ranked
 
 
@@ -1804,13 +1824,17 @@ def bigram_pmi(
     from hfsa_spark.plans import parallelize_compute
 
     base = parallelize_compute(df.select(text_col))
+    # r12: uni has three consumers (the N_uni total and both unigram
+    # joins) and bg two (the N_bi total and the survivor filter) — both
+    # vocabulary-sized count tables are persisted so each corpus explode
+    # runs once instead of 3×/2×; released after the top-k materializes
     uni = base.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cw")
-    )
+    ).persist()
     n_uni = uni.agg(F.sum("cw").cast("double").alias("__nu"))
     bg = base.select(F.explode(bigram_array(text_col)).alias("bg")).groupBy(
         "bg"
-    ).agg(F.count(F.lit(1)).alias("cbg"))
+    ).agg(F.count(F.lit(1)).alias("cbg")).persist()
     n_bi = bg.agg(F.sum("cbg").cast("double").alias("__nb"))
     survivors = bg.filter(F.col("cbg") >= min_count)
     w1 = F.substring_index(F.col("bg"), " ", 1)
@@ -1832,11 +1856,16 @@ def bigram_pmi(
         )
         * 1e6
     ).cast("long")
-    return (
+    out = (
         joined.select("bg", "cbg", pmi.alias("pmi_micro"))
         .orderBy(F.desc("cbg"), F.asc("bg"))
         .limit(k)
     )
+    out = out.persist()
+    out.count()
+    uni.unpersist()
+    bg.unpersist()
+    return out
 
 
 def chat_turn_stats(
@@ -1998,6 +2027,7 @@ def lm_cross_entropy(
     eval_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Directional held-out scoring: per-eval-doc cross-entropy under the
     TRAIN corpus's add-one-smoothed unigram LM — the KenLM-style data
@@ -2018,12 +2048,25 @@ def lm_cross_entropy(
     keep the smoothed floor) — frequent-term skew is AQE's skew-join
     case; nothing driver-side.
     """
-    scored = _lm_token_logprobs(train_df, eval_df, id_col, text_col)
-    return scored.groupBy(id_col).agg(
+    scored, counts = _lm_token_logprobs(
+        train_df, eval_df, id_col, text_col, persist_counts=materialize
+    )
+    out = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("_oov"), 1).otherwise(0)).cast("long").alias("n_oov"),
         F.sum("_lp").alias("sum_logp_micro"),
     )
+    if materialize:
+        # one row per eval doc: materialize so the train-model count
+        # cache can be released before returning (bm25_topk pattern).
+        # materialize=False keeps the pre-r12 fully lazy plan — right
+        # when the caller composes several small-train LMs into one DAG
+        # (q178 doremi: the eager barriers cost more than the tiny
+        # train corpus's repeated tokenize saves).
+        out = out.persist()
+        out.count()
+        counts.unpersist()
+    return out
 
 
 def _lm_token_logprobs(
@@ -2031,18 +2074,28 @@ def _lm_token_logprobs(
     eval_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_counts: bool = True,
 ) -> DataFrame:
     """Shared scoring core of :func:`lm_cross_entropy` /
     :func:`min_k_prob`: one row per eval-token occurrence with the
     add-one-smoothed train-LM log-prob in exact micro-nats.
-    Columns: (id_col, _oov, _lp). Per-term micro-nat logs are rounded
-    ONCE (one transcendental per distinct term), so downstream integer
-    sums replay bit-for-bit in any engine."""
+    Returns (scored, counts) where scored has columns (id_col, _oov,
+    _lp) and counts is the PERSISTED vocab-sized train count table the
+    caller must unpersist once its own output is materialized. Per-term
+    micro-nat logs are rounded ONCE (one transcendental per distinct
+    term), so downstream integer sums replay bit-for-bit in any engine.
+
+    r12: counts is persisted for its three consumers (the (N, V) stats
+    reduction, the model projection, and — through stats — the OOV
+    floor); unpersisted, the train corpus was tokenized three times per
+    call (q178 ran six train tokenizes for its two LMs)."""
     counts = (
         train_df.select(F.explode(tokens(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if persist_counts:
+        counts = counts.persist()
     stats = counts.agg(
         F.sum("cnt").cast("double").alias("_n"),
         F.count(F.lit(1)).cast("double").alias("_v"),
@@ -2057,7 +2110,7 @@ def _lm_token_logprobs(
         .alias("logp_micro"),
     )
     ev = eval_df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    return (
+    scored = (
         ev.join(model, "term", "left")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -2071,6 +2124,7 @@ def _lm_token_logprobs(
             ).alias("_lp"),
         )
     )
+    return scored, counts
 
 
 def min_k_prob(
@@ -2099,7 +2153,7 @@ def min_k_prob(
     lm_cross_entropy plan (map-combinable counts, broadcast stats,
     skew-tolerant term join).
     """
-    scored = _lm_token_logprobs(train_df, eval_df, id_col, text_col)
+    scored, counts = _lm_token_logprobs(train_df, eval_df, id_col, text_col)
     hist = scored.groupBy(id_col, "_lp").agg(F.count(F.lit(1)).alias("_c"))
     w = (
         Window.partitionBy(id_col)
@@ -2120,11 +2174,17 @@ def min_k_prob(
         F.lit(0).cast("long"),
         F.least(F.col("_c"), F.col("_m") - (F.col("_cum") - F.col("_c"))),
     )
-    return cum.groupBy(id_col).agg(
+    out = cum.groupBy(id_col).agg(
         F.max("_n").cast("long").alias("n_tokens"),
         F.max("_m").cast("long").alias("m"),
         F.sum(take * F.col("_lp")).cast("long").alias("sum_mink_micro"),
     )
+    # one row per eval doc: materialize, then release the train-model
+    # count cache (see _lm_token_logprobs)
+    out = out.persist()
+    out.count()
+    counts.unpersist()
+    return out
 
 
 def mojibake_audit(

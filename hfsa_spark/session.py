@@ -29,6 +29,17 @@ def get_spark(app_name: str = "hfsa_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) the stages that read a
+        # persisted DataFrame: the engine's iterative/multi-consumer
+        # operators (pagerank invariants, PPJoin shingle sets, bm25
+        # postings, NB token counts) persist intermediates, and with this
+        # off (Spark's default) every stage over a cached table is pinned
+        # at spark.sql.shuffle.partitions regardless of size — near-empty
+        # tasks at gate scale, under-sized partitions at 100 TB. With it
+        # on, partition counts over cached data derive from runtime byte
+        # sizes exactly like every other AQE stage (r12 A/B: 0.80x over
+        # the cached-operator subset, no query slower).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

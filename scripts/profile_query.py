@@ -111,9 +111,13 @@ def parse_event_log(marker: str) -> None:
     # print only jobs whose description contains the marker
     sel = [(jid, j) for jid, j in sorted(jobs.items()) if marker in j.get("desc", "")]
     total = 0.0
+    prev_end = None
     for jid, j in sel:
         dur = (j.get("t1", j["t0"]) - j["t0"]) / 1000.0
         total += dur
+        if prev_end is not None and j["t0"] - prev_end > 80:
+            print(f"  -- driver gap {(j['t0'] - prev_end)/1000.0:7.3f}s before job {jid}")
+        prev_end = j.get("t1", j["t0"])
         print(f"  job {jid:3d} {dur:7.3f}s  {j['desc'][:80]}")
         for sid in sorted(j["stages"]):
             st = stages.get(sid)
