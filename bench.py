@@ -117,6 +117,8 @@ def _bench_report_suite(spark, timings: dict[str, float]) -> None:
 
     def run(name, thunk):
         for _ in range(2):
+            # cache-cold per execution — same rationale as the main loop
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             thunk()
             elapsed = round(time.perf_counter() - t0, 4)
@@ -181,6 +183,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(3):
         for name, fn in qs.items():
+            # Measurement hygiene (r12): several operators persist()
+            # multi-consumer intermediates/outputs inside one query. The
+            # CacheManager matches on plan equality, so WITHOUT clearing,
+            # run 2/3 of the same query (and a later query sharing an
+            # identical subtree, e.g. q101 over q100's spans) would read
+            # run 1's cached blocks instead of computing from parquet —
+            # min-of-3 would time a cache re-read, not the engine. Every
+            # timed execution must start cache-cold.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -103,7 +103,11 @@ def bpe_train(
     """Learn ``num_merges`` BPE merges. Returns (ordered merge list, the
     final symbolized vocabulary DataFrame). Stops early when no pair
     occurs at least twice (merging singletons is meaningless)."""
-    vocab = word_vocab(df, text_col, eow).localCheckpoint(eager=True)
+    # lazy checkpoints: each round's vocab materializes as part of the
+    # SAME job that finds its best pair (one job per merge instead of an
+    # eager-checkpoint job + a take job), while later rounds still read
+    # the stored partitions instead of re-folding the lineage
+    vocab = word_vocab(df, text_col, eow).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         top = (
@@ -115,7 +119,7 @@ def bpe_train(
             break
         left, right = top[0]["left"], top[0]["right"]
         merges.append((left, right))
-        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=True)
+        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=False)
     return merges, vocab
 
 
@@ -131,7 +135,8 @@ def bpe_train_trace(
     value-auditable: given the corpus, every (pair, count) step is
     deterministic, so an independent engine can replay and compare the
     full trace (the q107 oracle does exactly that in DuckDB)."""
-    vocab = word_vocab(df, text_col, eow).localCheckpoint(eager=True)
+    # lazy checkpoints — see bpe_train: one job per merge, not two
+    vocab = word_vocab(df, text_col, eow).localCheckpoint(eager=False)
     trace: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (
@@ -143,7 +148,7 @@ def bpe_train_trace(
             break
         left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
         trace.append((left, right, cnt))
-        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=True)
+        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=False)
     return trace
 
 

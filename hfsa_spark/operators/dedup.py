@@ -335,9 +335,13 @@ def hamming_neardup_pairs(
     # r12: sigs feeds the banding explode AND both verify sides — for
     # upstream signature kernels this is the dominant cost (q124's image
     # pHash would decode every image three times), so the narrow
-    # (id, signature) table is persisted and the small pair table
+    # (id, signature) table is persisted, EAGERLY materialized (AQE runs
+    # the consumers' leaf stages concurrently — a lazy cache would still
+    # decode per consumer; see plans.shared), and the small pair table
     # materialized before the cache is released
-    sigs = sigs.select(F.col(id_col), F.col(sig_col)).persist()
+    from hfsa_spark.plans import shared
+
+    sigs = shared(sigs.select(F.col(id_col), F.col(sig_col)))
     banded = sigs.select(F.col(id_col), F.explode(chunks).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -557,6 +561,7 @@ def duplicate_substring_spans(
     min_len: int = 40,
     sample_mod: int = 1,
     max_gap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal duplicated-substring spans per document, in the spirit of
     exact-substring deduplication for LLM training corpora (Lee et al.
@@ -619,6 +624,19 @@ def duplicate_substring_spans(
     )
     if sample_mod > 1:
         grams = grams.filter(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
+    # grams (one narrow row per sampled char position — the dominant
+    # explode+hash CPU of the query) has TWO consumers: the count agg
+    # and the semi-join probe side. Persist AND eagerly materialize it so
+    # the explode runs once — AQE materializes both consumers' leaf
+    # stages concurrently, so a lazy cache still computes per consumer
+    # (plans.shared). Its size tracks corpus chars / sample_mod — the
+    # same knob that bounds the shuffle bounds the cache. The small span
+    # output is materialized below so the cache is released before
+    # returning.
+    if materialize:
+        from hfsa_spark.plans import shared
+
+        grams = shared(grams)
     dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
     dup_pos = grams.join(dup.select("gh"), "gh", "left_semi")
 
@@ -634,7 +652,7 @@ def duplicate_substring_spans(
         "grp",
         F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
+    spans = (
         islands.groupBy(id_col, "grp")
         .agg(
             F.min("i").alias("span_start"),
@@ -644,6 +662,11 @@ def duplicate_substring_spans(
         .filter(F.col("span_len") >= min_len)
         .select(id_col, "span_start", "span_end", "span_len")
     )
+    if materialize:
+        spans = spans.persist()
+        spans.count()
+        grams.unpersist()
+    return spans
 
 
 def duplicate_char_ratio(
@@ -799,9 +822,13 @@ def bloom_dedup(
     dig = new_df.select(
         F.col(id_col), F.md5(normalize_text(text_col)).alias("__digest")
     )
-    tagged = dig.crossJoin(F.broadcast(bloom.to_row_df(spark))).withColumn(
-        "__maybe", bloom_might_contain(bloom, "__digest")
-    ).drop("__bloom").persist()
+    from hfsa_spark.plans import shared
+
+    tagged = shared(
+        dig.crossJoin(F.broadcast(bloom.to_row_df(spark))).withColumn(
+            "__maybe", bloom_might_contain(bloom, "__digest")
+        ).drop("__bloom")
+    )
     definite_new = tagged.filter(~F.col("__maybe")).drop("__maybe")
     verified_new = (
         tagged.filter(F.col("__maybe"))
@@ -1349,7 +1376,9 @@ def setsim_join(
     """
     sets = _shingle_sets(df, id_col, text_col, shingle_n)
     if materialize:
-        sets = sets.persist()
+        from hfsa_spark.plans import shared
+
+        sets = shared(sets)
     _, cand = _setsim_candidates(
         df, id_col, text_col, threshold_num, threshold_den, shingle_n,
         sets=sets,
@@ -1411,7 +1440,10 @@ def incremental_neardup(
         id_col,
         num_hashes,
         bands,
-    ).persist()
+    )
+    from hfsa_spark.plans import shared
+
+    nb = shared(nb)
     hit = (
         nb.join(index_df.select("band", "key"), ["band", "key"], "left_semi")
         .select(id_col)
@@ -1595,7 +1627,9 @@ def containment_join(
     """
     sets = _shingle_sets(df, id_col, text_col, shingle_n)
     if materialize:
-        sets = sets.persist()
+        from hfsa_spark.plans import shared
+
+        sets = shared(sets)
     _, cand = _containment_candidates(
         df, id_col, text_col, threshold_num, threshold_den, shingle_n,
         sets=sets,
@@ -1656,7 +1690,9 @@ def interdoc_shingle_repetition(
         F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
     ).select("_id", portable_hash64(F.col("_sh")).alias("_h"))
     if materialize:
-        sh = sh.persist()
+        from hfsa_spark.plans import shared
+
+        sh = shared(sh)
     counts = sh.groupBy("_h").agg(
         F.count_distinct("_id").cast("long").alias("_ndocs")
     )

@@ -450,6 +450,11 @@ def json_schema_profile(
     Keys are substituted into a '$.key' variant path, so top-level keys
     containing path metacharacters ('.', '[', quotes) are not supported.
     """
+    # NOTE (r12, measured): parsing once below the explode and carrying
+    # the variant through the Generate was TRIED and is ~15% slower
+    # steady-state here — copying the parsed variant per (row, key)
+    # output row costs more than re-running parse_json on these small
+    # objects. Keeping the parse-per-key shape deliberately.
     keyed = df.select(
         F.col(json_col).alias("_j"),
         F.explode(F.json_object_keys(json_col)).alias("key"),

@@ -57,8 +57,10 @@ def triangle_count(
     # and the edge count) — persisted so the upstream edge derivation
     # (often a join/distinct) runs once; released after the one-row
     # summary is materialized
+    from hfsa_spark.plans import shared
+
     cached = []
-    e = canonical_edges(edges, src, dst).persist()
+    e = shared(canonical_edges(edges, src, dst))
     cached.append(e)
     if max_degree is not None:
         ends = e.select(F.col("src").alias("n")).unionAll(
@@ -70,11 +72,11 @@ def triangle_count(
             .filter(F.col("deg") > max_degree)
             .select("n")
         )
-        e = (
+        e = shared(
             e.join(hubs.withColumnRenamed("n", "src"), "src", "left_anti")
             .join(hubs.withColumnRenamed("n", "dst"), "dst", "left_anti")
             .select("src", "dst")
-        ).persist()
+        )
         cached.append(e)
     e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
@@ -105,7 +107,9 @@ def degree_distribution(
     # r12: e feeds both endpoint projections — persisted so the upstream
     # edge derivation runs once; released after the small histogram
     # materializes
-    e = canonical_edges(edges, src, dst).persist()
+    from hfsa_spark.plans import shared
+
+    e = shared(canonical_edges(edges, src, dst))
     ends = e.select(F.col("src").alias("n")).unionAll(e.select(F.col("dst").alias("n")))
     deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
     out = (
@@ -170,12 +174,12 @@ def pagerank(
     # materialize the loop invariants ONCE — edge lists are usually the
     # output of an upstream join/distinct, and without this every
     # iteration's action would replay that whole lineage
-    e = (
+    from hfsa_spark.plans import shared
+
+    e = shared(
         parallelize_compute(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        )
-        .distinct()
-        .persist()
+        ).distinct()
     )
     nodes = (
         e.select(F.col("src").alias("node"))

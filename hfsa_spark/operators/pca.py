@@ -34,8 +34,16 @@ def embedding_moments(
     of per-row quantized products/values. Quantizing each term BEFORE
     summation makes the aggregation exact integer arithmetic —
     associative, partition-order-independent, and reproducible
-    term-for-term in the SQL oracle. One Expand of dims·(dims+1)/2
-    structs per row, map-combinable agg."""
+    term-for-term in the SQL oracle.
+
+    Shape (r12): one FLAT grouping-free aggregate of dims·(dims+1)/2
+    product sums + dims value sums + a count, unpivoted to (i, j) rows
+    afterwards. The previous shape exploded dims·(dims+1)/2 structs per
+    row through a keyed hash aggregate — 36× the rows and 3 quantized
+    terms per struct (sx was re-summed once per j); the flat form
+    evaluates each distinct term exactly once per row and needs no
+    group-by key at all. Term arithmetic and output rows are unchanged
+    (n = corpus row count for every pair in both shapes)."""
 
     def el(i: int):
         return F.element_at(F.col(col), i + 1).cast("double")
@@ -43,28 +51,33 @@ def embedding_moments(
     def q(c):
         return F.floor(c * quantum + F.lit(0.5)).cast("long")
 
-    structs = F.array(
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(q(el(i))).alias(f"sx_{i}") for i in range(dims)]
+    aggs += [
+        F.sum(q(el(i) * el(j))).alias(f"sxy_{i}_{j}")
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    flat = df.agg(*aggs)
+    pairs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("i"),
                 F.lit(j).alias("j"),
-                q(el(i) * el(j)).alias("xy"),
-                q(el(i)).alias("x"),
-                q(el(j)).alias("y"),
+                F.col(f"sxy_{i}_{j}").alias("sxy_q"),
+                F.col(f"sx_{i}").alias("sx_q"),
+                F.col(f"sx_{j}").alias("sy_q"),
             )
             for i in range(dims)
             for j in range(i, dims)
         ]
     )
     return (
-        df.select(F.explode(structs).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("p.xy").alias("sxy_q"),
-            F.sum("p.x").alias("sx_q"),
-            F.sum("p.y").alias("sy_q"),
-        )
+        flat.select("n", F.explode(pairs).alias("p"))
+        # empty input: the keyed-aggregate shape produced zero rows, the
+        # flat aggregate one all-null row — drop it to keep the contract
+        .filter(F.col("n") > 0)
+        .select("p.i", "p.j", "n", "p.sxy_q", "p.sx_q", "p.sy_q")
     )
 
 

@@ -1739,9 +1739,14 @@ def kmeans_parallel_init(
 
     two60 = float(1 << 60)
     for r in range(rounds):
-        scored = base.withColumn("d2", d2_expr())
+        # persist the per-round scores: the φ aggregate and the sampling
+        # filter both consume d2, and the candidate-array fold is the
+        # round's dominant CPU — cached, it is evaluated once per round
+        # instead of twice (r12). The φ collect materializes the cache.
+        scored = base.withColumn("d2", d2_expr()).persist()
         phi = scored.agg(F.sum("d2")).collect()[0][0]
         if not phi or phi <= 0.0:  # corpus fully covered already
+            scored.unpersist()
             break
         u = portable_hash64(
             F.concat(F.lit(f"r{r}:"), F.col("id").cast("string")), seed
@@ -1752,6 +1757,7 @@ def kmeans_parallel_init(
             if int(row["id"]) not in have:
                 cands.append((int(row["id"]), [float(x) for x in row["vec"]]))
                 have.add(int(row["id"]))
+        scored.unpersist()
 
     # weight candidates by the size of their nearest-candidate cell
     arr = _centroid_array_expr([(cid, v, 0.0) for cid, v in cands])
@@ -1875,7 +1881,9 @@ def semantic_dedup(
     # final keep projection) — persisted, the assignment argmax and the
     # norm computation run once instead of thrice; released after the
     # verdict table is materialized
-    both = assigned.join(vecs, "id").persist()
+    from hfsa_spark.plans import shared
+
+    both = shared(assigned.join(vecs, "id"))
     a = both.select(
         F.col("id").alias("id_a"), F.col("cluster"),
         F.col("v").alias("va"), F.col("n").alias("na"),
@@ -2047,9 +2055,11 @@ def matryoshka_overlap(
     # r12: the full-dimension ranking is joined against EVERY truncation
     # — persisted (k·|queries| rows) so its corpus pass runs once, not
     # once per dim; released after the audit table is materialized
-    full = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+    from hfsa_spark.plans import shared
+
+    full = shared(cosine_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
-    ).persist()
+    ))
     qids = queries.select(F.col(id_col).alias("query_id")).distinct()
     per_dim = []
     for d in dims:

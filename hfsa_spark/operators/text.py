@@ -442,19 +442,24 @@ def unigram_logprob_score(
     """
     from hfsa_spark.plans import parallelize_compute
 
-    # r12: tok has three consumers (corpus counts, which total and logp
-    # each re-derived, plus the scoring join) — unpersisted, the corpus
-    # was tokenized four times per call; persisted, exactly once. The
-    # doc-level output is materialized so both caches release before
-    # returning (bm25_topk pattern).
+    # r12: tok has two consumers (the corpus term counts and the scoring
+    # join). Persist it and materialize EAGERLY — AQE submits independent
+    # leaf stages concurrently, so a lazily-persisted subtree is computed
+    # once per consumer before any cache block lands (measured: the
+    # explode ran 2x per call). The eager count doubles as the corpus
+    # token total (sum of per-term counts == row count of tok — same
+    # value the old broadcast one-row aggregate computed), so the
+    # crossJoin/broadcast total is gone outright. The doc-level output is
+    # materialized so the cache releases before returning (bm25_topk
+    # pattern).
     tok = parallelize_compute(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).persist()
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    total = counts.agg(F.sum("cnt").cast("double").alias("__n"))
-    logp = counts.crossJoin(F.broadcast(total)).select(
+    n_total = tok.count()
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    logp = counts.select(
         "term",
-        F.round(F.log(F.col("cnt").cast("double") / F.col("__n")) * 1e6)
+        F.round(F.log(F.col("cnt").cast("double") / F.lit(float(n_total))) * 1e6)
         .cast("long")
         .alias("logp_micro"),
     )
@@ -469,7 +474,6 @@ def unigram_logprob_score(
     out = out.persist()
     out.count()
     tok.unpersist()
-    counts.unpersist()
     return out
 
 
@@ -525,10 +529,13 @@ def perplexity_buckets(
         )
     )
     # one row per doc, TWO consumers (the score histogram and the ranked
-    # join) — persisted so the unigram scoring pipeline above it runs
-    # once per query instead of twice (r12; released by the caller-side
-    # materialization below)
-    sc = sc.persist()
+    # join) — persisted AND eagerly materialized (AQE runs both
+    # consumers' leaf stages concurrently; plans.shared) so the unigram
+    # scoring pipeline above it runs once per query instead of twice
+    # (r12; released by the caller-side materialization below)
+    from hfsa_spark.plans import shared
+
+    sc = shared(sc)
     hist = sc.groupBy(lang_col, "_rk").agg(F.count(F.lit(1)).alias("_cnt"))
     wl = Window.partitionBy(lang_col).orderBy(F.desc("_rk"))
     offsets = hist.select(
@@ -1051,9 +1058,11 @@ def nb_train_classify(
     # one tokenize+hash pass: per-(doc, bucket) token counts feed the
     # class counts, the observed-bucket grid, AND the scoring join —
     # sum over tokens of ll == n · ll exactly (integer micro-nat units)
-    tfb = toks.groupBy(id_col, label_col, "b").agg(
+    from hfsa_spark.plans import shared
+
+    tfb = shared(toks.groupBy(id_col, label_col, "b").agg(
         F.count(F.lit(1)).alias("tn")
-    ).persist()
+    ))
 
     classes = df.groupBy(F.col(label_col).alias("c")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1319,14 +1328,22 @@ def bigram_logprob_score_arrow(
                 {id_col: ids, "bg": bgs, "c": cs, "is_vocab": vflags}
             )
 
+    from hfsa_spark.plans import parallelize_compute
+
+    # parallelize_compute: a single-row-group parquet scans as ONE task,
+    # serializing the Python kernel on one core (measured 0.7 s of the
+    # q118 wall). Eager count: the partials fan out to three consumers
+    # that AQE materializes concurrently — without materializing the
+    # cache first, the kernel ran once PER consumer (4x, measured).
     parts = (
-        df.select(id_col, text_col)
+        parallelize_compute(df.select(id_col, text_col))
         .mapInPandas(
             run,
             schema=f"{id_col} bigint, bg string, c bigint, is_vocab boolean",
         )
         .persist()
     )
+    parts.count()
     doc_bg = parts.filter(~F.col("is_vocab")).drop("is_vocab")
     vocab = parts.filter(F.col("is_vocab")).agg(
         F.count_distinct("bg").cast("double").alias("__v")
@@ -1828,13 +1845,15 @@ def bigram_pmi(
     # joins) and bg two (the N_bi total and the survivor filter) — both
     # vocabulary-sized count tables are persisted so each corpus explode
     # runs once instead of 3×/2×; released after the top-k materializes
-    uni = base.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
+    from hfsa_spark.plans import shared
+
+    uni = shared(base.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cw")
-    ).persist()
+    ))
     n_uni = uni.agg(F.sum("cw").cast("double").alias("__nu"))
-    bg = base.select(F.explode(bigram_array(text_col)).alias("bg")).groupBy(
+    bg = shared(base.select(F.explode(bigram_array(text_col)).alias("bg")).groupBy(
         "bg"
-    ).agg(F.count(F.lit(1)).alias("cbg")).persist()
+    ).agg(F.count(F.lit(1)).alias("cbg")))
     n_bi = bg.agg(F.sum("cbg").cast("double").alias("__nb"))
     survivors = bg.filter(F.col("cbg") >= min_count)
     w1 = F.substring_index(F.col("bg"), " ", 1)
@@ -2095,7 +2114,9 @@ def _lm_token_logprobs(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if persist_counts:
-        counts = counts.persist()
+        from hfsa_spark.plans import shared
+
+        counts = shared(counts)
     stats = counts.agg(
         F.sum("cnt").cast("double").alias("_n"),
         F.count(F.lit(1)).cast("double").alias("_v"),

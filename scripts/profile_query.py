@@ -146,6 +146,10 @@ def main() -> None:
             pass
         best = float("inf")
         for i in range(2):
+            # cache-cold per run (bench.py parity): operators persist
+            # intermediates; without clearing, run1 would profile a
+            # cache re-read of run0's blocks instead of the engine
+            spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"PROFILE:{name}:run{i}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
