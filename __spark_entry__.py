@@ -4471,9 +4471,11 @@ def q94_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_path = os.path.join(tmp, "pairs")
     # state partitions sized to the gate workload (32 -> 8 measured
-    # 8.4 s -> 3.9 s; per-partition state-store overhead dominates here)
+    # 8.4 s -> 3.9 s; r12: 8 -> 4 measured 4.4 s -> 3.8 s, and 2 regresses
+    # to 4.4 s — per-partition state-store overhead dominates down to the
+    # point where batch compute loses parallelism)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.writeStream.format("parquet")

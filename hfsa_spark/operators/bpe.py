@@ -79,7 +79,13 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     """Fold the merge (left, right) → left+right through every word's
     symbol array — greedy left-to-right, non-overlapping (after a merge
     the new symbol is left+right, which can never re-match ``left``, so
-    the fold is exactly the reference semantics). Pure JVM expression."""
+    the fold is exactly the reference semantics). Pure JVM expression.
+
+    NOTE (r12, measured): shipping the pair as a broadcast one-row table
+    (column refs instead of literals, to stabilise the codegen source
+    across iterations) was TRIED and is ~70% slower — the fold falls off
+    the codegen path and the per-iteration broadcast adds jobs. Literals
+    stay deliberately."""
     merged = left + right
     folded = F.aggregate(
         "syms",
