@@ -2824,10 +2824,7 @@ def q164_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src_dir = os.path.join(tmp, "arrivals")
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        for k in range(3):
-            _stage_arrival_file(
-                d.filter(F.col("doc_id") % 3 == k), src_dir, k
-            )
+        _stage_arrival_split(d, F.col("doc_id") % 3, 3, src_dir)
 
         src = (
             spark.readStream.schema("doc_id bigint, text string")
@@ -3553,10 +3550,7 @@ def q199_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _t(spark, sf_dir, "documents").select(
             "doc_id", F.col("n_chars").cast("long").alias("score")
         )
-        for k in range(3):
-            _stage_arrival_file(
-                d.filter(F.col("doc_id") % 3 == k), src_dir, k
-            )
+        _stage_arrival_split(d, F.col("doc_id") % 3, 3, src_dir)
         ref = d.filter(F.col("doc_id") % 2 == 0)
         src = (
             spark.readStream.schema("doc_id bigint, score bigint")
@@ -3803,8 +3797,7 @@ def q205_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q205_")
     try:
         src_dir = os.path.join(tmp, "changes")
-        for k, b in enumerate(_q205_change_batches(od)):
-            _stage_arrival_file(b, src_dir, k)
+        _stage_arrival_files(_q205_change_batches(od), src_dir)
 
         snap = os.path.join(tmp, "snapshot")
         init_snapshot(od, snap)
@@ -4053,14 +4046,9 @@ def q210_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q210_")
     try:
         src_dir = os.path.join(tmp, "arrivals")
-        for k in range(3):
-            _stage_arrival_file(
-                emb.filter(F.col("vec_id") % 3 == k).select(
-                    "vec_id", "embedding"
-                ),
-                src_dir,
-                k,
-            )
+        _stage_arrival_split(
+            emb.select("vec_id", "embedding"), F.col("vec_id") % 3, 3, src_dir
+        )
         idx = os.path.join(tmp, "ivf")
         init_ivf_index(emb.filter(F.col("vec_id") % 25 == 0), idx)
         src = (
@@ -4109,8 +4097,7 @@ def q212_streaming_cdc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q212_")
     try:
         src_dir = os.path.join(tmp, "changes")
-        for k, b in enumerate(_q205_change_batches(od)):
-            _stage_arrival_file(b, src_dir, k)
+        _stage_arrival_files(_q205_change_batches(od), src_dir)
 
         snap = os.path.join(tmp, "snapshot")
         init_snapshot_bucketed(od, snap, ["o_orderkey"], n_buckets=16)
@@ -4242,8 +4229,7 @@ def q215_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q215_")
     try:
         src_dir = os.path.join(tmp, "changes")
-        for k, b in enumerate(_q205_change_batches(od)):
-            _stage_arrival_file(b, src_dir, k)
+        _stage_arrival_files(_q205_change_batches(od), src_dir)
         tdir = os.path.join(tmp, "table")
         init_base(od, tdir)
         src = (
@@ -4382,6 +4368,61 @@ def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     os.utime(dst, (t, t))
 
 
+def _stage_arrival_write(tagged: DataFrame, n: int, dst_dir: str) -> None:
+    """Write a whole arrival sequence (``tagged`` carries a ``__seq``
+    column in [0, n)) in ONE Spark job: hash-repartition on ``__seq`` puts
+    every batch in exactly one task, so ``partitionBy`` emits exactly one
+    parquet file per batch — same files/names/mtimes the per-batch
+    :func:`_stage_arrival_file` loop produced with one scan+write+commit
+    per file (r12: the N single-task jobs plus their driver gaps were
+    0.3–0.9 s of every streaming gate). A ``__seq`` value with no rows
+    yields no partition directory; the fallback writes the empty file the
+    old loop would have, preserving the batch sequence exactly."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    staging = f"{dst_dir}__stage"
+    tagged.repartition(n, F.col("__seq")).write.partitionBy("__seq").parquet(
+        staging
+    )
+    os.makedirs(dst_dir, exist_ok=True)
+    base = time.time() - 3600
+    for k in range(n):
+        found = _glob.glob(os.path.join(staging, f"__seq={k}", "*.parquet"))
+        if not found:
+            _stage_arrival_file(
+                tagged.filter(F.col("__seq") == k).drop("__seq"), dst_dir, k
+            )
+            continue
+        dst = os.path.join(dst_dir, f"{k:02d}.parquet")
+        shutil.move(found[0], dst)
+        t = base + k * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(staging)
+
+
+def _stage_arrival_split(df: DataFrame, seq, n: int, dst_dir: str) -> None:
+    """One-job arrival staging for batches defined by a row-level
+    expression (``seq`` evaluates to the batch index): a SINGLE scan of
+    ``df`` replaces the n filter+write jobs of the per-batch loop."""
+    _stage_arrival_write(df.withColumn("__seq", seq.cast("int")), n, dst_dir)
+
+
+def _stage_arrival_files(dfs: list, dst_dir: str) -> None:
+    """One-job arrival staging for independently constructed batch
+    DataFrames (rows may overlap across batches): union with a literal
+    ``__seq`` tag and write once."""
+    import functools
+
+    tagged = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [df.withColumn("__seq", F.lit(k)) for k, df in enumerate(dfs)],
+    )
+    _stage_arrival_write(tagged, len(dfs), dst_dir)
+
+
 def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING ingestion path in the gate (not its batch twin): the
     documents table arrives as three deterministic micro-batches (doc_id
@@ -4399,8 +4440,7 @@ def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q93_")
     src_dir = os.path.join(tmp, "arrivals")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    for k in range(3):
-        _stage_arrival_file(d.filter(F.col("doc_id") % 3 == k), src_dir, k)
+    _stage_arrival_split(d, F.col("doc_id") % 3, 3, src_dir)
 
     src = (
         spark.readStream.schema("doc_id bigint, text string, lang string, n_chars bigint")
@@ -4451,9 +4491,15 @@ def q94_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
     cdir, pdir = os.path.join(tmp, "clicks"), os.path.join(tmp, "purchases")
+    # NULL-ts rows get a NULL seq -> the Hive default partition, which the
+    # staging move never picks up: exactly the old two-filter drop semantics
     for df, dst in ((clicks, cdir), (purchases, pdir)):
-        _stage_arrival_file(df.filter(F.col("ts") < split), dst, 0)
-        _stage_arrival_file(df.filter(F.col("ts") >= split), dst, 1)
+        _stage_arrival_split(
+            df,
+            F.when(F.col("ts") < split, 0).when(F.col("ts") >= split, 1),
+            2,
+            dst,
+        )
 
     c_stream = (
         spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hfsa_spark.plans import parallelize_compute
+from hfsa_spark.plans import driver_listing, parallelize_compute
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -1317,6 +1317,7 @@ def ivf_assign_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_vec: bool = False,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """The cluster-scale IVF assignment path: Arrow-batched ``mapInPandas``
     with a numpy centroid matrix (BLAS matmul argmax) — for centroid counts
@@ -1352,7 +1353,9 @@ def ivf_assign_arrow(
     schema = "id bigint, list_id bigint"
     if include_vec:
         schema += ", vec array<double>, norm double"
-    return parallelize_compute(corpus.select(id_col, vec_col)).mapInPandas(run, schema=schema)
+    return parallelize_compute(
+        corpus.select(id_col, vec_col), min_partitions=min_partitions
+    ).mapInPandas(run, schema=schema)
 
 
 def write_ivf_index(
@@ -1447,7 +1450,12 @@ def ivf_topk_indexed(
     probes = probes.localCheckpoint(eager=True)  # reused twice; avoid recompute
     probe_lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
 
-    index = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe_lists))
+    # a segmented index root spans O(#batches × #lists) partition dirs —
+    # enough to trip Spark's parallel-listing jobs (3 × 80-path jobs,
+    # 1.17 s measured on q210); list driver-side instead (r12, guide §6)
+    with driver_listing(spark):
+        index = spark.read.parquet(index_path)
+    index = index.filter(F.col("list_id").isin(probe_lists))
     scored = (
         index.select(
             F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"),

@@ -56,6 +56,7 @@ def write_index_segment(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 4,
+    fanout: int | None = None,
 ) -> None:
     """One idempotent index SEGMENT — the Lucene-style incremental form:
     batch ``segment``'s postings/doclen/stats land under ``seg=<segment>``
@@ -70,7 +71,8 @@ def write_index_segment(
     old segments periodically the same way corpus batches are.
     """
     _write_index_relations(
-        df, index_dir, f"/seg={segment}", id_col, text_col, n_shards
+        df, index_dir, f"/seg={segment}", id_col, text_col, n_shards,
+        fanout=fanout,
     )
 
 
@@ -81,13 +83,16 @@ def _write_index_relations(
     id_col: str,
     text_col: str,
     n_shards: int,
+    fanout: int | None = None,
 ) -> None:
     """Shared writer for the three index relations (flat index = empty
     ``suffix``; streaming segment = ``/seg=N``) — one body, so layout
-    changes cannot diverge between the batch and streaming paths."""
+    changes cannot diverge between the batch and streaming paths.
+    ``fanout`` caps the tokenize fan-out (streaming micro-batches pass a
+    byte-derived width; the batch path keeps the full default)."""
     from hfsa_spark.plans import parallelize_compute
 
-    base = parallelize_compute(df.select(id_col, text_col))
+    base = parallelize_compute(df.select(id_col, text_col), min_partitions=fanout)
     toks = base.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )

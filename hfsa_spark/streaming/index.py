@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from hfsa_spark.plans import scan_width
 from hfsa_spark.sinks.inverted_index import write_index_segment
 
 
@@ -38,9 +39,13 @@ def streaming_index_maintenance(
     Returns the started StreamingQuery (caller awaits/stops it)."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
+        # tokenize fan-out sized from the batch's input bytes (r12): a
+        # micro-batch file is ~1 MB — the default defaultParallelism
+        # fan-out ran 32 near-empty tasks per batch; 8 MB/task reflects
+        # tokenize+explode being ~CPU-heavier per byte than columnar work
         write_index_segment(
             batch, index_dir, batch_id, id_col=id_col, text_col=text_col,
-            n_shards=n_shards,
+            n_shards=n_shards, fanout=scan_width(batch, target_bytes=8 << 20),
         )
 
     writer = stream.writeStream.foreachBatch(step).option(

@@ -37,7 +37,7 @@ from hfsa_spark.operators.similarity import (
     ivf_assign_arrow,
     l2_norm,
 )
-from hfsa_spark.plans import parallelize_compute
+from hfsa_spark.plans import driver_listing, parallelize_compute, scan_width
 
 BATCH_ID_COL = "ingest_batch_id"
 
@@ -71,9 +71,17 @@ def index_vector_batch(
     if cent_rows is None:
         cent = spark.read.parquet(f"{index_path}/_centroids")
         cent_rows = _collect_centroids(cent, "centroid_id", "vec")
+    # assignment fan-out sized from the batch's input BYTES (r12, guide
+    # §2.2/§4): a streaming micro-batch is one tiny file — fanning it to
+    # defaultParallelism ran 32 near-empty Python/codegen tasks per batch
+    # (0.33–0.46 s each measured on q210) for work that is one matmul; a
+    # multi-GB backfill still gets the full width.
+    fanout = scan_width(batch)
     if len(cent_rows) <= expr_centroid_limit:
         scorer = _make_scorer(cent_rows)
-        assigned = parallelize_compute(batch.select(id_col, vec_col)).select(
+        assigned = parallelize_compute(
+            batch.select(id_col, vec_col), min_partitions=fanout
+        ).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
             l2_norm(vec_col).alias("norm"),
@@ -86,7 +94,7 @@ def index_vector_batch(
         cids = [cid for cid, _, _ in cent_rows]
         assigned = ivf_assign_arrow(
             batch, cmat, cids, id_col=id_col, vec_col=vec_col,
-            include_vec=True,
+            include_vec=True, min_partitions=fanout,
         )
     # key the write on list_id: one file per (batch, list) instead of
     # tasks × lists small files — the write-amplification killer for
@@ -152,7 +160,10 @@ def compact_ivf_index(spark: SparkSession, src_path: str, dst_path: str) -> None
     drop-in :func:`~hfsa_spark.operators.similarity.ivf_topk_indexed`
     target. Queries answer identically before and after (pytest-pinned):
     compaction changes LAYOUT, never content."""
-    rows = spark.read.parquet(src_path).select("id", "vec", "norm", "list_id")
+    # segmented roots span O(#batches × #lists) partition dirs — list
+    # driver-side instead of paying Spark's parallel-listing jobs (r12)
+    with driver_listing(spark):
+        rows = spark.read.parquet(src_path).select("id", "vec", "norm", "list_id")
     # explicit shuffle width, same rationale as index_vector_batch (r12):
     # the list count comes from the frozen centroid table (one tiny scan)
     n_lists = spark.read.parquet(f"{src_path}/_centroids").count()
