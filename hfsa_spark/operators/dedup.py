@@ -382,6 +382,15 @@ def connected_components(
     cover pathological chains). Each round is one shuffle keyed on node id;
     ``localCheckpoint`` truncates lineage so plans stay flat. The
     convergence check is an aggregate, not a collect of the data.
+
+    The loop runs over EDGE ENDPOINTS only (r12, guide §2.3 — shuffle
+    fewer bytes): a node in no pair can never change its label, yet the
+    previous shape carried the whole corpus-size ``nodes`` table through
+    every round's join AND checkpoint — rounds × corpus rows of shuffle
+    and materialization for data that was pass-through. Now each round
+    moves O(|pair endpoints|) rows and the corpus is touched exactly once
+    by the final left join (isolated nodes keep their own id — identical
+    output by construction, pinned by the recursive-CTE oracle).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -389,7 +398,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -414,7 +426,14 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("group_id"),
+        )
+    )
 
 
 def connected_components_star(
