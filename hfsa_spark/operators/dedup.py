@@ -426,6 +426,10 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    # materialize the corpus-size result ONCE (the old shape's last-round
+    # checkpoint had this role): downstream keeper/split paths consume the
+    # labels twice in one action, and a lazy join would recompute the
+    # corpus scan+join per consumer (plan audit showed 4 -> 8 scans)
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(labels, "node", "left")
@@ -433,6 +437,7 @@ def connected_components(
             F.col("node").alias(id_col),
             F.coalesce(F.col("label"), F.col("node")).alias("group_id"),
         )
+        .localCheckpoint(eager=True)
     )
 
 
