@@ -4348,11 +4348,17 @@ def q213_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
+def _stage_arrival_file(
+    df: DataFrame, dst_dir: str, seq: int, base: float | None = None
+) -> None:
     """Write ``df`` as the single parquet file ``{seq:02d}.parquet`` in
     ``dst_dir`` with an mtime that increases with ``seq`` — a deterministic
     arrival sequence for file-source streaming (FileStreamSource processes
-    oldest-mtime first; zero-padded names keep path order identical)."""
+    oldest-mtime first; zero-padded names keep path order identical).
+    ``base`` pins the mtime epoch: the one-job staging path passes its own
+    snapshot so an empty-batch fallback written AFTER a slow staged write
+    cannot get a later mtime than an already-moved later batch (ADVICE
+    r12 — mtime order must match the zero-padded path order)."""
     import glob as _glob
     import os
     import shutil
@@ -4364,7 +4370,7 @@ def _stage_arrival_file(df: DataFrame, dst_dir: str, seq: int) -> None:
     dst = os.path.join(dst_dir, f"{seq:02d}.parquet")
     shutil.move(_glob.glob(os.path.join(staging, "*.parquet"))[0], dst)
     shutil.rmtree(staging)
-    t = time.time() - 3600 + seq * 60
+    t = (base if base is not None else time.time() - 3600) + seq * 60
     os.utime(dst, (t, t))
 
 
@@ -4392,8 +4398,13 @@ def _stage_arrival_write(tagged: DataFrame, n: int, dst_dir: str) -> None:
     for k in range(n):
         found = _glob.glob(os.path.join(staging, f"__seq={k}", "*.parquet"))
         if not found:
+            # empty batch: write the file the old loop would have, with an
+            # mtime from the SAME base as the moved files (not a fresh
+            # time.time() — a >60 s staged write would otherwise give batch
+            # k a later mtime than batch k+1's already-moved file)
             _stage_arrival_file(
-                tagged.filter(F.col("__seq") == k).drop("__seq"), dst_dir, k
+                tagged.filter(F.col("__seq") == k).drop("__seq"),
+                dst_dir, k, base=base,
             )
             continue
         dst = os.path.join(dst_dir, f"{k:02d}.parquet")

@@ -383,23 +383,46 @@ def main() -> None:
                 json.dump(result, fh)
         except OSError:
             pass
-    # Printed line: qNN_* keys abbreviated to qNN, timings to 3 decimals —
-    # fits the driver's 2000-char tail window so `parsed` is populated.
+    # Printed line: the driver parses the LAST ~2000 stdout chars. The full
+    # 224-entry per-query dict is ~2.5k chars even with qNN keys and
+    # 2-decimal values, so it can NEVER fit alongside the summary — the r11
+    # guard therefore dropped it entirely, which blinded the driver's
+    # per-query regression and scaling ground truth (PERF_r12 per_query={},
+    # VERDICT r12 #1). Fix: pack as many per-query entries as fit under the
+    # window, ordered by DESCENDING time — the expensive tail (where
+    # regressions and scaling behavior live) is always visible, and a query
+    # that regresses RISES into the printed set, so the truncation cannot
+    # hide a slowdown. queries_omitted counts the cheap entries that did
+    # not fit; the full-name, full-precision record is in the JSON file
+    # named by queries_in (BENCH_RUN.json / BENCH_LOCAL.json).
+    def _abbr(k: str) -> str:
+        head = k.split("_")[0]
+        return head if k.startswith("q") and head[1:].isdigit() else k
+
     compact = dict(result)
-    compact["queries"] = {
-        (k.split("_")[0] if k.startswith("q") and k.split("_")[0][1:].isdigit() else k):
-        round(v, 3)
-        for k, v in timings.items()
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900 and out_name:
-        # tail-window guard: the driver parses the LAST ~2000 stdout chars,
-        # so past ~170 queries the per-query dict no longer fits — drop it
-        # from the printed line (the full-name detail is in the JSON file)
-        compact.pop("queries", None)
+    compact["queries"] = {}
+    compact["queries_omitted"] = len(timings)
+    if out_name:
         compact["queries_in"] = out_name
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    budget = 1880 - len(json.dumps(compact, separators=(",", ":")))
+    entries = sorted(
+        ((_abbr(k), round(v, 2)) for k, v in timings.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    kept: dict[str, float] = {}
+    used = 0
+    for k, v in entries:
+        frag_len = len(json.dumps({k: v}, separators=(",", ":"))) - 2 + 1
+        if used + frag_len > budget:
+            break  # strictly the top-by-time prefix — deterministic
+        kept[k] = v
+        used += frag_len
+    compact["queries"] = kept
+    if len(kept) == len(timings):
+        compact.pop("queries_omitted")
+    else:
+        compact["queries_omitted"] = len(timings) - len(kept)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -391,6 +391,17 @@ def connected_components(
     moves O(|pair endpoints|) rows and the corpus is touched exactly once
     by the final left join (isolated nodes keep their own id — identical
     output by construction, pinned by the recursive-CTE oracle).
+
+    Contract (r13, ADVICE r12): ``pairs`` must reference only ids present
+    in ``nodes``. The endpoints loop propagates labels through EVERY pair
+    endpoint — under the pre-r12 shape an id absent from ``nodes`` was
+    inert (labels were seeded from ``nodes``), so two nodes linked only
+    through an out-of-corpus id did not merge; now they do, and the
+    resulting group_id can be an id outside ``nodes``. Every caller in
+    this codebase derives ``pairs`` from the same frame as ``nodes`` (LSH/
+    Jaccard/simhash candidate pairs over the corpus itself), so the
+    difference is unobservable here; a new caller with foreign edge ids
+    must semi-join ``pairs`` against ``nodes`` first.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

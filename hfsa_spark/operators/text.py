@@ -1279,20 +1279,47 @@ def char_entropy_profile_arrow(
     )
 
 
+def _py_bg_hash(values: list) -> "object":
+    """Deterministic 64-bit join-key hash for bigram strings, vectorized
+    inside the Arrow kernel (pandas ``hash_array``: siphash with its fixed
+    library-default key — stable across workers and runs, ~50 ns/value).
+    Module-level so the collision-fallback test can substitute a
+    degenerate hash (real 64-bit collisions are not constructible on
+    demand); production output never depends on hash behavior — see the
+    collision check in :func:`bigram_logprob_score_arrow`."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.util.hash_array(
+        np.asarray(values, dtype=object), categorize=False
+    ).astype("int64")
+
+
 def bigram_logprob_score_arrow(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Arrow kernel twin of :func:`bigram_logprob_score` — identical
     integer output (equivalence-tested). One Arrow pass tokenizes each
-    batch and emits COMPRESSED partials instead of the expression path's
-    two raw explodes: per-doc bigram counts ``(id, bg, c)`` (repeats
-    collapse) plus each batch's distinct unigrams tagged with an explicit
-    ``is_vocab`` flag (no sentinel id — negative document ids are safe;
-    vocab rows carry id = 0 and are filtered by flag). The model join
-    then keys on bigram exactly as before, but the joined side carries
-    one row per DISTINCT (doc, bigram) — repetitive corpora (the ones a
-    repetition filter targets) compress hardest. Partials are persisted
-    for the model/vocab/score fan-out (three consumers, one kernel run)."""
+    batch and emits three row kinds of COMPRESSED partials instead of the
+    expression path's two raw explodes:
+
+    * ``kind=0`` — per-doc bigram counts ``(id, bgh, c)`` with NO string
+      column at all (r13): the bigram travels as a 64-bit content hash
+      computed vectorized in the kernel (:func:`_py_bg_hash`), so the
+      widest row class never ships or caches strings (§2.3 narrower
+      types; this class dominates — one row per distinct (doc, bigram));
+    * ``kind=1`` — per-BATCH bigram totals ``(bgh, c, bg)``: the kernel
+      pre-aggregates across its batch's docs (§2.3 aggregate before you
+      shuffle), so the model build reads one string row per distinct
+      bigram per batch instead of per (doc, bigram);
+    * ``kind=2`` — the batch's distinct unigrams (vocabulary rows).
+
+    The model is keyed on the hash; collisions are detected EXACTLY
+    (min(bg) != max(bg) within a hash group — every colliding string
+    appears in some batch's kind=1 rows), folded per-doc through the
+    output aggregate, and checked once on the driver; a detected
+    collision falls back to the expression twin, so the result can never
+    depend on hash behavior (p ≈ n²/2⁶⁵ per corpus)."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -1301,9 +1328,9 @@ def bigram_logprob_score_arrow(
             if not len(batch):
                 continue
             ids: list[int] = []
-            bgs: list[str] = []
+            doc_bgs: list[str] = []
             cs: list[int] = []
-            vflags: list[bool] = []
+            batch_bg: dict[str, int] = {}
             batch_vocab: set[str] = set()
             for doc_id, text in zip(batch[id_col], batch[text_col]):
                 toks = _py_tokens(text)
@@ -1316,16 +1343,27 @@ def bigram_logprob_score_arrow(
                     counts[bg] = counts.get(bg, 0) + 1
                 for bg, c in counts.items():
                     ids.append(int(doc_id))
-                    bgs.append(bg)
+                    doc_bgs.append(bg)
                     cs.append(c)
-                    vflags.append(False)
-            for term in batch_vocab:
-                ids.append(0)
-                bgs.append(term)
-                cs.append(0)
-                vflags.append(True)
+                    batch_bg[bg] = batch_bg.get(bg, 0) + c
+            keys = list(batch_bg)
+            vocab_terms = list(batch_vocab)
+            if keys:
+                hs = _py_bg_hash(keys)
+                hmap = dict(zip(keys, (int(h) for h in hs)))
+            else:
+                hmap = {}
+            n_doc, n_m, n_v = len(ids), len(keys), len(vocab_terms)
             yield pd.DataFrame(
-                {id_col: ids, "bg": bgs, "c": cs, "is_vocab": vflags}
+                {
+                    id_col: ids + [0] * (n_m + n_v),
+                    "bgh": [hmap[bg] for bg in doc_bgs]
+                    + [hmap[bg] for bg in keys]
+                    + [0] * n_v,
+                    "c": cs + [batch_bg[bg] for bg in keys] + [0] * n_v,
+                    "kind": [0] * n_doc + [1] * n_m + [2] * n_v,
+                    "bg": [None] * n_doc + keys + vocab_terms,
+                }
             )
 
     from hfsa_spark.plans import parallelize_compute
@@ -1339,26 +1377,36 @@ def bigram_logprob_score_arrow(
         parallelize_compute(df.select(id_col, text_col))
         .mapInPandas(
             run,
-            schema=f"{id_col} bigint, bg string, c bigint, is_vocab boolean",
+            schema=(
+                f"{id_col} bigint, bgh bigint, c bigint, kind tinyint,"
+                " bg string"
+            ),
         )
         .persist()
     )
     parts.count()
-    doc_bg = parts.filter(~F.col("is_vocab")).drop("is_vocab")
-    vocab = parts.filter(F.col("is_vocab")).agg(
+    doc_bg = parts.filter(F.col("kind") == 0).select(id_col, "bgh", "c")
+    vocab = parts.filter(F.col("kind") == 2).agg(
         F.count_distinct("bg").cast("double").alias("__v")
     )
-    bg_counts = doc_bg.groupBy("bg").agg(F.sum("c").alias("cbg"))
-    hist_counts = (
-        bg_counts.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("head"))
-        .agg(F.sum("cbg").alias("chead"))
+    # one row per distinct bigram, from the per-batch model partials;
+    # min==max ⟺ exactly one distinct string hashed to this key
+    bg_counts = parts.filter(F.col("kind") == 1).groupBy("bgh").agg(
+        F.sum("c").alias("cbg"),
+        F.min("bg").alias("bg"),
+        F.max("bg").alias("__bg_max"),
     )
+    # history count via a window over head (one evaluation of bg_counts)
+    # instead of the old groupBy-then-self-join diamond (two evaluations,
+    # one more exchange) — identical integer sums per head
+    head_w = Window.partitionBy("head")
     model = (
         bg_counts.withColumn("head", F.substring_index(F.col("bg"), " ", 1))
-        .join(hist_counts, "head")
+        .withColumn("chead", F.sum("cbg").over(head_w))
         .crossJoin(F.broadcast(vocab))
         .select(
-            "bg",
+            "bgh",
+            (F.col("bg") != F.col("__bg_max")).cast("int").alias("__coll"),
             F.round(
                 F.log(
                     (F.col("cbg").cast("double") + 1.0)
@@ -1370,20 +1418,44 @@ def bigram_logprob_score_arrow(
             .alias("logp_micro"),
         )
     )
-    out = (
-        doc_bg.join(model, "bg")
+    # SHUFFLE_HASH on the model side: the planner's static estimates run
+    # backwards here (doc_bg has exact cache stats, the model subtree's
+    # crossJoin inflates its estimate), so the default plan BROADCAST the
+    # 10x-bigger doc_bg side — a 20 MiB build measured at 7 s CPU /
+    # 0.6 s wall (r13 profile). At 100 TB neither side fits a broadcast
+    # (the model is the distinct-bigram vocabulary), so the honest shape
+    # at both scales is a co-partitioned hash join on the 8-byte key,
+    # with the per-partition build on the model side (§3.1).
+    out_pre = (
+        doc_bg.join(model.hint("shuffle_hash"), "bgh")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_bigrams"),
             F.sum(F.col("logp_micro") * F.col("c")).alias("sum_logp_micro"),
+            F.max("__coll").alias("__anycoll"),
         )
     )
-    # one row per scored doc: persist + materialize (lineage kept), then
-    # release the big cached partials (three consumers have all run)
-    out = out.persist()
-    out.count()
+    # one row per scored doc, materialized via localCheckpoint — NOT
+    # persist: a persisted result's cache entry DEPENDS on the parts
+    # cache, and `parts.unpersist()` below would invalidate it through
+    # CacheManager's non-cascading re-cache (buffers dropped, plan
+    # recompiled without the parts cache), so the caller's first action
+    # re-ran the ENTIRE pipeline — Python kernel included — a second
+    # time (r13 profiling: the final noop re-executed the scoring
+    # aggregate at 8.3 s CPU / 32 tasks). The checkpoint has no lineage,
+    # so releasing the partials cannot touch it.
+    out_pre = out_pre.localCheckpoint(eager=True)
+    if out_pre.agg(F.max("__anycoll")).first()[0]:
+        # two distinct bigrams share a 64-bit hash: recompute with the
+        # string-keyed EXPRESSION twin (identical integer output,
+        # equivalence-pinned in pytest). The kernel's doc rows carry no
+        # strings, so the exact rebuild re-reads the source — correct and
+        # slower, on a p ≈ n²/2⁶⁵ event. Exercised by a forced-collision
+        # unit test.
+        parts.unpersist()
+        return bigram_logprob_score(df, id_col, text_col)
     parts.unpersist()
-    return out
+    return out_pre.drop("__anycoll")
 
 
 DEFAULT_PII_PATTERNS: dict[str, str] = {

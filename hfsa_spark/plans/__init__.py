@@ -11,6 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# driver_listing nesting depth (single-threaded driver use; see its docstring)
+_DRIVER_LISTING_DEPTH = 0
+
 
 def parallelize_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a compute-bound DataFrame has at least ``min_partitions``
@@ -47,18 +50,36 @@ def driver_listing(spark, threshold: int = 16384):
     still falls back to the distributed listing beyond ~16k dirs — the
     object-store regime where the parallel job IS the right call; pass a
     lower ``threshold`` (or don't use this helper) in such deployments.
+
+    Caveats (ADVICE r12): the conf is SESSION-wide — another query
+    planning a file-source read concurrently (e.g. an active streaming
+    query's micro-batch planning) would see the raised threshold while
+    the block is held, so call sites must run while no stream is active
+    (all current ones do). Nested use is guarded by a depth counter: only
+    the outermost block snapshots and restores, so an inner block cannot
+    clobber the outer caller's restore value.
     """
     from contextlib import contextmanager
 
     @contextmanager
     def _ctx():
+        global _DRIVER_LISTING_DEPTH
         key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        if _DRIVER_LISTING_DEPTH > 0:
+            _DRIVER_LISTING_DEPTH += 1
+            try:
+                yield
+            finally:
+                _DRIVER_LISTING_DEPTH -= 1
+            return
         prev = spark.conf.get(key)
+        _DRIVER_LISTING_DEPTH = 1
         spark.conf.set(key, str(threshold))
         try:
             yield
         finally:
             spark.conf.set(key, prev)
+            _DRIVER_LISTING_DEPTH = 0
 
     return _ctx()
 
@@ -88,12 +109,21 @@ def scan_width(df: DataFrame, target_bytes: int = 32 << 20) -> int:
     total = 0
     try:
         files = df.inputFiles()
+    except Exception:
+        # a plan with no file-relation view (py4j-side error) — same case
+        # as the empty list below
+        files = []
+    try:
         for f in files:
             u = urlparse(f)
             if u.scheme not in ("", "file"):
                 raise OSError(f)
             total += os.path.getsize(unquote(u.path))
-    except Exception:
+    except (OSError, ValueError):
+        # expected: non-local scheme (raised above), a file deleted between
+        # listing and stat, or an unparsable URL — fall back to the plan's
+        # own width. Anything else propagates (ADVICE r12: a blanket except
+        # masked real errors AND a partially-summed total).
         files = []
     if not files:
         return int(min(limit, max(1, df.rdd.getNumPartitions())))

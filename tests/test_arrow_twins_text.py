@@ -76,6 +76,29 @@ def test_bigram_logprob_arrow_equivalence(docs):
     assert a == b
 
 
+def test_bigram_logprob_collision_fallback(docs):
+    """r13: the arrow twin joins on a 64-bit content hash of the bigram
+    (kernel-computed, no strings on the doc rows), with an exact min!=max
+    collision detector and an expression-twin fallback. Force EVERY
+    bigram onto one hash value: the fallback must engage and still
+    produce rows identical to the expression path. monkeypatch cannot be
+    used — the kernel closure is pickled to executors, so the patched
+    module global must be visible to cloudpickle at closure-capture time;
+    patch + restore around the call instead."""
+    import numpy as np
+
+    import hfsa_spark.operators.text as textmod
+
+    orig = textmod._py_bg_hash
+    textmod._py_bg_hash = lambda values: np.ones(len(values), dtype="int64")
+    try:
+        a = _rows(textmod.bigram_logprob_score(docs))
+        b = _rows(textmod.bigram_logprob_score_arrow(docs))
+    finally:
+        textmod._py_bg_hash = orig
+    assert a == b
+
+
 def test_count_min_arrow_equivalence(docs):
     from hfsa_spark.operators.sketches import count_min_estimate
     from hfsa_spark.operators.text import tokens
