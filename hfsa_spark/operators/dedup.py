@@ -552,11 +552,19 @@ def ngram_jaccard_pairs(
     shingles (docs with no common shingle can't exceed 0 similarity, so
     this is exact while avoiding the cross join). With ``candidates``
     (e.g. LSH output) it verifies only those pairs — the scale path.
-    """
-    from hfsa_spark.plans import parallelize_compute
 
-    shingled = parallelize_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    r13: the shingle stream is persisted + eagerly materialized (three
+    consumers — sizes, both self-join sides — each re-ran the tokenize+
+    shingle explode before); the pair result is localCheckpoint-ed so the
+    stream cache is released before returning.
+    """
+    from hfsa_spark.plans import parallelize_compute, shared
+
+    shingled = shared(
+        parallelize_compute(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -572,7 +580,7 @@ def ngram_jaccard_pairs(
 
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -582,7 +590,10 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    shingled.unpersist()
+    return out
 
 
 # --------------------------------------------------- exact substrings --

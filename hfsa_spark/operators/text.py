@@ -235,23 +235,33 @@ def tfidf_top_terms(
     ascending, so the output is deterministic. Output carries the exact
     integer evidence (tf, df) alongside the double score.
 
-    Scale: one explode + groupBy for term frequencies; doc_len is a window
-    sum over the tf rows (one shuffle on id — cheaper than the
+    Scale: one explode + groupBy for term frequencies — computed ONCE
+    (r13: the tf table is persisted + eagerly materialized; its three
+    consumers — doc_len window, document frequency, scoring join — each
+    re-ran the tokenize+explode+aggregate before, 2x ~7 s CPU at sf0.1
+    profiled as two sequential 0.85 s stages); doc_len is a window sum
+    over the tf rows (one shuffle on id — cheaper than the
     groupBy-then-self-join diamond); document frequency is a groupBy over
     (id, term) pairs; N arrives via a broadcast 1-row agg (no driver-side
-    count, the plan stays lazy); final top-k is a per-document ranking
-    window — partitioned by document id, never a global sort.
+    count); final top-k is a per-document ranking window — partitioned by
+    document id, never a global sort. The top-k result (k rows per doc)
+    is localCheckpoint-ed so the tf cache can be released before
+    returning — the caller's action reads the checkpoint, never the
+    lineage (the §5 cache-vs-recompute bound for the corpus-sized tf
+    cache is recorded in PERFORMANCE.md).
     """
-    from hfsa_spark.plans import parallelize_compute
+    from hfsa_spark.plans import parallelize_compute, shared
 
     base = parallelize_compute(df.select(F.col(id_col), F.col(text_col)))
-    tf = (
+    tf = shared(
         base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     doclen_w = Window.partitionBy(id_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # n_docs stays a count over BASE (a zero-token doc counts toward N but
+    # has no tf row); column pruning reduces this scan to the id column
     ndocs = F.broadcast(base.agg(F.countDistinct(id_col).alias("n_docs")))
     scored = (
         tf.withColumn("doc_len", F.sum("tf").over(doclen_w))
@@ -264,11 +274,14 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "score")
+        .localCheckpoint(eager=True)
     )
+    tf.unpersist()
+    return out
 
 
 # Redaction patterns kept to the RE2 ∩ Java-regex-compatible subset
