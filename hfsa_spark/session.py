@@ -40,6 +40,19 @@ def get_spark(app_name: str = "hfsa_spark", shuffle_partitions: int | None = Non
         # sizes exactly like every other AQE stage (r12 A/B: 0.80x over
         # the cached-operator subset, no query slower).
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Use the sort-based shuffle writer for every shuffle (r13). The
+        # bypass-merge writer (default for ≤200 reduce partitions) opens
+        # one file PER REDUCE PARTITION per map task — 32×32 = 1024
+        # creates + a concat + deletes per exchange; thread-dump sampling
+        # during the bench put >80% of runnable task time in
+        # FileOutputStream.open0 under DiskBlockObjectWriter (file
+        # creation on this host costs ~200 µs and serializes across the
+        # 32 writer threads). The sort path writes ONE data+index file
+        # per map task. Scale-neutral by construction: at 100 TB every
+        # real shuffle exceeds 200 partitions and already takes the sort
+        # path — this only changes the small-shuffle regime where the
+        # bypass writer's file-op fan-out is the dominant cost.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
