@@ -20,19 +20,25 @@ REF_MEMBW_GBPS = 2.98
 # r8 record. Round 9 proved this axis drifts independently of membw.
 REF_CPU_SEC = 0.1373
 
-# Sensitivity of batch time to the CPU-canary ratio, fitted least-squares
-# over code-identical evidence points (scripts/data/bisect_r10.jsonl and
-# bisect_r11.jsonl via scripts/fit_alpha.py). The r11 refit (7 points: 5
-# pinned-tree windows + the r10 min-merge + the r8->r9 record pair) puts
-# the full-sample LS at 0.68-0.80 depending on the membw treatment, with
-# the low-steal (<0.5%) windows clustering at 0.54-0.82 and a total band
-# of [0.23, 1.17] — the estimate is steal-confounded and the two membw
-# treatments disagree, so the value is NOT revised upward: 0.41 sits
-# BELOW the refit, i.e. the gate under-credits (the conservative
-# direction everywhere it is used), and the CPU term stays a documented
-# CORRECTION, not the gate's primary defense (min-merge depth + the
-# steal gate remain that).
-ALPHA_CPU = 0.41
+# Sensitivity of batch time to the CPU-canary ratio. RETIRED to 0.0 in
+# r13 (VERDICT r12 #7, closing the carried alpha decision): the final
+# refit over ALL committed pinned-tree evidence (25 points across
+# bisect_r10/r11/r12.jsonl via scripts/fit_alpha.py; 22 included, 12+
+# clean sub-0.5%-steal windows — the evidence bar the r12 plan set) puts
+# the LS at 0.863 but with a point band of [0.23, 2.42] under the linear
+# membw treatment and [0.07, 1.55] under the banded one — the term is
+# real but steal-confounded and cannot be pinned tighter than a factor
+# of ~2 by this methodology. Meanwhile the RAW gate passes with margin
+# (r12 committed 1.72-1.79x of the r1 anchor band; r13 sits lower), so
+# the responsible call is the verdict-sanctioned alternative: retire the
+# CPU credit entirely. alpha=0 makes every normalized number MORE
+# conservative (a slow-CPU window now gets no credit; the penalty
+# direction was never cpu-dependent), cannot hide a regression, and
+# removes the one under-evidenced term from the model. Normalization is
+# now membw-linear only, still credit-clamped at CANARY2_CREDIT_FLOOR.
+# Fit provenance retained: alpha_ls=0.863, n=22, scripts/fit_alpha.py
+# over bisect_r10+r11+r12.jsonl, 2026-08-18.
+ALPHA_CPU = 0.0
 
 # Bound on the total canary credit (r10 VERDICT "What's wrong" #2 and
 # ADVICE: on a slow-canary host the two-axis correction reached 0.67x on

@@ -22,6 +22,18 @@ def get_spark(app_name: str = "hfsa_spark", shuffle_partitions: int | None = Non
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # Local-filesystem shim (r13): without libhadoop, Hadoop's
+    # RawLocalFileSystem forks a shell ("chmod") for EVERY created file
+    # and writes a .crc shadow per file through ChecksumFileSystem —
+    # thread-dump sampling put ~5% of runnable task time in
+    # ProcessImpl.forkAndExec under setPermission (parquet data files,
+    # streaming WAL/checkpoint files). hfsa-localfs.jar (source in
+    # java/, built by java/build.sh against the pyspark-bundled Hadoop
+    # API) subclasses RawLocalFileSystem with a no-op setPermission and
+    # is wired for the file:// scheme only — on a real cluster the data
+    # filesystem is HDFS/S3 and none of this is in play.
+    _jar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "jars", "hfsa-localfs.jar")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -59,6 +71,15 @@ def get_spark(app_name: str = "hfsa_spark", shuffle_partitions: int | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.path.isfile(_jar):
+        builder = (
+            builder.config("spark.driver.extraClassPath", _jar)
+            .config("spark.executor.extraClassPath", _jar)
+            .config("spark.hadoop.fs.file.impl",
+                    "hfsa.NoChmodRawLocalFileSystem")
+            .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+                    "hfsa.NoChmodLocalFs")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
